@@ -1,0 +1,391 @@
+package graft.queries
+
+import graft.operators.Upsert
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational substrate + contract-layer operators as oracle-verifiable
+  * queries (SURVEY §2). Each query reads the driver's parquet tables from
+  * `dir` and mirrors its DuckDB oracle exactly (aliases included).
+  *
+  * Conventions (driver-compare safety):
+  *  - timestamps are always emitted as formatted strings (Spark writes
+  *    UTC-adjusted parquet timestamps, DuckDB naive — raw values would
+  *    false-mismatch);
+  *  - double aggregates are `round(...)`-ed so partial-aggregation order
+  *    cannot surface ulp noise; raw stored doubles pass through untouched
+  *    (bit-exact in both engines);
+  *  - every query is totally ordered by a unique key set.
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-nanos LongType and
+    * convert explicitly at use sites (`timestamp_micros(ts div 1000)`).
+    */
+  private[queries] def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** TPC-H Q1-style pricing summary: the flagship scan→filter→agg path.
+    * Partial (map-side) aggregation + single shuffle on the 6-value group
+    * key; the shipdate filter and 7-column projection push into the parquet
+    * scan.
+    */
+  val q01PricingSummary: QuerySpec = QuerySpec.oracled(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + projection (P11/P12 substrate): both reach the parquet scan as
+    * PushedFilters/ReadSchema — a 3-column read, not a full-row scan.
+    */
+  val q02FilterProject: QuerySpec = QuerySpec.oracled(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_extendedprice > 48000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .filter(col("l_extendedprice") > 48000)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Multi-way join + agg (M4 substrate): revenue by nation. Dimension
+    * tables (region, nation) are broadcast — no shuffle for the small sides;
+    * the orders⋈lineitem join shuffles once on the order key.
+    */
+  val q03JoinAggNationRevenue: QuerySpec = QuerySpec.oracled(
+    "q03_join_agg",
+    """SELECT n.n_name,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin) { (spark, dir) =>
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(TimestampType))
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** Ranking window (top-k per group): row_number over a per-group sort —
+    * one shuffle on the partition key, tie-broken deterministically.
+    */
+  val q04TopkPerGroup: QuerySpec = QuerySpec.oracled(
+    "q04_topk_per_group",
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) ranked
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  /** Hierarchical aggregate (rollup): partial aggregation feeds all grouping
+    * sets from one shuffle.
+    */
+  val q05Rollup: QuerySpec = QuerySpec.oracled(
+    "q05_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) {
+    (spark, dir) =>
+      t(spark, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Set operators (M5 substrate): INTERSECT / EXCEPT with SQL distinct
+    * semantics.
+    */
+  val q06SetOps: QuerySpec = QuerySpec.oracled(
+    "q06_set_ops",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderpriority").startsWith("1"))
+        .select("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Keyed keep-last upsert (M1+M2, ref: src/etl-utils.ts:289,319) through
+    * the real [[graft.operators.Upsert]] operator: new batch beats snapshot
+    * on PK collision, non-colliding rows from both sides survive.
+    */
+  val q07UpsertKeepLast: QuerySpec = QuerySpec.oracled(
+    "q07_upsert_keep_last",
+    """WITH old AS (
+      |  SELECT o_orderkey, 'old' AS batch, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |fresh AS (
+      |  SELECT o_orderkey, 'new' AS batch, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |merged AS (
+      |  SELECT *, 0 AS pri FROM old
+      |  UNION ALL
+      |  SELECT *, 1 AS pri FROM fresh),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                               ORDER BY pri DESC) AS rn
+      |  FROM merged)
+      |SELECT o_orderkey, batch, o_totalprice FROM ranked WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val old = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("batch", lit("old"))
+    val fresh = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("batch", lit("new"))
+    Upsert.keepLast(old, fresh, Seq("o_orderkey"))
+      .select("o_orderkey", "batch", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Schema-drift union (M1, ref: src/etl-utils.ts:289): `unionByName` with
+    * null-fill for side-missing columns ≙ DuckDB UNION ALL BY NAME.
+    */
+  val q08UnionByName: QuerySpec = QuerySpec.oracled(
+    "q08_union_by_name",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |UNION ALL BY NAME
+      |SELECT o_orderkey, o_orderpriority
+      |FROM orders WHERE o_orderkey % 5 = 1
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val b = o.filter(col("o_orderkey") % 5 === 1)
+      .select("o_orderkey", "o_orderpriority")
+    a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+  }
+
+  /** Cast matrix (P2/S2 lenient casting, ref: src/reader.ts:73-81,
+    * src/etl-utils.ts:307-309): explicit rounding before narrowing (Spark
+    * truncates double→int, DuckDB rounds — the operator pins the semantics),
+    * try_cast null on failure.
+    */
+  val q09CastMatrix: QuerySpec = QuerySpec.oracled(
+    "q09_cast_matrix",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_linenumber AS BIGINT) AS ln_long,
+      |  CAST(l_orderkey AS VARCHAR) AS ok_str,
+      |  CAST(round(l_quantity) AS BIGINT) AS qty_int,
+      |  TRY_CAST(l_returnflag AS INTEGER) AS rf_int,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+      |  l_quantity > 25 AS qty_gt25
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast(LongType).as("ln_long"),
+        col("l_orderkey").cast(StringType).as("ok_str"),
+        round(col("l_quantity")).cast(LongType).as("qty_int"),
+        expr("try_cast(l_returnflag AS INT)").as("rf_int"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        (col("l_quantity") > 25).as("qty_gt25"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** String→timestamp parsing with format fallback (P3/S3,
+    * ref: src/reader.ts:111-128): full-datetime and date-only inputs through
+    * the same lenient coalesce chain.
+    */
+  val q10ParseDates: QuerySpec = QuerySpec.oracled(
+    "q10_parse_dates",
+    """SELECT o_orderkey,
+      |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+      |           '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS rt_full,
+      |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'),
+      |           '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS rt_dateonly
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    def parseChain(c: org.apache.spark.sql.Column) = coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd")))
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(
+          parseChain(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
+          "yyyy-MM-dd HH:mm:ss").as("rt_full"),
+        date_format(
+          parseChain(date_format(col("o_orderdate"), "yyyy-MM-dd")),
+          "yyyy-MM-dd HH:mm:ss").as("rt_dateonly"))
+      .orderBy("o_orderkey")
+  }
+
+  /** ISO-8601 µs formatting before Singer export (P4,
+    * ref: src/singer.ts:63-73 strftime "%Y-%m-%dT%H:%M:%S.%fZ").
+    */
+  val q11IsoFormat: QuerySpec = QuerySpec.oracled(
+    "q11_iso_format",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+          .as("iso_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  /** JSON-string column extraction (P6, ref: src/singer.ts:208-219
+    * parseObjs): schema-driven `get_json_object` instead of per-value JS
+    * parse — stays in codegen, no row materialization.
+    */
+  val q12JsonExtract: QuerySpec = QuerySpec.oracled(
+    "q12_json_extract",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+      .orderBy("event_id")
+  }
+
+  /** Struct→JSON string (P5/S7, ref: src/etl-utils.ts:88-90
+    * struct.jsonEncode): `to_json(struct(...))`, key order = field order.
+    */
+  val q13ToJsonStruct: QuerySpec = QuerySpec.oracled(
+    "q13_to_json_struct",
+    """SELECT o_orderkey,
+      |  to_json(struct_pack(
+      |    o_orderkey := o_orderkey,
+      |    o_orderstatus := o_orderstatus,
+      |    o_orderpriority := o_orderpriority)) AS payload
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("payload"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Null semantics (P9-adjacent): nullif/coalesce and null-aware counting.
+    */
+  val q14NullHandling: QuerySpec = QuerySpec.oracled(
+    "q14_null_handling",
+    """SELECT event_type,
+      |  count(*) AS n_rows,
+      |  count(nullif(user_id % 10, 0)) AS n_nonnull,
+      |  sum(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |  round(sum(coalesce(nullif(value, 0.0), -1.0)), 2) AS filled_sum
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(expr("nullif(user_id % 10, 0)")).as("n_nonnull"),
+        sum(when(col("user_id") % 10 === 0, 1).otherwise(0)).as("n_zero"),
+        round(sum(coalesce(expr("nullif(value, 0.0d)"), lit(-1.0))), 2)
+          .as("filled_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Exact group dedup: canonical (min-id) representative per key — the
+    * deterministic form of `dropDuplicates` (SURVEY §2.6 dedup substrate).
+    */
+  val q15DedupExact: QuerySpec = QuerySpec.oracled(
+    "q15_dedup_exact",
+    """SELECT lang, source,
+      |  min(doc_id) AS canonical_id,
+      |  count(*) AS group_size
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
+    q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
+    q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
+    q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact)
+}

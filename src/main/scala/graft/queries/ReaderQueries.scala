@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.sources.{Reader, ReaderOptions}
+
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** End-to-end Reader queries (S1-S4): stream discovery + typed scans through
+  * the real [[graft.sources.Reader]], oracle-checked against direct SQL over
+  * the same logical table.
+  */
+object ReaderQueries {
+
+  /** Parquet scan via the stream registry: discovery over the sf dir (S1)
+    * then a plain parquet read (S2). No catalog in the sf dir → no casts.
+    */
+  val q16ReaderParquet: QuerySpec = QuerySpec.oracled(
+    "q16_reader_parquet",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (spark, dir) =>
+      val reader = Reader(spark, dir = Some(dir), root = Some(dir))
+      reader.get("nation")
+        .getOrElse(sys.error("stream 'nation' not discovered"))
+        .orderBy("n_nationkey")
+  }
+
+  /** CSV scan with catalog-driven dtypes, dash-truncated stream discovery and
+    * first-wins dedup (S1/S3, ref: src/reader.ts:100-128,225-231): the query
+    * materializes a tiny CSV fixture + catalog.json into the build dir, then
+    * reads it back through the full Reader path. Oracle = the source table.
+    * (Driver-side fixture writing is test scaffolding, not an operator path.)
+    */
+  val q17ReaderCsv: QuerySpec = QuerySpec.oracled(
+    "q17_reader_csv",
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey, 'batch1' AS o_observed
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    val tmp = Paths.get("/root/repo/target/tmp/q17_reader_csv")
+    val syncDir = tmp.resolve("sync-output")
+    Files.createDirectories(syncDir)
+    // fixture: nation as CSV named with a date suffix (dash-truncation →
+    // stream "nation"); a later-named duplicate that must lose (first-wins).
+    val rows = spark.read.parquet(s"$dir/nation.parquet")
+      .withColumn("o_observed", lit("batch1"))
+      .orderBy("n_nationkey")
+      .collect() // 25 rows: fixture generation only
+    val header = "n_nationkey,n_name,n_regionkey,o_observed"
+    val body = rows.map(r =>
+      s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)},${r.getString(3)}")
+      .mkString("\n")
+    Files.write(syncDir.resolve("nation-20240101.csv"),
+      (header + "\n" + body + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(syncDir.resolve("nation-20240202.csv"),
+      (header + "\n0,WRONG,0,loser\n").getBytes(StandardCharsets.UTF_8))
+    val catalog =
+      """{"streams": [{"stream": "nation", "tap_stream_id": "nation",
+        |  "schema": {"properties": {
+        |    "n_nationkey": {"type": ["integer", "null"]},
+        |    "n_name": {"type": "string"},
+        |    "n_regionkey": {"type": ["integer", "null"]},
+        |    "o_observed": {"type": "string"}}},
+        |  "metadata": [{"breadcrumb": [],
+        |    "metadata": {"table-key-properties": ["n_nationkey"]}}]}]}""".stripMargin
+    Files.write(tmp.resolve("catalog.json"),
+      catalog.getBytes(StandardCharsets.UTF_8))
+    val reader = Reader(spark, dir = Some(syncDir.toString),
+      root = Some(tmp.toString))
+    assert(reader.getPk("nation") == Seq("n_nationkey"),
+      "catalog PK lookup failed")
+    // catalog integer → LongType on the Spark side; the oracle CASTs to
+    // BIGINT to match the catalog-dictated types.
+    reader.get("nation", ReaderOptions(catalogTypes = true))
+      .getOrElse(sys.error("stream 'nation' not discovered"))
+      .orderBy("n_nationkey")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q16ReaderParquet, q17ReaderCsv)
+}
