@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.io.SingleFile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Options for [[Snapshot.snapshotRecords]]
+  * (ref: src/etl-utils.ts:258-268 parameter list).
+  */
+final case class SnapshotOptions(
+    pk: Seq[String] = Seq("id"),
+    justNew: Boolean = false,
+    useCsv: Boolean = false,
+    coerceTypes: Boolean = false,
+    localizeDatetimeTypes: Boolean = false,
+    overwrite: Boolean = false,
+    csvOptions: Map[String, String] = Map.empty)
+
+/** Incremental snapshot maintenance (M1-M3,
+  * ref: src/etl-utils.ts:221-355): merge the new batch over the stored
+  * snapshot with keep-last-by-PK upsert semantics, then persist.
+  *
+  * Spark-first deviations from the reference, all deliberate:
+  *  - keep-last is the explicit-precedence window in
+  *    [[graft.operators.Upsert]] (positional order doesn't exist here);
+  *  - the reference overwrites its input file in place mid-read
+  *    (ref: src/etl-utils.ts:322-330); Spark re-reads inputs lazily, so the
+  *    write goes to a temp path and is promoted by rename *after* the merge
+  *    fully materializes — and the returned DataFrame re-reads the new file
+  *    so later actions never touch the replaced one;
+  *  - at scale the snapshot should live as a parquet *directory* partitioned
+  *    by PK bucket (`useDirectoryLayout`), keeping the merge shuffle aligned
+  *    run over run; single-file mode is reference parity for small state.
+  */
+object Snapshot {
+
+  /** S6 (ref: src/etl-utils.ts:221-241): `{dir}/{stream}.snapshot.parquet`,
+    * else `.snapshot.csv`, else None. A parquet *directory* produced by
+    * `useDirectoryLayout` is also honored.
+    */
+  def readSnapshots(
+      spark: SparkSession,
+      stream: String,
+      snapshotDir: String,
+      csvOptions: Map[String, String] = Map.empty): Option[DataFrame] = {
+    val parquetPath = s"$snapshotDir/$stream.snapshot.parquet"
+    val csvPath = s"$snapshotDir/$stream.snapshot.csv"
+    if (SingleFile.exists(spark, parquetPath))
+      Some(spark.read.parquet(parquetPath))
+    else if (SingleFile.exists(spark, csvPath))
+      Some(spark.read
+        .option("header", "true").option("inferSchema", "true")
+        .options(csvOptions).csv(csvPath))
+    else None
+  }
+
+  /** UTC normalization hook (P7, ref: src/etl-utils.ts:191-212): session TZ
+    * is pinned UTC, so instant-typed columns are already UTC; wall-clock
+    * timestamps (NTZ) are reinterpreted as UTC instants, and string columns
+    * are NOT touched (the reference's per-value `new Date(...)` fallback has
+    * no columnar equivalent — SURVEY §7.4 documented deviation).
+    */
+  private def localize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          d.withColumn(f.name, to_utc_timestamp(
+            col(f.name).cast(TimestampType), "UTC"))
+        case _ => d
+      }
+    }
+
+  /** Type coercion toward the new batch's schema
+    * (ref: src/etl-utils.ts:292-316): booleans stay boolean, int32/int64
+    * widen to int64, everything else casts to the new dtype. Cast failures
+    * surface as the reference's wrapped error.
+    */
+  private def coerce(df: DataFrame, target: StructType): DataFrame =
+    target.fields.foldLeft(df) { (d, f) =>
+      if (!d.columns.contains(f.name)) d
+      else {
+        val newType = f.dataType match {
+          case BooleanType => BooleanType
+          case IntegerType | LongType => LongType
+          case dt => dt
+        }
+        d.withColumn(f.name, col(f.name).cast(newType))
+      }
+    }
+
+  private def snapshotPath(
+      snapshotDir: String, stream: String, useCsv: Boolean): String =
+    s"$snapshotDir/$stream.snapshot.${if (useCsv) "csv" else "parquet"}"
+
+  private def writeSnapshot(
+      spark: SparkSession, df: DataFrame, path: String, useCsv: Boolean): Unit =
+    if (useCsv)
+      SingleFile.write(spark, Export.stringifyComplex(df), path, "csv",
+        Export.csvWriteOptions)
+    else SingleFile.write(spark, df, path, "parquet")
+
+  /** M3 orchestration (ref: src/etl-utils.ts:258-355). Returns, per the
+    * reference's flag matrix:
+    *  - merge path: `justNew ? streamData : merged` (merged re-read from the
+    *    freshly written snapshot);
+    *  - first-snapshot / overwrite path: streamData (also persisted);
+    *  - null streamData: `justNew || overwrite ? None : snapshot`.
+    */
+  def snapshotRecords(
+      spark: SparkSession,
+      streamData: Option[DataFrame],
+      stream: String,
+      snapshotDir: String,
+      opts: SnapshotOptions = SnapshotOptions()): Option[DataFrame] = {
+    val snapshot = readSnapshots(spark, stream, snapshotDir, opts.csvOptions)
+    val path = snapshotPath(snapshotDir, stream, opts.useCsv)
+
+    (streamData, snapshot) match {
+      case (Some(data), Some(old)) if !opts.overwrite =>
+        val localized = if (opts.localizeDatetimeTypes) localize(old) else old
+        val (oldC, dataC) =
+          if (opts.coerceTypes)
+            try (coerce(localized, data.schema), coerce(data, data.schema))
+            catch {
+              case e: Exception => throw new RuntimeException(
+                "Snapshot failed while trying to convert field during " +
+                  s"type coercion: ${e.getMessage}", e)
+            }
+          else (localized, data)
+        val merged = Upsert.keepLast(oldC, dataC, opts.pk)
+        try writeSnapshot(spark, merged, path, opts.useCsv)
+        catch {
+          case e: Exception if opts.coerceTypes => throw new RuntimeException(
+            "Snapshot failed while trying to convert field during " +
+              s"type coercion: ${e.getMessage}", e)
+        }
+        if (opts.justNew) Some(data)
+        else Some( // re-read: never hand back a plan over the replaced file
+          if (opts.useCsv) spark.read
+            .option("header", "true").option("inferSchema", "true")
+            .options(opts.csvOptions).csv(path)
+          else spark.read.parquet(path))
+
+      case (Some(data), _) => // first snapshot or overwrite
+        writeSnapshot(spark, data, path, opts.useCsv)
+        Some(data)
+
+      case (None, _) =>
+        if (opts.justNew || opts.overwrite) None else snapshot
+    }
+  }
+}

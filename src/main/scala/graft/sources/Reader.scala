@@ -68,11 +68,13 @@ final class Reader(
   private def readDirectories(ignore: Seq[String]): Map[String, String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // The reference registers plain files only; we also accept *directories*
+    // named `*.parquet`/`*.csv` — Spark's native dataset layout (a 100 TB
+    // stream is a directory of parts, never one file).
     val all: Seq[String] =
       if (!fs.exists(p)) Seq.empty
       else if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).toSeq
-          .filter(_.isFile)
           .map(_.getPath.toString)
           .filter(f => f.endsWith(".csv") || f.endsWith(".parquet"))
           .sorted
@@ -185,8 +187,16 @@ final class Reader(
     if (!filepath.endsWith(".parquet")) Map.empty
     else
       Try {
-        val in = HadoopInputFile.fromPath(
-          new Path(filepath), spark.sessionState.newHadoopConf())
+        val hconf = spark.sessionState.newHadoopConf()
+        val p0 = new Path(filepath)
+        val f = p0.getFileSystem(hconf)
+        // Directory-style dataset: read the footer of the first part file.
+        val target =
+          if (f.getFileStatus(p0).isDirectory)
+            f.listStatus(p0).map(_.getPath)
+              .filter(_.getName.startsWith("part-")).minBy(_.getName)
+          else p0
+        val in = HadoopInputFile.fromPath(target, hconf)
         val r = ParquetFileReader.open(in)
         try r.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
         finally r.close()
