@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.ext.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the `documents` table, oracle-verified: the
+  * DuckDB oracle recomputes the *exact* similarity over all pairs with the
+  * same md5-derived hashes and shingle definitions, so the LSH/banded Spark
+  * paths must find precisely the true pair set (their pruning is
+  * probabilistically lossless at these parameters).
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTEs: trigram shingles per doc. Mirrors
+    * [[graft.ext.Dedup.shingles]] (DuckDB range() is end-exclusive,
+    * Spark sequence() inclusive — hence len-1 vs size-2).
+    */
+  private val shingleCte =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      |  FROM tk)""".stripMargin
+
+  val q18MinhashNearDup: QuerySpec = QuerySpec.oracled(
+    "q18_minhash_near_dup",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.s, b.s)) AS inter_size,
+       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_size
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter_size, union_size FROM p
+       |WHERE inter_size * 10 >= union_size * 7
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Dedup.minhashNearDupPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 7, thresholdDen = 10)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q19SimhashNearDup: QuerySpec = QuerySpec.oracled(
+    "q19_simhash_near_dup",
+    s"""$shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j ->
+       |    CASE WHEN list_sum(list_transform(h, v ->
+       |      CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM hs)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Dedup.simhashNearDupPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", k = 3, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q20NgramJaccard: QuerySpec = QuerySpec.oracled(
+    "q20_ngram_jaccard",
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS s
+      |  FROM tk),
+      |p AS (
+      |  SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s)) AS inter_size,
+      |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_size
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT block, id_a, id_b, inter_size, union_size FROM p
+      |WHERE inter_size * 5 >= union_size * 4
+      |ORDER BY block, id_a, id_b""".stripMargin) { (spark, dir) =>
+    Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", blockCol = "lang",
+      k = 2, thresholdNum = 4, thresholdDen = 5)
+      .select("block", "id_a", "id_b", "inter_size", "union_size")
+      .orderBy("block", "id_a", "id_b")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard)
+}
