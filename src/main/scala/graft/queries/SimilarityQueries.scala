@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.ext.Similarity
+
+import org.apache.spark.sql.functions._
+
+/** ANN queries over `embeddings` (64-dim float vectors). The oracles replay
+  * the identical IEEE left-fold arithmetic in DuckDB, so cosines are
+  * bit-exact across engines — ranks need no epsilon tolerance.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  /** DuckDB left-fold dot product between two array expressions. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB dot of an embedding with a literal plane array. */
+  private def planeDotSql(vec: String, plane: Seq[Double]): String = {
+    val lit = plane.mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
+      s"i -> $vec[i]::DOUBLE * ($lit)[i])), (x, y) -> x + y)"
+  }
+
+  private def bucketSql(vec: String): String =
+    Similarity.planes(NumPlanes, Dim).zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN ${planeDotSql(vec, plane)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val normCte =
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  val q21AnnBruteForce: QuerySpec = QuerySpec.oracled(
+    "q21_ann_brute_force",
+    s"""$normCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM nv q JOIN nv c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.bruteForceTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val q22AnnLsh: QuerySpec = QuerySpec.oracled(
+    "q22_ann_lsh",
+    s"""$normCte,
+       |b AS (
+       |  SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket
+       |  FROM nv),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM b q JOIN b c
+       |    ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.lshTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      numPlanes = NumPlanes, dim = Dim)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q21AnnBruteForce, q22AnnLsh)
+}
