@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-marker heuristic), quality scoring, token counting, and
+  * document fingerprinting. Every operator is a narrow projection or a
+  * single keyed aggregation — embarrassingly parallel at 100 TB, no shuffle
+  * except the explicit group-bys.
+  */
+object TextStats {
+
+  /** Marker stopwords per language for the n-gram-free language-ID
+    * heuristic. Score = number of *distinct* markers present in the token
+    * set; ties resolve in declaration order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "人"))
+
+  def tokensCol(textCol: String): Column =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  /** Distinct-marker score for one language. */
+  def langScore(tokens: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens,
+      array(markers.map(lit): _*))).cast("long")
+
+  /** doc → (score_<lang>..., detected). Detection is a fixed-priority
+    * arg-max so it is reproducible in plain SQL.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokensCol(textCol)
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", langScore(toks, markers))
+    }
+    val langs = LangMarkers.map(_._1)
+    val detected = langs.init.foldRight(lit(langs.last): Column) {
+      case (lang, fallback) =>
+        val isMax = langs.filter(_ != lang).foldLeft(lit(true)) { (acc, o) =>
+          acc && col(s"score_$lang") >= col(s"score_$o")
+        }
+        when(isMax, lit(lang)).otherwise(fallback)
+    }
+    scored.withColumn("detected", detected)
+  }
+
+  /** Quality features: char/token counts, distinct-token ratio, mean token
+    * length, and a bucketed quality label. Ratios are plain IEEE divisions —
+    * engine-portable.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokensCol(textCol)
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      .withColumn("uniq_ratio",
+        round(col("n_uniq").cast("double") / col("n_tokens"), 4))
+      .withColumn("mean_token_len", round(
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 4))
+      .withColumn("quality",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "repetitive")
+          .otherwise("ok"))
+  }
+
+  /** Whitespace token count + BPE-ish regex segment count (letter runs,
+    * digit runs, single punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokensCol(textCol)).cast("long"))
+      .withColumn("re_tokens", size(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long"))
+
+  /** Polynomial rolling hash over the character stream, mod 1e9+7 —
+    * a deterministic whole-document fingerprint computable in any engine
+    * with a left fold (`(acc * 31 + ascii(char)) % p`).
+    */
+  def fingerprint(textCol: String): Column = expr(
+    s"aggregate(split(`$textCol`, ''), 0L, " +
+      "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)")
+}

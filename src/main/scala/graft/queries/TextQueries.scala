@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.ext.TextStats
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`, each with a DuckDB oracle that
+  * replays the identical integer/IEEE arithmetic.
+  */
+object TextQueries {
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  private def markersSql(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** score_<lang> columns in SQL, kept in sync with
+    * [[graft.ext.TextStats.LangMarkers]].
+    */
+  private val scoreSelects: String = TextStats.LangMarkers.map {
+    case (lang, markers) =>
+      s"len(list_distinct(list_intersect(toks, ${markersSql(markers)})))::BIGINT AS score_$lang"
+  }.mkString(",\n    ")
+
+  private val detectedCase: String = {
+    val langs = TextStats.LangMarkers.map(_._1)
+    val whens = langs.init.map { lang =>
+      val conds = langs.filter(_ != lang)
+        .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  val q23LangId: QuerySpec = QuerySpec.oracled(
+    "q23_lang_id",
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $scoreSelects
+       |  FROM tk)
+       |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+       |  $detectedCase AS detected
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.langId(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .select("doc_id", "score_en", "score_es", "score_de", "score_fr",
+        "score_zh", "detected")
+      .orderBy("doc_id")
+  }
+
+  val q24QualityScore: QuerySpec = QuerySpec.oracled(
+    "q24_quality_score",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS n_chars,
+       |    len($toksSql)::BIGINT AS n_tokens,
+       |    len(list_distinct($toksSql))::BIGINT AS n_uniq
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens, n_uniq,
+       |  round(n_uniq::DOUBLE / n_tokens, 4) AS uniq_ratio,
+       |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_token_len,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN round(n_uniq::DOUBLE / n_tokens, 4) < 0.3 THEN 'repetitive'
+       |       ELSE 'ok' END AS quality
+       |FROM f
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.qualityFeatures(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .select("doc_id", "n_chars", "n_tokens", "n_uniq", "uniq_ratio",
+        "mean_token_len", "quality")
+      .orderBy("doc_id")
+  }
+
+  val q25TokenStats: QuerySpec = QuerySpec.oracled(
+    "q25_token_stats",
+    s"""WITH t AS (
+       |  SELECT lang, $toksSql AS toks,
+       |    len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS re_tokens
+       |  FROM documents),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS total_ws_tokens,
+       |    CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens
+       |  FROM t GROUP BY lang),
+       |vocab AS (
+       |  SELECT lang, count(DISTINCT tok) AS vocab_size
+       |  FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY lang)
+       |SELECT a.lang, n_docs, total_ws_tokens, total_re_tokens, vocab_size
+       |FROM agg a JOIN vocab v ON a.lang = v.lang
+       |ORDER BY a.lang""".stripMargin) { (spark, dir) =>
+    val docs = TextStats.tokenCounts(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    val agg = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("ws_tokens").as("total_ws_tokens"),
+      sum("re_tokens").as("total_re_tokens"))
+    val vocab = docs
+      .select(col("lang"),
+        explode(TextStats.tokensCol("text")).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct("tok").as("vocab_size"))
+    agg.join(vocab, "lang").orderBy("lang")
+  }
+
+  val q26Fingerprint: QuerySpec = QuerySpec.oracled(
+    "q26_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint)
+}
