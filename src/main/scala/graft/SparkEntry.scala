@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered operator queries, in registration order. */
   def specs: Seq[QuerySpec] =
     CoreQueries.all ++ ReaderQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++
+      EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — an operator Spark lacks natively (SURVEY §2.3 M4 notes it as
+  * "custom needed"). For each left row, attach the most recent right row of
+  * the same key with `rightTime <= leftTime` (backward; `strict` makes it
+  * `<`).
+  *
+  * Implementation choice (option (a) of the custom-operator ladder: compose
+  * built-ins): instead of a range/theta join — which explodes to
+  * |left|×|right-per-key| intermediate rows — both sides are unioned, tagged,
+  * and swept with a single `last_value(..., ignoreNulls)` window per key in
+  * time order. Cost: ONE shuffle on the key, O(n log n) per-partition sort,
+  * O(1) state per row — the sort-merge as-of, expressed declaratively so
+  * Catalyst/Tungsten run it with codegen. This is the 100 TB-safe shape:
+  * no build-side blowup, skew handled by AQE on the single shuffle.
+  *
+  * Right rows should be unique per (key, time) — ties are otherwise broken
+  * by window order; dedupe first for full determinism.
+  */
+object AsofJoin {
+
+  /** @param rightValueCols right columns to attach (each emitted as
+    *                       `asof_<name>`)
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val sideCol = "_asof_side" // 1 = right, 0 = left
+    val timeCol = "_asof_t"
+
+    val taggedRight = right.select(
+      (keyCols.map(col) :+
+        col(rightTimeCol).as(timeCol) :+
+        lit(1).as(sideCol)) ++
+        rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
+    val taggedLeft = left
+      .withColumn(timeCol, col(leftTimeCol))
+      .withColumn(sideCol, lit(0))
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    // Equal timestamps: right sorts before left for `<=` semantics (the
+    // left row may see it), after left for strict `<`.
+    val sideOrder: Column =
+      if (strict) col(sideCol).asc else col(sideCol).desc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = rightValueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+
+    filled
+      .filter(col(sideCol) === 0)
+      .drop(sideCol, timeCol)
+  }
+}
