@@ -6,70 +6,69 @@ import org.apache.spark.sql.functions._
 /** Document deduplication family for large-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
   *
-  * Everything is built from codegen'd built-ins over arrays — no UDFs, no
-  * driver materialization — and every shuffle is keyed:
-  *  - LSH candidate generation is an equi-join on (band, bucket): at 100 TB
-  *    the join shuffles only (doc_id, bucket) pairs, never documents;
-  *  - verification joins shingle sets by doc_id — at larger scale swap the
-  *    array join for an exploded shingle equi-join (same semantics, bounded
-  *    row width); hot buckets (boilerplate docs) are the skew risk — cap
-  *    bucket width or salt before the self-join, and let AQE split stragglers.
+  * Execution shape (the part that must survive 100 TB):
+  *  - shingling is two stacked projections (tokens, then k-shingles) whose
+  *    intermediates are multi-referenced attributes — evaluated once per
+  *    row, never re-inlined into lambdas (nested higher-order expressions
+  *    that rebuild the token array per element are O(n²) per document and
+  *    were measured 100×+ slower);
+  *  - signatures come from *exploded shingle rows*: one codegen'd md5 per
+  *    (doc, shingle), then ONE hash-aggregate per doc computing all 128
+  *    MinHash lanes / 16 SimHash bit-votes as wide agg columns — map-side
+  *    partial aggregation shrinks the shuffle to |docs| rows;
+  *  - LSH candidate generation is an equi-join on (band, bucket) carrying
+  *    only ids; shingle sets are re-attached per surviving pair;
+  *  - hot buckets (boilerplate) are the skew risk: cap bucket width or salt
+  *    the self-join; AQE splits stragglers.
   *
-  * Cross-engine determinism: the only hash used is
-  * `conv(substr(md5(s),1,15),16,10)` — 60 bits of md5, computable bit-for-bit
-  * in any engine (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`), so the
-  * DuckDB oracles replay the exact same signatures.
+  * Cross-engine determinism: the only hash is
+  * `conv(substr(md5(s),1,15),16,10)` — 60 bits of md5, reproducible
+  * bit-for-bit in any engine (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`),
+  * so DuckDB oracles replay identical signatures.
   */
 object Dedup {
 
-  /** 1e9+7: modulus keeping a*h+b inside int64 for both engines. */
+  /** 1e9+7: modulus keeping a*h+b inside int64 for any engine. */
   final val P = 1000000007L
+
+  /** MinHash lane parameters, derived arithmetically from the lane index. */
+  def laneA(i: Int): Long = (1103515245L * i + 12345) % P
+  def laneB(i: Int): Long = (69069L * i + 1) % P
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
-
-  /** Distinct word k-shingles ("w1 w2 w3"). `textCol` is a column name. */
-  def shingles(textCol: String, k: Int = 3): Column = {
-    val t = s"split(lower(trim(`$textCol`)), '\\\\s+')"
-    val words = (0 until k)
-      .map(o => s"element_at($t, CAST(__i + $o AS INT))")
-      .mkString(", ")
-    expr(s"array_distinct(transform(sequence(1, size($t) - ${k - 1}), " +
-      s"__i -> concat_ws(' ', $words)))")
-  }
 
   /** 60-bit md5-derived hash — the cross-engine workhorse. */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Per-document MinHash signature (`numHashes` values) from the distinct
-    * shingle set: sig(i) = min over shingles of (a_i * h + b_i) mod P.
-    * One md5 per shingle; the hash family is derived arithmetically.
+  /** (doc_id, sh) where sh is the distinct k-shingle set. Tokens are
+    * materialized as their own projection so the shingle transform reads an
+    * attribute (once per row) instead of re-splitting per element.
     */
-  def minhashSignature(shingleCol: String, numHashes: Int): Column = {
-    val hs = s"transform(`$shingleCol`, s -> " +
-      "conv(substring(md5(s), 1, 15), 16, 10) % 1000000007L)"
-    expr(
-      s"transform(sequence(0, ${numHashes - 1}), i -> array_min(" +
-        s"transform($hs, h -> ((1103515245L * i + 12345) % 1000000007L * h " +
-        s"+ (69069L * i + 1) % 1000000007L) % 1000000007L)))")
+  def withShingles(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = (0 until k)
+      .map(o => s"element_at(__toks, CAST(__i + $o AS INT))")
+      .mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("sh", expr(
+        s"array_distinct(transform(sequence(1, size(__toks) - ${k - 1}), " +
+          s"__i -> concat_ws(' ', $words)))"))
+      .select("doc_id", "sh")
   }
 
-  /** 16-bit SimHash over the shingle set: bit j set iff the sum of ±1 votes
-    * from feature-hash bit j is positive.
-    */
-  def simhash16(shingleCol: String): Column = {
-    val hs = s"transform(`$shingleCol`, s -> " +
-      "conv(substring(md5(s), 1, 15), 16, 10))"
-    expr(
-      s"aggregate(transform(sequence(0, 15), j -> IF(" +
-        s"aggregate($hs, 0L, (acc, h) -> acc + IF((CAST(h AS LONG) >> j) & 1 = 1, 1L, -1L)) > 0, " +
-        s"shiftleft(1L, CAST(j AS INT)), 0L)), 0L, (a, x) -> a + x)")
-  }
+  /** (doc_id, h): one row per distinct shingle with its 60-bit hash —
+    * the signature aggregation input. */
+  private def shingleHashes(shingleSets: DataFrame): DataFrame =
+    shingleSets
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), hash60(col("shingle")).as("h"))
 
   /** Exact intersection/union sizes for candidate pairs carrying both
-    * shingle sets as `s_a` / `s_b`.
-    */
+    * shingle sets as `s_a` / `s_b`. */
   private def withOverlap(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("inter_size",
@@ -79,15 +78,21 @@ object Dedup {
           col("inter_size"))
       .drop("s_a", "s_b")
 
+  private def attachSets(
+      candidates: DataFrame, shingleSets: DataFrame): DataFrame =
+    candidates
+      .join(shingleSets.select(col("doc_id").as("id_a"),
+        col("sh").as("s_a")), "id_a")
+      .join(shingleSets.select(col("doc_id").as("id_b"),
+        col("sh").as("s_b")), "id_b")
+      .select("id_a", "id_b", "s_a", "s_b")
+
   /** MinHash-LSH near-duplicate pairs, exactly verified.
     *
-    * Pipeline: shingle → signature → band buckets (r rows per band) →
-    * bucket self-join (the only quadratic step, bounded per bucket) →
-    * distinct candidates → exact Jaccard filter
-    * `den * inter >= num * union` (integer arithmetic — no float boundary).
-    * With r=2, b=64 the detection probability at j=0.7 is
-    * 1-(1-0.49)^64 ≈ 1-2e-19: the LSH pass loses nothing vs all-pairs, it
-    * only prunes the join space.
+    * With r=2, b=64 the detection probability at jaccard 0.7 is
+    * 1-(1-0.49)^64 ≈ 1-2e-19 — the LSH pass only prunes the pair space; the
+    * final integer-arithmetic Jaccard filter
+    * (`den * inter >= num * union`) pins semantics exactly.
     */
   def minhashNearDupPairs(
       docs: DataFrame,
@@ -100,20 +105,23 @@ object Dedup {
       thresholdDen: Int = 10): DataFrame = {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
-    val base = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sh", shingles("text", k))
-      .withColumn("sig", minhashSignature("sh", numHashes))
-      .select("doc_id", "sh", "sig")
+    val sets = withShingles(docs, idCol, textCol, k)
 
-    // Bands carry only (doc_id, bucket) through the shuffle — shingle sets
-    // are attached after candidate dedup, once per surviving pair.
-    val banded = base.select(
+    // One wide hash-aggregate: 128 min-lanes per doc from the exploded rows.
+    val lanes = (0 until numHashes).map(i =>
+      min(expr(s"(${laneA(i)}L * (h % $P) + ${laneB(i)}L) % $P")).as(s"m$i"))
+    val sig = shingleHashes(sets)
+      .groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+
+    // Band buckets straight from the lane columns: (doc_id, band, bucket).
+    val bucketCols = (0 until numBands).map { b =>
+      val parts = (0 until bandRows).map(r => s"m${b * bandRows + r}")
+      expr(s"concat_ws(':', ${parts.mkString(", ")})")
+    }
+    val banded = sig.select(
       col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${numBands - 1}), b -> " +
-          s"concat_ws(':', slice(sig, b * $bandRows + 1, $bandRows)))"))
-        .as(Seq("band", "bucket")))
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
 
     val l = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
@@ -122,21 +130,15 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val sets = base.select(col("doc_id"), col("sh"))
-    val withSets = candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("s_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("s_b")), "id_b")
-      .select("id_a", "id_b", "s_a", "s_b")
-
-    withOverlap(withSets)
+    withOverlap(attachSets(candidates, sets))
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }
 
-  /** SimHash near-duplicate pairs: 16-bit signatures, Hamming distance ≤
-    * `maxHamming`. Candidate generation uses the pigeonhole bands (4
-    * nibbles: distance ≤ 3 ⇒ at least one nibble equal), so the self-join is
-    * an equi-join on (nibble index, nibble value) — never a cross join.
+  /** SimHash near-duplicate pairs: 16-bit signatures from per-bit ±1 vote
+    * sums (16 agg columns, one shuffle), Hamming ≤ `maxHamming` via the
+    * pigeonhole nibble bands (distance ≤ 3 ⇒ some nibble equal) — an
+    * equi-join, never a cross join.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -144,11 +146,15 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       maxHamming: Int = 3): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sh", shingles("text", k))
-      .withColumn("sig", simhash16("sh"))
-      .select("doc_id", "sig")
+    val sets = withShingles(docs, idCol, textCol, k)
+    val votes = (0 until 16).map(j =>
+      sum(expr(s"IF((h >> $j) & 1 = 1, 1L, -1L)")).as(s"v$j"))
+    val sigExpr = (0 until 16)
+      .map(j => s"IF(v$j > 0, ${1L << j}L, 0L)").mkString(" + ")
+    val base = shingleHashes(sets)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(s"($sigExpr)").as("sig"))
 
     val banded = base.select(col("doc_id"), col("sig"),
       posexplode(expr(
@@ -158,38 +164,39 @@ object Dedup {
       col("nib"), col("nibval"))
     val r = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
       col("nib"), col("nibval"))
+    // Hamming filter BEFORE the dedup shuffle: the bitwise test is free in
+    // the join's codegen stage, so only qualifying pairs pay the exchange.
     l.join(r, Seq("nib", "nibval"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Blocked exact n-gram Jaccard join: candidate pairs only within the same
-    * `blockCol` value (metadata blocking — the classic bounded alternative
-    * to LSH when a natural partition key exists). Integer threshold.
+    * `blockCol` value (metadata blocking — the bounded alternative to LSH
+    * when a natural partition key exists). Integer threshold.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      blockCol: String,
+      blockCols: Seq[String],
       k: Int = 2,
       thresholdNum: Int = 4,
       thresholdDen: Int = 5): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("doc_id"), col(blockCol).as("block"),
-      col(textCol).as("__text"))
-      .withColumn("sh", shingles("__text", k)).drop("__text")
-    val l = base.select(col("doc_id").as("id_a"), col("block"),
-      col("sh").as("s_a"))
-    val r = base.select(col("doc_id").as("id_b"), col("block"),
-      col("sh").as("s_b"))
+    val base = withShingles(docs, idCol, textCol, k)
+      .join(docs.select((col(idCol).as("doc_id") +:
+        blockCols.map(col)): _*), "doc_id")
+    val l = base.select((col("doc_id").as("id_a") +: col("sh").as("s_a") +:
+      blockCols.map(col)): _*)
+    val r = base.select((col("doc_id").as("id_b") +: col("sh").as("s_b") +:
+      blockCols.map(col)): _*)
     withOverlap(
-      l.join(r, Seq("block")).filter(col("id_a") < col("id_b"))
-        .select("block", "id_a", "id_b", "s_a", "s_b"))
+      l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+        .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+          col("s_a") :+ col("s_b")): _*))
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }

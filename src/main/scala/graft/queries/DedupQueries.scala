@@ -71,27 +71,29 @@ object DedupQueries {
   val q20NgramJaccard: QuerySpec = QuerySpec.oracled(
     "q20_ngram_jaccard",
     """WITH tk AS (
-      |  SELECT doc_id, lang,
+      |  SELECT doc_id, lang, source,
       |    string_split_regex(lower(trim(text)), '\s+') AS toks
       |  FROM documents),
       |sh AS (
-      |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(toks)),
-      |    i -> toks[i] || ' ' || toks[i+1])) AS s
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS s
       |  FROM tk),
       |p AS (
-      |  SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+      |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.s, b.s)) AS inter_size,
       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_size
-      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-      |SELECT block, id_a, id_b, inter_size, union_size FROM p
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id)
+      |SELECT lang, source, id_a, id_b, inter_size, union_size FROM p
       |WHERE inter_size * 5 >= union_size * 4
-      |ORDER BY block, id_a, id_b""".stripMargin) { (spark, dir) =>
+      |ORDER BY lang, source, id_a, id_b""".stripMargin) { (spark, dir) =>
     Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$dir/documents.parquet"),
-      idCol = "doc_id", textCol = "text", blockCol = "lang",
+      idCol = "doc_id", textCol = "text", blockCols = Seq("lang", "source"),
       k = 2, thresholdNum = 4, thresholdDen = 5)
-      .select("block", "id_a", "id_b", "inter_size", "union_size")
-      .orderBy("block", "id_a", "id_b")
+      .select("lang", "source", "id_a", "id_b", "inter_size", "union_size")
+      .orderBy("lang", "source", "id_a", "id_b")
   }
 
   val all: Seq[QuerySpec] =
