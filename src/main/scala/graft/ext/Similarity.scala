@@ -47,7 +47,16 @@ object Similarity {
     s"aggregate(zip_with(`$a`, `$b`, (x, y) -> CAST(x AS DOUBLE) * " +
       s"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
 
+  /** Same fold, as the native codegen'd [[graft.functions.FloatDot]] —
+    * bit-identical result, no interpreted lambda dispatch. Callers must
+    * have run [[graft.functions.VectorExpressions.register]].
+    */
+  private def dotFast(a: String, b: String): Column =
+    expr(s"graft_dot(`$a`, `$b`)")
+
   def selfNorm(a: String): Column = sqrt(dot(a, a))
+
+  private def selfNormFast(a: String): Column = sqrt(dotFast(a, a))
 
   /** `numPlanes`-bit signed-random-projection bucket of a vector column. */
   def hyperplaneBucket(vecCol: String, numPlanes: Int, dim: Int): Column = {
@@ -78,16 +87,40 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
-      selfNorm(vecCol).as("n_c"))
+      selfNormFast(vecCol).as("n_c"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("v_q"),
-      selfNorm(vecCol).as("n_q"))
+      selfNormFast(vecCol).as("n_q"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot("v_q", "v_c") / (col("n_q") * col("n_c")))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
     topK(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    * `threshold` (exact). This is the verification-grade form — at corpus
+    * scale, generate candidates with [[lshTopK]]'s hyperplane buckets (or
+    * ANN indexes) first and run this exact filter only on candidates; the
+    * quadratic form here is the oracle-checkable ground truth.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      selfNormFast(vecCol).as("n_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      selfNormFast(vecCol).as("n_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dotFast("v_a", "v_b") / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_sim"))
   }
 
   /** Bucketed ANN: equi-join on the hyperplane bucket, exact re-rank inside.
@@ -100,16 +133,17 @@ object Similarity {
       k: Int,
       numPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val bucket = hyperplaneBucket(vecCol, numPlanes, dim)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
-      selfNorm(vecCol).as("n_c"), bucket.as("bucket"))
+      selfNormFast(vecCol).as("n_c"), bucket.as("bucket"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("v_q"),
-      selfNorm(vecCol).as("n_q"), bucket.as("bucket"))
+      selfNormFast(vecCol).as("n_q"), bucket.as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot("v_q", "v_c") / (col("n_q") * col("n_c")))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
     topK(scored, k)
   }
 }

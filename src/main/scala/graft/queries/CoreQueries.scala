@@ -383,9 +383,51 @@ object CoreQueries {
       .orderBy("lang", "source")
   }
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS substrate): customers with urgent
+    * open orders but no finished ones.
+    */
+  val q32SemiAntiJoin: QuerySpec = QuerySpec.oracled(
+    "q32_semi_anti_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F"),
+        c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Full grouping-set lattice (cube) with grouping ids. */
+  val q33Cube: QuerySpec = QuerySpec.oracled(
+    "q33_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
-    q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact)
+    q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact,
+    q32SemiAntiJoin, q33Cube)
 }

@@ -87,5 +87,22 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[QuerySpec] = Seq(q21AnnBruteForce, q22AnnLsh)
+  val q31EmbeddingNearDup: QuerySpec = QuerySpec.oracled(
+    "q31_embedding_near_dup",
+    s"""$normCte,
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cosine, 6) AS cos_sim
+       |FROM p WHERE cosine >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Similarity.cosineNearDupPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup)
 }
