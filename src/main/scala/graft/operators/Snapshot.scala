@@ -16,7 +16,12 @@ final case class SnapshotOptions(
     coerceTypes: Boolean = false,
     localizeDatetimeTypes: Boolean = false,
     overwrite: Boolean = false,
-    csvOptions: Map[String, String] = Map.empty)
+    csvOptions: Map[String, String] = Map.empty,
+    /** Scale path: keep the snapshot as a parquet *directory*,
+      * repartitioned by PK so successive merges shuffle consistently;
+      * single-file mode is reference parity for small state.
+      */
+    directoryLayout: Boolean = false)
 
 /** Incremental snapshot maintenance (M1-M3,
   * ref: src/etl-utils.ts:221-355): merge the new batch over the stored
@@ -95,11 +100,27 @@ object Snapshot {
     s"$snapshotDir/$stream.snapshot.${if (useCsv) "csv" else "parquet"}"
 
   private def writeSnapshot(
-      spark: SparkSession, df: DataFrame, path: String, useCsv: Boolean): Unit =
-    if (useCsv)
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      opts: SnapshotOptions): Unit =
+    if (opts.useCsv)
       SingleFile.write(spark, Export.stringifyComplex(df), path, "csv",
         Export.csvWriteOptions)
-    else SingleFile.write(spark, df, path, "parquet")
+    else if (opts.directoryLayout) {
+      // Directory snapshot with the same safe read-overwrite cycle: fully
+      // materialize into a temp dir, then swap. Repartition on the PK so
+      // every merge shuffles the same way run over run.
+      val fs = SingleFile.fs(spark, path)
+      val target = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+        s".${target.getName}.__swap__${System.nanoTime()}")
+      df.repartition(opts.pk.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        throw new IllegalStateException(s"rename $tmp -> $path failed")
+    } else SingleFile.write(spark, df, path, "parquet")
 
   /** M3 orchestration (ref: src/etl-utils.ts:258-355). Returns, per the
     * reference's flag matrix:
@@ -130,7 +151,7 @@ object Snapshot {
             }
           else (localized, data)
         val merged = Upsert.keepLast(oldC, dataC, opts.pk)
-        try writeSnapshot(spark, merged, path, opts.useCsv)
+        try writeSnapshot(spark, merged, path, opts)
         catch {
           case e: Exception if opts.coerceTypes => throw new RuntimeException(
             "Snapshot failed while trying to convert field during " +
@@ -144,7 +165,7 @@ object Snapshot {
           else spark.read.parquet(path))
 
       case (Some(data), _) => // first snapshot or overwrite
-        writeSnapshot(spark, data, path, opts.useCsv)
+        writeSnapshot(spark, data, path, opts)
         Some(data)
 
       case (None, _) =>

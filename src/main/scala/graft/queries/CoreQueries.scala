@@ -424,10 +424,26 @@ object CoreQueries {
           asc_nulls_first("l_linestatus"))
   }
 
+  /** DISTINCT + total order + LIMIT: the sort/limit substrate — Spark plans
+    * a TakeOrderedAndProject (no full result materialization).
+    */
+  val q34DistinctLimit: QuerySpec = QuerySpec.oracled(
+    "q34_distinct_limit",
+    """SELECT DISTINCT o_orderpriority, o_orderstatus
+      |FROM orders
+      |ORDER BY o_orderpriority, o_orderstatus
+      |LIMIT 7""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "orders")
+      .select("o_orderpriority", "o_orderstatus")
+      .distinct()
+      .orderBy("o_orderpriority", "o_orderstatus")
+      .limit(7)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
     q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact,
-    q32SemiAntiJoin, q33Cube)
+    q32SemiAntiJoin, q33Cube, q34DistinctLimit)
 }

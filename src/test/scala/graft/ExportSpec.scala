@@ -82,6 +82,21 @@ class ExportSpec extends AnyFunSuite with SparkSpec {
     assert(Files.isRegularFile(Paths.get(s"$dir/out.jsonl")))
   }
 
+  test("singer export through the dispatcher writes SCHEMA/RECORD/STATE") {
+    // ref: src/etl-utils.ts:48-57 singer branch (explicit keys — the
+    // Reader-based PK self-resolution is env-coupled and covered by
+    // ReaderSpec.getPk)
+    val dir = tmpDir("exp_singer")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Export.toExport(df, "users", dir,
+      ExportOptions(exportFormat = Some("singer"), keys = Seq("id")), conf)
+    val lines = read(s"$dir/data.singer").trim.split("\n").toSeq
+    assert(lines.length == 4)
+    assert(lines.head.contains("\"type\":\"SCHEMA\"") &&
+      lines.head.contains("\"key_properties\":[\"id\"]"))
+    assert(lines.last == """{"type":"STATE","value":{}}""")
+  }
+
   test("directory layout mode writes a parquet directory (scale path)") {
     val dir = tmpDir("exp_dir")
     val df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")

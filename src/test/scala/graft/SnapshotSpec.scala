@@ -91,6 +91,18 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(asMap(out.get) == Map(1L -> "a2", 2L -> "b"))
   }
 
+  test("directoryLayout keeps the snapshot as a PK-partitioned parquet dir") {
+    val dir = tmpDir("snap8")
+    val opts = SnapshotOptions(pk = Seq("id"), directoryLayout = true)
+    Snapshot.snapshotRecords(spark,
+      Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")), "s", dir, opts)
+    assert(new java.io.File(s"$dir/s.snapshot.parquet").isDirectory)
+    val out = Snapshot.snapshotRecords(spark,
+      Some(Seq((2L, "b2"), (3L, "c")).toDF("id", "v")), "s", dir, opts)
+    assert(asMap(out.get) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(new java.io.File(s"$dir/s.snapshot.parquet").isDirectory)
+  }
+
   test("coerceTypes widens int32/int64 to int64 and casts to new dtypes") {
     // ref: src/etl-utils.ts:292-316
     val dir = tmpDir("snap7")
