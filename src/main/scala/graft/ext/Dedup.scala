@@ -61,11 +61,16 @@ object Dedup {
   }
 
   /** (doc_id, h): one row per distinct shingle with its 60-bit hash —
-    * the signature aggregation input. */
-  private def shingleHashes(shingleSets: DataFrame): DataFrame =
+    * the signature aggregation input. Uses the native
+    * [[graft.functions.Md5Hash60]] (same value as [[hash60]], no hex
+    * round-trip) — this runs once per shingle instance corpus-wide.
+    */
+  private def shingleHashes(shingleSets: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(shingleSets.sparkSession)
     shingleSets
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), hash60(col("shingle")).as("h"))
+      .select(col("doc_id"), expr("graft_md5_60(shingle)").as("h"))
+  }
 
   /** Exact intersection/union sizes for candidate pairs carrying both
     * shingle sets as `s_a` / `s_b`. */

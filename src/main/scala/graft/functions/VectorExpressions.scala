@@ -76,14 +76,68 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 60-bit md5 hash of a string column, computed directly from the digest
+  * bytes: identical value to `conv(substr(md5(s),1,15),16,10)` (first 15 hex
+  * chars = first 60 bits = first 8 bytes big-endian >>> 4) without the hex
+  * string allocation and base-16 reparse — the dedup signature path runs
+  * this once per (doc, shingle) row, so the constant matters.
+  */
+case class Md5Hash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_md5_60 requires a string argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  protected override def nullSafeEval(input: Any): Any =
+    Md5Hash60.hash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5Hash60.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
+object Md5Hash60 {
+  private val digestTl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes) as an unsigned long. */
+  def hash(bytes: Array[Byte]): Long = {
+    val md = digestTl.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+}
+
 object VectorExpressions {
 
-  /** Idempotently register `graft_dot` in the session's function registry so
-    * operators can use it via `expr("graft_dot(a, b)")`.
+  /** Idempotently register the native expressions in the session's function
+    * registry: `graft_dot(a, b)` and `graft_md5_60(s)`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => FloatDot(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_60",
+      exprs => Md5Hash60(exprs.head),
+      "scala_udf")
+  }
 }
