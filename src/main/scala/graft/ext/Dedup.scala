@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
   *
   * Execution shape (the part that must survive 100 TB):
-  *  - shingling is two stacked projections (tokens, then k-shingles) whose
-  *    intermediates are multi-referenced attributes — evaluated once per
-  *    row, never re-inlined into lambdas (nested higher-order expressions
-  *    that rebuild the token array per element are O(n²) per document and
-  *    were measured 100×+ slower);
-  *  - signatures come from *exploded shingle rows*: one codegen'd md5 per
-  *    (doc, shingle), then ONE hash-aggregate per doc computing all 128
-  *    MinHash lanes / 16 SimHash bit-votes as wide agg columns — map-side
-  *    partial aggregation shrinks the shuffle to |docs| rows;
+  *  - shingling+hashing is ONE fused pass per document
+  *    ([[graft.functions.ShingleHashExpr]]: text → distinct 60-bit shingle
+  *    hashes); composed built-ins (token array → shingle strings → md5)
+  *    measured ~2.4 ms/doc interpreted vs ~40 µs fused, and nested
+  *    higher-order forms were O(n²)/doc — see BASELINE.md ledger;
+  *  - the whole family then runs on hash *sets* (intersection sizes match
+  *    string-set sizes since both engines hash before the set ops);
+  *  - signatures: exploded hash rows → ONE hash-aggregate per doc computing
+  *    all 128 MinHash lanes / 16 SimHash bit-votes as wide agg columns —
+  *    map-side partial aggregation shrinks the shuffle to |docs| rows;
   *  - LSH candidate generation is an equi-join on (band, bucket) carrying
   *    only ids; shingle sets are re-attached per surviving pair;
   *  - hot buckets (boilerplate) are the skew risk: cap bucket width or salt
@@ -60,17 +61,24 @@ object Dedup {
       .select("doc_id", "sh")
   }
 
-  /** (doc_id, h): one row per distinct shingle with its 60-bit hash —
-    * the signature aggregation input. Uses the native
-    * [[graft.functions.Md5Hash60]] (same value as [[hash60]], no hex
-    * round-trip) — this runs once per shingle instance corpus-wide.
+  /** (doc_id, hsh): distinct 60-bit shingle-hash set per document via the
+    * fused one-pass [[graft.functions.ShingleHashExpr]] — the whole dedup
+    * family runs on hash sets (set sizes are identical to string-set sizes
+    * because both engines apply the same hash before the set ops).
     */
-  private def shingleHashes(shingleSets: DataFrame): DataFrame = {
-    graft.functions.VectorExpressions.register(shingleSets.sparkSession)
-    shingleSets
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), expr("graft_md5_60(shingle)").as("h"))
+  def withShingleHashSets(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .select(col("doc_id"),
+        expr(s"graft_shingle_hashes(__text, $k)").as("hsh"))
   }
+
+  /** (doc_id, h): one row per distinct shingle hash —
+    * the signature aggregation input. */
+  private def shingleHashes(hashSets: DataFrame): DataFrame =
+    hashSets.select(col("doc_id"), explode(col("hsh")).as("h"))
 
   /** Exact intersection/union sizes for candidate pairs carrying both
     * shingle sets as `s_a` / `s_b`. */
@@ -83,13 +91,13 @@ object Dedup {
           col("inter_size"))
       .drop("s_a", "s_b")
 
-  private def attachSets(
-      candidates: DataFrame, shingleSets: DataFrame): DataFrame =
+  private def attachHashSets(
+      candidates: DataFrame, hashSets: DataFrame): DataFrame =
     candidates
-      .join(shingleSets.select(col("doc_id").as("id_a"),
-        col("sh").as("s_a")), "id_a")
-      .join(shingleSets.select(col("doc_id").as("id_b"),
-        col("sh").as("s_b")), "id_b")
+      .join(hashSets.select(col("doc_id").as("id_a"),
+        col("hsh").as("s_a")), "id_a")
+      .join(hashSets.select(col("doc_id").as("id_b"),
+        col("hsh").as("s_b")), "id_b")
       .select("id_a", "id_b", "s_a", "s_b")
 
   /** MinHash-LSH near-duplicate pairs, exactly verified.
@@ -110,7 +118,7 @@ object Dedup {
       thresholdDen: Int = 10): DataFrame = {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
-    val sets = withShingles(docs, idCol, textCol, k)
+    val sets = withShingleHashSets(docs, idCol, textCol, k)
 
     // One wide hash-aggregate: 128 min-lanes per doc from the exploded rows.
     val lanes = (0 until numHashes).map(i =>
@@ -135,7 +143,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    withOverlap(attachSets(candidates, sets))
+    withOverlap(attachHashSets(candidates, sets))
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }
@@ -151,7 +159,7 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       maxHamming: Int = 3): DataFrame = {
-    val sets = withShingles(docs, idCol, textCol, k)
+    val sets = withShingleHashSets(docs, idCol, textCol, k)
     val votes = (0 until 16).map(j =>
       sum(expr(s"IF((h >> $j) & 1 = 1, 1L, -1L)")).as(s"v$j"))
     val sigExpr = (0 until 16)
@@ -191,12 +199,12 @@ object Dedup {
       k: Int = 2,
       thresholdNum: Int = 4,
       thresholdDen: Int = 5): DataFrame = {
-    val base = withShingles(docs, idCol, textCol, k)
+    val base = withShingleHashSets(docs, idCol, textCol, k)
       .join(docs.select((col(idCol).as("doc_id") +:
         blockCols.map(col)): _*), "doc_id")
-    val l = base.select((col("doc_id").as("id_a") +: col("sh").as("s_a") +:
+    val l = base.select((col("doc_id").as("id_a") +: col("hsh").as("s_a") +:
       blockCols.map(col)): _*)
-    val r = base.select((col("doc_id").as("id_b") +: col("sh").as("s_b") +:
+    val r = base.select((col("doc_id").as("id_b") +: col("hsh").as("s_b") +:
       blockCols.map(col)): _*)
     withOverlap(
       l.join(r, blockCols).filter(col("id_a") < col("id_b"))

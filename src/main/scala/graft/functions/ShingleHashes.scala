@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_shingle_hashes(text)` — distinct 60-bit md5 hashes of the word
+  * k-shingles of a document, in one pass.
+  *
+  * Semantically equal to
+  * `transform(array_distinct(shingles), s -> graft_md5_60(s))` over
+  * `split(lower(trim(text)), '\s+')` k-grams, but fused: no token array, no
+  * shingle-string array, no per-element interpreted lambda dispatch. The
+  * composed form measured ~12s for 5000 docs (≈2.4 ms/doc) on local[4];
+  * this is the SURVEY §7.3 "custom Expression when it benches >2× off"
+  * clause in action.
+  *
+  * Parity notes (all corpus-tested in the oracle gate):
+  *  - whitespace = ASCII control/space (chars ≤ 0x20), matching `\s+` on
+  *    ASCII text; lowercasing is ASCII (engine-portable);
+  *  - the hash is [[Md5Hash60]] of the UTF-8 bytes "w1 w2 … wk";
+  *  - output order is first occurrence; consumers treat it as a set.
+  */
+case class ShingleHashExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes requires a string argument, got " +
+          other.simpleString)
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes.compute($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashExpr = copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  /** One-pass tokenize → k-shingle → hash → distinct. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    // ASCII-lowered UTF-8 bytes; split on runs of chars <= 0x20.
+    val s = text.toString
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder()
+    while (i <= n) {
+      val ws = i == n || s.charAt(i) <= ' '
+      if (ws) {
+        if (sb.length() > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      } else {
+        val c = s.charAt(i)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      }
+      i += 1
+    }
+    val m = tokens.size()
+    if (m < k) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val shingle = new java.lang.StringBuilder()
+    var start = 0
+    while (start <= m - k) {
+      shingle.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) shingle.append(' ')
+        shingle.append(tokens.get(start + j))
+        j += 1
+      }
+      val h = java.lang.Long.valueOf(Md5Hash60.hash(
+        shingle.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      if (seen.add(h)) out.add(h)
+      start += 1
+    }
+    val arr = new Array[Long](out.size())
+    var p = 0
+    while (p < arr.length) { arr(p) = out.get(p).longValue(); p += 1 }
+    new GenericArrayData(arr)
+  }
+}

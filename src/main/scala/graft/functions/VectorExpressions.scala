@@ -139,5 +139,17 @@ object VectorExpressions {
       "graft_md5_60",
       exprs => Md5Hash60(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes k must be a literal, got $other")
+        }
+        ShingleHashExpr(exprs.head, k)
+      },
+      "scala_udf")
   }
 }

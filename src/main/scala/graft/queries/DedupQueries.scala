@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Shared DuckDB CTEs: trigram shingles per doc. Mirrors
-    * [[graft.ext.Dedup.shingles]] (DuckDB range() is end-exclusive,
+  /** Shared DuckDB CTEs: trigram shingles per doc, then their distinct
+    * 60-bit md5 hash sets — the oracle replay of
+    * [[graft.functions.ShingleHashExpr]] (DuckDB range() is end-exclusive,
     * Spark sequence() inclusive — hence len-1 vs size-2).
     */
   private val shingleCte =
@@ -23,16 +24,20 @@ object DedupQueries {
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-      |  FROM tk)""".stripMargin
+      |  FROM tk),
+      |hs AS (
+      |  SELECT doc_id, list_distinct(list_transform(s,
+      |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+      |  FROM sh)""".stripMargin
 
   val q18MinhashNearDup: QuerySpec = QuerySpec.oracled(
     "q18_minhash_near_dup",
     s"""$shingleCte,
        |p AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    len(list_intersect(a.s, b.s)) AS inter_size,
-       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_size
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, inter_size, union_size FROM p
        |WHERE inter_size * 10 >= union_size * 7
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
@@ -47,10 +52,6 @@ object DedupQueries {
   val q19SimhashNearDup: QuerySpec = QuerySpec.oracled(
     "q19_simhash_near_dup",
     s"""$shingleCte,
-       |hs AS (
-       |  SELECT doc_id,
-       |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
-       |  FROM sh),
        |sig AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j ->
        |    CASE WHEN list_sum(list_transform(h, v ->
@@ -79,19 +80,24 @@ object DedupQueries {
       |    list_distinct(list_transform(range(1, len(toks)),
       |      i -> toks[i] || ' ' || toks[i+1])) AS s
       |  FROM tk),
+      |hs2 AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(s,
+      |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+      |  FROM sh),
       |p AS (
       |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.s, b.s)) AS inter_size,
-      |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_size
-      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+      |    len(list_intersect(a.h, b.h)) AS inter_size,
+      |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+      |  FROM hs2 a JOIN hs2 b ON a.lang = b.lang AND a.source = b.source
       |    AND a.doc_id < b.doc_id)
       |SELECT lang, source, id_a, id_b, inter_size, union_size FROM p
-      |WHERE inter_size * 5 >= union_size * 4
+      |WHERE inter_size * 2 >= union_size * 1
       |ORDER BY lang, source, id_a, id_b""".stripMargin) { (spark, dir) =>
     Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$dir/documents.parquet"),
       idCol = "doc_id", textCol = "text", blockCols = Seq("lang", "source"),
-      k = 2, thresholdNum = 4, thresholdDen = 5)
+      k = 2, thresholdNum = 1, thresholdDen = 2)
       .select("lang", "source", "id_a", "id_b", "inter_size", "union_size")
       .orderBy("lang", "source", "id_a", "id_b")
   }
