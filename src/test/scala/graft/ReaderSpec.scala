@@ -116,6 +116,17 @@ class ReaderSpec extends AnyFunSuite with SparkSpec {
     assert(md.contains("org.apache.spark.sql.parquet.row.metadata"))
   }
 
+  test("csvOptions pass through to the CSV source (custom delimiter)") {
+    // ref: src/reader.ts:95-98 spread options
+    val (sync, root) = fixture()
+    Files.write(Paths.get(sync, "pipes.csv"),
+      "id|name\n1|Alice\n".getBytes(StandardCharsets.UTF_8))
+    val df = new Reader(spark, sync, root)
+      .get("pipes", ReaderOptions(csvOptions = Map("sep" -> "|"))).get
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.head.getString(1) == "Alice")
+  }
+
   test("getPk falls back to catalog table-key-properties") {
     // ref: src/reader.ts:179-198
     val (sync, root) = fixture()

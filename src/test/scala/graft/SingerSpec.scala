@@ -124,6 +124,22 @@ class SingerSpec extends AnyFunSuite with SparkSpec {
     assert(lines.last == """{"type":"STATE","value":{}}""")
   }
 
+  test("USE_CATALOG_SCHEMA env enables catalog mode globally") {
+    // ref: src/singer.ts:307
+    val dir = tmpDir("singer9")
+    val props = new ObjectMapper().readTree(
+      """{"id": {"type": ["integer", "null"]},
+        |"payload": {"type": ["object", "null"], "properties": {
+        |  "x": {"type": "integer"}}}}""".stripMargin)
+    val df = Seq((1L, """{"x": 5}""")).toDF("id", "payload")
+    SingerSink.toSinger(df, "u", dir, SingerOptions(),
+      GluestickConf(Map("USE_CATALOG_SCHEMA" -> "true")),
+      catalogLookup = _ => Some(props.asInstanceOf[ObjectNode]))
+    val lines = readLines(dir)
+    // catalog mode: payload re-typed from JSON string to object
+    assert(lines(1).contains(""""payload":{"x":5}"""))
+  }
+
   test("scale mode (exact=false) produces identical content for one stream") {
     val dir1 = tmpDir("singer8a"); val dir2 = tmpDir("singer8b")
     val df = spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")

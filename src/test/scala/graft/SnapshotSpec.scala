@@ -103,6 +103,32 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$dir/s.snapshot.parquet").isDirectory)
   }
 
+  test("localizeDatetimeTypes reinterprets NTZ snapshot columns as UTC instants") {
+    // ref: src/etl-utils.ts:278-286 — Datetime("ms") → Datetime("ms","UTC")
+    val dir = tmpDir("snap9")
+    val old = Seq((1L, "2024-01-01 10:00:00"))
+      .toDF("id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    old.coalesce(1).write.parquet(s"$dir/tmpw")
+    // promote to a single snapshot file so readSnapshots finds it
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/tmpw"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/s.snapshot.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tmpw"), true)
+
+    val fresh = Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00")))
+      .toDF("id", "ts")
+    val out = Snapshot.snapshotRecords(spark, Some(fresh), "s", dir,
+      SnapshotOptions(pk = Seq("id"), localizeDatetimeTypes = true)).get
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val vals = out.orderBy("id").collect()
+      .map(_.getTimestamp(1).toString).toSeq
+    assert(vals == Seq("2024-01-01 10:00:00.0", "2024-01-02 11:00:00.0"))
+  }
+
   test("coerceTypes widens int32/int64 to int64 and casts to new dtypes") {
     // ref: src/etl-utils.ts:292-316
     val dir = tmpDir("snap7")
