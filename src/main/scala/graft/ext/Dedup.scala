@@ -55,9 +55,13 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__toks", tokens(col("__text")))
+      // guard: sequence(1, 0) would be a DESCENDING range and index 0 is
+      // always invalid — docs shorter than k tokens get an empty set
       .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(1, size(__toks) - ${k - 1}), " +
-          s"__i -> concat_ws(' ', $words)))"))
+        s"IF(size(__toks) >= $k, " +
+          s"array_distinct(transform(sequence(1, size(__toks) - ${k - 1}), " +
+          s"__i -> concat_ws(' ', $words))), " +
+          "CAST(array() AS ARRAY<STRING>))"))
       .select("doc_id", "sh")
   }
 
@@ -73,6 +77,10 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .select(col("doc_id"),
         expr(s"graft_shingle_hashes(__text, $k)").as("hsh"))
+      // family-wide semantics: docs with fewer than k tokens have no
+      // shingle set and are excluded from near-dup detection (the oracles
+      // filter `len(s) > 0` identically)
+      .filter(size(col("hsh")) > 0)
   }
 
   /** (doc_id, h): one row per distinct shingle hash —

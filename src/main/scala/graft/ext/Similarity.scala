@@ -134,6 +134,14 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
+    // A dim mismatch would null the plane dots and silently collapse every
+    // vector into bucket 0 (an unpruned cross join) — fail loudly instead.
+    corpus.select(size(col(vecCol))).limit(1).collect().headOption.foreach {
+      r =>
+        require(r.getInt(0) == dim,
+          s"lshTopK: dim=$dim but '$vecCol' arrays have ${r.getInt(0)} " +
+            "elements")
+    }
     val bucket = hyperplaneBucket(vecCol, numPlanes, dim)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),

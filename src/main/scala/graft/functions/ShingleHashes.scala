@@ -51,21 +51,27 @@ case class ShingleHashExpr(child: Expression, k: Int)
 
 object ShingleHashes {
 
-  /** One-pass tokenize → k-shingle → hash → distinct. */
+  /** Exactly the regex `\s` character class: [ \t\n\x0B\f\r]. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** One-pass tokenize → k-shingle → hash → distinct. Tokenization is
+    * `lower(trim(text))` split on `\s+` — same Unicode lowercasing
+    * (Locale.ROOT) and whitespace class as the composed Spark form.
+    */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    // ASCII-lowered UTF-8 bytes; split on runs of chars <= 0x20.
-    val s = text.toString
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val tokens = new java.util.ArrayList[String]()
     var i = 0
     val n = s.length
     val sb = new java.lang.StringBuilder()
     while (i <= n) {
-      val ws = i == n || s.charAt(i) <= ' '
+      val ws = i == n || isWs(s.charAt(i))
       if (ws) {
         if (sb.length() > 0) { tokens.add(sb.toString); sb.setLength(0) }
       } else {
-        val c = s.charAt(i)
-        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        sb.append(s.charAt(i))
       }
       i += 1
     }

@@ -37,11 +37,15 @@ object AsofJoin {
     val sideCol = "_asof_side" // 1 = right, 0 = left
     val timeCol = "_asof_t"
 
+    // The right row travels as ONE struct so the window picks a whole row
+    // atomically — per-column last() would blend columns from different
+    // right rows whenever a value is null.
+    val payloadCol = "_asof_payload"
     val taggedRight = right.select(
       (keyCols.map(col) :+
         col(rightTimeCol).as(timeCol) :+
-        lit(1).as(sideCol)) ++
-        rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
+        lit(1).as(sideCol) :+
+        struct(rightValueCols.map(col): _*).as(payloadCol)): _*)
     val taggedLeft = left
       .withColumn(timeCol, col(leftTimeCol))
       .withColumn(sideCol, lit(0))
@@ -56,13 +60,14 @@ object AsofJoin {
       .orderBy(col(timeCol).asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightValueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn(payloadCol,
+      last(col(payloadCol), ignoreNulls = true).over(w))
 
-    filled
+    val projected = rightValueCols.foldLeft(filled) { (d, c) =>
+      d.withColumn(s"asof_$c", col(s"$payloadCol.$c"))
+    }
+    projected
       .filter(col(sideCol) === 0)
-      .drop(sideCol, timeCol)
+      .drop(sideCol, timeCol, payloadCol)
   }
 }

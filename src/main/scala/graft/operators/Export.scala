@@ -177,22 +177,25 @@ object Export {
     * byte-for-byte: 2-space indent, `": "` key separator, `[]`/`{}` for
     * empties).
     */
+  private val jsonMapper = new ObjectMapper()
+
   private[operators] def prettyJs(
       n: com.fasterxml.jackson.databind.JsonNode, depth: Int): String = {
     val pad = "  " * depth
     val padIn = "  " * (depth + 1)
-    val mapper = new ObjectMapper()
     if (n.isObject) {
       val fields = n.fields().asScala.toSeq
       if (fields.isEmpty) "{}"
       else "{\n" + fields.map { e =>
-        s"""$padIn"${e.getKey}": ${prettyJs(e.getValue, depth + 1)}"""
+        // keys escaped through Jackson, like JSON.stringify does
+        val key = jsonMapper.writeValueAsString(e.getKey)
+        s"""$padIn$key: ${prettyJs(e.getValue, depth + 1)}"""
       }.mkString(",\n") + s"\n$pad}"
     } else if (n.isArray) {
       val els = n.elements().asScala.toSeq
       if (els.isEmpty) "[]"
       else "[\n" + els.map(e => padIn + prettyJs(e, depth + 1))
         .mkString(",\n") + s"\n$pad]"
-    } else mapper.writeValueAsString(n)
+    } else jsonMapper.writeValueAsString(n)
   }
 }

@@ -28,7 +28,8 @@ object DedupQueries {
       |hs AS (
       |  SELECT doc_id, list_distinct(list_transform(s,
       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
-      |  FROM sh)""".stripMargin
+      |  FROM sh
+      |  WHERE len(s) > 0)""".stripMargin
 
   val q18MinhashNearDup: QuerySpec = QuerySpec.oracled(
     "q18_minhash_near_dup",
@@ -84,7 +85,8 @@ object DedupQueries {
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_transform(s,
       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
-      |  FROM sh),
+      |  FROM sh
+      |  WHERE len(s) > 0),
       |p AS (
       |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.h, b.h)) AS inter_size,

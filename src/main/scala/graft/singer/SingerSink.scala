@@ -148,7 +148,9 @@ object SingerSink {
       Map(
         "ignoreNullFields" -> dropNulls.toString,
         "timestampFormat" -> IsoFmt).asJava)
-    val prefix = s"""{"type":"RECORD","stream":"$stream","record":"""
+    // stream name escaped through Jackson (it can carry user prefixes)
+    val prefix = s"""{"type":"RECORD","stream":${
+      mapper.writeValueAsString(stream)},"record":"""
     val lines = prepped.select(
       concat(lit(prefix), rowJson, lit("}")).as("line"))
 

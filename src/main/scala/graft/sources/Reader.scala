@@ -145,8 +145,10 @@ final class Reader(
           // Catalog dtypes become the *read schema* (single pass over the
           // data — the typed scan replaces Polars' dtype option,
           // ref: src/reader.ts:100-105). Header columns come from a 0-row
-          // probe (ref: src/reader.ts:262).
-          val headers = spark.read.option("header", "true").csv(filepath)
+          // probe (ref: src/reader.ts:262) that must honor the same CSV
+          // options (delimiter etc.) as the real read.
+          val headers = spark.read.option("header", "true")
+            .option("quote", "\"").options(options.csvOptions).csv(filepath)
             .schema.fieldNames.toSeq
           val st = for {
             catalog <- readCatalog()

@@ -27,6 +27,18 @@ class AsofStreamingSpec extends AnyFunSuite with SparkSpec {
       ("k2", 15L, null))) // right row is later
   }
 
+  test("asof attaches whole right rows — null values never blend across rows") {
+    val left = Seq(("k1", 3L, "L")).toDF("k", "t", "lv")
+    val right = Seq(
+      ("k1", 1L, Some("a1"), Some("b1")),
+      ("k1", 2L, Some("a2"), Option.empty[String])) // latest row has b=null
+      .toDF("k", "rt", "a", "b")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "t", "rt",
+      Seq("a", "b")).select("asof_a", "asof_b").head
+    assert(got.getString(0) == "a2")
+    assert(got.isNullAt(1)) // NOT "b1" from the older row
+  }
+
   test("asof strict excludes equal timestamps") {
     val left = Seq(("k1", 10L, "L")).toDF("k", "t", "lv")
     val right = Seq(("k1", 10L, "R10"), ("k1", 9L, "R9"))

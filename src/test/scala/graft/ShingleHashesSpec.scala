@@ -34,6 +34,8 @@ class ShingleHashesSpec extends AnyFunSuite with SparkSpec {
       .collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).length)
       .toMap
-    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 2))
+    // docs with fewer than k tokens are excluded from the dedup family
+    // (family-wide semantics, mirrored by the oracles' len(s) > 0 filter)
+    assert(got == Map(4L -> 1, 5L -> 2))
   }
 }
