@@ -440,10 +440,94 @@ object CoreQueries {
       .limit(7)
   }
 
+  /** Scalar function matrix (string/math substrate): engine-portable subset
+    * (sqrt/abs/floor are IEEE-exact; no libm-dependent transcendentals).
+    */
+  val q35ScalarFuncs: QuerySpec = QuerySpec.oracled(
+    "q35_scalar_funcs",
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_up,
+      |  substr(p_name, 1, 5) AS name5,
+      |  replace(p_type, ' ', '_') AS type_u,
+      |  CAST(length(p_brand) AS BIGINT) AS brand_len,
+      |  abs(p_size - 25) AS size_dev,
+      |  CAST(floor(sqrt(p_retailprice)) AS BIGINT) AS sqrt_floor,
+      |  concat(p_brand, ':', p_type) AS brand_type
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_up"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      length(col("p_brand")).cast(LongType).as("brand_len"),
+      abs(col("p_size") - 25).as("size_dev"),
+      floor(sqrt(col("p_retailprice"))).cast(LongType).as("sqrt_floor"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+  }
+
+  /** Window frames: running total (ROWS unbounded-preceding) and a 30-day
+    * RANGE frame over an integer day column.
+    */
+  val q36WindowFrames: QuerySpec = QuerySpec.oracled(
+    "q36_window_frames",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(epoch_us(o_orderdate) / 86400000000 AS BIGINT) AS day
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY day, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS running_total,
+      |  count(*) OVER (
+      |    PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+      |FROM o
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV " +
+        "86400000000 AS BIGINT)").as("day"))
+    val wRows = Window.partitionBy("o_custkey")
+      .orderBy(col("day"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRange = Window.partitionBy("o_custkey")
+      .orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum("o_totalprice").over(wRows), 2).as("running_total"),
+      count(lit(1)).over(wRange).as("n_last_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact interpolated percentiles (median / p90) per group. */
+  val q37Percentiles: QuerySpec = QuerySpec.oracled(
+    "q37_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4)
+          .as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
     q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact,
-    q32SemiAntiJoin, q33Cube, q34DistinctLimit)
+    q32SemiAntiJoin, q33Cube, q34DistinctLimit, q35ScalarFuncs,
+    q36WindowFrames, q37Percentiles)
 }
