@@ -143,6 +143,86 @@ object EventQueries {
       .orderBy("window_start_us", "event_type")
   }
 
+  /** Streaming session windows (native `session_window` + watermark,
+    * append-final) checked against a batch gap-rule oracle. A far-future
+    * sentinel event in a second source file advances the watermark so every
+    * real session closes and emits.
+    */
+  val q38SessionWindow: QuerySpec = QuerySpec.oracled(
+    "q38_session_window",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, tus,
+      |    lag(tus) OVER (PARTITION BY user_id
+      |                   ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |g AS (
+      |  SELECT user_id, tus,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id,
+      |  min(tus) AS session_start_us,
+      |  max(tus) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (spark, dir) =>
+    import graft.streaming.SessionWindows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = new java.io.File("/root/repo/target/tmp/q38_events")
+    org.apache.commons.io.FileUtils.deleteQuietly(staged)
+    staged.mkdirs()
+    val base = CoreQueries.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts_ts"))
+    base.coalesce(1).write.parquet(s"$staged/00")
+    val maxTs = base.agg(max(unix_micros(col("ts_ts")))).head.getLong(0)
+    // sentinel 10 days later pushes the watermark past every real session
+    base.sparkSession.sql(
+      s"SELECT -1L AS user_id, -1L AS event_id, " +
+        s"timestamp_micros(${maxTs + 864000000000L}L) AS ts_ts")
+      .coalesce(1).write.parquet(s"$staged/01")
+    def flatten(sub: String, name: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
+      ()
+    }
+    flatten("00", "00.parquet"); flatten("01", "01.parquet")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$staged/00.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+
+    val schema = spark.read.parquet(s"$staged/00.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val sessions = SessionWindows.sessionWindowStream(stream)
+
+    spark.streams.active.filter(_.name == "q38_mem").foreach(_.stop())
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("q38_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table("q38_mem")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow)
+    Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow)
 }
