@@ -36,8 +36,14 @@ object Dedup {
   def laneA(i: Int): Long = (1103515245L * i + 12345) % P
   def laneB(i: Int): Long = (69069L * i + 1) % P
 
-  /** Lower-cased whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Lower-cased whitespace tokens, empty strings removed (a leading tab
+    * survives `trim`, which strips spaces only, and would otherwise yield a
+    * leading "" token — the fused [[graft.functions.ShingleHashExpr]] and
+    * the DuckDB oracles both exclude empties). NOTE: `TextStats` token
+    * *counts* deliberately use the raw split to mirror their SQL oracles.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** 60-bit md5-derived hash — the cross-engine workhorse. */
   def hash60(c: Column): Column =

@@ -60,9 +60,14 @@ object Multimodal {
     * sample) replaces only the body of `decodeOne`; the batched partition
     * shape stays.
     */
+  private val digestTl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def decodeOne(a: Asset): DecodedAsset = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(a.payload)
+    val digest = digestTl.get()
+    digest.reset()
+    val md = digest.digest(a.payload)
     val hist = new Array[Float](16)
     a.payload.foreach(b => hist((b & 0xff) % 16) += 1f)
     val n = math.max(1, a.payload.length).toFloat

@@ -134,14 +134,17 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
-    // A dim mismatch would null the plane dots and silently collapse every
-    // vector into bucket 0 (an unpruned cross join) — fail loudly instead.
-    corpus.select(size(col(vecCol))).limit(1).collect().headOption.foreach {
-      r =>
-        require(r.getInt(0) == dim,
-          s"lshTopK: dim=$dim but '$vecCol' arrays have ${r.getInt(0)} " +
-            "elements")
-    }
+    // A dim mismatch on EITHER side would null the plane dots and silently
+    // collapse vectors into bucket 0 (an unpruned join) — fail loudly.
+    def checkDim(df: DataFrame, side: String): Unit =
+      df.select(size(col(vecCol)).as("n")).filter(col("n").isNotNull)
+        .limit(1).collect().headOption.foreach { r =>
+          require(r.getInt(0) == dim,
+            s"lshTopK: dim=$dim but $side '$vecCol' arrays have " +
+              s"${r.getInt(0)} elements")
+        }
+    checkDim(corpus, "corpus")
+    checkDim(queries, "queries")
     val bucket = hyperplaneBucket(vecCol, numPlanes, dim)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),

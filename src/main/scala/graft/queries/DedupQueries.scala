@@ -19,7 +19,8 @@ object DedupQueries {
     */
   private val shingleCte =
     """WITH tk AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -73,8 +74,8 @@ object DedupQueries {
   val q20NgramJaccard: QuerySpec = QuerySpec.oracled(
     "q20_ngram_jaccard",
     """WITH tk AS (
-      |  SELECT doc_id, lang, source,
-      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  SELECT doc_id, lang, source, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, lang, source,

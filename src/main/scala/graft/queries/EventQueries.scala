@@ -64,7 +64,7 @@ object EventQueries {
       |  FROM e),
       |f AS (
       |  SELECT user_id, tus,
-      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM l)
       |SELECT user_id,
@@ -81,9 +81,11 @@ object EventQueries {
     val w = Window.partitionBy("user_id")
       .orderBy(col("tus").asc, col("event_id").asc)
     e.withColumn("prev", lag("tus", 1).over(w))
+      // >= : the exact-gap boundary starts a new session, matching
+      // session_window's end-exclusive semantics (q38) and SessionWindows
       .withColumn("new_sess",
         when(col("prev").isNull ||
-          col("tus") - col("prev") > 1800000000L, 1L).otherwise(0L))
+          col("tus") - col("prev") >= 1800000000L, 1L).otherwise(0L))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -182,7 +184,10 @@ object EventQueries {
       .select(col("user_id"), col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts_ts"))
     base.coalesce(1).write.parquet(s"$staged/00")
-    val maxTs = base.agg(max(unix_micros(col("ts_ts")))).head.getLong(0)
+    // max event time from the just-written staging output — no second scan
+    // of the source
+    val maxTs = spark.read.parquet(s"$staged/00")
+      .agg(max(unix_micros(col("ts_ts")))).head().getLong(0)
     // sentinel 10 days later pushes the watermark past every real session
     base.sparkSession.sql(
       s"SELECT -1L AS user_id, -1L AS event_id, " +

@@ -32,9 +32,10 @@ object SessionWindows {
 
   final val DefaultGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
 
-  /** Pure single-user gap-rule fold (session_window semantics: merge iff
-    * `t - lastEnd < gap`); factored for direct unit testing and used by the
-    * batch twin.
+  /** Pure single-user gap-rule fold (session_window semantics: an event
+    * joins the open session iff it lands strictly before the session end,
+    * i.e. `t - lastEvent < gap`); factored for direct unit testing and used
+    * by the batch twin.
     */
   def advance(
       events: Seq[SessionEvent],

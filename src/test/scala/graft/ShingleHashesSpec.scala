@@ -7,8 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class ShingleHashesSpec extends AnyFunSuite with SparkSpec {
 
   test("fused expression equals hash of the composed shingle pipeline") {
+    import spark.implicits._
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq( // whitespace edge cases: tabs survive trim()
+        (100001L, "\tfoo bar baz x"),
+        (100002L, "foo  bar\tbaz qux\n"),
+        (100003L, "MIXED Case\tTokens here too")).toDF("doc_id", "text"))
     val fused = Dedup.withShingleHashSets(docs, "doc_id", "text", 3)
       .select(col("doc_id"), expr("array_sort(hsh)").as("h"))
     // composed: string shingles → md5 hash60 per shingle → distinct
