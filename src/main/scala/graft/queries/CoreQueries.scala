@@ -523,7 +523,26 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Pivot (wide aggregation): explicit value list keeps the plan
+    * single-pass (no distinct-values pre-query) — the form that scales.
+    */
+  val q39Pivot: QuerySpec = QuerySpec.oracled(
+    "q39_pivot",
+    """SELECT l_returnflag,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+      |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q39Pivot,
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
