@@ -21,6 +21,12 @@ final case class SingerOptions(
     schema: Option[ObjectNode] = None,
     keepNullFields: Boolean = false,
     catalogStream: Option[String] = None,
+    /** P10: drop columns whose every value is null before emission. The
+      * reference *intends* this but the select is commented out
+      * (ref: src/singer.ts:313-322 dead code), so behavior parity keeps it
+      * OFF; the flag implements the intent (one count-aggregate pass).
+      */
+    dropAllNullColumns: Boolean = false,
     /** exact=true streams rows through the driver in deterministic order
       * (byte-faithful single-file append, reference semantics); exact=false
       * writes RECORD lines distributed (`write.text`) and concatenates part
@@ -119,24 +125,39 @@ object SingerSink {
     val spark = df.sparkSession
     val useCatalog = conf.useCatalogSchema || options.catalogStream.isDefined
 
+    // P10 (flagged, ref: src/singer.ts:313-322): one distributed aggregate
+    // counts non-nulls per column; all-null columns are dropped from both
+    // schema and records. Mirrors the reference's guard conditions.
+    val df0 =
+      if (options.dropAllNullColumns && options.allowObjects &&
+        !useCatalog && !options.keepNullFields && df.columns.nonEmpty) {
+        val counts = df.agg(
+          count(col(df.columns.head)).as(df.columns.head),
+          df.columns.tail.map(c => count(col(c)).as(c)).toIndexedSeq: _*)
+          .head()
+        val keep = df.columns.zipWithIndex
+          .filter { case (_, i) => counts.getLong(i) > 0 }.map(_._1)
+        if (keep.nonEmpty) df.select(keep.map(col).toIndexedSeq: _*) else df
+      } else df
+
     // Schema priority (ref: src/singer.ts:44-47, 161-163, 324-328):
     // explicit schema (non-catalog) bypasses inference; catalog merges over
     // inferred and re-types JSON-string columns first.
     val (prepped: DataFrame, header: ObjectNode) =
       if (options.schema.isDefined && !useCatalog) {
-        (prepare(df, options.allowObjects), options.schema.get)
+        (prepare(df0, options.allowObjects), options.schema.get)
       } else if (useCatalog) {
         val streamName = options.catalogStream.getOrElse(stream)
         val catalogProps = catalogLookup(streamName).getOrElse(
           throw new IllegalArgumentException(
             s"No schema found in catalog for stream $streamName"))
-        val parsed = parseDfCols(df, catalogProps)
+        val parsed = parseDfCols(df0, catalogProps)
         val inferred = SingerSchema.headerMap(parsed.schema, allowObjects = true)
         (prepare(parsed, allowObjects = true),
           SingerSchema.mergeCatalog(inferred, catalogProps))
       } else {
-        (prepare(df, options.allowObjects),
-          SingerSchema.headerMap(df.schema, options.allowObjects))
+        (prepare(df0, options.allowObjects),
+          SingerSchema.headerMap(df0.schema, options.allowObjects))
       }
 
     // RECORD payload: columnar JSON of the whole row. Null fields dropped

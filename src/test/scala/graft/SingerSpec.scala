@@ -140,6 +140,23 @@ class SingerSpec extends AnyFunSuite with SparkSpec {
     assert(lines(1).contains(""""payload":{"x":5}"""))
   }
 
+  test("dropAllNullColumns flag implements the reference's dead-code intent") {
+    // ref: src/singer.ts:313-322 — default OFF keeps the all-null column
+    val dirOff = tmpDir("singer10a"); val dirOn = tmpDir("singer10b")
+    val df = Seq((1L, "a", Option.empty[String]),
+      (2L, "b", Option.empty[String])).toDF("id", "v", "ghost")
+    SingerSink.toSinger(df, "t", dirOff,
+      SingerOptions(allowObjects = true), noCatalogConf)
+    assert(readLines(dirOff).head.contains("\"ghost\""))
+    SingerSink.toSinger(df, "t", dirOn,
+      SingerOptions(allowObjects = true, dropAllNullColumns = true),
+      noCatalogConf)
+    val lines = readLines(dirOn)
+    assert(!lines.head.contains("\"ghost\""))
+    assert(lines(1) ==
+      """{"type":"RECORD","stream":"t","record":{"id":1,"v":"a"}}""")
+  }
+
   test("scale mode (exact=false) produces identical content for one stream") {
     val dir1 = tmpDir("singer8a"); val dir2 = tmpDir("singer8b")
     val df = spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
