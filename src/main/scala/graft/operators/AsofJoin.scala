@@ -5,21 +5,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join — an operator Spark lacks natively (SURVEY §2.3 M4 notes it as
-  * "custom needed"). For each left row, attach the most recent right row of
-  * the same key with `rightTime <= leftTime` (backward; `strict` makes it
-  * `<`).
+  * "custom needed"). Backward: for each left row, the most recent right row
+  * of the same key with `rightTime <= leftTime`; forward: the earliest right
+  * row with `rightTime >= leftTime` (`strict` makes the comparisons strict).
   *
   * Implementation choice (option (a) of the custom-operator ladder: compose
   * built-ins): instead of a range/theta join — which explodes to
   * |left|×|right-per-key| intermediate rows — both sides are unioned, tagged,
-  * and swept with a single `last_value(..., ignoreNulls)` window per key in
-  * time order. Cost: ONE shuffle on the key, O(n log n) per-partition sort,
-  * O(1) state per row — the sort-merge as-of, expressed declaratively so
-  * Catalyst/Tungsten run it with codegen. This is the 100 TB-safe shape:
-  * no build-side blowup, skew handled by AQE on the single shuffle.
+  * and swept with a single `last(..., ignoreNulls)` window per key in time
+  * order (reversed for forward). Cost: ONE shuffle on the key, O(n log n)
+  * per-partition sort, O(1) state per row — the sort-merge as-of, expressed
+  * declaratively so Catalyst/Tungsten run it with codegen. This is the
+  * 100 TB-safe shape: no build-side blowup, skew handled by AQE on the
+  * single shuffle.
   *
-  * Right rows should be unique per (key, time) — ties are otherwise broken
-  * by window order; dedupe first for full determinism.
+  * The right row travels as ONE struct so the window picks a whole row
+  * atomically (per-column fills would blend columns across right rows when
+  * values are null). Right rows should be unique per (key, time) — ties are
+  * otherwise broken by window order; dedupe first for full determinism.
   */
 object AsofJoin {
 
@@ -33,14 +36,35 @@ object AsofJoin {
       leftTimeCol: String,
       rightTimeCol: String,
       rightValueCols: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    asof(left, right, keyCols, leftTimeCol, rightTimeCol, rightValueCols,
+      strict, forward = false)
+
+  /** Earliest right row at-or-after (after, if strict) the left time. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      strict: Boolean = false): DataFrame =
+    asof(left, right, keyCols, leftTimeCol, rightTimeCol, rightValueCols,
+      strict, forward = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      strict: Boolean,
+      forward: Boolean): DataFrame = {
     val sideCol = "_asof_side" // 1 = right, 0 = left
     val timeCol = "_asof_t"
-
-    // The right row travels as ONE struct so the window picks a whole row
-    // atomically — per-column last() would blend columns from different
-    // right rows whenever a value is null.
     val payloadCol = "_asof_payload"
+
     val taggedRight = right.select(
       (keyCols.map(col) :+
         col(rightTimeCol).as(timeCol) :+
@@ -52,12 +76,14 @@ object AsofJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
-    // Equal timestamps: right sorts before left for `<=` semantics (the
-    // left row may see it), after left for strict `<`.
+    // Equal timestamps: right sorts before left for inclusive semantics
+    // (the left row may see it), after left for strict.
+    val timeOrder: Column =
+      if (forward) col(timeCol).desc else col(timeCol).asc
     val sideOrder: Column =
       if (strict) col(sideCol).asc else col(sideCol).desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, sideOrder)
+      .orderBy(timeOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = unioned.withColumn(payloadCol,

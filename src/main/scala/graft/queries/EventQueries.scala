@@ -50,6 +50,42 @@ object EventQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Forward as-of: each order matched to the customer's earliest strictly
+    * later order (DuckDB `ASOF JOIN ... ON l.t < r.t` picks the smallest
+    * future right time).
+    */
+  val q40AsofForward: QuerySpec = QuerySpec.oracled(
+    "q40_asof_forward",
+    """WITH ded AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT l.o_orderkey, d.next_orderkey,
+      |  CAST(epoch_us(d.o_orderdate) - epoch_us(l.o_orderdate) AS BIGINT)
+      |    AS wait_us
+      |FROM orders l ASOF JOIN ded d
+      |  ON l.o_custkey = d.o_custkey AND l.o_orderdate < d.o_orderdate
+      |ORDER BY l.o_orderkey""".stripMargin) { (spark, dir) =>
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val ded = orders.groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("next_orderkey"))
+      .withColumnRenamed("o_orderdate", "next_date")
+    AsofJoin.asofForward(
+      left = orders,
+      right = ded,
+      keyCols = Seq("o_custkey"),
+      leftTimeCol = "o_orderdate",
+      rightTimeCol = "next_date",
+      rightValueCols = Seq("next_orderkey", "next_date"),
+      strict = true)
+      .filter(col("asof_next_orderkey").isNotNull)
+      .select(
+        col("o_orderkey"),
+        col("asof_next_orderkey").as("next_orderkey"),
+        (unix_micros(col("asof_next_date").cast("timestamp")) -
+          unix_micros(col("o_orderdate").cast("timestamp"))).as("wait_us"))
+      .orderBy("o_orderkey")
+  }
+
   /** Gap-based sessionization (30-minute inactivity) via lag + running
     * flags — the batch form of session windows.
     */
@@ -229,5 +265,6 @@ object EventQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow)
+    Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
+      q40AsofForward)
 }

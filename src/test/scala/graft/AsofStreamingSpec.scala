@@ -39,6 +39,20 @@ class AsofStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.isNullAt(1)) // NOT "b1" from the older row
   }
 
+  test("asof forward: earliest right at-or-after left time") {
+    val left = Seq(("k1", 10L, "L1"), ("k1", 99L, "L2")).toDF("k", "t", "lv")
+    val right = Seq(("k1", 10L, "R10"), ("k1", 20L, "R20"))
+      .toDF("k", "rt", "rv")
+    val nonStrict = AsofJoin.asofForward(left, right, Seq("k"), "t", "rt",
+      Seq("rv")).select("t", "asof_rv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nonStrict == Map(10L -> "R10", 99L -> null))
+    val strict = AsofJoin.asofForward(left, right, Seq("k"), "t", "rt",
+      Seq("rv"), strict = true).select("t", "asof_rv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict == Map(10L -> "R20", 99L -> null))
+  }
+
   test("asof strict excludes equal timestamps") {
     val left = Seq(("k1", 10L, "L")).toDF("k", "t", "lv")
     val right = Seq(("k1", 10L, "R10"), ("k1", 9L, "R9"))
