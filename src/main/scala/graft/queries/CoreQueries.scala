@@ -342,6 +342,15 @@ object CoreQueries {
   }
 
   /** Null semantics (P9-adjacent): nullif/coalesce and null-aware counting.
+    *
+    * `filled_sum` accumulates DECIMAL(18,6), not DOUBLE: a double sum's
+    * partial-aggregation order differs between Spark's 32-way partials and
+    * the oracle's sequential scan, and a true sum near a half-cent boundary
+    * then rounds differently per engine. Decimal addition is exact, so the
+    * sum is order-independent; `value` carries 2 decimal digits, so the
+    * DECIMAL(18,6) cast is itself tie-free. The final DOUBLE cast restores
+    * the original output schema (an exact 2-dp decimal → double is lossless
+    * and deterministic in both engines).
     */
   val q14NullHandling: QuerySpec = QuerySpec.oracled(
     "q14_null_handling",
@@ -349,7 +358,8 @@ object CoreQueries {
       |  count(*) AS n_rows,
       |  count(nullif(user_id % 10, 0)) AS n_nonnull,
       |  sum(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS n_zero,
-      |  round(sum(coalesce(nullif(value, 0.0), -1.0)), 2) AS filled_sum
+      |  CAST(round(sum(CAST(coalesce(nullif(value, 0.0), -1.0)
+      |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS filled_sum
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
@@ -359,8 +369,9 @@ object CoreQueries {
         count(lit(1)).as("n_rows"),
         count(expr("nullif(user_id % 10, 0)")).as("n_nonnull"),
         sum(when(col("user_id") % 10 === 0, 1).otherwise(0)).as("n_zero"),
-        round(sum(coalesce(expr("nullif(value, 0.0d)"), lit(-1.0))), 2)
-          .as("filled_sum"))
+        round(sum(expr(
+          "CAST(coalesce(nullif(value, 0.0d), -1.0d) AS DECIMAL(18,6))")), 2)
+          .cast("double").as("filled_sum"))
       .orderBy("event_type")
   }
 
