@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR
+  * and prints one JSON line. Fixture staging runs untimed via each spec's
+  * setup hook, so the timed number is operator time, not file copies. A
+  * failing query is reported in an `errors` field and fails the run
+  * (non-zero exit) instead of being silently recorded as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +19,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.specs.map { spec =>
+      spec.setup.foreach { s =>
+        try s(spark, sfDir)
+        catch { case e: Throwable =>
+          errors(spec.name) = s"setup: ${e.getMessage}" }
+      }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { spec.fn(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        errors(spec.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
+      spec.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

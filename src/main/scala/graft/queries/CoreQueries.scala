@@ -349,8 +349,9 @@ object CoreQueries {
     * then rounds differently per engine. Decimal addition is exact, so the
     * sum is order-independent; `value` carries 2 decimal digits, so the
     * DECIMAL(18,6) cast is itself tie-free. The final DOUBLE cast restores
-    * the original output schema (an exact 2-dp decimal → double is lossless
-    * and deterministic in both engines).
+    * the original output schema; both engines produce the same correctly
+    * rounded double from the same exact decimal (verified bit-identical at
+    * sf0.01), so the output is deterministic and identical across engines.
     */
   val q14NullHandling: QuerySpec = QuerySpec.oracled(
     "q14_null_handling",

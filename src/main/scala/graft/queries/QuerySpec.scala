@@ -6,11 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are SQL-expressible) an equivalent ANSI SQL string the driver runs in
   * DuckDB over the same parquet tables. Column names/aliases MUST match
   * between the two — the driver's compare sorts columns by name.
+  *
+  * `setup` is an optional untimed fixture-staging hook: Bench runs it before
+  * starting the clock so file copies / fixture writes don't pollute the
+  * operator's measured time. Staging helpers are memoized per (query, dir),
+  * so a query body that self-stages (for standalone Verify correctness) hits
+  * the memoized no-op path when Bench has already staged.
   */
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    sql: Option[String])
+    sql: Option[String],
+    setup: Option[(SparkSession, String) => Unit] = None) {
+  def withSetup(s: (SparkSession, String) => Unit): QuerySpec =
+    copy(setup = Some(s))
+}
 
 object QuerySpec {
   def oracled(name: String, sql: String)(
@@ -21,4 +31,13 @@ object QuerySpec {
   def unoracled(name: String)(
       fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, None)
+
+  /** Memoizes a staging action per key (typically the sf dir): the first
+    * caller stages, every later caller in the same JVM reuses the result.
+    */
+  final class StagingCache[V] {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, V]()
+    def getOrStage(key: String)(stage: => V): V =
+      cache.computeIfAbsent(key, _ => stage)
+  }
 }

@@ -13,6 +13,45 @@ import java.nio.file.{Files, Paths}
   */
 object ReaderQueries {
 
+  private val q17Staging = new QuerySpec.StagingCache[String]
+
+  /** Materialize the q17 CSV fixture + catalog.json (test scaffolding, not
+    * an operator path). Memoized per sf dir; Bench stages untimed via the
+    * spec's setup hook.
+    */
+  def stageQ17(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q17Staging.getOrStage(dir) {
+      val tmp = Paths.get("/root/repo/target/tmp/q17_reader_csv")
+      val syncDir = tmp.resolve("sync-output")
+      Files.createDirectories(syncDir)
+      // fixture: nation as CSV named with a date suffix (dash-truncation →
+      // stream "nation"); a later-named duplicate that must lose (first-wins).
+      val rows = spark.read.parquet(s"$dir/nation.parquet")
+        .withColumn("o_observed", lit("batch1"))
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation only
+      val header = "n_nationkey,n_name,n_regionkey,o_observed"
+      val body = rows.map(r =>
+        s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)},${r.getString(3)}")
+        .mkString("\n")
+      Files.write(syncDir.resolve("nation-20240101.csv"),
+        (header + "\n" + body + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(syncDir.resolve("nation-20240202.csv"),
+        (header + "\n0,WRONG,0,loser\n").getBytes(StandardCharsets.UTF_8))
+      val catalog =
+        """{"streams": [{"stream": "nation", "tap_stream_id": "nation",
+          |  "schema": {"properties": {
+          |    "n_nationkey": {"type": ["integer", "null"]},
+          |    "n_name": {"type": "string"},
+          |    "n_regionkey": {"type": ["integer", "null"]},
+          |    "o_observed": {"type": "string"}}},
+          |  "metadata": [{"breadcrumb": [],
+          |    "metadata": {"table-key-properties": ["n_nationkey"]}}]}]}""".stripMargin
+      Files.write(tmp.resolve("catalog.json"),
+        catalog.getBytes(StandardCharsets.UTF_8))
+      tmp.toString
+    }
+
   /** Parquet scan via the stream registry: discovery over the sf dir (S1)
     * then a plain parquet read (S2). No catalog in the sf dir → no casts.
     */
@@ -38,36 +77,9 @@ object ReaderQueries {
       |  CAST(n_regionkey AS BIGINT) AS n_regionkey, 'batch1' AS o_observed
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
-    val tmp = Paths.get("/root/repo/target/tmp/q17_reader_csv")
-    val syncDir = tmp.resolve("sync-output")
-    Files.createDirectories(syncDir)
-    // fixture: nation as CSV named with a date suffix (dash-truncation →
-    // stream "nation"); a later-named duplicate that must lose (first-wins).
-    val rows = spark.read.parquet(s"$dir/nation.parquet")
-      .withColumn("o_observed", lit("batch1"))
-      .orderBy("n_nationkey")
-      .collect() // 25 rows: fixture generation only
-    val header = "n_nationkey,n_name,n_regionkey,o_observed"
-    val body = rows.map(r =>
-      s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)},${r.getString(3)}")
-      .mkString("\n")
-    Files.write(syncDir.resolve("nation-20240101.csv"),
-      (header + "\n" + body + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.write(syncDir.resolve("nation-20240202.csv"),
-      (header + "\n0,WRONG,0,loser\n").getBytes(StandardCharsets.UTF_8))
-    val catalog =
-      """{"streams": [{"stream": "nation", "tap_stream_id": "nation",
-        |  "schema": {"properties": {
-        |    "n_nationkey": {"type": ["integer", "null"]},
-        |    "n_name": {"type": "string"},
-        |    "n_regionkey": {"type": ["integer", "null"]},
-        |    "o_observed": {"type": "string"}}},
-        |  "metadata": [{"breadcrumb": [],
-        |    "metadata": {"table-key-properties": ["n_nationkey"]}}]}]}""".stripMargin
-    Files.write(tmp.resolve("catalog.json"),
-      catalog.getBytes(StandardCharsets.UTF_8))
-    val reader = Reader(spark, dir = Some(syncDir.toString),
-      root = Some(tmp.toString))
+    val tmp = stageQ17(spark, dir)
+    val reader = Reader(spark, dir = Some(s"$tmp/sync-output"),
+      root = Some(tmp))
     assert(reader.getPk("nation") == Seq("n_nationkey"),
       "catalog PK lookup failed")
     // catalog integer → LongType on the Spark side; the oracle CASTs to
@@ -75,7 +87,7 @@ object ReaderQueries {
     reader.get("nation", ReaderOptions(catalogTypes = true))
       .getOrElse(sys.error("stream 'nation' not discovered"))
       .orderBy("n_nationkey")
-  }
+  }.withSetup((s, d) => { stageQ17(s, d); () })
 
   val all: Seq[QuerySpec] = Seq(q16ReaderParquet, q17ReaderCsv)
 }
