@@ -103,6 +103,83 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Banded-LSH near-dup pairs checked against the EXACT all-pairs oracle
+    * (same SQL shape as q31): green iff banded candidate generation loses
+    * no qualifying pair — recall verified exactly, not statistically. See
+    * [[graft.ext.Similarity.cosineNearDupPairsBucketed]] for the parameter
+    * honesty note (threshold 0.4 is the indexing-hostile regime; the win
+    * here is the join shape, the high-threshold regime is spec-covered).
+    */
+  val q41EmbeddingNearDupLsh: QuerySpec = QuerySpec.oracled(
+    "q41_embedding_near_dup_lsh",
+    s"""$normCte,
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cosine, 6) AS cos_sim
+       |FROM p WHERE cosine >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Similarity.cosineNearDupPairsBucketed(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB replay of the multi-probe bucket list: base bucket plus flips
+    * of the lowest-|dot| planes, flip order = lexicographic sort on
+    * (|dot|, plane index) — byte-identical to
+    * [[graft.functions.HyperplaneMath.probes]].
+    */
+  private def probesSql(vec: String, numProbes: Int): String = {
+    val dots = Similarity.planes(NumPlanes, Dim).map(planeDotSql(vec, _))
+      .mkString("[", ", ", "]")
+    val flips = s"list_transform(list_sort(list_transform(range(1, " +
+      s"${NumPlanes + 1}), i -> [abs(($dots)[i]), CAST(i - 1 AS DOUBLE)])), " +
+      s"x -> CAST(x[2] AS INT))"
+    val probes = (1 until numProbes).map(j =>
+      s"xor(${bucketSql(vec)}, (CAST(1 AS BIGINT) << ($flips)[$j]))")
+    (Seq(bucketSql(vec)) ++ probes).mkString("[", ", ", "]")
+  }
+
+  /** Multi-probe LSH ANN: query probes its base bucket plus the 3 buckets
+    * reached by flipping its lowest-margin planes. The oracle replays the
+    * identical probe-set construction, so the result is exact-checked; the
+    * recall improvement over single-probe is asserted separately in
+    * MultiProbeRecallSpec on a planted-neighbor fixture.
+    */
+  val q42AnnLshMultiprobe: QuerySpec = QuerySpec.oracled(
+    "q42_ann_lsh_multiprobe",
+    s"""$normCte,
+       |b AS (
+       |  SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket
+       |  FROM nv),
+       |qp AS (
+       |  SELECT vec_id, embedding, nrm, ${probesSql("embedding", 4)} AS probes
+       |  FROM nv WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM qp q JOIN b c
+       |    ON list_contains(q.probes, c.bucket) AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.lshTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      numPlanes = NumPlanes, dim = Dim, numProbes = 4)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup)
+    Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
+      q41EmbeddingNearDupLsh, q42AnnLshMultiprobe)
 }
