@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    all 128 MinHash lanes / 16 SimHash bit-votes as wide agg columns —
   *    map-side partial aggregation shrinks the shuffle to |docs| rows;
   *  - LSH candidate generation is an equi-join on (band, bucket) carrying
-  *    only ids; shingle sets are re-attached per surviving pair;
-  *  - hot buckets (boilerplate) are the skew risk: cap bucket width or salt
-  *    the self-join; AQE splits stragglers.
+  *    only ids; intersection sizes come from a second exploded-hash
+  *    equi-join ([[withOverlapExploded]]) — no wide array rows anywhere;
+  *  - hot buckets (boilerplate corpora) are the skew risk: [[saltedSelfJoin]]
+  *    splits any bucket wider than `bucketCap` across salt groups without
+  *    changing the pair set; AQE splits what remains.
   *
   * Cross-engine determinism: the only hash is
   * `conv(substr(md5(s),1,15),16,10)` — 60 bits of md5, reproducible
@@ -94,25 +96,83 @@ object Dedup {
   private def shingleHashes(hashSets: DataFrame): DataFrame =
     hashSets.select(col("doc_id"), explode(col("hsh")).as("h"))
 
-  /** Exact intersection/union sizes for candidate pairs carrying both
-    * shingle sets as `s_a` / `s_b`. */
-  private def withOverlap(pairs: DataFrame): DataFrame =
-    pairs
-      .withColumn("inter_size",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
-      .withColumn("union_size",
-        size(col("s_a")).cast("long") + size(col("s_b")).cast("long") -
-          col("inter_size"))
-      .drop("s_a", "s_b")
-
-  private def attachHashSets(
-      candidates: DataFrame, hashSets: DataFrame): DataFrame =
+  /** Exact intersection/union sizes for candidate pairs via the
+    * exploded-hash equi-join: instead of re-attaching both whole hash-set
+    * arrays per pair (row width = O(|doc| hashes) — the 100 TB row-size
+    * risk), join the candidate ids against the exploded (doc, h) rows on
+    * id then (id, h) and COUNT matches. Every row is three scalars; the
+    * shuffles are id/(id, h) equi-joins AQE can split freely.
+    *
+    * Pairs with an empty intersection produce no counting rows — the left
+    * join restores them with inter_size 0, so thresholds of 0 keep exact
+    * semantics. Extra candidate columns (e.g. block keys) pass through.
+    */
+  private def withOverlapExploded(
+      candidates: DataFrame, hashSets: DataFrame): DataFrame = {
+    val rows = shingleHashes(hashSets)
+    val sizes = hashSets.select(
+      col("doc_id"), size(col("hsh")).cast("long").as("__sz"))
+    // precondition: candidates are pair-distinct (both call sites ensure
+    // it — duplicates would double the counted intersection)
+    val inter = candidates.select("id_a", "id_b")
+      .join(rows.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(rows.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__inter"))
     candidates
-      .join(hashSets.select(col("doc_id").as("id_a"),
-        col("hsh").as("s_a")), "id_a")
-      .join(hashSets.select(col("doc_id").as("id_b"),
-        col("hsh").as("s_b")), "id_b")
-      .select("id_a", "id_b", "s_a", "s_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter_size", coalesce(col("__inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("id_a"), col("__sz").as("__sz_a")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("__sz").as("__sz_b")),
+        "id_b")
+      .withColumn("union_size",
+        col("__sz_a") + col("__sz_b") - col("inter_size"))
+      .drop("__inter", "__sz_a", "__sz_b")
+  }
+
+  /** Skew-safe LSH self-join: pair generation per equal `keyCols` value,
+    * with hot keys (width > `capWidth`) salted so no single task owns a
+    * whole quadratic bucket — the coded form of the "boilerplate corpus"
+    * mitigation. The left side of a hot key keeps one deterministic salt
+    * (`hash(id) mod fan`), the right side replicates to every salt, so each
+    * unordered pair meets exactly once and the pair set is IDENTICAL to the
+    * unsalted join (DedupSkewSpec proves both properties on a skewed
+    * fixture). `fan = ceil(width / capWidth)` bounds the left rows per
+    * (key, salt) task at ~capWidth; hot keys are few by definition, so the
+    * width lookup broadcasts.
+    */
+  def saltedSelfJoin(
+      items: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      capWidth: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    if (capWidth <= 0) {
+      val l = items.select((col(idCol).as("id_a") +: keys): _*)
+      val r = items.select((col(idCol).as("id_b") +: keys): _*)
+      l.join(r, keyCols).filter(col("id_a") < col("id_b"))
+    } else {
+      val hot = items.groupBy(keys: _*)
+        .agg(count(lit(1)).as("__w"))
+        .filter(col("__w") > capWidth)
+      val fan = expr(s"CAST((__w + ${capWidth - 1}) DIV $capWidth AS INT)")
+      val tagged = items.join(broadcast(hot), keyCols, "left")
+      val l = tagged
+        .withColumn("__g",
+          when(col("__w").isNull, lit(0))
+            .otherwise(pmod(hash(col(idCol)), fan)))
+        .select((col(idCol).as("id_a") +: col("__g") +: keys): _*)
+      val r = tagged
+        .withColumn("__g", explode(
+          when(col("__w").isNull, array(lit(0)))
+            .otherwise(sequence(lit(0), fan - 1))))
+        .select((col(idCol).as("id_b") +: col("__g") +: keys): _*)
+      l.join(r, keyCols :+ "__g")
+        .filter(col("id_a") < col("id_b"))
+        .drop("__g")
+    }
+  }
 
   /** MinHash-LSH near-duplicate pairs, exactly verified.
     *
@@ -129,7 +189,8 @@ object Dedup {
       numHashes: Int = 128,
       bandRows: Int = 2,
       thresholdNum: Int = 7,
-      thresholdDen: Int = 10): DataFrame = {
+      thresholdDen: Int = 10,
+      bucketCap: Int = 1000): DataFrame = {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
     val sets = withShingleHashSets(docs, idCol, textCol, k)
@@ -150,14 +211,12 @@ object Dedup {
       col("doc_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates =
+      saltedSelfJoin(banded, Seq("band", "bucket"), "doc_id", bucketCap)
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
 
-    withOverlap(attachHashSets(candidates, sets))
+    withOverlapExploded(candidates, sets)
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }
@@ -212,18 +271,14 @@ object Dedup {
       blockCols: Seq[String],
       k: Int = 2,
       thresholdNum: Int = 4,
-      thresholdDen: Int = 5): DataFrame = {
-    val base = withShingleHashSets(docs, idCol, textCol, k)
+      thresholdDen: Int = 5,
+      blockCap: Int = 1000): DataFrame = {
+    val sets = withShingleHashSets(docs, idCol, textCol, k)
+    val base = sets.select("doc_id")
       .join(docs.select((col(idCol).as("doc_id") +:
         blockCols.map(col)): _*), "doc_id")
-    val l = base.select((col("doc_id").as("id_a") +: col("hsh").as("s_a") +:
-      blockCols.map(col)): _*)
-    val r = base.select((col("doc_id").as("id_b") +: col("hsh").as("s_b") +:
-      blockCols.map(col)): _*)
-    withOverlap(
-      l.join(r, blockCols).filter(col("id_a") < col("id_b"))
-        .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
-          col("s_a") :+ col("s_b")): _*))
+    val candidates = saltedSelfJoin(base, blockCols, "doc_id", blockCap)
+    withOverlapExploded(candidates, sets)
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }
