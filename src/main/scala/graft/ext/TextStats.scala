@@ -80,9 +80,20 @@ object TextStats {
 
   /** Polynomial rolling hash over the character stream, mod 1e9+7 —
     * a deterministic whole-document fingerprint computable in any engine
-    * with a left fold (`(acc * 31 + ascii(char)) % p`).
+    * with a left fold (`(acc * 31 + ascii(char)) % p`). Runs as the fused
+    * codegen'd [[graft.functions.FingerprintExpr]] (bit-parity with
+    * [[fingerprintComposed]], FingerprintSpec); callers must have run
+    * [[graft.functions.VectorExpressions.register]].
     */
-  def fingerprint(textCol: String): Column = expr(
+  def fingerprint(textCol: String): Column =
+    expr(s"graft_fingerprint(`$textCol`)")
+
+  /** The composed HOF form of [[fingerprint]]: materializes one
+    * single-character string per character per document — the
+    * engine-portable reference formulation the fused expression is
+    * parity-tested against.
+    */
+  def fingerprintComposed(textCol: String): Column = expr(
     s"aggregate(split(`$textCol`, ''), 0L, " +
       "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)")
 }

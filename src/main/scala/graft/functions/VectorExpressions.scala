@@ -140,6 +140,10 @@ object VectorExpressions {
       exprs => Md5Hash60(exprs.head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint",
+      exprs => FingerprintExpr(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {
         val k = exprs(1) match {

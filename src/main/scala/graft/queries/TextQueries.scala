@@ -114,6 +114,7 @@ object TextQueries {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorExpressions.register(spark)
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
       .orderBy("doc_id")

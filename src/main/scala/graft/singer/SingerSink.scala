@@ -27,6 +27,15 @@ final case class SingerOptions(
       * OFF; the flag implements the intent (one count-aggregate pass).
       */
     dropAllNullColumns: Boolean = false,
+    /** P6 parse-failure handling: the reference keeps the raw string when
+      * `JSON.parse` fails (ref: src/singer.ts:208-219); Spark's `from_json`
+      * nulls it. With this flag the column stays a JSON STRING —
+      * `coalesce(to_json(from_json(c)), c)` — so parseable values normalize
+      * through the catalog type and unparseable values survive verbatim
+      * (value-preserving, reference parity). Off = typed columns,
+      * parse failures → null (the SURVEY §2.2 documented deviation).
+      */
+    keepUnparsableJson: Boolean = false,
     /** exact=true streams rows through the driver in deterministic order
       * (byte-faithful single-file append, reference semantics); exact=false
       * writes RECORD lines distributed (`write.text`) and concatenates part
@@ -92,7 +101,8 @@ object SingerSink {
     */
   private[singer] def parseDfCols(
       df: DataFrame,
-      catalogProps: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+      catalogProps: com.fasterxml.jackson.databind.JsonNode,
+      keepUnparsable: Boolean = false): DataFrame =
     catalogProps.fields().asScala.foldLeft(df) { (d, e) =>
       val name = e.getKey
       if (!d.columns.contains(name)) d
@@ -105,7 +115,26 @@ object SingerSink {
         else CatalogSchema.toDataType(e.getValue) match {
           case StringType => d // opaque object/array: keep the JSON string
           case dt if d.schema(name).dataType == StringType =>
-            d.withColumn(name, from_json(col(name), dt))
+            if (keepUnparsable) dt match {
+              // reference keep-on-failure (src/singer.ts:208-219): parseable
+              // → normalized through the catalog type, unparseable →
+              // verbatim. PERMISSIVE from_json yields an all-null STRUCT
+              // (not null) on malformed input, so struct failures are
+              // detected via the corrupt-record column instead of coalesce.
+              case st: StructType =>
+                val corrupt = "__graft_corrupt"
+                val parsed = from_json(col(name),
+                  StructType(st.fields :+ StructField(corrupt, StringType)),
+                  Map("columnNameOfCorruptRecord" -> corrupt).asJava)
+                d.withColumn(name,
+                  when(col(name).isNull, lit(null).cast(StringType))
+                    .when(parsed.getField(corrupt).isNotNull, col(name))
+                    .otherwise(to_json(parsed.dropFields(corrupt))))
+              case _ => // array types: from_json nulls on malformed input
+                d.withColumn(name,
+                  coalesce(to_json(from_json(col(name), dt)), col(name)))
+            }
+            else d.withColumn(name, from_json(col(name), dt))
           case _ => d
         }
       }
@@ -151,7 +180,8 @@ object SingerSink {
         val catalogProps = catalogLookup(streamName).getOrElse(
           throw new IllegalArgumentException(
             s"No schema found in catalog for stream $streamName"))
-        val parsed = parseDfCols(df0, catalogProps)
+        val parsed =
+          parseDfCols(df0, catalogProps, options.keepUnparsableJson)
         val inferred = SingerSchema.headerMap(parsed.schema, allowObjects = true)
         (prepare(parsed, allowObjects = true),
           SingerSchema.mergeCatalog(inferred, catalogProps))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
-import scala.util.Try
+import scala.util.{Failure, Success, Try}
 
 /** Options for [[Reader.get]] (ref: src/reader.ts:47-51 `options`).
   *
@@ -93,6 +93,20 @@ final class Reader(
   def readCatalog(): Option[Catalog] =
     CatalogSchema.parseFile(s"$root/catalog.json")
 
+  /** Logs-and-None on read failure — behavior parity with the reference,
+    * which console.errors the exception and returns null
+    * (ref: src/reader.ts:87-90,131-134). A corrupt file must leave a trace,
+    * not read as "stream doesn't exist".
+    */
+  private def loggedRead(stream: String, filepath: String)(
+      read: => DataFrame): Option[DataFrame] =
+    Try(read) match {
+      case Success(df) => Some(df)
+      case Failure(e) =>
+        logError(s"Failed to read stream '$stream' from $filepath", e)
+        None
+    }
+
   /** Typed scan of one stream (S2/S3, ref: src/reader.ts:47-139).
     * Returns None for unknown streams or read failures (the reference logs
     * and returns null).
@@ -109,7 +123,7 @@ final class Reader(
       stream: String,
       filepath: String,
       options: ReaderOptions): Option[DataFrame] =
-    Try {
+    loggedRead(stream, filepath) {
       val df = spark.read.parquet(filepath)
       if (!options.catalogTypes) df
       else {
@@ -128,13 +142,13 @@ final class Reader(
             }
         }
       }
-    }.toOption
+    }
 
   private def readCsv(
       stream: String,
       filepath: String,
       options: ReaderOptions): Option[DataFrame] =
-    Try {
+    loggedRead(stream, filepath) {
       val reader = spark.read
         .option("header", "true")
         .option("quote", "\"") // ref: src/reader.ts:96 quoteChar
@@ -175,7 +189,7 @@ final class Reader(
           try_to_timestamp(col(c), lit("yyyy-MM-dd HH:mm:ss")),
           try_to_timestamp(col(c), lit("yyyy-MM-dd"))))
       }
-    }.toOption
+    }
 
   /** Parquet footer key-value metadata (S5). The reference stubs this
     * (ref: src/reader.ts:141-160 returns `{}` with a warning); Spark's

@@ -132,4 +132,39 @@ class ReaderSpec extends AnyFunSuite with SparkSpec {
     val (sync, root) = fixture()
     assert(new Reader(spark, sync, root).getPk("users") == Seq("id"))
   }
+
+  test("corrupt file: logs the failure and returns None (ref src/reader.ts:87-90)") {
+    val (sync, root) = fixture()
+    Files.write(Paths.get(sync, "broken.parquet"),
+      "this is not parquet".getBytes(StandardCharsets.UTF_8))
+
+    // capture the Reader's log4j output: warn-and-None, not silent-None
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = scala.collection.mutable.ArrayBuffer[String]()
+    val appender = new AbstractAppender(
+      "reader-spec-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        captured.synchronized {
+          captured += e.getMessage.getFormattedMessage; ()
+        }
+    }
+    appender.start()
+    val logger = LogManager.getLogger(classOf[Reader].getName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    logger.addAppender(appender)
+    try {
+      val r = new Reader(spark, sync, root)
+      assert(r.keys.contains("broken")) // discovered by extension...
+      assert(r.get("broken").isEmpty)   // ...but unreadable → None
+      assert(captured.exists(m =>
+        m.contains("Failed to read stream 'broken'")),
+        s"expected a read-failure log line, got: $captured")
+    } finally {
+      logger.removeAppender(appender)
+      appender.stop()
+    }
+  }
 }

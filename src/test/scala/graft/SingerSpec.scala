@@ -124,6 +124,34 @@ class SingerSpec extends AnyFunSuite with SparkSpec {
     assert(lines.last == """{"type":"STATE","value":{}}""")
   }
 
+  test("keepUnparsableJson keeps the raw string on parse failure (ref src/singer.ts:208-219)") {
+    val dir = tmpDir("singer11")
+    val props = new ObjectMapper().readTree(
+      """{"id": {"type": ["integer", "null"]},
+        |"tags": {"type": ["array", "null"],
+        |  "items": {"type": "string"}},
+        |"profile": {"type": ["object", "null"], "properties": {
+        |  "city": {"type": "string"}}}}""".stripMargin)
+    val df = Seq(
+      (1L, """["a","b"]""", """{"city":"NYC"}"""), // parseable → normalized
+      (2L, """[broken""", """{not json at all"""), // unparseable → verbatim
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "tags", "profile")
+    SingerSink.toSinger(df, "u", dir,
+      SingerOptions(catalogStream = Some("u"), keepUnparsableJson = true),
+      noCatalogConf,
+      catalogLookup = _ => Some(props.asInstanceOf[ObjectNode]))
+    val lines = readLines(dir)
+    // column stays a JSON STRING: parseable values normalize, failures
+    // survive verbatim — the reference's JSON.parse-catch behavior
+    assert(lines(1).contains(""""profile":"{\"city\":\"NYC\"}""""))
+    assert(lines(1).contains(""""tags":"[\"a\",\"b\"]""""))
+    assert(lines(2).contains(""""profile":"{not json at all""""))
+    assert(lines(2).contains(""""tags":"[broken""""))
+    assert(lines(3).contains(""""profile":null"""))
+    assert(lines(3).contains(""""tags":null"""))
+  }
+
   test("USE_CATALOG_SCHEMA env enables catalog mode globally") {
     // ref: src/singer.ts:307
     val dir = tmpDir("singer9")
