@@ -139,8 +139,9 @@ object Dedup {
     * unordered pair meets exactly once and the pair set is IDENTICAL to the
     * unsalted join (DedupSkewSpec proves both properties on a skewed
     * fixture). `fan = ceil(width / capWidth)` bounds the left rows per
-    * (key, salt) task at ~capWidth; hot keys are few by definition, so the
-    * width lookup broadcasts.
+    * (key, salt) task at ~capWidth; widths come from a window count over
+    * the same key partitioning so the upstream pipeline is never evaluated
+    * an extra time.
     */
   def saltedSelfJoin(
       items: DataFrame,
@@ -153,19 +154,21 @@ object Dedup {
       val r = items.select((col(idCol).as("id_b") +: keys): _*)
       l.join(r, keyCols).filter(col("id_a") < col("id_b"))
     } else {
-      val hot = items.groupBy(keys: _*)
-        .agg(count(lit(1)).as("__w"))
-        .filter(col("__w") > capWidth)
+      // widths via a window count, not a groupBy + join-back: the self-join
+      // already evaluates `items` twice (left/right); a separate aggregate
+      // would re-run the whole upstream (e.g. the 128-lane signature pass)
+      // a third time — profiled ~1.5× slower end-to-end at sf0.1
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+      val tagged = items.withColumn("__w", count(lit(1)).over(w))
       val fan = expr(s"CAST((__w + ${capWidth - 1}) DIV $capWidth AS INT)")
-      val tagged = items.join(broadcast(hot), keyCols, "left")
       val l = tagged
         .withColumn("__g",
-          when(col("__w").isNull, lit(0))
+          when(col("__w") <= capWidth, lit(0))
             .otherwise(pmod(hash(col(idCol)), fan)))
         .select((col(idCol).as("id_a") +: col("__g") +: keys): _*)
       val r = tagged
         .withColumn("__g", explode(
-          when(col("__w").isNull, array(lit(0)))
+          when(col("__w") <= capWidth, array(lit(0)))
             .otherwise(sequence(lit(0), fan - 1))))
         .select((col(idCol).as("id_b") +: col("__g") +: keys): _*)
       l.join(r, keyCols :+ "__g")
