@@ -26,19 +26,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic hyperplane component in [-1, 1]: first 15 md5 hex chars
-    * of "plane{p}:{d}" mod 2001, shifted and scaled by 1/1000.
+  /** Deterministic md5-derived component in [-1, 1]: first 15 md5 hex chars
+    * of "{tag}{i}:{d}" mod 2001, shifted and scaled by 1/1000 — k/1000
+    * rationals, exactly representable as decimal literals in any engine.
     */
-  def planeComponent(p: Int, d: Int): Double = {
+  def mdComponent(tag: String, i: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane$p:$d".getBytes("UTF-8"))
+    val hex = md.digest(s"$tag$i:$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)
     ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
   }
 
+  /** Hyperplane component (the LSH plane family). */
+  def planeComponent(p: Int, d: Int): Double = mdComponent("plane", p, d)
+
   /** The plane matrix as Scala data (numPlanes × dim). */
   def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until numPlanes).map(p => (0 until dim).map(d => planeComponent(p, d)))
+
+  /** The IVF coarse-quantizer centroid matrix (numCentroids × dim) — a
+    * distinct md5 namespace from the LSH planes.
+    */
+  def centroids(numCentroids: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numCentroids).map(c =>
+      (0 until dim).map(d => mdComponent("ivf", c, d)))
 
   /** Left-fold dot product of two array columns as doubles — the
     * engine-portable formulation (same fold order everywhere).
@@ -174,6 +185,47 @@ object Similarity {
         s"graft_hyperplane_probes(`$vecCol`, $numPlanes, $dim, $numProbes)"))
         .as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
+    topK(scored, k)
+  }
+
+  /** IVF (inverted-file) ANN: the second coarse-quantizer family beside
+    * hyperplane LSH. Each corpus vector is assigned to its nearest centroid
+    * by dot product (home cell = one inverted list per centroid —
+    * [[graft.functions.IvfCells]] element 0); each query probes its
+    * `numProbes` nearest cells and re-ranks exactly inside them. Centroids
+    * are fixed md5-derived vectors (deterministic, engine-replayable);
+    * production refinements (Lloyd iterations over a corpus sample) would
+    * reshape cells but not the query plan, which is the part that must
+    * scale: corpus partitioned once by cell, un-replicated; probes explode
+    * on the broadcast query side only.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      dim: Int = 64,
+      numProbes: Int = 2): DataFrame = {
+    require(numProbes >= 1 && numProbes <= numCentroids,
+      s"ivfTopK: numProbes must be in [1, numCentroids], got $numProbes")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    graft.functions.HyperplaneExpressions.register(corpus.sparkSession)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
+      selfNormFast(vecCol).as("n_c"),
+      expr(s"element_at(graft_ivf_cells(`$vecCol`, $numCentroids, $dim, 1), 1)")
+        .as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("v_q"),
+      selfNormFast(vecCol).as("n_q"),
+      explode(expr(
+        s"graft_ivf_cells(`$vecCol`, $numCentroids, $dim, $numProbes)"))
+        .as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
     topK(scored, k)

@@ -33,27 +33,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 object HyperplaneMath {
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Double]]()
 
-  /** Flattened deterministic plane matrix (plane p, dim d) at p*dim+d;
-    * planeComponent keeps the md5-derived k/1000 rationals of
-    * [[graft.ext.Similarity.planeComponent]] (exact decimal literals in any
-    * engine).
+  /** Flattened deterministic md5-derived matrix (row i, dim d) at i*dim+d —
+    * the k/1000 rationals of [[graft.ext.Similarity.mdComponent]] (exact
+    * decimal literals in any engine). Tag "plane" = the LSH hyperplanes,
+    * "ivf" = the IVF coarse-quantizer centroids.
     */
-  def flatPlanes(numPlanes: Int, dim: Int): Array[Double] =
-    cache.computeIfAbsent((numPlanes, dim), { _ =>
-      val a = new Array[Double](numPlanes * dim)
-      var p = 0
-      while (p < numPlanes) {
+  def flatMatrix(tag: String, n: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((tag, n, dim), { _ =>
+      val a = new Array[Double](n * dim)
+      var i = 0
+      while (i < n) {
         var d = 0
         while (d < dim) {
-          a(p * dim + d) = graft.ext.Similarity.planeComponent(p, d)
+          a(i * dim + d) = graft.ext.Similarity.mdComponent(tag, i, d)
           d += 1
         }
-        p += 1
+        i += 1
       }
       a
     })
+
+  def flatPlanes(numPlanes: Int, dim: Int): Array[Double] =
+    flatMatrix("plane", numPlanes, dim)
 
   private def checkArr(arr: ArrayData, dim: Int, who: String): Boolean = {
     if (arr.numElements() != dim) {
@@ -115,6 +118,29 @@ object HyperplaneMath {
       }
     }
     new GenericArrayData(out)
+  }
+
+  /** IVF cell list: the `numProbes` centroid indices with the highest
+    * dot(vec, centroid), ordered by descending dot with ties broken by the
+    * lower centroid index — deterministic and exactly replayable in SQL via
+    * a lexicographic sort on (-dot, index). Element 0 is the vector's home
+    * cell (the inverted-list assignment); queries probe the full prefix.
+    */
+  def ivfCells(
+      arr: ArrayData, centroids: Array[Double], numCentroids: Int, dim: Int,
+      numProbes: Int): ArrayData = {
+    val anyNull = checkArr(arr, dim, "graft_ivf_cells")
+    val dots = new Array[Double](numCentroids)
+    if (!anyNull) {
+      var c = 0
+      while (c < numCentroids) {
+        dots(c) = planeDot(arr, centroids, c, dim)
+        c += 1
+      }
+    }
+    val order = (0 until numCentroids).sortBy(c => (-dots(c), c))
+    new GenericArrayData(
+      Array.tabulate[Long](numProbes)(j => order(j).toLong))
   }
 
   /** Multi-probe buckets: the base bucket plus `numProbes - 1` buckets with
@@ -232,6 +258,33 @@ case class HyperplaneProbes(
       newChild: Expression): HyperplaneProbes = copy(child = newChild)
 }
 
+/** `graft_ivf_cells(vec, numCentroids, dim, numProbes)` → array<long>. */
+case class IvfCells(
+    child: Expression, numCentroids: Int, dim: Int, numProbes: Int)
+    extends HyperplaneExpr {
+  override def name: String = "graft_ivf_cells"
+  override def numPlanesTotal: Int = numCentroids
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected lazy val planes: Array[Double] =
+    HyperplaneMath.flatMatrix("ivf", numCentroids, dim)
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneMath.ivfCells(
+      input.asInstanceOf[ArrayData], planes, numCentroids, dim, numProbes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("centroids", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneMath.ivfCells($c, $planesRef, " +
+        s"$numCentroids, $dim, $numProbes)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfCells = copy(child = newChild)
+}
+
 object HyperplaneExpressions {
 
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
@@ -254,6 +307,13 @@ object HyperplaneExpressions {
         litInt(exprs(1), "graft_hyperplane_bands", "bandBits"),
         litInt(exprs(2), "graft_hyperplane_bands", "numBands"),
         litInt(exprs(3), "graft_hyperplane_bands", "dim")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells",
+      exprs => IvfCells(exprs.head,
+        litInt(exprs(1), "graft_ivf_cells", "numCentroids"),
+        litInt(exprs(2), "graft_ivf_cells", "dim"),
+        litInt(exprs(3), "graft_ivf_cells", "numProbes")),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_probes",

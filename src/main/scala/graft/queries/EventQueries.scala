@@ -286,7 +286,52 @@ object EventQueries {
       .orderBy("user_id", "session_start_us")
   }.withSetup((s, d) => { stageQ38(s, d); () })
 
+  /** Streaming exact deduplication: the documents file driven as a stream,
+    * `dropDuplicates` on the content hash, append-mode emission — the
+    * incremental form of q15's batch exact dedup, checked against the batch
+    * DISTINCT oracle (stream ≡ batch). Emits content keys (not a surviving
+    * doc_id): first-seen-row identity is partition-order-dependent, the
+    * distinct key set is not. Unbounded streams should bound the state with
+    * `dropDuplicatesWithinWatermark`; AvailableNow over a finite backlog
+    * keeps exact all-history semantics.
+    */
+  val q43StreamingDedup: QuerySpec = QuerySpec.oracled(
+    "q43_streaming_dedup",
+    """SELECT DISTINCT md5(text) AS content_key FROM documents
+      |ORDER BY content_key""".stripMargin) { (spark, dir) =>
+    val staged = stageQ43(spark, dir)
+    val schema = spark.read.parquet(s"$staged/documents.parquet").schema
+    val distinctKeys = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .select(md5(col("text")).as("content_key"))
+      .dropDuplicates("content_key")
+    spark.streams.active.filter(_.name == "q43_mem").foreach(_.stop())
+    val q = distinctKeys.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("q43_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q43_mem").orderBy("content_key")
+  }.withSetup((s, d) => { stageQ43(s, d); () })
+
+  private val q43Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage documents.parquet into a directory for the file-source stream. */
+  def stageQ43(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q43Staging.getOrStage(dir) {
+      val staged = new java.io.File("/root/repo/target/tmp/q43_documents")
+      staged.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        staged.toPath.resolve("documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      staged.toString
+    }
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
-      q40AsofForward)
+      q40AsofForward, q43StreamingDedup)
 }

@@ -179,7 +179,58 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  private val NumCentroids = 16
+
+  /** DuckDB replay of the IVF cell ordering: centroid indices sorted by
+    * (-dot, index) — byte-identical to
+    * [[graft.functions.HyperplaneMath.ivfCells]].
+    */
+  private def ivfCellsSql(vec: String): String = {
+    val dots = Similarity.centroids(NumCentroids, Dim)
+      .map(planeDotSql(vec, _)).mkString("[", ", ", "]")
+    s"list_transform(list_sort(list_transform(range(1, " +
+      s"${NumCentroids + 1}), c -> [-(($dots)[c]), CAST(c - 1 AS DOUBLE)])), " +
+      s"x -> CAST(x[2] AS BIGINT))"
+  }
+
+  /** IVF ANN: corpus in one inverted list per nearest centroid, queries
+    * probe their 2 nearest cells, exact cosine re-rank inside. The oracle
+    * replays the identical centroid assignment and probe ordering.
+    */
+  val q44AnnIvf: QuerySpec = QuerySpec.oracled(
+    "q44_ann_ivf",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell
+       |  FROM nv),
+       |qv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1:2]
+       |    AS cells
+       |  FROM nv WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM qv q JOIN cv c
+       |    ON list_contains(q.cells, c.cell) AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      numCentroids = NumCentroids, dim = Dim, numProbes = 2)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
-      q41EmbeddingNearDupLsh, q42AnnLshMultiprobe)
+      q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf)
 }

@@ -165,6 +165,43 @@ class HyperplaneSpec extends AnyFunSuite with SparkSpec {
     assert(r4 >= 0.75, s"4-probe recall too low: $r4")
   }
 
+  test("IVF cells match a driver-side (-dot, index) sort replay") {
+    HyperplaneExpressions.register(spark)
+    val cents = Similarity.centroids(16, Dim)
+    val rnd = new Random(31)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.fill(Dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val got = rows.toDF("id", "v")
+      .select(col("id"), expr(s"graft_ivf_cells(v, 16, $Dim, 16)").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, v) =>
+      val dots = cents.map { cent =>
+        var acc = 0.0
+        var d = 0
+        while (d < Dim) { acc += v(d).toDouble * cent(d); d += 1 }
+        acc
+      }
+      val expected = (0 until 16).sortBy(c => (-dots(c), c)).map(_.toLong)
+      assert(got(id) == expected, s"cell order mismatch for id=$id")
+    }
+  }
+
+  test("IVF top-k recall beats single-cell on planted neighbors; probes monotone") {
+    val (corpus, queries) = fixture
+    def recall(numProbes: Int): Double = {
+      val top = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 1, numCentroids = 16, dim = Dim, numProbes = numProbes)
+      top.filter(col("query_id") - 5000L === col("neighbor_id"))
+        .count() / 100.0
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val r4 = recall(4)
+    assert(r2 >= r1 && r4 >= r2, s"probe recall not monotone: $r1 $r2 $r4")
+    assert(r2 >= 0.8, s"2-probe IVF recall too low: $r2")
+  }
+
   test("banded near-dup at high threshold equals the exact form (the efficient regime)") {
     val (corpus, queries) = fixture
     val all = corpus.unionByName(queries)
