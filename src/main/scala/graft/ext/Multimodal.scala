@@ -99,4 +99,56 @@ object Multimodal {
     decoded.toDF().select(
       col("asset_id").as("vec_id"),
       col("features").as("embedding"))
+
+  /** Frame sampling (the video/audio path): the payload as fixed-size
+    * frames, every `stride`-th frame kept — one output row per sampled
+    * frame with its index, offset, and content digest. Fully columnar
+    * (sequence → explode → substring → md5), so frame rows fan out in
+    * executors with no payload ever visiting the driver; downstream
+    * per-frame decode/feature-extract reuses the [[decode]] batched shape.
+    *
+    * STUB NOTE: frames here are fixed-size CHARACTER chunks of the
+    * UTF-8 payload (this container has no media codecs, and the DuckDB
+    * oracle can replay character substrings but not blob slices); a real
+    * container parser swaps in byte-offset framing — the fan-out plumbing,
+    * schema, and stride sampling are the real thing.
+    */
+  def sampleFrames(
+      assets: Dataset[Asset], frameChars: Int, stride: Int): DataFrame = {
+    require(frameChars > 0 && stride > 0)
+    assets.toDF()
+      .select(col("asset_id"),
+        // functions.decode (charset), not Multimodal.decode (the codec)
+        org.apache.spark.sql.functions.decode(col("payload"), "UTF-8")
+          .as("__txt"))
+      .select(col("asset_id"), col("__txt"),
+        explode(expr(
+          s"IF(length(__txt) = 0, CAST(array() AS ARRAY<BIGINT>), " +
+            s"sequence(0L, CAST((length(__txt) + ${frameChars - 1}) " +
+            s"DIV $frameChars AS BIGINT) - 1))")).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("asset_id"), col("frame_idx"),
+        (col("frame_idx") * frameChars).as("offset_chars"),
+        md5(expr(s"substring(__txt, " +
+          s"CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)"))
+          .as("frame_digest"))
+  }
+
+  /** Decode at a target raster size (the resize path): original dimensions
+    * come from the stub decode, output dimensions are the target, scale
+    * factors are carried for coordinate mapping. A real resampler would
+    * recompute `features` at the target raster; the stub's byte-histogram
+    * features are resolution-invariant, so they pass through unchanged —
+    * the pipeline shape (batched decode → per-asset geometry columns) is
+    * the real part.
+    */
+  def decodeResized(
+      assets: Dataset[Asset], targetW: Int, targetH: Int): DataFrame =
+    decode(assets).toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("width").as("orig_w"), col("height").as("orig_h"),
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        round(lit(targetW.toDouble) / col("width"), 6).as("scale_x"),
+        round(lit(targetH.toDouble) / col("height"), 6).as("scale_y"),
+        col("features"))
 }

@@ -33,5 +33,48 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q27MultimodalMeta)
+  /** Frame sampling: 256-char frames, every 4th kept; the oracle replays
+    * chunk offsets and substring digests per document.
+    */
+  val q45FrameSample: QuerySpec = QuerySpec.oracled(
+    "q45_frame_sample",
+    """SELECT asset_id, frame_idx, frame_idx * 256 AS offset_chars,
+      |  md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256))
+      |    AS frame_digest
+      |FROM (
+      |  SELECT doc_id AS asset_id, text,
+      |    unnest(range(0, (length(text) + 255) // 256)) AS frame_idx
+      |  FROM documents)
+      |WHERE frame_idx % 4 = 0
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val assets = Multimodal.assetsFromText(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    Multimodal.sampleFrames(assets, frameChars = 256, stride = 4)
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  /** Resize-decode: stub original dims (md5-derived) → 32×24 target with
+    * scale factors; the oracle replays the md5-byte dimension derivation.
+    */
+  val q46ResizeMeta: QuerySpec = QuerySpec.oracled(
+    "q46_resize_meta",
+    """SELECT asset_id, orig_w, orig_h, 32 AS width, 24 AS height,
+      |  round(32.0 / orig_w, 6) AS scale_x,
+      |  round(24.0 / orig_h, 6) AS scale_y
+      |FROM (
+      |  SELECT doc_id AS asset_id,
+      |    1 + (('0x' || substr(md5(text), 1, 2))::INT % 64) AS orig_w,
+      |    1 + (('0x' || substr(md5(text), 3, 2))::INT % 64) AS orig_h
+      |  FROM documents)
+      |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
+    val assets = Multimodal.assetsFromText(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    Multimodal.decodeResized(assets, targetW = 32, targetH = 24)
+      .select("asset_id", "orig_w", "orig_h", "width", "height",
+        "scale_x", "scale_y")
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta)
 }

@@ -23,6 +23,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(r => math.abs(r.features.sum - 1f) < 1e-3))
   }
 
+  test("frame sampling: chunk count, stride, offsets, digest of each chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 1000), // 4 frames of 256 chars (last partial) → idx 0 kept
+      (2L, "y" * 2100), // 9 frames → idx 0, 4, 8
+      (3L, ""), // empty payload → no frames
+      (4L, "short")) // one partial frame → idx 0
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.assetsFromText(docs, "doc_id", "text"),
+      frameChars = 256, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byAsset = frames.groupBy(_._1)
+    assert(byAsset(1L).map(_._2).sorted.toSeq == Seq(0L))
+    assert(byAsset(2L).map(_._2).sorted.toSeq == Seq(0L, 4L, 8L))
+    assert(!byAsset.contains(3L))
+    assert(byAsset(4L).map(_._2).toSeq == Seq(0L))
+    assert(frames.forall { case (_, idx, off, _) => off == idx * 256 })
+    // digest is of the chunk content: asset 4's only frame is the whole doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("short".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byAsset(4L).head._4 == expected)
+  }
+
+  test("resize-decode carries target dims + scale factors, features unchanged") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    val orig = Multimodal.decode(assets).collect().head
+    val r = Multimodal.decodeResized(assets, targetW = 32, targetH = 24)
+      .collect().head
+    assert(r.getAs[Int]("orig_w") == orig.width)
+    assert(r.getAs[Int]("orig_h") == orig.height)
+    assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 24)
+    assert(math.abs(r.getAs[Double]("scale_x") -
+      math.rint(32.0 / orig.width * 1e6) / 1e6) < 1e-9)
+    assert(r.getSeq[Float](r.fieldIndex("features")).toSeq ==
+      orig.features.toSeq)
+  }
+
   test("feature table feeds the ANN operator shape") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
