@@ -50,19 +50,32 @@ object TextStats {
   }
 
   /** Quality features: char/token counts, distinct-token ratio, mean token
-    * length, and a bucketed quality label. Ratios are plain IEEE divisions —
-    * engine-portable.
+    * length, punctuation ratio (ASCII punct chars / chars), stopword ratio
+    * (en-marker token occurrences / tokens), and a bucketed quality label.
+    * Ratios are plain IEEE divisions — engine-portable.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokensCol(textCol)
+    val enMarkers = array(LangMarkers.head._2.map(lit): _*)
     df.withColumn("n_chars", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      // \p{Punct} (Java) and [[:punct:]] (RE2/DuckDB) are the same 32
+      // ASCII punctuation characters — the oracle replays this class
+      .withColumn("n_punct",
+        size(regexp_extract_all(col(textCol), lit("\\p{Punct}"), lit(0)))
+          .cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => array_contains(enMarkers, t))).cast("long"))
       .withColumn("uniq_ratio",
         round(col("n_uniq").cast("double") / col("n_tokens"), 4))
       .withColumn("mean_token_len", round(
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
           col("n_tokens"), 4))
+      .withColumn("punct_ratio",
+        round(col("n_punct").cast("double") / col("n_chars"), 4))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
       .withColumn("quality",
         when(col("n_tokens") < 20, "too_short")
           .when(col("uniq_ratio") < 0.3, "repetitive")

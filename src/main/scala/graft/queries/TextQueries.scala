@@ -106,6 +106,33 @@ object TextQueries {
     agg.join(vocab, "lang").orderBy("lang")
   }
 
+  /** Punctuation + stopword ratios (the filtering signals a training-data
+    * quality pass actually thresholds on). Kept as its own query so q24's
+    * original oracle stays byte-stable.
+    */
+  val q47QualityRatios: QuerySpec = QuerySpec.oracled(
+    "q47_quality_ratios",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS n_chars,
+       |    len($toksSql)::BIGINT AS n_tokens,
+       |    len(regexp_extract_all(text, '[[:punct:]]'))::BIGINT AS n_punct,
+       |    len(list_filter($toksSql, t -> list_contains(
+       |      ${markersSql(TextStats.LangMarkers.head._2)}, t)))::BIGINT
+       |      AS n_stopwords
+       |  FROM documents)
+       |SELECT doc_id, n_punct, n_stopwords,
+       |  round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+       |  round(n_stopwords::DOUBLE / n_tokens, 4) AS stopword_ratio
+       |FROM f
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.qualityFeatures(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .select("doc_id", "n_punct", "n_stopwords", "punct_ratio",
+        "stopword_ratio")
+      .orderBy("doc_id")
+  }
+
   val q26Fingerprint: QuerySpec = QuerySpec.oracled(
     "q26_fingerprint",
     """SELECT doc_id,
@@ -121,5 +148,6 @@ object TextQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint)
+    Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
+      q47QualityRatios)
 }
