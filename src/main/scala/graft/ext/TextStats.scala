@@ -101,6 +101,31 @@ object TextStats {
   def fingerprint(textCol: String): Column =
     expr(s"graft_fingerprint(`$textCol`)")
 
+  /** Deterministic stratified sampling for training-mix construction: keep
+    * a row iff `md5_60(salt || ':' || id) % 10000 < rate(stratum) * 10000`.
+    * Hash-based (not `df.sample`): the same row is kept or dropped
+    * identically on every run, engine, partitioning, and cluster size —
+    * reproducible data mixes, per-stratum rates, no RNG state. Basis-point
+    * integer compares keep the threshold exact. Strata absent from `rates`
+    * are dropped (rate 0).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      salt: String = "mix1"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be [0,1]")
+    val bp = rates.foldLeft(lit(0L)) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum,
+        lit(math.round(rate * 10000).toLong)).otherwise(acc)
+    }
+    val bucket = expr(
+      s"CAST(conv(substring(md5(concat('$salt', ':', " +
+        s"CAST(`$idCol` AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10000")
+    df.filter(bucket < bp)
+  }
+
   /** The composed HOF form of [[fingerprint]]: materializes one
     * single-character string per character per document — the
     * engine-portable reference formulation the fused expression is

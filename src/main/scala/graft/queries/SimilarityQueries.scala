@@ -230,7 +230,31 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8 embedding quantization: the oracle replays the abs-max reduction
+    * and floor(x + 0.5) rounding element-wise.
+    */
+  val q48QuantizeInt8: QuerySpec = QuerySpec.oracled(
+    "q48_quantize_int8",
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+       |      AS maxabs
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  CASE WHEN maxabs > 0 THEN list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS INT))
+       |  ELSE list_transform(embedding, x -> 0) END AS qvec,
+       |  round(CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0 END, 9)
+       |    AS scale
+       |FROM m
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Similarity.quantizeInt8(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
-      q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf)
+      q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
+      q48QuantizeInt8)
 }

@@ -147,7 +147,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling (training-mix construction): keep
+    * 30% of en, 10% of es, 100% of zh, drop the rest — reproducible via
+    * the md5 basis-point rule the oracle replays. Aggregated per lang so
+    * the oracle row count stays small while every kept/dropped decision
+    * still feeds the hash compare.
+    */
+  val q49StratifiedSample: QuerySpec = QuerySpec.oracled(
+    "q49_stratified_sample",
+    """WITH kept AS (
+      |  SELECT doc_id, lang FROM documents
+      |  WHERE ('0x' || substr(md5('mix1:' || doc_id::VARCHAR), 1, 15))
+      |      ::BIGINT % 10000
+      |    < CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 1000
+      |        WHEN 'zh' THEN 10000 ELSE 0 END)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM kept GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    TextStats.stratifiedSample(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", strataCol = "lang",
+      rates = Map("en" -> 0.3, "es" -> 0.1, "zh" -> 1.0))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
-      q47QualityRatios)
+      q47QualityRatios, q49StratifiedSample)
 }
