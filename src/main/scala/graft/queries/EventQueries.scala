@@ -286,6 +286,53 @@ object EventQueries {
       .orderBy("user_id", "session_start_us")
   }.withSetup((s, d) => { stageQ38(s, d); () })
 
+  /** Structured Streaming SLIDING windows (6h span, 3h slide — each event
+    * lands in exactly two windows) over the same staged events stream as
+    * q30; the oracle replays both candidate windows per event in batch.
+    * Completes the tumbling (q30) / sliding (q50) / session (q38) triple.
+    */
+  val q50StreamingSliding: QuerySpec = QuerySpec.oracled(
+    "q50_streaming_sliding",
+    """WITH w AS (
+      |  SELECT CAST(epoch_us(ts) - (epoch_us(ts) % 10800000000) AS BIGINT)
+      |      AS w0,
+      |    epoch_us(ts) AS tus, event_type
+      |  FROM events),
+      |cand AS (
+      |  SELECT w0 AS ws, tus, event_type FROM w
+      |  UNION ALL
+      |  SELECT w0 - 10800000000 AS ws, tus, event_type FROM w)
+      |SELECT ws AS window_start_us, event_type, count(*) AS n
+      |FROM cand
+      |WHERE tus >= ws AND tus < ws + 21600000000
+      |GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    spark.streams.active.filter(_.name == "q50_mem").foreach(_.stop())
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q50_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q50_mem")
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"),
+        col("n"))
+      .orderBy("window_start_us", "event_type")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
+
   /** Streaming exact deduplication: the documents file driven as a stream,
     * `dropDuplicates` on the content hash, append-mode emission — the
     * incremental form of q15's batch exact dedup, checked against the batch
@@ -333,5 +380,5 @@ object EventQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
-      q40AsofForward, q43StreamingDedup)
+      q40AsofForward, q43StreamingDedup, q50StreamingSliding)
 }
