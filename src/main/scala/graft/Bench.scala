@@ -40,16 +40,21 @@ object Bench {
           errors(spec.name) = s"setup: ${e.getMessage}" }
       }
       val t0 = System.nanoTime()
-      try { spec.fn(spark, sfDir).count(); () }
-      catch { case e: Throwable =>
-        errors(spec.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      // a failed setup dooms the timed run — skip it so the root cause in
+      // `errors` isn't overwritten by the secondary failure
+      if (!errors.contains(spec.name)) {
+        try { spec.fn(spark, sfDir).count(); () }
+        catch { case e: Throwable =>
+          errors(spec.name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
       spec.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+      "\"" + k + "\":" + JsonEscape(v.take(200))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")

@@ -72,8 +72,12 @@ object TextStats {
       .withColumn("mean_token_len", round(
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
           col("n_tokens"), 4))
+      // n_chars can be 0 (empty text) and Spark's null-on-zero-divide
+      // diverges from DuckDB's IEEE NaN — both sides guard explicitly to
+      // null. n_tokens needs no guard: split('') yields [""], so it's ≥ 1.
       .withColumn("punct_ratio",
-        round(col("n_punct").cast("double") / col("n_chars"), 4))
+        when(col("n_chars") > 0,
+          round(col("n_punct").cast("double") / col("n_chars"), 4)))
       .withColumn("stopword_ratio",
         round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
       .withColumn("quality",

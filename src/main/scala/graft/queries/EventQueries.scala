@@ -21,7 +21,8 @@ object EventQueries {
     */
   def stageQ30(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     q30Staging.getOrStage(dir) {
-      val staged = new java.io.File("/root/repo/target/tmp/q30_events")
+      val staged = new java.io.File(
+        QuerySpec.stagedPath("q30_events", dir))
       staged.mkdirs()
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val dst = staged.toPath.resolve("events.parquet")
@@ -37,7 +38,8 @@ object EventQueries {
   def stageQ38(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     q38Staging.getOrStage(dir) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val staged = new java.io.File("/root/repo/target/tmp/q38_events")
+      val staged = new java.io.File(
+        QuerySpec.stagedPath("q38_events", dir))
       org.apache.commons.io.FileUtils.deleteQuietly(staged)
       staged.mkdirs()
       val base = CoreQueries.events(spark, dir)
@@ -369,7 +371,8 @@ object EventQueries {
   /** Stage documents.parquet into a directory for the file-source stream. */
   def stageQ43(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     q43Staging.getOrStage(dir) {
-      val staged = new java.io.File("/root/repo/target/tmp/q43_documents")
+      val staged = new java.io.File(
+        QuerySpec.stagedPath("q43_documents", dir))
       staged.mkdirs()
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/documents.parquet"),

@@ -34,10 +34,24 @@ object QuerySpec {
 
   /** Memoizes a staging action per key (typically the sf dir): the first
     * caller stages, every later caller in the same JVM reuses the result.
+    *
+    * Stagers MUST write to a key-distinct path — use [[stagedPath]] — or two
+    * sf dirs in one JVM would alias one fixed location and a cache hit for
+    * dir A could silently serve dir B's staged bytes.
     */
   final class StagingCache[V] {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, V]()
     def getOrStage(key: String)(stage: => V): V =
       cache.computeIfAbsent(key, _ => stage)
+  }
+
+  /** A per-key staging directory under target/tmp: `base` suffixed with a
+    * filesystem-safe digest of the key so distinct sf dirs never collide.
+    */
+  def stagedPath(base: String, key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    s"/root/repo/target/tmp/${base}_$digest"
   }
 }

@@ -21,7 +21,7 @@ object ReaderQueries {
     */
   def stageQ17(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     q17Staging.getOrStage(dir) {
-      val tmp = Paths.get("/root/repo/target/tmp/q17_reader_csv")
+      val tmp = Paths.get(QuerySpec.stagedPath("q17_reader_csv", dir))
       val syncDir = tmp.resolve("sync-output")
       Files.createDirectories(syncDir)
       // fixture: nation as CSV named with a date suffix (dash-truncation →

@@ -122,7 +122,8 @@ object TextQueries {
        |      AS n_stopwords
        |  FROM documents)
        |SELECT doc_id, n_punct, n_stopwords,
-       |  round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+       |  CASE WHEN n_chars > 0
+       |    THEN round(n_punct::DOUBLE / n_chars, 4) END AS punct_ratio,
        |  round(n_stopwords::DOUBLE / n_tokens, 4) AS stopword_ratio
        |FROM f
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>

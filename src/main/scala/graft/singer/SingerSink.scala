@@ -126,13 +126,18 @@ object SingerSink {
                 val parsed = from_json(col(name),
                   StructType(st.fields :+ StructField(corrupt, StringType)),
                   Map("columnNameOfCorruptRecord" -> corrupt).asJava)
+                // ignoreNullFields=false: a parsed {"city":null} must
+                // round-trip with its explicit null, as JSON.parse would
+                val keepNulls = Map("ignoreNullFields" -> "false").asJava
                 d.withColumn(name,
                   when(col(name).isNull, lit(null).cast(StringType))
                     .when(parsed.getField(corrupt).isNotNull, col(name))
-                    .otherwise(to_json(parsed.dropFields(corrupt))))
+                    .otherwise(
+                      to_json(parsed.dropFields(corrupt), keepNulls)))
               case _ => // array types: from_json nulls on malformed input
                 d.withColumn(name,
-                  coalesce(to_json(from_json(col(name), dt)), col(name)))
+                  coalesce(to_json(from_json(col(name), dt),
+                    Map("ignoreNullFields" -> "false").asJava), col(name)))
             }
             else d.withColumn(name, from_json(col(name), dt))
           case _ => d

@@ -135,7 +135,8 @@ class SingerSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(
       (1L, """["a","b"]""", """{"city":"NYC"}"""), // parseable → normalized
       (2L, """[broken""", """{not json at all"""), // unparseable → verbatim
-      (3L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (4L, """["x"]""", """{"city":null}""")) // explicit null survives
       .toDF("id", "tags", "profile")
     SingerSink.toSinger(df, "u", dir,
       SingerOptions(catalogStream = Some("u"), keepUnparsableJson = true),
@@ -150,6 +151,8 @@ class SingerSpec extends AnyFunSuite with SparkSpec {
     assert(lines(2).contains(""""tags":"[broken""""))
     assert(lines(3).contains(""""profile":null"""))
     assert(lines(3).contains(""""tags":null"""))
+    // explicit JSON null round-trips (JSON.parse parity) — not dropped
+    assert(lines(4).contains(""""profile":"{\"city\":null}""""))
   }
 
   test("USE_CATALOG_SCHEMA env enables catalog mode globally") {
