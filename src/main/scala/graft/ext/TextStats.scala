@@ -105,6 +105,28 @@ object TextStats {
   def fingerprint(textCol: String): Column =
     expr(s"graft_fingerprint(`$textCol`)")
 
+  /** Redaction patterns shared by [[redact]] and its SQL oracle: kept to
+    * the regex subset Java and RE2 agree on (no backrefs, no lookaround).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII-style scrubbing for training corpora: emails then URLs replaced
+    * with placeholder tokens, with per-document match counts for audit.
+    * A narrow projection — embarrassingly parallel, no shuffle.
+    */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+          .cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0)))
+          .cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"))
+
   /** Deterministic stratified sampling for training-mix construction: keep
     * a row iff `md5_60(salt || ':' || id) % 10000 < rate(stratum) * 10000`.
     * Hash-based (not `df.sample`): the same row is kept or dropped

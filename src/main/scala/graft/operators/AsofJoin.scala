@@ -28,6 +28,12 @@ object AsofJoin {
 
   /** @param rightValueCols right columns to attach (each emitted as
     *                       `asof_<name>`)
+    *  @param tolerance      optional max distance between the matched times:
+    *                        a picked right row farther than this nulls out
+    *                        (Polars/pandas `tolerance` semantics — the match
+    *                        is NOT replaced by an older candidate). Same
+    *                        type algebra as the time columns: an interval
+    *                        for timestamps, a number for numeric times.
     */
   def asofBackward(
       left: DataFrame,
@@ -36,9 +42,10 @@ object AsofJoin {
       leftTimeCol: String,
       rightTimeCol: String,
       rightValueCols: Seq[String],
-      strict: Boolean = false): DataFrame =
+      strict: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame =
     asof(left, right, keyCols, leftTimeCol, rightTimeCol, rightValueCols,
-      strict, forward = false)
+      strict, forward = false, tolerance)
 
   /** Earliest right row at-or-after (after, if strict) the left time. */
   def asofForward(
@@ -48,9 +55,10 @@ object AsofJoin {
       leftTimeCol: String,
       rightTimeCol: String,
       rightValueCols: Seq[String],
-      strict: Boolean = false): DataFrame =
+      strict: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame =
     asof(left, right, keyCols, leftTimeCol, rightTimeCol, rightValueCols,
-      strict, forward = true)
+      strict, forward = true, tolerance)
 
   private def asof(
       left: DataFrame,
@@ -60,16 +68,19 @@ object AsofJoin {
       rightTimeCol: String,
       rightValueCols: Seq[String],
       strict: Boolean,
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      tolerance: Option[Column] = None): DataFrame = {
     val sideCol = "_asof_side" // 1 = right, 0 = left
     val timeCol = "_asof_t"
     val payloadCol = "_asof_payload"
+    val rtField = "_asof_rt" // matched right time, for the tolerance check
 
     val taggedRight = right.select(
       (keyCols.map(col) :+
         col(rightTimeCol).as(timeCol) :+
         lit(1).as(sideCol) :+
-        struct(rightValueCols.map(col): _*).as(payloadCol)): _*)
+        struct((col(rightTimeCol).as(rtField) +:
+          rightValueCols.map(col)): _*).as(payloadCol)): _*)
     val taggedLeft = left
       .withColumn(timeCol, col(leftTimeCol))
       .withColumn(sideCol, lit(0))
@@ -86,8 +97,19 @@ object AsofJoin {
       .orderBy(timeOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = unioned.withColumn(payloadCol,
+    val filled0 = unioned.withColumn(payloadCol,
       last(col(payloadCol), ignoreNulls = true).over(w))
+
+    // Tolerance: null the WHOLE payload when the picked right row is too
+    // far — per Polars/pandas asof semantics the match is dropped, not
+    // replaced by the next-nearest candidate.
+    val filled = tolerance.fold(filled0) { tol =>
+      val matchedT = col(s"$payloadCol.$rtField")
+      val dist =
+        if (forward) matchedT - col(timeCol) else col(timeCol) - matchedT
+      filled0.withColumn(payloadCol,
+        when(col(payloadCol).isNotNull && dist <= tol, col(payloadCol)))
+    }
 
     val projected = rightValueCols.foldLeft(filled) { (d, c) =>
       d.withColumn(s"asof_$c", col(s"$payloadCol.$c"))

@@ -147,6 +147,47 @@ object EventQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Tolerance as-of: q28's backward match, but a previous order farther
+    * than 7 days nulls out (Polars/pandas `tolerance` semantics — dropped,
+    * not replaced by an older candidate). DuckDB has no ASOF tolerance, so
+    * the oracle filters the picked match on the same gap bound — identical
+    * result under inner-join semantics.
+    */
+  val q51AsofTolerance: QuerySpec = QuerySpec.oracled(
+    "q51_asof_tolerance",
+    """WITH ded AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT l.o_orderkey, d.prev_orderkey,
+      |  CAST(epoch_us(l.o_orderdate) - epoch_us(d.o_orderdate) AS BIGINT)
+      |    AS gap_us
+      |FROM orders l ASOF JOIN ded d
+      |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.o_orderdate
+      |WHERE epoch_us(l.o_orderdate) - epoch_us(d.o_orderdate)
+      |  <= 604800000000
+      |ORDER BY l.o_orderkey""".stripMargin) { (spark, dir) =>
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val ded = orders.groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("prev_orderkey"))
+      .withColumnRenamed("o_orderdate", "prev_date")
+    AsofJoin.asofBackward(
+      left = orders,
+      right = ded,
+      keyCols = Seq("o_custkey"),
+      leftTimeCol = "o_orderdate",
+      rightTimeCol = "prev_date",
+      rightValueCols = Seq("prev_orderkey", "prev_date"),
+      strict = true,
+      tolerance = Some(expr("INTERVAL 7 DAYS")))
+      .filter(col("asof_prev_orderkey").isNotNull)
+      .select(
+        col("o_orderkey"),
+        col("asof_prev_orderkey").as("prev_orderkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) -
+          unix_micros(col("asof_prev_date").cast("timestamp"))).as("gap_us"))
+      .orderBy("o_orderkey")
+  }
+
   /** Gap-based sessionization (30-minute inactivity) via lag + running
     * flags — the batch form of session windows.
     */
@@ -383,5 +424,6 @@ object EventQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
-      q40AsofForward, q43StreamingDedup, q50StreamingSliding)
+      q40AsofForward, q43StreamingDedup, q50StreamingSliding,
+      q51AsofTolerance)
 }

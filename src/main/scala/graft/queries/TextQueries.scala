@@ -175,7 +175,31 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** PII-style redaction: emails/URLs → placeholder tokens; the oracle
+    * replays the same RE2/Java-common regexes with DuckDB's 'g' flag
+    * (DuckDB regexp_replace is first-match-only by default; Spark's is
+    * global). Output carries md5(redacted) instead of the full text.
+    */
+  val q52Redact: QuerySpec = QuerySpec.oracled(
+    "q52_redact",
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text,
+       |    '${TextStats.EmailRe}'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(text,
+       |    '${TextStats.UrlRe}'))::BIGINT AS n_urls,
+       |  md5(regexp_replace(regexp_replace(text,
+       |    '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextStats.UrlRe}', '<URL>', 'g')) AS redacted_md5
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.redact(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
-      q47QualityRatios, q49StratifiedSample)
+      q47QualityRatios, q49StratifiedSample, q52Redact)
 }

@@ -27,6 +27,21 @@ class AsofStreamingSpec extends AnyFunSuite with SparkSpec {
       ("k2", 15L, null))) // right row is later
   }
 
+  test("asof tolerance: far matches null out, not replaced by older candidates") {
+    import org.apache.spark.sql.functions._
+    val left = Seq(("k1", 100L), ("k1", 13L), ("k1", 5L)).toDF("k", "t")
+    val right = Seq(("k1", 3L, "R3"), ("k1", 10L, "R10"))
+      .toDF("k", "rt", "rv")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "t", "rt",
+      Seq("rv"), tolerance = Some(lit(5L)))
+      .select("t", "asof_rv").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(5L).contains("R3"))    // gap 2 ≤ 5
+    assert(got(13L).contains("R10"))  // picked R10 (gap 3), within
+    // t=100 picks R10 (gap 90 > 5): nulled, NOT replaced by R3
+    assert(got(100L).isEmpty)
+  }
+
   test("asof attaches whole right rows — null values never blend across rows") {
     val left = Seq(("k1", 3L, "L")).toDF("k", "t", "lv")
     val right = Seq(

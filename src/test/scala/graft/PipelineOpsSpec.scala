@@ -40,6 +40,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("redact replaces emails and URLs with placeholders and counts them") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or see https://a.io/b?q=1 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.io c@d.org and http://plain.example")
+    ).toDF("doc_id", "text")
+    val r = TextStats.redact(df, "text")
+      .select("doc_id", "n_emails", "n_urls", "redacted")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((1L, 1L, "contact <EMAIL> or see <URL> now")))
+    assert(r(2L) == ((0L, 0L, "no pii here at all")))
+    assert(r(3L) == ((2L, 1L, "two mails: <EMAIL> <EMAIL> and <URL>")))
+  }
+
   test("stratified sample: deterministic, per-stratum rates, unknown strata dropped") {
     val rnd = new Random(41)
     val langs = Seq("en", "es", "de")
