@@ -343,15 +343,15 @@ object CoreQueries {
 
   /** Null semantics (P9-adjacent): nullif/coalesce and null-aware counting.
     *
-    * `filled_sum` accumulates DECIMAL(18,6), not DOUBLE: a double sum's
-    * partial-aggregation order differs between Spark's 32-way partials and
-    * the oracle's sequential scan, and a true sum near a half-cent boundary
-    * then rounds differently per engine. Decimal addition is exact, so the
-    * sum is order-independent; `value` carries 2 decimal digits, so the
-    * DECIMAL(18,6) cast is itself tie-free. The final DOUBLE cast restores
-    * the original output schema; both engines produce the same correctly
-    * rounded double from the same exact decimal (verified bit-identical at
-    * sf0.01), so the output is deterministic and identical across engines.
+    * `filled_sum_cents` accumulates DECIMAL(18,6), not DOUBLE: a double
+    * sum's partial-aggregation order differs between Spark's 32-way partials
+    * and the oracle's sequential scan, and a true sum near a half-cent
+    * boundary then rounds differently per engine. Decimal addition is exact,
+    * so the sum is order-independent; `value` carries 2 decimal digits, so
+    * the DECIMAL(18,6) cast is itself tie-free. The output is BIGINT cents,
+    * not DOUBLE: the r1–r3 DOUBLE form was bit-identical across engines yet
+    * still hash-mismatched in the driver gate (its float canonicalization),
+    * and an integer column is hash-stable under any canonicalization.
     */
   val q14NullHandling: QuerySpec = QuerySpec.oracled(
     "q14_null_handling",
@@ -360,7 +360,7 @@ object CoreQueries {
       |  count(nullif(user_id % 10, 0)) AS n_nonnull,
       |  sum(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS n_zero,
       |  CAST(round(sum(CAST(coalesce(nullif(value, 0.0), -1.0)
-      |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS filled_sum
+      |    AS DECIMAL(18,6))) * 100, 0) AS BIGINT) AS filled_sum_cents
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
@@ -371,8 +371,8 @@ object CoreQueries {
         count(expr("nullif(user_id % 10, 0)")).as("n_nonnull"),
         sum(when(col("user_id") % 10 === 0, 1).otherwise(0)).as("n_zero"),
         round(sum(expr(
-          "CAST(coalesce(nullif(value, 0.0d), -1.0d) AS DECIMAL(18,6))")), 2)
-          .cast("double").as("filled_sum"))
+          "CAST(coalesce(nullif(value, 0.0d), -1.0d) AS DECIMAL(18,6))"))
+          * 100, 0).cast("bigint").as("filled_sum_cents"))
       .orderBy("event_type")
   }
 

@@ -231,7 +231,11 @@ object SimilarityQueries {
   }
 
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
-    * and floor(x + 0.5) rounding element-wise.
+    * and floor(x + 0.5) rounding element-wise. The registered output carries
+    * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
+    * the driver's pandas-based hash cannot sort/hash an array-typed column
+    * (r3 `unhashable type: numpy.ndarray` crash), and a comma join of every
+    * element in order is a faithful scalar encoding of the same values.
     */
   val q48QuantizeInt8: QuerySpec = QuerySpec.oracled(
     "q48_quantize_int8",
@@ -241,15 +245,20 @@ object SimilarityQueries {
        |      AS maxabs
        |  FROM embeddings)
        |SELECT vec_id,
-       |  CASE WHEN maxabs > 0 THEN list_transform(embedding,
-       |    x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS INT))
-       |  ELSE list_transform(embedding, x -> 0) END AS qvec,
+       |  array_to_string(
+       |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS INT))
+       |    ELSE list_transform(embedding, x -> 0) END, ',') AS qvec_csv,
        |  round(CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0 END, 9)
        |    AS scale
        |FROM m
        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     Similarity.quantizeInt8(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .select(col("vec_id"),
+        array_join(expr("transform(qvec, x -> CAST(x AS STRING))"), ",")
+          .as("qvec_csv"),
+        col("scale"))
       .orderBy("vec_id")
   }
 
