@@ -87,13 +87,27 @@ object TextStats {
   }
 
   /** Whitespace token count + BPE-ish regex segment count (letter runs,
-    * digit runs, single punctuation marks).
+    * digit runs, single punctuation marks). The segment count runs as the
+    * fused count-only [[graft.functions.TokenCountExpr]] (bit-parity with
+    * [[reTokensComposed]], TokenCountSpec) — the composed
+    * `size(regexp_extract_all(...))` materialized every match per document
+    * just to count them, the per-row hot loop of the r3 bench. Registers
+    * the expression on the frame's own session.
     */
-  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.withColumn("ws_tokens", size(tokensCol(textCol)).cast("long"))
-      .withColumn("re_tokens", size(regexp_extract_all(
-        lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
-        .cast("long"))
+      .withColumn("re_tokens", expr(s"graft_token_count(`$textCol`)"))
+  }
+
+  /** The composed regexp form of the segment count: the engine-portable
+    * reference formulation [[graft.functions.TokenCountExpr]] is
+    * parity-tested against.
+    */
+  def reTokensComposed(textCol: String): Column =
+    size(regexp_extract_all(
+      lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
 
   /** Polynomial rolling hash over the character stream, mod 1e9+7 —
     * a deterministic whole-document fingerprint computable in any engine

@@ -144,6 +144,10 @@ object VectorExpressions {
       exprs => FingerprintExpr(exprs.head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_count",
+      exprs => TokenCountExpr(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {
         val k = exprs(1) match {
