@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *    higher-order forms were O(n²)/doc — see BASELINE.md ledger;
   *  - the whole family then runs on hash *sets* (intersection sizes match
   *    string-set sizes since both engines hash before the set ops);
-  *  - signatures: exploded hash rows → ONE hash-aggregate per doc computing
-  *    all 128 MinHash lanes / 16 SimHash bit-votes as wide agg columns —
-  *    map-side partial aggregation shrinks the shuffle to |docs| rows;
+  *  - signatures: ONE fused scalar pass per doc over its hash-set array
+  *    ([[graft.functions.MinHashSigExpr]] / [[graft.functions.SimHashSigExpr]]
+  *    — all 128 MinHash lanes / 16 SimHash bit-votes in a codegen'd loop,
+  *    no explode, no shuffle; the r3 wide-aggregate forms survive as
+  *    [[minhashSignatureAgg]]/[[simhashSignatureAgg]] parity references);
   *  - LSH candidate generation is an equi-join on (band, bucket) carrying
   *    only ids; intersection sizes come from a second exploded-hash
   *    equi-join ([[withOverlapExploded]]) — no wide array rows anywhere;
@@ -92,9 +94,38 @@ object Dedup {
   }
 
   /** (doc_id, h): one row per distinct shingle hash —
-    * the signature aggregation input. */
+    * the overlap-join input. */
   private def shingleHashes(hashSets: DataFrame): DataFrame =
     hashSets.select(col("doc_id"), explode(col("hsh")).as("h"))
+
+  /** The r3 wide-aggregate MinHash signature (explode → 128 named `min`
+    * lanes → array): the engine-portable reference formulation
+    * [[graft.functions.MinHashSigExpr]] is parity-tested against
+    * (SignatureParitySpec). Input: (doc_id, hsh) hash sets.
+    */
+  def minhashSignatureAgg(hashSets: DataFrame, numHashes: Int): DataFrame = {
+    val lanes = (0 until numHashes).map(i =>
+      min(expr(s"(${laneA(i)}L * (h % $P) + ${laneB(i)}L) % $P")).as(s"m$i"))
+    shingleHashes(hashSets)
+      .groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** The r3 vote-aggregate SimHash signature — reference formulation for
+    * SignatureParitySpec. Input: (doc_id, hsh) hash sets.
+    */
+  def simhashSignatureAgg(hashSets: DataFrame): DataFrame = {
+    val votes = (0 until 16).map(j =>
+      sum(expr(s"IF((h >> $j) & 1 = 1, 1L, -1L)")).as(s"v$j"))
+    val sigExpr = (0 until 16)
+      .map(j => s"IF(v$j > 0, ${1L << j}L, 0L)").mkString(" + ")
+    shingleHashes(hashSets)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(s"($sigExpr)").as("sig"))
+  }
 
   /** Exact intersection/union sizes for candidate pairs via the
     * exploded-hash equi-join: instead of re-attaching both whole hash-set
@@ -198,21 +229,22 @@ object Dedup {
     val numBands = numHashes / bandRows
     val sets = withShingleHashSets(docs, idCol, textCol, k)
 
-    // One wide hash-aggregate: 128 min-lanes per doc from the exploded rows.
-    val lanes = (0 until numHashes).map(i =>
-      min(expr(s"(${laneA(i)}L * (h % $P) + ${laneB(i)}L) % $P")).as(s"m$i"))
-    val sig = shingleHashes(sets)
-      .groupBy("doc_id")
-      .agg(lanes.head, lanes.tail: _*)
+    // Whole signature as ONE fused scalar pass over the per-doc hash set
+    // (graft_minhash): no explode, no shuffle, one plan node — replaces the
+    // r3 128-column min-aggregate whose codegen alone cost ~3 s of
+    // plan-compile per run (SignatureParitySpec pins bit-parity). The set
+    // is non-empty by withShingleHashSets' filter, so sig is never null.
+    val sig = sets.select(col("doc_id"),
+      expr(s"graft_minhash(hsh, $numHashes)").as("sig"))
 
-    // Band buckets straight from the lane columns: (doc_id, band, bucket).
-    val bucketCols = (0 until numBands).map { b =>
-      val parts = (0 until bandRows).map(r => s"m${b * bandRows + r}")
-      expr(s"concat_ws(':', ${parts.mkString(", ")})")
-    }
+    // Band buckets from the signature array: (doc_id, band, bucket).
     val banded = sig.select(
       col("doc_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      posexplode(expr(
+        s"transform(sequence(0, ${numBands - 1}), b -> concat_ws(':', " +
+          s"transform(slice(sig, b * $bandRows + 1, $bandRows), " +
+          "x -> CAST(x AS STRING))))"))
+        .as(Seq("band", "bucket")))
 
     val candidates =
       saltedSelfJoin(banded, Seq("band", "bucket"), "doc_id", bucketCap)
@@ -236,14 +268,10 @@ object Dedup {
       k: Int = 3,
       maxHamming: Int = 3): DataFrame = {
     val sets = withShingleHashSets(docs, idCol, textCol, k)
-    val votes = (0 until 16).map(j =>
-      sum(expr(s"IF((h >> $j) & 1 = 1, 1L, -1L)")).as(s"v$j"))
-    val sigExpr = (0 until 16)
-      .map(j => s"IF(v$j > 0, ${1L << j}L, 0L)").mkString(" + ")
-    val base = shingleHashes(sets)
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), expr(s"($sigExpr)").as("sig"))
+    // Fused per-doc bit votes (graft_simhash) — same no-shuffle rationale
+    // as the MinHash signature above; parity in SignatureParitySpec.
+    val base = sets.select(col("doc_id"),
+      expr("graft_simhash(hsh)").as("sig"))
 
     val banded = base.select(col("doc_id"), col("sig"),
       posexplode(expr(

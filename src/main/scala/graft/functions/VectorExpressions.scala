@@ -148,6 +148,22 @@ object VectorExpressions {
       exprs => TokenCountExpr(exprs.head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be a literal, got $other")
+        }
+        MinHashSigExpr(exprs.head, n)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashSigExpr(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {
         val k = exprs(1) match {
