@@ -126,6 +126,36 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Higher-threshold banded near-dup, demonstrating the pruning regime
+    * (q41's docstring honesty note). 0.5 is the TOP of this corpus's
+    * similarity range (max pair cosine: 0.51 at sf0.01, 0.60 at sf0.1 —
+    * random 64-dim cosines concentrate near 0, planted near-dups sit at
+    * 0.4–0.5), so this is the most indexing-friendly threshold the oracle
+    * can adjudicate non-vacuously. Measured with 6-bit × 32-band signatures
+    * (ProfileBandedNearDup): sf0.1 candidates 813,628 of 1,999,000 pairs
+    * (40.7% — a 2.5× cut vs all-pairs, vs q41's near-100% at 0.4) at
+    * recall 14/14 = 100%. The genuinely-high regime (≥ 0.9, ~7% candidates
+    * at 8 bits × 16 bands) has no pairs in this corpus at all, so it is
+    * demonstrated on a planted-dup fixture in BandedNearDupSpec instead of
+    * a vacuous 0-row oracle query.
+    */
+  val q53EmbeddingNearDupHi: QuerySpec = QuerySpec.oracled(
+    "q53_embedding_near_dup_hi",
+    s"""$normCte,
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cosine, 6) AS cos_sim
+       |FROM p WHERE cosine >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Similarity.cosineNearDupPairsBucketed(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", threshold = 0.5,
+      bandBits = 6, numBands = 32)
+      .orderBy("id_a", "id_b")
+  }
+
   /** DuckDB replay of the multi-probe bucket list: base bucket plus flips
     * of the lowest-|dot| planes, flip order = lexicographic sort on
     * (|dot|, plane index) — byte-identical to
@@ -265,5 +295,5 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
-      q48QuantizeInt8)
+      q48QuantizeInt8, q53EmbeddingNearDupHi)
 }
