@@ -381,9 +381,10 @@ object EventQueries {
     * incremental form of q15's batch exact dedup, checked against the batch
     * DISTINCT oracle (stream ≡ batch). Emits content keys (not a surviving
     * doc_id): first-seen-row identity is partition-order-dependent, the
-    * distinct key set is not. Unbounded streams should bound the state with
-    * `dropDuplicatesWithinWatermark`; AvailableNow over a finite backlog
-    * keeps exact all-history semantics.
+    * distinct key set is not. All-history `dropDuplicates` state grows
+    * unboundedly on a real stream — [[q54StreamingDedupBounded]] is the
+    * watermark-bounded variant for that case; AvailableNow over a finite
+    * backlog here keeps exact all-history semantics.
     */
   val q43StreamingDedup: QuerySpec = QuerySpec.oracled(
     "q43_streaming_dedup",
@@ -407,6 +408,44 @@ object EventQueries {
     spark.table("q43_mem").orderBy("content_key")
   }.withSetup((s, d) => { stageQ43(s, d); () })
 
+  /** Bounded-state streaming dedup: q43's incremental exact dedup with the
+    * state bound a real unbounded stream needs —
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time + delay, so state is O(keys per
+    * horizon), not O(all history). Event time here is a deterministic
+    * per-doc timestamp and the whole backlog fits one AvailableNow batch
+    * inside the horizon, so the emitted key set equals batch DISTINCT (the
+    * oracle); the eviction/re-emission behavior past the horizon — which
+    * no batch oracle can express — is pinned by BoundedDedupSpec on a
+    * two-file staged stream.
+    */
+  val q54StreamingDedupBounded: QuerySpec = QuerySpec.oracled(
+    "q54_streaming_dedup_bounded",
+    """SELECT DISTINCT md5(text) AS content_key FROM documents
+      |ORDER BY content_key""".stripMargin) { (spark, dir) =>
+    val staged = stageQ43(spark, dir)
+    val schema = spark.read.parquet(s"$staged/documents.parquet").schema
+    val distinctKeys = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      // +1 day: doc_id 0 would land exactly on the initial watermark (epoch
+      // 0) and be dropped as late
+      .select(md5(col("text")).as("content_key"),
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("event_ts"))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_key")
+      .select("content_key")
+    spark.streams.active.filter(_.name == "q54_mem").foreach(_.stop())
+    val q = distinctKeys.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("q54_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q54_mem").orderBy("content_key")
+  }.withSetup((s, d) => { stageQ43(s, d); () })
+
   private val q43Staging = new QuerySpec.StagingCache[String]
 
   /** Stage documents.parquet into a directory for the file-source stream. */
@@ -425,5 +464,5 @@ object EventQueries {
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
-      q51AsofTolerance)
+      q51AsofTolerance, q54StreamingDedupBounded)
 }
