@@ -253,6 +253,93 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF with ONE deterministic Lloyd refinement step: corpus vectors are
+    * assigned to their nearest md5 seed centroid ([[ivfTopK]]'s coarse
+    * quantizer), each cell's centroid is recomputed as the member mean, and
+    * both corpus and queries are re-assigned against the refined centroids
+    * before the usual probe + exact re-rank. This is the production answer
+    * to "fixed md5 centroids make cell balance luck" — one k-means step
+    * adapts cells to the actual embedding distribution.
+    *
+    * Engine-replayable by construction (the reason this is NOT MLlib
+    * KMeans): the mean is computed in fixed-point — per dimension,
+    * `sum(floor(x * 1e6 + 0.5))` as exact int64, divided by the member
+    * count in one double division — so partial-aggregation order cannot
+    * change the result, and the DuckDB oracle replays it bit-for-bit.
+    * Everything stays distributed: the refined-centroid table is
+    * numCentroids rows (aggregated, never collected to the driver) and
+    * re-assignment is a broadcast join against it; at corpus scale the
+    * added cost is one explode-aggregate over (cell, dim) and one
+    * broadcast nested-loop scan per vector over numCentroids candidates.
+    */
+  def ivfTopKLloyd(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      dim: Int = 64,
+      numProbes: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    graft.functions.HyperplaneExpressions.register(corpus.sparkSession)
+    val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
+
+    // dot(float vec, double centroid) as the portable HOF fold — numCentroids
+    // rows per vector via broadcast, so the interpreted lambda runs a
+    // constant number of times per row
+    def assigned(df: DataFrame, probes: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("__d", expr(
+          s"aggregate(zip_with(`$vecCol`, __cvec, (x, y) -> " +
+            "CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__d").desc, col("__cell").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= probes)
+        .drop("__d", "__cvec")
+    }
+
+    val c = assigned(corpus, 1).select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
+      selfNormFast(vecCol).as("n_c"), col("__cell").as("cell"))
+    val q = assigned(queries, numProbes).select(
+      col(idCol).as("query_id"), col(vecCol).as("v_q"),
+      selfNormFast(vecCol).as("n_q"), col("__cell").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
+    topK(scored, k)
+  }
+
+  /** One Lloyd step's refined centroids as a (numCentroids)-row frame
+    * (`__cell`, `__cvec: array<double>`): members grouped by md5-seed home
+    * cell, fixed-point mean per dimension (see [[ivfTopKLloyd]]). Cells
+    * with no members keep no centroid (their seed attracted nothing — the
+    * refined quantizer simply has fewer, denser cells).
+    */
+  private[graft] def lloydCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      dim: Int): DataFrame =
+    corpus
+      .select(
+        expr(s"element_at(graft_ivf_cells(`$vecCol`, $numCentroids, $dim, 1), 1)")
+          .as("__cell"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy("__cell", "__i")
+      .agg(
+        sum(expr("CAST(floor(CAST(__x AS DOUBLE) * 1000000D + 0.5D) AS BIGINT)"))
+          .as("__s"),
+        count(lit(1)).as("__cnt"))
+      .withColumn("__v",
+        col("__s").cast("double") / col("__cnt").cast("double") / lit(1000000.0d))
+      .groupBy("__cell")
+      .agg(expr("transform(array_sort(collect_list(struct(__i, __v))), " +
+        "p -> p.__v)").as("__cvec"))
+
   /** Banded-LSH embedding near-dup pairs — the bucketed replacement for
     * [[cosineNearDupPairs]]'s all-pairs crossJoin: `numBands` independent
     * `bandBits`-plane signatures per vector (one fused-expression pass),

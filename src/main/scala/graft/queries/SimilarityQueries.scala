@@ -260,6 +260,64 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN after ONE deterministic Lloyd refinement of the md5 seed
+    * centroids ([[graft.ext.Similarity.ivfTopKLloyd]]): the oracle replays
+    * the identical fixed-point member mean (exact int64 sums → one double
+    * division), re-assignment (dot vs refined centroids, ties to the lower
+    * cell), query-side 2-probe, and exact re-rank.
+    */
+  val q55AnnIvfLloyd: QuerySpec = QuerySpec.oracled(
+    "q55_ann_ivf_lloyd",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell0
+       |  FROM nv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM cv, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.embedding, v.nrm, e.cell,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM cv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, embedding, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |corp AS (SELECT * FROM rnk WHERE rk = 1),
+       |qp AS (SELECT * FROM rnk WHERE rk <= 2 AND vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM qp q JOIN corp c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopKLloyd(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      numCentroids = NumCentroids, dim = Dim, numProbes = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -295,5 +353,5 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
-      q48QuantizeInt8, q53EmbeddingNearDupHi)
+      q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd)
 }
