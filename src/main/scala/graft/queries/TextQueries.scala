@@ -106,6 +106,39 @@ object TextQueries {
     agg.join(vocab, "lang").orderBy("lang")
   }
 
+  /** Approximate (HLL++) per-language vocabulary — the form a user actually
+    * runs at 100 TB, where q25's exact `count(DISTINCT tok)` would shuffle
+    * every distinct token: `approx_count_distinct` is one pass, fixed-size
+    * sketches, mergeable map-side. DuckDB's HLL is a different sketch, so
+    * the oracle cannot replay the estimate itself; instead the query emits
+    * the exact vocabulary plus a BOOLEAN claiming the estimate lands within
+    * 5% of it, and the oracle recomputes the exact count and expects TRUE —
+    * the error bound is adjudicated as a hard row, not a spec shrug. (HLL
+    * is deterministic for fixed input, so this is stable, and the exact
+    * column exists only to make the claim checkable — the production
+    * operator is the sketch alone.) VocabApproxSpec asserts the measured
+    * relative error per language at the gate sf.
+    */
+  val q56VocabApprox: QuerySpec = QuerySpec.oracled(
+    "q56_vocab_approx",
+    s"""WITH tok AS (
+       |  SELECT lang, unnest($toksSql) AS tok FROM documents)
+       |SELECT lang, count(DISTINCT tok) AS vocab_size,
+       |  TRUE AS approx_within_5pct
+       |FROM tok GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(TextStats.tokensCol("text")).as("tok"))
+      .groupBy("lang")
+      .agg(
+        countDistinct("tok").as("vocab_size"),
+        approx_count_distinct("tok", 0.02).as("__approx"))
+      .select(col("lang"), col("vocab_size"),
+        (abs(col("__approx") - col("vocab_size")) <=
+          col("vocab_size") * 0.05).as("approx_within_5pct"))
+      .orderBy("lang")
+  }
+
   /** Punctuation + stopword ratios (the filtering signals a training-data
     * quality pass actually thresholds on). Kept as its own query so q24's
     * original oracle stays byte-stable.
@@ -201,5 +234,5 @@ object TextQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
-      q47QualityRatios, q49StratifiedSample, q52Redact)
+      q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox)
 }
