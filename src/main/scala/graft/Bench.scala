@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * setup hook, so the timed number is operator time, not file copies. A
   * failing query is reported in an `errors` field and fails the run
   * (non-zero exit) instead of being silently recorded as a fast success.
+  *
+  * Each query is timed TWICE and `queries` reports the min: the second
+  * pass reuses the warmed JIT/codegen caches, so a cold-compile or
+  * box-contention spike on pass one (the r3 q25 1.8→11.7 s swing) no
+  * longer masquerades as a plan regression. The first-pass times are kept
+  * in `cold` so compile-heavy plans stay visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,25 +45,31 @@ object Bench {
         catch { case e: Throwable =>
           errors(spec.name) = s"setup: ${e.getMessage}" }
       }
-      val t0 = System.nanoTime()
-      // a failed setup dooms the timed run — skip it so the root cause in
-      // `errors` isn't overwritten by the secondary failure
-      if (!errors.contains(spec.name)) {
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
         try { spec.fn(spark, sfDir).count(); () }
         catch { case e: Throwable =>
           errors(spec.name) =
             Option(e.getMessage).getOrElse(e.getClass.getName)
         }
+        (System.nanoTime() - t0) / 1e9
       }
-      spec.name -> (System.nanoTime() - t0) / 1e9
+      // a failed setup dooms the timed run — skip it so the root cause in
+      // `errors` isn't overwritten by the secondary failure
+      val cold = if (errors.contains(spec.name)) 0.0 else onePass()
+      // pass 2 only if pass 1 succeeded; min-of-2 is the reported number
+      val warm = if (errors.contains(spec.name)) cold else onePass()
+      spec.name -> (math.min(cold, warm), cold)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val coldJson = results.map { case (k, (_, c)) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":" + JsonEscape(v.take(200))
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
