@@ -105,6 +105,51 @@ object DedupQueries {
       .orderBy("lang", "source", "id_a", "id_b")
   }
 
+  /** Duplicate-CLUSTER resolution over the q18 pair set: connected
+    * components via alternating star contraction
+    * ([[graft.ext.Clusters.connectedComponents]]), then one canonical
+    * survivor (the min doc_id) per cluster. This is the step q18's pairs
+    * feed at 100 TB — pairs alone under-delete transitive dups (A~B, B~C
+    * with no A~C pair must still collapse to one survivor; the sf0.01
+    * fixture contains such a size-3 cluster). The oracle replays the
+    * component labels with a recursive min-label CTE over the same exact
+    * pair set.
+    */
+  val q57DupClusters: QuerySpec = QuerySpec.oracled(
+    "q57_dup_clusters",
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h)) * 10 >=
+       |    (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+       |lab AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk
+       |  GROUP BY node),
+       |cs AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM lab
+       |  GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+       |  l.doc_id = l.cluster_id AS is_canonical
+       |FROM lab l JOIN cs USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashNearDupPairs(
+      docs, idCol = "doc_id", textCol = "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 7, thresholdDen = 10)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ext.Clusters.dedupClusters(docs.select("doc_id"), "doc_id", pairs)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard)
+    Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
+      q57DupClusters)
 }
