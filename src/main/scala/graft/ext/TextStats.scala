@@ -174,4 +174,49 @@ object TextStats {
   def fingerprintComposed(textCol: String): Column = expr(
     s"aggregate(split(`$textCol`, ''), 0L, " +
       "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)")
+
+  /** Intra-document repetition signals (the Gopher-family quality rules a
+    * training-data pass thresholds on): duplicate-token fraction and the
+    * most-frequent-bigram share of all bigram slots. Tokens are the
+    * filtered dedup tokenization ([[Dedup.tokens]]) so the signals line up
+    * with the near-dup family, not the raw-split counting family.
+    *
+    * 100 TB shape: ZERO shuffles — the most-frequent-bigram count is a
+    * max-run scan over the doc's SORTED bigram array (`array_sort` +
+    * `aggregate` HOF), so the whole operator is a narrow projection; the
+    * naive formulation (explode bigrams → two groupBys) would shuffle one
+    * row per bigram occurrence of the entire corpus. Docs with zero tokens
+    * are dropped (no signal to threshold); a single-token doc has no
+    * bigrams → `top_bigram_count` 0, `top_bigram_frac` null.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .withColumn("n_distinct",
+        size(array_distinct(col("__toks"))).cast("long"))
+      // sequence(1, 0) would be a DESCENDING range — guard short docs
+      .withColumn("__bg", expr(
+        "IF(size(__toks) >= 2, " +
+          "array_sort(transform(sequence(1, size(__toks) - 1), " +
+          "__i -> concat_ws(' ', element_at(__toks, CAST(__i AS INT)), " +
+          "element_at(__toks, CAST(__i + 1 AS INT))))), " +
+          "CAST(array() AS ARRAY<STRING>))"))
+      .withColumn("top_bigram_count", expr(
+        "aggregate(__bg, " +
+          "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best), " +
+          "(acc, x) -> struct(x AS prev, " +
+          "IF(x <=> acc.prev, acc.run + 1L, 1L) AS run, " +
+          "greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L)) AS best), " +
+          "acc -> acc.best)"))
+      .select(col(idCol),
+        col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_token_ratio"),
+        col("top_bigram_count"),
+        when(col("n_tokens") >= 2,
+          round(col("top_bigram_count").cast("double") /
+            (col("n_tokens") - 1), 4)).as("top_bigram_frac"))
 }

@@ -535,6 +535,46 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Approximate-percentile twin of [[q37Percentiles]] — the form a user
+    * actually runs at 100 TB: `approx_percentile` (Greenwald-Khanna) is
+    * one pass with fixed-size mergeable map-side sketches, where the exact
+    * `percentile` must gather every value per group. DuckDB's t-digest is
+    * a different sketch, so the estimate itself cannot be replayed;
+    * instead (the q56 pattern) the query emits the EXACT percentiles plus
+    * a BOOLEAN claiming the estimate lands within 1% relative, and the
+    * oracle recomputes the exact values and expects TRUE — the error bound
+    * is adjudicated as a hard row. GK with accuracy 10000 is rank-error
+    * ≤ N/10000, far inside 1% value error on these distributions, and
+    * deterministic for fixed input.
+    */
+  val q59PercentilesApprox: QuerySpec = QuerySpec.oracled(
+    "q59_percentiles_approx",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4)
+      |    AS exact_median_price,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99_price,
+      |  TRUE AS approx_within_1pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4)
+          .as("exact_median_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4)
+          .as("exact_p99_price"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)")
+          .as("__ap"))
+      .select(col("l_returnflag"),
+        col("exact_median_price"), col("exact_p99_price"),
+        (abs(element_at(col("__ap"), 1) - col("exact_median_price")) <=
+          col("exact_median_price") * 0.01 &&
+          abs(element_at(col("__ap"), 2) - col("exact_p99_price")) <=
+            col("exact_p99_price") * 0.01).as("approx_within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pivot (wide aggregation): explicit value list keeps the plan
     * single-pass (no distinct-values pre-query) — the form that scales.
     */
@@ -560,5 +600,5 @@ object CoreQueries {
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
     q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact,
     q32SemiAntiJoin, q33Cube, q34DistinctLimit, q35ScalarFuncs,
-    q36WindowFrames, q37Percentiles)
+    q36WindowFrames, q37Percentiles, q59PercentilesApprox)
 }

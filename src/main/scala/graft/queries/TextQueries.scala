@@ -232,7 +232,80 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination ([[graft.ext.Decontaminate]]): the
+    * benchmark "suite" is the deterministic doc_id % 20 == 0 slice, the
+    * corpus is everything else; a corpus doc is contaminated when ≥ 3 of
+    * its distinct token 5-grams appear in the benchmark gram set. The
+    * sf0.01 fixture's planted near-dups make this a real positive test:
+    * two corpus docs overlap a benchmark doc (32 and 76 shared grams).
+    */
+  val q58Decontaminate: QuerySpec = QuerySpec.oracled(
+    "q58_decontaminate",
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |         toks[i+3] || ' ' || toks[i+4])) AS s
+      |  FROM tk),
+      |bg AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 20 = 0),
+      |cg AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 20 <> 0),
+      |hits AS (
+      |  SELECT cg.doc_id, count(*) AS n_overlap
+      |  FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
+      |SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+      |  coalesce(h.n_overlap, 0) >= 3 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      |LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ext.Decontaminate.flagContaminated(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 20 === 0),
+      idCol = "doc_id", textCol = "text", k = 5, minOverlap = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition ([[graft.ext.TextStats.repetition]]): the
+    * Spark side is a ZERO-shuffle narrow projection (max-run scan over the
+    * sorted per-doc bigram array); the oracle replays the same numbers via
+    * the naive explode → group-count formulation, which doubles as the
+    * semantic definition the fused scan must match.
+    */
+  val q60Repetition: QuerySpec = QuerySpec.oracled(
+    "q60_repetition",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct,
+       |    list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+       |  FROM tk),
+       |bx AS (SELECT doc_id, unnest(bigrams) AS b FROM bg),
+       |bc AS (SELECT doc_id, b, count(*) AS c FROM bx GROUP BY doc_id, b),
+       |topb AS (
+       |  SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id)
+       |SELECT g.doc_id, g.n_tokens, g.n_distinct,
+       |  round(1.0 - g.n_distinct::DOUBLE / g.n_tokens, 4)
+       |    AS dup_token_ratio,
+       |  coalesce(t.top_bigram_count, 0) AS top_bigram_count,
+       |  CASE WHEN g.n_tokens >= 2 THEN
+       |    round(t.top_bigram_count::DOUBLE / (g.n_tokens - 1), 4)
+       |  END AS top_bigram_frac
+       |FROM bg g LEFT JOIN topb t USING (doc_id)
+       |WHERE g.n_tokens > 0
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.repetition(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
-      q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox)
+      q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
+      q58Decontaminate, q60Repetition)
 }
