@@ -575,6 +575,53 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  private val q61Staging = new QuerySpec.StagingCache[(String, String)]
+
+  /** Stage lineitem + orders as bucketed-by-orderkey external tables
+    * (once per sf dir, untimed in Bench via the setup hook). Table names
+    * carry the dir digest so two sf dirs in one JVM never alias.
+    */
+  private def ensureBucketed(
+      spark: SparkSession, dir: String): (String, String) =
+    q61Staging.getOrStage(dir) {
+      val lp = QuerySpec.stagedPath("q61_bucketed_lineitem", dir)
+      val op = QuerySpec.stagedPath("q61_bucketed_orders", dir)
+      val dig = lp.split('_').last
+      val (lt, ot) = (s"graft_q61_lineitem_$dig", s"graft_q61_orders_$dig")
+      graft.ext.Bucketing.writeBucketed(
+        t(spark, dir, "lineitem"), "l_orderkey", 8, lp, lt)
+      graft.ext.Bucketing.writeBucketed(
+        t(spark, dir, "orders"), "o_orderkey", 8, op, ot)
+      (lt, ot)
+    }
+
+  /** Co-located join over bucketed tables ([[graft.ext.Bucketing]]): both
+    * sides are pre-bucketed on the join key, so the join itself runs with
+    * NO exchange on either side — the shuffle was paid once at write time.
+    * This is the layout a 100 TB fact-to-fact join runs on; the oracle
+    * only checks values (DuckDB has no bucket notion), BucketedJoinSpec
+    * pins the shuffle-free plan shape.
+    */
+  val q61BucketedJoin: QuerySpec = QuerySpec.oracled(
+    "q61_bucketed_join",
+    """SELECT o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val (lt, ot) = ensureBucketed(spark, dir)
+    val l = spark.table(lt)
+    val o = spark.table(ot)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }.withSetup((spark, dir) => { ensureBucketed(spark, dir); () })
+
   /** Pivot (wide aggregation): explicit value list keeps the plan
     * single-pass (no distinct-values pre-query) — the form that scales.
     */
@@ -600,5 +647,6 @@ object CoreQueries {
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
     q12JsonExtract, q13ToJsonStruct, q14NullHandling, q15DedupExact,
     q32SemiAntiJoin, q33Cube, q34DistinctLimit, q35ScalarFuncs,
-    q36WindowFrames, q37Percentiles, q59PercentilesApprox)
+    q36WindowFrames, q37Percentiles, q59PercentilesApprox,
+    q61BucketedJoin)
 }
