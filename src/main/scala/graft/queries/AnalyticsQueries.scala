@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over `events`: funnel, cohort retention,
+  * histogram — the OLAP staples a user of the reference's query surface
+  * reaches for next. All are oracle-verified; arithmetic sticks to
+  * integers, dates, and single correctly-rounded IEEE divisions so DuckDB
+  * replays bit-identically.
+  */
+object AnalyticsQueries {
+
+  /** Conversion window: a stage must follow the previous one within 6h. */
+  private val WindowUs = 21600000000L
+
+  /** First-touch funnel (view → click → purchase, each within 6h of the
+    * previous stage's FIRST qualifying event). Spark side is ONE shuffle:
+    * per-user events collect into a sorted array and a linear `aggregate`
+    * state machine assigns the stage — the shape that holds at 100 TB
+    * because per-user event counts are bounded, while the join-chain
+    * formulation (the oracle's: min-view, then min-click-after, then
+    * min-purchase-after) would re-shuffle the full event set three times.
+    * The state machine transitions on strictly-greater timestamps, so the
+    * two formulations agree even on timestamp ties.
+    */
+  val q63Funnel: QuerySpec = QuerySpec.oracled(
+    "q63_funnel",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |v AS (SELECT user_id, min(tus) AS vt FROM e WHERE event_type='view'
+       |      GROUP BY user_id),
+       |c AS (SELECT e.user_id, min(tus) AS ct FROM e JOIN v USING (user_id)
+       |      WHERE event_type='click' AND tus > v.vt
+       |        AND tus <= v.vt + $WindowUs
+       |      GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, min(tus) AS pt FROM e JOIN c USING (user_id)
+       |      WHERE event_type='purchase' AND tus > c.ct
+       |        AND tus <= c.ct + $WindowUs
+       |      GROUP BY e.user_id)
+       |SELECT u.user_id,
+       |  CASE WHEN p.user_id IS NOT NULL THEN 3
+       |       WHEN c.user_id IS NOT NULL THEN 2
+       |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+       |FROM (SELECT DISTINCT user_id FROM e) u
+       |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       |LEFT JOIN p USING (user_id)
+       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val e = CoreQueries.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("et"),
+        expr("ts div 1000").as("tus"))
+    e.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("tus"), col("et"))))
+        .as("ev"))
+      .withColumn("funnel_stage", expr(
+        s"""aggregate(ev,
+           |  struct(CAST(0 AS INT) AS stage, CAST(0 AS BIGINT) AS since),
+           |  (acc, x) -> CASE
+           |    WHEN acc.stage = 0 AND x.et = 'view'
+           |      THEN struct(CAST(1 AS INT) AS stage, x.tus AS since)
+           |    WHEN acc.stage = 1 AND x.et = 'click'
+           |         AND x.tus > acc.since AND x.tus <= acc.since + ${WindowUs}L
+           |      THEN struct(CAST(2 AS INT) AS stage, x.tus AS since)
+           |    WHEN acc.stage = 2 AND x.et = 'purchase'
+           |         AND x.tus > acc.since AND x.tus <= acc.since + ${WindowUs}L
+           |      THEN struct(CAST(3 AS INT) AS stage, x.tus AS since)
+           |    ELSE acc END,
+           |  acc -> acc.stage)""".stripMargin))
+      .select(col("user_id"), col("funnel_stage"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted at each
+    * day offset they were active. Two key-shuffles (per-user min, then
+    * per-(cohort, offset) distinct count) — both partial-aggregated
+    * map-side. Dates are day-truncated in UTC on both engines; the cohort
+    * label is emitted as a STRING (raw timestamps never cross the oracle
+    * boundary — Spark writes UTC-adjusted parquet, DuckDB naive).
+    */
+  val q64Cohort: QuerySpec = QuerySpec.oracled(
+    "q64_cohort",
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', f.cohort, e.d) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val e = CoreQueries.events(spark, dir)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+    val f = e.groupBy("user_id").agg(min("d").as("cohort"))
+    e.join(f, "user_id")
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Fixed-width histogram of `value` per event type. Entirely integer
+    * buckets (floor of one correctly-rounded division) plus
+    * order-independent min/max — a single partial-aggregated shuffle, no
+    * float accumulation anywhere.
+    */
+  val q65Histogram: QuerySpec = QuerySpec.oracled(
+    "q65_histogram",
+    """SELECT event_type, CAST(floor(value / 50) AS INTEGER) AS bin,
+      |  count(*) AS n,
+      |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+    (spark, dir) =>
+      CoreQueries.events(spark, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 2).as("lo"),
+          round(max("value"), 2).as("hi"))
+        .orderBy("event_type", "bin")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63Funnel, q64Cohort, q65Histogram)
+}

@@ -304,8 +304,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 terms by tf-idf. The score is the RATIONAL form
+    * `(c · N) / (n_toks · df)` — both products are exact small integers
+    * and the single division is correctly rounded in IEEE, so Spark and
+    * DuckDB produce bit-identical doubles (a log-idf would hinge on two
+    * libms agreeing to the last ulp; a rational idf ranks identically for
+    * fixed N). Ties break on the token string. Scale shape: token counts
+    * and document frequencies are two partial-aggregated shuffles; the
+    * df join is vocab-sized; the top-3 is a bounded per-doc window.
+    */
+  val q62TfIdf: QuerySpec = QuerySpec.oracled(
+    "q62_tfidf_top_terms",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |tc AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tc
+       |        GROUP BY doc_id, tok),
+       |nt AS (SELECT doc_id, len(toks) AS n_toks FROM tk
+       |       WHERE len(toks) > 0),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tc
+       |       GROUP BY tok),
+       |nd AS (SELECT count(*) AS n FROM nt),
+       |scored AS (
+       |  SELECT cnt.doc_id, cnt.tok,
+       |    (cnt.c * nd.n)::DOUBLE / (nt.n_toks * df.df) AS score
+       |  FROM cnt CROSS JOIN nd
+       |  JOIN nt USING (doc_id) JOIN df USING (tok)),
+       |r AS (
+       |  SELECT doc_id, tok, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, tok) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok,
+       |  round(score, 6) AS score
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("toks"))
+      val nt = tk.filter(size(col("toks")) > 0)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      val tc = tk.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val cnt = tc.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dft = tc.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val nd = nt.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      cnt.join(nt, "doc_id").join(dft, "tok")
+        .crossJoin(broadcast(nd))
+        .withColumn("score",
+          (col("c") * col("n")).cast("double") / (col("n_toks") * col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
-      q58Decontaminate, q60Repetition)
+      q58Decontaminate, q60Repetition, q62TfIdf)
 }
