@@ -175,6 +175,77 @@ object TextStats {
     s"aggregate(split(`$textCol`, ''), 0L, " +
       "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)")
 
+  /** Fixed-size token chunking with stride — the pre-tokenizer split every
+    * training pipeline runs before embedding or packing. One row per
+    * (doc, window): start offsets advance by `stride` (< `chunkSize` ⇒
+    * overlapping context windows), the trailing window is kept short. The
+    * chunk itself leaves as an md5 over the joined tokens plus its token
+    * count, so downstream joins carry fixed-width scalars, not text.
+    *
+    * 100 TB shape: ZERO shuffles — sequence → explode → slice is a narrow
+    * per-row fan-out that runs inside the scan stage; output is
+    * ~n_tokens/stride rows per doc with no driver or cross-partition
+    * involvement.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0)
+    docs
+      .select(col(idCol), graft.ext.Dedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__start", explode(expr(s"sequence(1, __n, $stride)")))
+      .withColumn("__chunk",
+        expr(s"slice(__toks, __start, least($chunkSize, __n - __start + 1))"))
+      .select(col(idCol),
+        expr(s"CAST((__start - 1) div $stride AS INT)").as("chunk_idx"),
+        (col("__start") - 1).cast("long").as("start_off"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
+
+  /** Sequence packing (concat-and-split): documents are laid head-to-tail
+    * into `buckets` independent token streams and cut into fixed
+    * `blockSize` training blocks; each doc reports its stream offset and
+    * the first/last block it lands in (straddlers span two). This is the
+    * GPT-style packing layout computed as METADATA — no token is ever
+    * moved, so the actual payload assembly can happen lazily at read time.
+    *
+    * 100 TB shape: one shuffle — a per-bucket running-sum window ordered
+    * by doc id. The bucket count bounds each window's partition (pick
+    * ~#executor-cores × k); packing is embarrassingly parallel ACROSS
+    * buckets by construction, which is exactly how a cluster packs: one
+    * sequential stream per worker, never a global order.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int = 256,
+      buckets: Int = 32): DataFrame = {
+    require(blockSize > 0 && buckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol),
+        size(graft.ext.Dedup.tokens(col(textCol))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bucket", (col(idCol) % buckets).cast("long"))
+      .withColumn("__cum", sum("n_toks").over(w))
+      .select(col(idCol), col("bucket"), col("n_toks"),
+        (col("__cum") - col("n_toks")).cast("long").as("start_off"),
+        expr(s"CAST((__cum - n_toks) div $blockSize AS BIGINT)")
+          .as("block_first"),
+        expr(s"CAST((__cum - 1) div $blockSize AS BIGINT)")
+          .as("block_last"))
+  }
+
   /** Intra-document repetition signals (the Gopher-family quality rules a
     * training-data pass thresholds on): duplicate-token fraction and the
     * most-frequent-bigram share of all bigram slots. Tokens are the

@@ -362,8 +362,69 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
   }
 
+  /** Token chunking with stride ([[graft.ext.TextStats.chunkTokens]]):
+    * 64-token windows every 48 tokens (16-token overlap), trailing window
+    * kept short. Chunks leave as md5 + count — fixed-width rows.
+    */
+  val q66Chunking: QuerySpec = QuerySpec.oracled(
+    "q66_chunking",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    range(1, len(toks) + 1, 48) AS starts
+       |  FROM tk WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, n, unnest(starts) AS start FROM st),
+       |cc AS (
+       |  SELECT ch.doc_id, ch.start,
+       |    list_slice(tk.toks, ch.start, least(ch.start + 63, ch.n))
+       |      AS chunk
+       |  FROM ch JOIN tk USING (doc_id))
+       |SELECT doc_id,
+       |  CAST((start - 1) // 48 AS INTEGER) AS chunk_idx,
+       |  CAST(start - 1 AS BIGINT) AS start_off,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM cc ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    TextStats.chunkTokens(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Sequence packing ([[graft.ext.TextStats.packSequences]]): 32 bucket
+    * streams, 256-token blocks, straddlers span block_first < block_last.
+    * The oracle replays the running-sum layout with a window; integer
+    * division is `//` on both sides (DuckDB `/` yields DOUBLE and CAST
+    * ROUNDS — `CAST(255/256 AS BIGINT)` is 1, a silent off-by-one-block).
+    */
+  val q67SequencePacking: QuerySpec = QuerySpec.oracled(
+    "q67_sequence_packing",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    len(list_filter($toksSql, x -> x <> '')) AS n_toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, doc_id % 32 AS bucket, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM tk WHERE n_toks > 0)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(cum - n_toks AS BIGINT) AS start_off,
+       |  CAST((cum - n_toks) // 256 AS BIGINT) AS block_first,
+       |  CAST((cum - 1) // 256 AS BIGINT) AS block_last
+       |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.packSequences(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      blockSize = 256, buckets = 32)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
-      q58Decontaminate, q60Repetition, q62TfIdf)
+      q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
+      q67SequencePacking)
 }
