@@ -149,7 +149,59 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Policy-based survivor selection on top of q57's clusters: keep the
+    * LONGEST document per duplicate cluster (tie → min doc_id) — the
+    * most-complete-version rule a production dedup actually applies,
+    * rather than q57's neutral min-id. One extra bounded window over the
+    * (tiny) labeled set; the policy is any orderable column list, so
+    * source-priority or quality-score policies are the same plan shape.
+    */
+  val q69ClusterSurvivor: QuerySpec = QuerySpec.oracled(
+    "q69_cluster_survivor",
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h)) * 10 >=
+       |    (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+       |lab AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk
+       |  GROUP BY node),
+       |r AS (
+       |  SELECT l.doc_id, l.cluster_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY d.n_chars DESC, l.doc_id) AS rnk
+       |  FROM lab l JOIN documents d USING (doc_id))
+       |SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  rnk = 1 AS is_survivor
+       |FROM r ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashNearDupPairs(
+      docs, idCol = "doc_id", textCol = "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 7, thresholdDen = 10)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = graft.ext.Clusters
+      .dedupClusters(docs.select("doc_id"), "doc_id", pairs)
+      .select("doc_id", "cluster_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(docs.select(col("doc_id"), col("n_chars").cast("long")
+        .as("n_chars")), "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        (col("rnk") === 1).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
-      q57DupClusters)
+      q57DupClusters, q69ClusterSurvivor)
 }

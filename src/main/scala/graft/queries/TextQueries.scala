@@ -422,9 +422,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate detection (the paragraph-dedup family,
+    * CCNet-style, on 8-token segments): a segment appearing in ≥ 2
+    * distinct documents is boilerplate; each doc reports its boilerplate
+    * fraction. Scale shape: segments rides [[TextStats.chunkTokens]]
+    * (zero-shuffle fan-out), then ONE partial-aggregated shuffle keyed by
+    * segment hash for document frequencies and an equi-join back on the
+    * same key — rows carry (hash, id) scalars only, never text.
+    */
+  val q68Boilerplate: QuerySpec = QuerySpec.oracled(
+    "q68_boilerplate",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    range(1, len(toks) + 1, 8) AS starts
+       |  FROM tk WHERE len(toks) > 0),
+       |sg AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(
+       |      list_slice(toks, start, least(start + 7, n)), ' ')) AS seg
+       |  FROM (SELECT doc_id, toks, n, unnest(starts) AS start FROM st)),
+       |df AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM sg
+       |       GROUP BY seg),
+       |j AS (
+       |  SELECT sg.doc_id,
+       |    count(*) AS n_segments,
+       |    sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS n_boilerplate
+       |  FROM sg JOIN df USING (seg) GROUP BY sg.doc_id)
+       |SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+       |  CAST(n_boilerplate AS BIGINT) AS n_boilerplate,
+       |  round(n_boilerplate::DOUBLE / n_segments, 4) AS boilerplate_frac
+       |FROM j ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val sg = TextStats.chunkTokens(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      chunkSize = 8, stride = 8)
+      .select(col("doc_id"), col("chunk_md5").as("seg"))
+    val dfreq = sg.groupBy("seg")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    sg.join(dfreq, "seg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+      .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
+        round(col("n_boilerplate").cast("double") / col("n_segments"), 4)
+          .as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
-      q67SequencePacking)
+      q67SequencePacking, q68Boilerplate)
 }
