@@ -92,7 +92,7 @@ object Clusters {
       .distinct()
       .localCheckpoint()
     var prev = fingerprint(e)
-    var converged = e.isEmpty
+    var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -102,6 +102,8 @@ object Clusters {
       prev = cur
       e = next
       it += 1
+      System.err.println(
+        s"[clusters] round $it: ${cur._1} edges, converged=$converged")
     }
     // At the fixpoint the edge set is a star forest: (member, root) with
     // root = component min. Roots label themselves; isolated input
