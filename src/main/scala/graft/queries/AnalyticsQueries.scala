@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
-  /** Conversion window: a stage must follow the previous one within 6h. */
-  private val WindowUs = 21600000000L
+  /** Conversion window: a stage must follow the previous one within 6h
+    * (shared with the streaming twin, q70).
+    */
+  private val WindowUs = graft.streaming.StreamingFunnel.ConversionWindowUs
 
   /** First-touch funnel (view → click → purchase, each within 6h of the
     * previous stage's FIRST qualifying event). Spark side is ONE shuffle:

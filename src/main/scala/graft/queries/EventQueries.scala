@@ -464,5 +464,38 @@ object EventQueries {
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
-      q51AsofTolerance, q54StreamingDedupBounded)
+      q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel)
+
+  /** Streaming twin of the batch funnel (q63): per-user custom state via
+    * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
+    * against the SAME join-chain SQL oracle as q63 — stream ≡ batch. The
+    * memory sink collects one update row per (user, batch); the final
+    * stage per user is the max (stages only advance).
+    */
+  lazy val q70StreamingFunnel: QuerySpec = QuerySpec.oracled(
+    "q70_streaming_funnel",
+    AnalyticsQueries.q63Funnel.sql.get) { (spark, dir) =>
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val ev = spark.readStream.schema(schema).parquet(staged)
+      .select(col("user_id"), col("event_type").as("et"),
+        expr("ts div 1000").as("tus"))
+      .as[graft.streaming.StreamingFunnel.FunnelEvent]
+    spark.streams.active.filter(_.name == "q70_mem").foreach(_.stop())
+    val q = graft.streaming.StreamingFunnel.funnelStages(ev)
+      .toDF("user_id", "funnel_stage")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("q70_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q70_mem")
+      .groupBy("user_id")
+      .agg(max("funnel_stage").as("funnel_stage"))
+      .orderBy("user_id")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
 }
