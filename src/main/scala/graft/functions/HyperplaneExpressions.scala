@@ -293,34 +293,34 @@ object HyperplaneExpressions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
-  /** Idempotently register `graft_hyperplane_bucket`, `_bands`, `_probes`. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_bucket",
-      exprs => HyperplaneBucket(exprs.head,
-        litInt(exprs(1), "graft_hyperplane_bucket", "numPlanes"),
-        litInt(exprs(2), "graft_hyperplane_bucket", "dim")),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_bands",
-      exprs => HyperplaneBands(exprs.head,
-        litInt(exprs(1), "graft_hyperplane_bands", "bandBits"),
-        litInt(exprs(2), "graft_hyperplane_bands", "numBands"),
-        litInt(exprs(3), "graft_hyperplane_bands", "dim")),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cells",
-      exprs => IvfCells(exprs.head,
-        litInt(exprs(1), "graft_ivf_cells", "numCentroids"),
-        litInt(exprs(2), "graft_ivf_cells", "dim"),
-        litInt(exprs(3), "graft_ivf_cells", "numProbes")),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_probes",
-      exprs => HyperplaneProbes(exprs.head,
-        litInt(exprs(1), "graft_hyperplane_probes", "numPlanes"),
-        litInt(exprs(2), "graft_hyperplane_probes", "dim"),
-        litInt(exprs(3), "graft_hyperplane_probes", "numProbes")),
-      "scala_udf")
-  }
+  /** Name → builder, shared by [[register]] and
+    * [[graft.GraftExtensions]].
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_hyperplane_bucket" -> (exprs => HyperplaneBucket(exprs.head,
+      litInt(exprs(1), "graft_hyperplane_bucket", "numPlanes"),
+      litInt(exprs(2), "graft_hyperplane_bucket", "dim"))),
+    "graft_hyperplane_bands" -> (exprs => HyperplaneBands(exprs.head,
+      litInt(exprs(1), "graft_hyperplane_bands", "bandBits"),
+      litInt(exprs(2), "graft_hyperplane_bands", "numBands"),
+      litInt(exprs(3), "graft_hyperplane_bands", "dim"))),
+    "graft_ivf_cells" -> (exprs => IvfCells(exprs.head,
+      litInt(exprs(1), "graft_ivf_cells", "numCentroids"),
+      litInt(exprs(2), "graft_ivf_cells", "dim"),
+      litInt(exprs(3), "graft_ivf_cells", "numProbes"))),
+    "graft_hyperplane_probes" -> (exprs => HyperplaneProbes(exprs.head,
+      litInt(exprs(1), "graft_hyperplane_probes", "numPlanes"),
+      litInt(exprs(2), "graft_hyperplane_probes", "dim"),
+      litInt(exprs(3), "graft_hyperplane_probes", "numProbes"))))
+
+  /** Idempotently register `graft_hyperplane_bucket`, `_bands`,
+    * `_probes`, `graft_ivf_cells` (no-op when already bound).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

@@ -127,53 +127,37 @@ object Md5Hash60 {
 
 object VectorExpressions {
 
-  /** Idempotently register the native expressions in the session's function
-    * registry: `graft_dot(a, b)` and `graft_md5_60(s)`.
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => FloatDot(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_60",
-      exprs => Md5Hash60(exprs.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fingerprint",
-      exprs => FingerprintExpr(exprs.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_token_count",
-      exprs => TokenCountExpr(exprs.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => {
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_minhash numHashes must be a literal, got $other")
-        }
-        MinHashSigExpr(exprs.head, n)
-      },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash",
-      exprs => SimHashSigExpr(exprs.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_hashes",
-      exprs => {
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_shingle_hashes k must be a literal, got $other")
-        }
-        ShingleHashExpr(exprs.head, k)
-      },
-      "scala_udf")
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn $arg must be a literal, got $other")
   }
+
+  /** Name → builder for every native expression in this module — the
+    * single source for both session-level registration ([[register]]) and
+    * the `spark.sql.extensions` path ([[graft.GraftExtensions]]).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => FloatDot(exprs(0), exprs(1))),
+    "graft_md5_60" -> (exprs => Md5Hash60(exprs.head)),
+    "graft_fingerprint" -> (exprs => FingerprintExpr(exprs.head)),
+    "graft_token_count" -> (exprs => TokenCountExpr(exprs.head)),
+    "graft_minhash" -> (exprs => MinHashSigExpr(exprs.head,
+      litInt(exprs(1), "graft_minhash", "numHashes"))),
+    "graft_simhash" -> (exprs => SimHashSigExpr(exprs.head)),
+    "graft_shingle_hashes" -> (exprs => ShingleHashExpr(exprs.head,
+      litInt(exprs(1), "graft_shingle_hashes", "k"))))
+
+  /** Idempotently register the native expressions in the session's
+    * function registry (no-op — and no re-registration warning — when a
+    * name is already bound, e.g. via [[graft.GraftExtensions]]).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }
