@@ -122,5 +122,44 @@ object AnalyticsQueries {
         .orderBy("event_type", "bin")
   }
 
-  val all: Seq[QuerySpec] = Seq(q63Funnel, q64Cohort, q65Histogram)
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type). One shuffle partitions by
+    * user for the `lead` window (per-user state is bounded and local);
+    * pair counting is a partially-aggregated groupBy, and the row
+    * probability is the per-from-type window sum — `n_pairs` never leaves
+    * integer arithmetic until ONE correctly-rounded BIGINT/BIGINT division,
+    * so DuckDB replays it bit-identically.
+    */
+  val q72TransitionMatrix: QuerySpec = QuerySpec.oracled(
+    "q72_transition_matrix",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n_pairs FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n_pairs,
+      |  CAST(n_pairs AS DOUBLE) /
+      |    CAST(sum(n_pairs) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    val userWin = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = CoreQueries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(userWin))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val fromWin = Window.partitionBy("from_type")
+    pairs
+      .withColumn("prob",
+        col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(fromWin).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix)
 }

@@ -461,10 +461,104 @@ object EventQueries {
       staged.toString
     }
 
+  /** Windowed dedup: keep the FIRST event per (user, type) within each 1h
+    * tumbling window — the rate-limiting/debouncing primitive (one welcome
+    * email per user per hour). One shuffle on the composite key; window
+    * state per key is a single row counter, bounded by the window width at
+    * any scale. All arithmetic is integer µs; survivors aggregate per type
+    * so the output is hash-stable.
+    */
+  val q75WindowedDedup: QuerySpec = QuerySpec.oracled(
+    "q75_windowed_dedup",
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type,
+      |    (epoch_ns(ts) // 1000) // 3600000000 AS win,
+      |    epoch_ns(ts) // 1000 AS tus
+      |  FROM events),
+      |k AS (
+      |  SELECT event_id, user_id, event_type, win,
+      |    row_number() OVER (PARTITION BY user_id, event_type, win
+      |      ORDER BY tus, event_id) AS rn
+      |  FROM w)
+      |SELECT event_type, count(*) AS n_kept,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM k WHERE rn = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id", "event_type", "win")
+      .orderBy("tus", "event_id")
+    CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("win", expr("tus div 3600000000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        countDistinct("user_id").as("n_users"),
+        sum("event_id").as("id_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Stream-stream inner join with watermarks on BOTH sides: clicks within
+    * 30 min after a view by the same user (attribution). The event-time
+    * range condition plus the two watermarks is what lets Spark expire
+    * per-key join state — without it, stream-stream join state grows
+    * forever; with it, state is O(events per 1.5h horizon). Matches emit
+    * append-incrementally per micro-batch; the batch oracle is the same
+    * self-join in SQL (stream ≡ batch for inner joins over a finite
+    * backlog). At 100 TB/day this is the shape: both sides shuffled on
+    * user_id once, state bounded by the horizon, no re-scan of history.
+    */
+  val q77StreamStreamJoin: QuerySpec = QuerySpec.oracled(
+    "q77_stream_stream_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tus
+      |  FROM events)
+      |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  (c.tus - v.tus) AS lag_us
+      |FROM e v JOIN e c ON v.user_id = c.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.tus > v.tus AND c.tus <= v.tus + 1800000000
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    def side(eventType: String, prefix: String) = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .filter(col("event_type") === eventType)
+      .select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("view", "v").join(side("click", "c"),
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    spark.streams.active.filter(_.name == "q77_mem").foreach(_.stop())
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("q77_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q77_mem")
+      .select(col("v_user").as("user_id"),
+        col("v_id").as("view_id"), col("c_id").as("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .orderBy("user_id", "view_id", "click_id")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
-      q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel)
+      q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
+      q75WindowedDedup, q77StreamStreamJoin)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

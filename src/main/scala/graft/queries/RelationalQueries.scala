@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational substrate at warehouse shape: multi-way star joins, exact
+  * distributed quantile binning, and z-order data clustering. These are the
+  * query shapes a user of the reference's Polars surface grows into once the
+  * data no longer fits one machine; each docstring carries the 100 TB plan
+  * argument.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q5-style five-way star join: revenue per nation for one region
+    * and one order year, with the co-nation constraint between customer and
+    * supplier. The 100 TB plan: lineitem⋈orders is the only big-big join
+    * (one shuffle on the order key, AQE-splittable); customer, supplier,
+    * nation, and region are dimension tables and broadcast — the fact table
+    * never moves for them. Catalyst pushes the region/date filters below
+    * the joins, so the orders scan reads one year and the nation/region
+    * broadcast is 5 rows. Revenue accumulates in DECIMAL(18,6) (exact,
+    * order-independent addition — the q14 lesson) and is emitted as BIGINT
+    * cents so the gate hash is canonicalization-proof.
+    */
+  val q71StarJoin: QuerySpec = QuerySpec.oracled(
+    "q71_star_join",
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+      |                 (1 - CAST(l_discount AS DECIMAL(18,6)))) * 100)
+      |    AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin) { (spark, dir) =>
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    val lineitem = t(spark, dir, "lineitem")
+    val supplier = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 6)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 6)))) * 100)
+          .cast(LongType).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** SQL-exact ntile bucket for 0-based global index `idx` of `n` rows into
+    * `k` buckets: the first `n % k` buckets hold one extra row.
+    */
+  private[graft] def ntileBucket(idx: Long, n: Long, k: Int): Int = {
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1)
+    val b = if (idx < cut) idx / (q + 1) else r + (idx - cut) / q
+    b.toInt + 1
+  }
+
+  /** Equi-depth decile binning with DISTRIBUTED exact ntile. The oracle is
+    * `ntile(10) OVER (ORDER BY ...)`; a literal Spark translation is a
+    * window with no PARTITION BY — every row through ONE task, the
+    * canonical scale-killer. Instead: `orderBy` (range-partitioned sort —
+    * sampled boundaries, parallel partitions) + `zipWithIndex` (computes
+    * global offsets from per-partition counts without collapsing them) +
+    * the closed-form ntile bucket formula per row. Bit-identical to the
+    * single-partition window at any partition count, and every stage stays
+    * parallel at 100 TB. Bin edges are emitted as exact integer cents.
+    */
+  val q74EquidepthBins: QuerySpec = QuerySpec.oracled(
+    "q74_equidepth_bins",
+    """WITH b AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      |  FROM orders)
+      |SELECT bin, count(*) AS n_orders,
+      |  CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_cents,
+      |  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_cents
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val src = t(spark, dir, "orders")
+      .select(col("o_orderkey").cast(LongType), col("o_totalprice"))
+    val n = src.count() // parquet count-star: metadata-only, no row scan
+    val sorted = src.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val binned = sorted.as[(Long, Double)].rdd.zipWithIndex
+      .map { case ((key, price), idx) =>
+        (ntileBucket(idx, n, 10), key, price)
+      }
+      .toDF("bin", "o_orderkey", "o_totalprice")
+    binned
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")) * 100).cast(LongType).as("min_cents"),
+        round(max(col("o_totalprice")) * 100).cast(LongType).as("max_cents"))
+      .orderBy("bin")
+  }
+
+  /** Morton (z-order) key: interleave the low `bits` bits of two
+    * non-negative long columns — x in even positions, y in odd. Built from
+    * shift/and/or builtins only, so the whole key stays inside one
+    * whole-stage-codegen span; no UDF, no custom expression needed.
+    */
+  def zOrderKey(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zOrderSqlTerms(bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-order clustering key over (part, supplier): bucketing rows by Morton
+    * key keeps BOTH dimensions locally bounded per bucket (the min/max
+    * columns prove it: each 1024-key bucket spans a 32×32 tile of the
+    * 256×256 key space). At 100 TB this is the data-layout play: write
+    * sorted by zkey (`repartitionByRange(zkey)` + sortWithinPartitions) and
+    * parquet min/max stats prune file reads for predicates on EITHER
+    * dimension — a linear sort can only serve one. ZOrderLayoutSpec pins
+    * the locality claim; this query pins the key arithmetic cross-engine.
+    */
+  val q76ZOrder: QuerySpec = QuerySpec.oracled(
+    "q76_zorder",
+    s"""WITH z AS (
+       |  SELECT (l_partkey % 256) AS x, (l_suppkey % 256) AS y
+       |  FROM lineitem),
+       |k AS (SELECT x, y, (${zOrderSqlTerms(8)}) AS zkey FROM z)
+       |SELECT zkey // 1024 AS zbucket, count(*) AS n_rows,
+       |  min(x) AS min_x, max(x) AS max_x,
+       |  min(y) AS min_y, max(y) AS max_y
+       |FROM k GROUP BY zbucket ORDER BY zbucket""".stripMargin) {
+    (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("zkey", zOrderKey(col("x"), col("y"), 8))
+        .withColumn("zbucket", expr("zkey div 1024"))
+        .groupBy(col("zbucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("zbucket")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q71StarJoin, q74EquidepthBins, q76ZOrder)
+}

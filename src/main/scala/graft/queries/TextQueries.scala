@@ -473,9 +473,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Language-capped resampling: keep at most 60 docs per language — the
+    * training-mix balancing step after stratified sampling (q49). The cap
+    * is deterministic: rank within language by md5(doc_id) (a stable
+    * pseudo-random order reproducible on any engine/partitioning), tie-broken
+    * by doc_id. One shuffle on `lang`; per-language window state is a
+    * single counter. At 100 TB the refinement for mega-languages is a
+    * two-phase cap (per-partition pre-cap at N, then exact window over the
+    * ≤ N·partitions survivors) — same result, bounded per-key row count.
+    */
+  val q73LangCap: QuerySpec = QuerySpec.oracled(
+    "q73_lang_cap",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 60
+      |ORDER BY lang, doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 60)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
-      q67SequencePacking, q68Boilerplate)
+      q67SequencePacking, q68Boilerplate, q73LangCap)
 }
