@@ -160,6 +160,64 @@ object AnalyticsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Salted two-phase exact distinct count ([[graft.ext.Skew]]): the
+    * distinct set of a hot key never assembles in one task — values
+    * deduplicate within disjoint (key, hash(value) % 8) cells, cell counts
+    * add. The oracle is the one-shot COUNT(DISTINCT): result-identical by
+    * construction, so the gate adjudicates the rewrite, not the salt.
+    */
+  val q78SaltedDistinct: QuerySpec = QuerySpec.oracled(
+    "q78_salted_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (spark, dir) =>
+      graft.ext.Skew.saltedCountDistinct(
+        CoreQueries.events(spark, dir),
+        col("event_type"), col("user_id"), s = 8)
+        .withColumnRenamed("__key", "event_type")
+        .orderBy("event_type")
+  }
+
+  /** Exact population variance without float accumulation: moments in
+    * integer cents (count, Σx, Σx² — Σx² accumulated in DECIMAL(38,0), so
+    * no ANSI overflow at any scale), then variance as an explicit IEEE
+    * expression tree over the exact moments — both engines evaluate the
+    * same correctly-rounded op sequence on identical inputs, so the double
+    * is bit-identical. The streaming-friendly form: the three moments are
+    * trivially mergeable partial aggregates.
+    */
+  val q80VarianceExact: QuerySpec = QuerySpec.oracled(
+    "q80_variance_exact",
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |    CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n, sum_cents, sumsq_cents,
+      |  CAST(sumsq_cents AS DOUBLE) / CAST(n AS DOUBLE) -
+      |    (CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |    (CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) AS var_pop_cents2
+      |FROM m ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+          .cast("long").as("sumsq_cents"))
+      .withColumn("var_pop_cents2",
+        col("sumsq_cents").cast("double") / col("n").cast("double") -
+          (col("sum_cents").cast("double") / col("n").cast("double")) *
+          (col("sum_cents").cast("double") / col("n").cast("double")))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix)
+    Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
+      q78SaltedDistinct, q80VarianceExact)
 }
