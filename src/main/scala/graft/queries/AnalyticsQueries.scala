@@ -217,7 +217,50 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Time-series resample with gap fill: per-user daily event counts over
+    * the GLOBAL day span, absent days materialized as zero — the
+    * regularization step before any windowed model. The day spine is
+    * `sequence(min_day, max_day)` off a one-row aggregate (tiny,
+    * broadcast); the users × days grid is a broadcast cross join (|days|
+    * rows ride the broadcast bus, the user set never replicates), and the
+    * left join back to real counts is one keyed shuffle. Grid size is
+    * |users| × |days| — explicit, and each side is bounded by data the
+    * query already shuffles.
+    */
+  val q83GapFill: QuerySpec = QuerySpec.oracled(
+    "q83_gap_fill",
+    """WITH days AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    (SELECT min(date_trunc('day', ts)) FROM events),
+      |    (SELECT max(date_trunc('day', ts)) FROM events),
+      |    INTERVAL 1 DAY)) AS DATE) AS day),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |grid AS (SELECT u.user_id, days.day FROM u CROSS JOIN days),
+      |cnt AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+      |  coalesce(cnt.n, 0) AS n
+      |FROM grid g
+      |LEFT JOIN cnt ON g.user_id = cnt.user_id AND g.day = cnt.day
+      |ORDER BY g.user_id, g.day""".stripMargin) { (spark, dir) =>
+    val e = CoreQueries.events(spark, dir)
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val days = e.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val grid = e.select("user_id").distinct().crossJoin(broadcast(days))
+    val cnt = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    grid.join(cnt, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
-      q78SaltedDistinct, q80VarianceExact)
+      q78SaltedDistinct, q80VarianceExact, q83GapFill)
 }

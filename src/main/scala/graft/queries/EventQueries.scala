@@ -554,11 +554,61 @@ object EventQueries {
       .orderBy("user_id", "view_id", "click_id")
   }.withSetup((s, d) => { stageQ30(s, d); () })
 
+  /** Stream-STATIC join: the streaming events enrich against a small
+    * static dimension (event_type → category) before a tumbling-window
+    * aggregation. The static side is stateless for the stream — it rides
+    * the broadcast bus into every micro-batch, no join state, no
+    * watermark needed on it; only the downstream windowed agg keeps
+    * state. This is the dimension-enrichment shape of a 100 TB/day
+    * ingest: dims broadcast, facts stream. Oracle: the same join in
+    * batch via a VALUES table.
+    */
+  val q84StreamStaticJoin: QuerySpec = QuerySpec.oracled(
+    "q84_stream_static_join",
+    """WITH cat AS (
+      |  SELECT * FROM (VALUES ('view','browse'), ('click','browse'),
+      |    ('purchase','commerce'), ('signup','account'), ('error','ops'))
+      |    AS t(event_type, category))
+      |SELECT CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT)
+      |    AS window_start_us,
+      |  cat.category, count(*) AS n
+      |FROM events JOIN cat USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val categories = Seq(
+      ("view", "browse"), ("click", "browse"), ("purchase", "commerce"),
+      ("signup", "account"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .join(broadcast(categories), "event_type")
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "6 hours"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    spark.streams.active.filter(_.name == "q84_mem").foreach(_.stop())
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q84_mem")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q84_mem")
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("category"), col("n"))
+      .orderBy("window_start_us", "category")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
-      q75WindowedDedup, q77StreamStreamJoin)
+      q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

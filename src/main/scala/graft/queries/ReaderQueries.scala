@@ -89,5 +89,83 @@ object ReaderQueries {
       .orderBy("n_nationkey")
   }.withSetup((s, d) => { stageQ17(s, d); () })
 
-  val all: Seq[QuerySpec] = Seq(q16ReaderParquet, q17ReaderCsv)
+  private val q81Staging = new QuerySpec.StagingCache[String]
+  private val q82Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage documents as JSONL (one JSON object per line — the tap-output
+    * format the reference's JSONL sink produces). Memoized per sf dir.
+    */
+  def stageQ81(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q81Staging.getOrStage(dir) {
+      val path = QuerySpec.stagedPath("q81_jsonl", dir)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "text", "n_chars")
+        .write.mode("overwrite").json(path)
+      path
+    }
+
+  /** Stage lineitem as ORC — the columnar format beside parquet that a
+    * warehouse migration actually encounters. Memoized per sf dir.
+    */
+  def stageQ82(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q82Staging.getOrStage(dir) {
+      val path = QuerySpec.stagedPath("q82_orc", dir)
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .write.mode("overwrite").orc(path)
+      path
+    }
+
+  /** JSONL source: schema-driven `spark.read.json` over a staged JSONL
+    * copy of documents (S3's CSV discipline applied to JSON lines: explicit
+    * schema, no inference pass over 100 TB). The oracle aggregates the
+    * ORIGINAL parquet — equality proves the JSONL write→read round trip
+    * preserves every row and value. Checksums stick to stored integers
+    * (`n_chars`), not engine string-length semantics.
+    */
+  val q81ReaderJsonl: QuerySpec = QuerySpec.oracled(
+    "q81_reader_jsonl",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+    (spark, dir) =>
+      val staged = stageQ81(spark, dir)
+      val schema = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "text", "n_chars").schema
+      spark.read.schema(schema).json(staged)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars"))
+        .orderBy("lang")
+  }.withSetup((s, d) => { stageQ81(s, d); () })
+
+  /** ORC source: q01's flagship agg over a staged ORC copy of lineitem.
+    * ORC carries the same column pruning / predicate pushdown machinery as
+    * parquet in Spark's vectorized reader; the oracle aggregates the
+    * original parquet, so equality proves the ORC round trip is lossless
+    * (timestamps included).
+    */
+  val q82ReaderOrc: QuerySpec = QuerySpec.oracled(
+    "q82_reader_orc",
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100)
+      |    AS BIGINT) AS price_cents
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val staged = stageQ82(spark, dir)
+    spark.read.orc(staged)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))) * 100)
+          .cast("long").as("price_cents"))
+      .orderBy("l_returnflag")
+  }.withSetup((s, d) => { stageQ82(s, d); () })
+
+  val all: Seq[QuerySpec] =
+    Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc)
 }
