@@ -16,7 +16,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     CoreQueries.all ++ ReaderQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++
-      EventQueries.all ++ AnalyticsQueries.all ++ RelationalQueries.all
+      EventQueries.all ++ AnalyticsQueries.all ++ RelationalQueries.all ++
+      EtlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
