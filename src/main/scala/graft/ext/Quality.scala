@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * (rule, violations, checked) row each — the contract-enforcement step an
   * ETL pipeline runs before publishing a snapshot.
   *
-  * 100 TB shape: every rule is a partial-aggregated scan (not-null and
-  * PK-uniqueness share ONE pass over the fact table); referential
+  * 100 TB shape: every rule is one partial-aggregated scan; referential
   * integrity is a LEFT join against the (dimension) parent — broadcast
   * when the parent is dimension-sized, AQE-planned otherwise. No rule ever
-  * collects rows to the driver; the report is O(#rules) rows.
+  * collects rows to the driver; the report is O(#rules) rows. A multi-rule
+  * audit re-scans the fact table once per rule — `persist()` the input (or
+  * let parquet column pruning keep each scan narrow) when rule count grows.
   */
 object Quality {
 

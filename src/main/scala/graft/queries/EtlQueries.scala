@@ -89,5 +89,45 @@ object EtlQueries {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q85QualityAudit, q86Scd2History)
+  /** Blocked fuzzy (edit-distance) entity matching: deterministic typo'd
+    * names (one substituted character, built with the same substr surgery
+    * in both engines) match back to the customer table within Levenshtein
+    * ≤ 2. The blocking keys — name length and a digit substring — are
+    * chosen to be INVARIANT under the expected edit (the typo hits the
+    * literal prefix), which is the fuzzy-join discipline at scale: the
+    * quadratic Levenshtein work happens only inside blocks, never
+    * cross-table, and `levenshtein` stays codegen'd in the join's
+    * post-filter.
+    */
+  val q87FuzzyMatch: QuerySpec = QuerySpec.oracled(
+    "q87_fuzzy_match",
+    """WITH typos AS (
+      |  SELECT c_custkey AS t_key,
+      |    substr(c_name, 1, 4) || 'X' || substr(c_name, 6) AS t_name
+      |  FROM customer WHERE c_custkey % 50 = 0),
+      |cand AS (
+      |  SELECT t.t_key, c.c_custkey, t.t_name, c.c_name
+      |  FROM typos t JOIN customer c
+      |    ON substr(t.t_name, 10, 5) = substr(c.c_name, 10, 5)
+      |   AND length(t.t_name) = length(c.c_name))
+      |SELECT t_key, c_custkey AS match_key,
+      |  levenshtein(t_name, c_name) AS dist
+      |FROM cand WHERE levenshtein(t_name, c_name) <= 2
+      |ORDER BY t_key, match_key""".stripMargin) { (spark, dir) =>
+    val customer = t(spark, dir, "customer").select("c_custkey", "c_name")
+    val typos = customer.filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("t_key"),
+        concat(substring(col("c_name"), 1, 4), lit("X"),
+          expr("substr(c_name, 6)")).as("t_name"))
+    typos.join(customer,
+        substring(col("t_name"), 10, 5) === substring(col("c_name"), 10, 5) &&
+          length(col("t_name")) === length(col("c_name")))
+      .withColumn("dist", levenshtein(col("t_name"), col("c_name")))
+      .filter(col("dist") <= 2)
+      .select(col("t_key"), col("c_custkey").as("match_key"), col("dist"))
+      .orderBy("t_key", "match_key")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch)
 }
