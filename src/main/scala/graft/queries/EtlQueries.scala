@@ -128,6 +128,60 @@ object EtlQueries {
       .orderBy("t_key", "match_key")
   }
 
+  /** CDC apply ([[graft.ext.Cdc]]): merge a deterministic synthesized
+    * change log (updates, deletes, inserts with overlapping keys — the
+    * %7/%11 overlap forces the seq rule to decide) into the customer
+    * snapshot. One window over the change log + one full-outer join; the
+    * oracle replays the same last-change-wins MERGE in SQL. Delete wins
+    * ties at equal seq, so replayed logs converge.
+    */
+  val q88CdcApply: QuerySpec = QuerySpec.oracled(
+    "q88_cdc_apply",
+    """WITH cur AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+      |chg AS (
+      |  SELECT c_custkey AS k, 'U' AS op, c_name || '-upd' AS name, 1 AS seq
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'D', NULL, 2 FROM customer
+      |  WHERE c_custkey % 11 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'I',
+      |    'NewCustomer#' || CAST(c_custkey + 1000000 AS VARCHAR), 1
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |last AS (
+      |  SELECT k, op, name FROM (
+      |    SELECT k, op, name,
+      |      row_number() OVER (PARTITION BY k
+      |        ORDER BY seq DESC, (op = 'D') DESC, op) AS rn
+      |    FROM chg) WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(l.k, c.k) AS k,
+      |    CASE WHEN l.k IS NULL THEN c.name ELSE l.name END AS name,
+      |    CASE WHEN l.k IS NULL THEN 'kept'
+      |         WHEN c.k IS NULL THEN 'inserted' ELSE 'updated' END AS src,
+      |    l.op AS op
+      |  FROM cur c FULL JOIN last l ON c.k = l.k)
+      |SELECT k, name, src FROM merged WHERE op IS DISTINCT FROM 'D'
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    val cur = t(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    val base = t(spark, dir, "customer")
+    val changes = base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), lit("U").as("op"),
+        concat(col("c_name"), lit("-upd")).as("name"), lit(1L).as("seq"))
+      .unionByName(base.filter(col("c_custkey") % 11 === 3)
+        .select(col("c_custkey").as("k"), lit("D").as("op"),
+          lit(null).cast("string").as("name"), lit(2L).as("seq")))
+      .unionByName(base.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000).as("k"), lit("I").as("op"),
+          concat(lit("NewCustomer#"),
+            (col("c_custkey") + 1000000).cast("string")).as("name"),
+          lit(1L).as("seq")))
+    graft.ext.Cdc.apply(cur, changes,
+        keyCol = "k", opCol = "op", seqCol = "seq")
+      .orderBy("k")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch)
+    Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply)
 }

@@ -604,11 +604,113 @@ object EventQueries {
       .orderBy("window_start_us", "category")
   }.withSetup((s, d) => { stageQ30(s, d); () })
 
+  private val q89Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q89 two-file stream: real events first, then a far-future
+    * sentinel 'view' + 'click' pair (user_id −1) in a second file. The
+    * sentinel passes BOTH side filters, so it advances both watermarks and
+    * forces the left-outer join to emit every unmatched real view before
+    * the AvailableNow run ends. Memoized per sf dir.
+    */
+  def stageQ89(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q89Staging.getOrStage(dir) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staged = new java.io.File(QuerySpec.stagedPath("q89_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val base = CoreQueries.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ts_ts"))
+      base.coalesce(1).write.parquet(s"$staged/00")
+      val maxTs = spark.read.parquet(s"$staged/00")
+        .agg(max(unix_micros(col("ts_ts")))).head().getLong(0)
+      val farFuture = maxTs + 864000000000L // +10 days
+      base.sparkSession.sql(
+        s"""SELECT -1L AS user_id, -1L AS event_id, type AS event_type,
+           |  timestamp_micros(${farFuture}L) AS ts_ts
+           |FROM VALUES ('view'), ('click') AS t(type)""".stripMargin)
+        .coalesce(1).write.parquet(s"$staged/01")
+      def flatten(sub: String, name: String): Unit = {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
+        ()
+      }
+      flatten("00", "00.parquet"); flatten("01", "01.parquet")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$staged/00.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000))
+      staged.toString
+    }
+
+  /** Stream-stream LEFT OUTER join: q77's attribution join, but views
+    * with no click inside the 30-min window must ALSO emit (with nulls).
+    * Outer emission is watermark-driven — an unmatched view can only be
+    * declared unmatched once both watermarks pass its join horizon, which
+    * is why the staged stream ends with a sentinel pair that drags both
+    * watermarks 10 days forward (a real deployment has a steady event flow
+    * doing this for free; a draining backlog needs exactly this flush).
+    * State stays bounded by the same range condition as q77.
+    */
+  val q89StreamLeftOuter: QuerySpec = QuerySpec.oracled(
+    "q89_stream_left_outer",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tus
+      |  FROM events),
+      |v AS (SELECT user_id, event_id AS view_id, tus AS vt FROM e
+      |      WHERE event_type = 'view'),
+      |c AS (SELECT user_id AS cu, event_id AS click_id, tus AS ct FROM e
+      |      WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_id, c.click_id, (c.ct - v.vt) AS lag_us
+      |FROM v LEFT JOIN c ON v.user_id = c.cu
+      |  AND c.ct > v.vt AND c.ct <= v.vt + 1800000000
+      |ORDER BY v.user_id, v.view_id, coalesce(c.click_id, -1)""".stripMargin) {
+    (spark, dir) =>
+      val staged = stageQ89(spark, dir)
+      val schema = spark.read.parquet(s"$staged/00.parquet").schema
+      def side(eventType: String, prefix: String) = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .filter(col("event_type") === eventType)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts_ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      spark.streams.active.filter(_.name == "q89_mem").foreach(_.stop())
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("q89_mem")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("q89_mem")
+        .filter(col("v_user") >= 0)
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"),
+          (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        .orderBy(col("user_id"), col("view_id"),
+          coalesce(col("click_id"), lit(-1L)))
+  }.withSetup((s, d) => { stageQ89(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
-      q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin)
+      q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
+      q89StreamLeftOuter)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

@@ -62,7 +62,7 @@ object PlanAudit {
     "q30_streaming_window", "q38_session_window", "q43_streaming_dedup",
     "q50_streaming_sliding", "q54_streaming_dedup_bounded",
     "q70_streaming_funnel", "q77_stream_stream_join",
-    "q84_stream_static_join")
+    "q84_stream_static_join", "q89_stream_left_outer")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
