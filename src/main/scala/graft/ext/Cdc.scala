@@ -35,8 +35,12 @@ object Cdc {
       opCol: String,
       seqCol: String): DataFrame = {
     val payload = current.columns.filterNot(_ == keyCol).toSeq
+    // Full deterministic precedence: highest seq, then delete, then op,
+    // then the payload itself — identical (key, seq, op) changes with
+    // different payloads resolve the same way on any partitioning.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(seqCol).desc, (col(opCol) === "D").desc, col(opCol))
+      .orderBy(col(seqCol).desc +: (col(opCol) === "D").desc +:
+        col(opCol) +: payload.map(col): _*)
     val last = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

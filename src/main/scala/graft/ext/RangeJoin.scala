@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join via bucket decomposition — the trick
+  * that turns an otherwise un-partitionable theta join (`lo <= t AND
+  * t < hi`) into an equi-join Spark can hash-partition: each interval
+  * explodes into the fixed-width buckets it covers, each point maps to
+  * exactly ONE bucket, the join runs on the bucket key, and the original
+  * containment predicate filters inside the matched bucket.
+  *
+  * Why it scales: a naive theta join is a broadcast nested loop (or a full
+  * cartesian) — dead at 100 TB. Here both sides shuffle ONCE on an integer
+  * bucket key; fan-out is `ceil(span / bucketWidth)` rows per interval, so
+  * the width tunes replication vs per-bucket selectivity (width ≈ median
+  * interval span is the usual sweet spot). Because a point lands in ONE
+  * bucket, matched pairs are emitted exactly once — no dedup pass.
+  */
+object RangeJoin {
+
+  /** Join `points` (integer position `tCol`) to `intervals` (half-open
+    * [`loCol`, `hiCol`)) with `how` semantics ("inner" or "left" —
+    * left preserves intervals with no points). Positions are integral
+    * (epoch days/seconds/µs — caller's choice of unit).
+    */
+  def pointInInterval(
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      points: DataFrame,
+      tCol: String,
+      bucketWidth: Long,
+      how: String = "inner"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(how == "inner" || how == "left", s"unsupported join type: $how")
+    def bucketOf(c: Column): Column = // floor division, negative-safe
+      floor(c.cast("long").cast("double") / bucketWidth).cast("long")
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol)),
+        bucketOf(col(hiCol).cast("long") - 1))))
+    val pts = points.withColumn("__bucket", bucketOf(col(tCol)))
+    val contained = col(tCol).isNotNull &&
+      col(tCol) >= col(loCol) && col(tCol) < col(hiCol)
+    val joined =
+      if (how == "inner")
+        iv.join(pts, Seq("__bucket")).where(contained)
+      else {
+        // left: keep each interval-bucket row; null out points that fail
+        // containment so downstream counts see them as misses
+        val j = iv.join(pts, Seq("__bucket"), "left")
+        points.columns.foldLeft(j) { (df, c) =>
+          df.withColumn(c, when(contained, col(c)))
+        }
+      }
+    joined.drop("__bucket")
+  }
+}

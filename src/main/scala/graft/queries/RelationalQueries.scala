@@ -202,6 +202,46 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
   }
 
+  /** Point-in-interval join ([[graft.ext.RangeJoin]]): count all orders
+    * falling inside each sampled customer's 90-day first-order window.
+    * The naive form is a theta join (broadcast nested loop — dead at
+    * scale); bucket decomposition shuffles both sides ONCE on an integer
+    * 30-day bucket key and filters containment inside the bucket. LEFT
+    * semantics keep point-free intervals at count 0. Positions are
+    * epoch-day integers; the oracle replays the plain theta join.
+    */
+  val q90IntervalJoin: QuerySpec = QuerySpec.oracled(
+    "q90_interval_join",
+    """WITH iv AS (
+      |  SELECT o_custkey AS owner,
+      |    min(o_orderdate) AS lo,
+      |    min(o_orderdate) + INTERVAL 90 DAY AS hi
+      |  FROM orders WHERE o_custkey % 100 = 0 GROUP BY o_custkey),
+      |pts AS (SELECT o_orderkey, o_orderdate AS t FROM orders)
+      |SELECT iv.owner, strftime(iv.lo, '%Y-%m-%d') AS lo_day,
+      |  count(pts.o_orderkey) AS n_inside
+      |FROM iv LEFT JOIN pts ON pts.t >= iv.lo AND pts.t < iv.hi
+      |GROUP BY iv.owner, iv.lo ORDER BY iv.owner""".stripMargin) {
+    (spark, dir) =>
+      val orders = t(spark, dir, "orders")
+      val iv = orders.filter(col("o_custkey") % 100 === 0)
+        .groupBy(col("o_custkey").as("owner"))
+        .agg(min(unix_date(to_date(col("o_orderdate")))).as("lo"))
+        .withColumn("hi", col("lo") + 90)
+      val pts = orders.select(col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).as("t"))
+      graft.ext.RangeJoin.pointInInterval(
+          iv, "lo", "hi", pts, "t", bucketWidth = 30, how = "left")
+        .groupBy(col("owner"), col("lo"))
+        .agg(count(col("o_orderkey")).as("n_inside"))
+        .select(col("owner"),
+          date_format(date_add(lit("1970-01-01").cast("date"),
+            col("lo").cast("int")), "yyyy-MM-dd").as("lo_day"),
+          col("n_inside"))
+        .orderBy("owner")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin)
+    Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
+      q90IntervalJoin)
 }

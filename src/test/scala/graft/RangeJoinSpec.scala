@@ -1,0 +1,58 @@
+package graft
+
+import graft.ext.RangeJoin
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[graft.ext.RangeJoin]] against the naive theta join: exact-once
+  * pair emission across bucket widths (including widths that misalign
+  * with interval bounds), half-open boundary semantics, negative
+  * positions, and left-join preservation of point-free intervals.
+  */
+class RangeJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val intervals = Seq(
+    (1L, 0L, 10L),    // aligned
+    (2L, 5L, 6L),     // single-point span
+    (3L, -25L, -3L),  // negative positions
+    (4L, 7L, 35L),    // straddles several buckets
+    (5L, 100L, 110L)) // no points inside
+    .toDF("iid", "lo", "hi")
+  private lazy val points =
+    Seq(-25L, -4L, -3L, 0L, 5L, 6L, 9L, 10L, 34L, 35L, 64L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+
+  private def thetaPairs: Set[(Long, Long)] =
+    intervals.join(points,
+        col("t") >= col("lo") && col("t") < col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+
+  test("bucketed inner join equals the theta join for any width") {
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.pointInInterval(
+          intervals, "lo", "hi", points, "t", bucketWidth = w)
+        .select("iid", "pid").as[(Long, Long)].collect().toList
+      assert(got.toSet == thetaPairs, s"width=$w")
+      assert(got.size == got.distinct.size, s"width=$w emitted duplicates")
+    }
+    // boundary semantics: t=10 not in [0,10), t=5 in [5,6), t=-25 in [-25,-3)
+    assert(!thetaPairs.contains((1L, 7L)))
+    assert(thetaPairs.contains((2L, 4L)))
+    assert(thetaPairs.contains((3L, 0L)))
+  }
+
+  test("left join keeps point-free intervals at count zero") {
+    val counts = RangeJoin.pointInInterval(
+        intervals, "lo", "hi", points, "t", bucketWidth = 7, how = "left")
+      .groupBy("iid").agg(count(col("pid")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(counts(5L) == 0L)
+    val theta = thetaPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    counts.filter(_._2 > 0).foreach { case (iid, n) =>
+      assert(n == theta(iid), s"interval $iid")
+    }
+  }
+}
