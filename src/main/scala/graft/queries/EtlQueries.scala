@@ -182,6 +182,59 @@ object EtlQueries {
       .orderBy("k")
   }
 
+  /** Table reconciliation ([[graft.ext.TableDiff]]): original orders vs a
+    * deterministically perturbed copy (deletions, insertions, value
+    * changes by modular selection). Both sides collapse to (key, md5 row
+    * digest) before the full-outer join — the shuffle carries digests,
+    * never payloads. Price enters the digest as BIGINT cents: a raw
+    * double→string cast formats differently per engine (Spark scientific
+    * notation vs DuckDB decimal), integer strings are identical.
+    */
+  val q91TableDiff: QuerySpec = QuerySpec.oracled(
+    "q91_table_diff",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (
+      |  SELECT o_orderkey AS k, o_custkey,
+      |    CAST(round((CASE WHEN o_orderkey % 211 = 0
+      |      THEN o_totalprice + 1.0 ELSE o_totalprice END) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_orderkey % 131 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 2000000, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) FROM orders
+      |  WHERE o_orderkey % 173 = 0),
+      |ah AS (SELECT k, md5(CAST(o_custkey AS VARCHAR) || '|' ||
+      |         CAST(cents AS VARCHAR)) AS h FROM a),
+      |bh AS (SELECT k, md5(CAST(o_custkey AS VARCHAR) || '|' ||
+      |         CAST(cents AS VARCHAR)) AS h FROM b),
+      |j AS (SELECT ah.k AS ak, bh.k AS bk, ah.h AS aha, bh.h AS bhb
+      |      FROM ah FULL JOIN bh ON ah.k = bh.k)
+      |SELECT
+      |  count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NULL) AS n_removed,
+      |  count(*) FILTER (WHERE ak IS NULL AND bk IS NOT NULL) AS n_added,
+      |  count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |    AND aha <> bhb) AS n_changed,
+      |  count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |    AND aha = bhb) AS n_same
+      |FROM j""".stripMargin) { (spark, dir) =>
+    val base = t(spark, dir, "orders")
+    val a = base.select(col("o_orderkey").as("k"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val b = base.filter(col("o_orderkey") % 131 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_custkey"),
+        round((when(col("o_orderkey") % 211 === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))) * 100)
+          .cast("long").as("cents"))
+      .unionByName(base.filter(col("o_orderkey") % 173 === 0)
+        .select((col("o_orderkey") + 2000000).as("k"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")))
+    graft.ext.TableDiff.diffSummary(a, b,
+      keyCol = "k", compareCols = Seq("o_custkey", "cents"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply)
+    Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
+      q91TableDiff)
 }

@@ -501,9 +501,41 @@ object TextQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Deterministic train/val/test split assignment (80/10/10): each doc's
+    * split comes from a salted md5 basis-point bucket — the q49 hashing
+    * rule applied to partitioning instead of sampling. The same doc lands
+    * in the same split on every run, engine, and cluster layout, and a
+    * doc can never leak across splits (the property RNG-based splitters
+    * lose on re-partitioning). Zero shuffles before the summary agg.
+    */
+  val q92SplitAssign: QuerySpec = QuerySpec.oracled(
+    "q92_split_assign",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 10000 AS bp
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val bp = conv(substring(md5(concat(lit("split1:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), bp.as("bp"))
+      .withColumn("split",
+        when(col("bp") < 8000, "train")
+          .when(col("bp") < 9000, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
-      q67SequencePacking, q68Boilerplate, q73LangCap)
+      q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign)
 }

@@ -43,6 +43,18 @@ class GovernanceSpec extends AnyFunSuite with SparkSpec {
     assert(report.values.forall(_ == 0L))
   }
 
+  test("table diff counts nulls as values and detects null↔value changes") {
+    import graft.ext.TableDiff
+    val a = Seq((1L, Option("x")), (2L, None), (3L, Option("z")))
+      .toDF("k", "v")
+    val b = Seq((1L, Option("x")), (2L, Option("now")), (4L, None))
+      .toDF("k", "v")
+    val r = TableDiff.diffSummary(a, b, "k", Seq("v")).head()
+    // 3 removed-only, 4 added-only, 2 changed (null → "now"), 1 same
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)))
+  }
+
   test("scd2 builds half-open intervals with one current row per key") {
     val changes = Seq(
       (1L, "2024-01-01", "a"), (1L, "2024-02-01", "b"),
