@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR
@@ -38,6 +39,21 @@ object Bench {
         .count()
       ()
     }
+    // Shuffle-write volume per query: a listener sums stage shuffle bytes;
+    // the bus is flushed (BusFlush) before each snapshot so async listener
+    // delivery can't bleed one query's bytes into the next.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def shuffleSnapshot(): Long = {
+      org.apache.spark.graftbench.BusFlush.flush(spark)
+      shuffleBytes.get()
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.specs.map { spec =>
       spec.setup.foreach { s =>
@@ -56,20 +72,25 @@ object Bench {
       }
       // a failed setup dooms the timed run — skip it so the root cause in
       // `errors` isn't overwritten by the secondary failure
+      val s0 = shuffleSnapshot()
       val cold = if (errors.contains(spec.name)) 0.0 else onePass()
+      val coldShuffle = shuffleSnapshot() - s0
       // pass 2 only if pass 1 succeeded; min-of-2 is the reported number
       val warm = if (errors.contains(spec.name)) cold else onePass()
-      spec.name -> (math.min(cold, warm), cold)
+      spec.name -> (math.min(cold, warm), cold, coldShuffle)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val coldJson = results.map { case (k, (_, c)) => "\"" + k + "\":" + c }
+    val coldJson = results.map { case (k, (_, c, _)) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
+    val shuffleJson = results.map { case (k, (_, _, b)) =>
+      "\"" + k + "\":" + (math.round(b / 1048.576) / 1000.0)
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":" + JsonEscape(v.take(200))
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +

@@ -92,38 +92,59 @@ object EtlQueries {
   /** Blocked fuzzy (edit-distance) entity matching: deterministic typo'd
     * names (one substituted character, built with the same substr surgery
     * in both engines) match back to the customer table within Levenshtein
-    * ≤ 2. The blocking keys — name length and a digit substring — are
-    * chosen to be INVARIANT under the expected edit (the typo hits the
-    * literal prefix), which is the fuzzy-join discipline at scale: the
-    * quadratic Levenshtein work happens only inside blocks, never
-    * cross-table, and `levenshtein` stays codegen'd in the join's
-    * post-filter.
+    * ≤ 2. Blocking is PIGEONHOLE over the digit field split into thirds:
+    * a dist-≤-2 match spends one edit on the known prefix typo, so at most
+    * ONE digit differs and at least two thirds match exactly — candidates
+    * come from three (third_i, third_j) equi-joins, lossless by
+    * construction and immune to the dense-sequential-key pathology that
+    * makes any single fixed substring a mega-block (a naive 5-digit-prefix
+    * block was 22M distance calls at sf0.1; the pigeonhole is ~0.3M). The
+    * distance itself is the bounded `levenshtein(l, r, 2)` — banded
+    * O(k·n) DP that bails at >2 instead of filling the O(n²) table.
     */
   val q87FuzzyMatch: QuerySpec = QuerySpec.oracled(
     "q87_fuzzy_match",
     """WITH typos AS (
       |  SELECT c_custkey AS t_key,
-      |    substr(c_name, 1, 4) || 'X' || substr(c_name, 6) AS t_name
+      |    substr(c_name, 1, 4) || 'X' || substr(c_name, 6) AS t_name,
+      |    substr(c_name, 10, 3) AS t1, substr(c_name, 13, 3) AS t2,
+      |    substr(c_name, 16, 3) AS t3
       |  FROM customer WHERE c_custkey % 50 = 0),
+      |cust AS (
+      |  SELECT c_custkey, c_name,
+      |    substr(c_name, 10, 3) AS c1, substr(c_name, 13, 3) AS c2,
+      |    substr(c_name, 16, 3) AS c3
+      |  FROM customer),
       |cand AS (
-      |  SELECT t.t_key, c.c_custkey, t.t_name, c.c_name
-      |  FROM typos t JOIN customer c
-      |    ON substr(t.t_name, 10, 5) = substr(c.c_name, 10, 5)
-      |   AND length(t.t_name) = length(c.c_name))
+      |  SELECT t_key, c_custkey, t_name, c_name
+      |  FROM typos JOIN cust ON t1 = c1 AND t2 = c2
+      |  UNION
+      |  SELECT t_key, c_custkey, t_name, c_name
+      |  FROM typos JOIN cust ON t1 = c1 AND t3 = c3
+      |  UNION
+      |  SELECT t_key, c_custkey, t_name, c_name
+      |  FROM typos JOIN cust ON t2 = c2 AND t3 = c3)
       |SELECT t_key, c_custkey AS match_key,
       |  levenshtein(t_name, c_name) AS dist
       |FROM cand WHERE levenshtein(t_name, c_name) <= 2
       |ORDER BY t_key, match_key""".stripMargin) { (spark, dir) =>
-    val customer = t(spark, dir, "customer").select("c_custkey", "c_name")
+    val customer = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 3).as("c1"),
+        substring(col("c_name"), 13, 3).as("c2"),
+        substring(col("c_name"), 16, 3).as("c3"))
     val typos = customer.filter(col("c_custkey") % 50 === 0)
       .select(col("c_custkey").as("t_key"),
         concat(substring(col("c_name"), 1, 4), lit("X"),
-          expr("substr(c_name, 6)")).as("t_name"))
-    typos.join(customer,
-        substring(col("t_name"), 10, 5) === substring(col("c_name"), 10, 5) &&
-          length(col("t_name")) === length(col("c_name")))
-      .withColumn("dist", levenshtein(col("t_name"), col("c_name")))
-      .filter(col("dist") <= 2)
+          expr("substr(c_name, 6)")).as("t_name"),
+        col("c1").as("t1"), col("c2").as("t2"), col("c3").as("t3"))
+    def block(a: String, b: String) = typos.join(customer,
+        col(s"t$a") === col(s"c$a") && col(s"t$b") === col(s"c$b"))
+      .select(col("t_key"), col("c_custkey"), col("t_name"), col("c_name"))
+    block("1", "2").union(block("1", "3")).union(block("2", "3"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("t_name"), col("c_name"), 2))
+      .filter(col("dist") >= 0)
       .select(col("t_key"), col("c_custkey").as("match_key"), col("dist"))
       .orderBy("t_key", "match_key")
   }
