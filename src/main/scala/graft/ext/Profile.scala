@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column null count, exact distinct
+  * count, and formatted min/max — the stats collection a warehouse runs
+  * before choosing join orders, and the first thing a data engineer asks
+  * of an unfamiliar 100 TB table.
+  *
+  * Plan shape: ONE scan. All columns' metrics compute in a single
+  * aggregation (the multi-distinct plan Spark lowers to an Expand — one
+  * pass over the data, fan-out #cols in the shuffle, which is the
+  * standard ANALYZE trade), then the single result row unpivots to one
+  * row per column with `stack`. Formatters let callers route doubles
+  * through integer cents and dates through strings (the cross-engine
+  * canonicalization rules).
+  */
+object Profile {
+
+  /** One profiled column: output row name, the source column, and a
+    * formatter applied to min/max before they leave as strings.
+    */
+  final case class ProfileCol(
+      name: String,
+      source: Column,
+      fmt: Column => Column = _.cast("string"))
+
+  /** Profile `cols` over `df` in one scan; returns (col, n_null,
+    * n_distinct, min_s, max_s) ordered by col.
+    */
+  def table(df: DataFrame, cols: Seq[ProfileCol]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(c.source)).as(s"${c.name}__nn"),
+        countDistinct(c.source).as(s"${c.name}__nd"),
+        c.fmt(min(c.source)).as(s"${c.name}__mn"),
+        c.fmt(max(c.source)).as(s"${c.name}__mx"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'${c.name}', `${c.name}__nn`, `${c.name}__nd`, " +
+        s"`${c.name}__mn`, `${c.name}__mx`"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col, n_null, n_distinct, min_s, max_s)")
+      .orderBy("col")
+  }
+}

@@ -255,7 +255,55 @@ object EtlQueries {
       keyCol = "k", compareCols = Seq("o_custkey", "cents"))
   }
 
+  /** Table profile ([[graft.ext.Profile]]): per-column nulls, exact
+    * distinct counts, min/max for orders — ONE scan (multi-distinct
+    * Expand), one output row per column. Doubles leave as integer cents
+    * and dates as strings per the canonicalization rules; the oracle
+    * replays each column as a separate aggregate (DuckDB has no stack).
+    */
+  val q93TableProfile: QuerySpec = QuerySpec.oracled(
+    "q93_table_profile",
+    """SELECT 'o_custkey' AS col,
+      |  count(*) - count(o_custkey) AS n_null,
+      |  count(DISTINCT o_custkey) AS n_distinct,
+      |  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+      |  CAST(max(o_custkey) AS VARCHAR) AS max_s
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderdate', count(*) - count(o_orderdate),
+      |  count(DISTINCT o_orderdate),
+      |  strftime(min(o_orderdate), '%Y-%m-%d'),
+      |  strftime(max(o_orderdate), '%Y-%m-%d')
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderkey', count(*) - count(o_orderkey),
+      |  count(DISTINCT o_orderkey),
+      |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+      |  count(DISTINCT o_orderpriority),
+      |  min(o_orderpriority), max(o_orderpriority)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*) - count(o_totalprice),
+      |  count(DISTINCT o_totalprice),
+      |  CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+      |  CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+      |FROM orders
+      |ORDER BY col""".stripMargin) { (spark, dir) =>
+    import graft.ext.Profile.ProfileCol
+    graft.ext.Profile.table(t(spark, dir, "orders"), Seq(
+      ProfileCol("o_custkey", col("o_custkey")),
+      ProfileCol("o_orderdate", col("o_orderdate"),
+        c => date_format(c, "yyyy-MM-dd")),
+      ProfileCol("o_orderkey", col("o_orderkey")),
+      ProfileCol("o_orderpriority", col("o_orderpriority")),
+      ProfileCol("o_totalprice", col("o_totalprice"),
+        c => round(c * 100).cast("long").cast("string"))))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
-      q91TableDiff)
+      q91TableDiff, q93TableProfile)
 }

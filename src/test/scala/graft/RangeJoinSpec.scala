@@ -43,6 +43,25 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(thetaPairs.contains((3L, 0L)))
   }
 
+  test("randomized intervals/points match the theta join (fixed seed)") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val iv = (1 to 40).map { i =>
+        val lo = rnd.nextInt(200) - 100L
+        (i.toLong, lo, lo + 1 + rnd.nextInt(60))
+      }.toDF("iid", "lo", "hi")
+      val pts = (1 to 150).map(i => (i.toLong, rnd.nextInt(260) - 130L))
+        .toDF("pid", "t")
+      val theta = iv.join(pts, col("t") >= col("lo") && col("t") < col("hi"))
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      val w = 1 + rnd.nextInt(40)
+      val got = RangeJoin.pointInInterval(iv, "lo", "hi", pts, "t", w)
+        .select("iid", "pid").as[(Long, Long)].collect().toList
+      assert(got.toSet == theta, s"round=$round width=$w")
+      assert(got.size == got.distinct.size, s"round=$round width=$w dups")
+    }
+  }
+
   test("left join keeps point-free intervals at count zero") {
     val counts = RangeJoin.pointInInterval(
         intervals, "lo", "hi", points, "t", bucketWidth = 7, how = "left")
