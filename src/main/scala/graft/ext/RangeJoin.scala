@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `points` (integer position `tCol`) to `intervals` (half-open
-    * [`loCol`, `hiCol`)) with `how` semantics ("inner" or "left" —
-    * left preserves intervals with no points). Positions are integral
-    * (epoch days/seconds/µs — caller's choice of unit).
+    * [`loCol`, `hiCol`)) with `how` semantics ("inner" or "left" — left
+    * emits each point-free interval exactly ONCE with null point columns,
+    * the true left-join contract; it requires interval rows to be
+    * distinct, since unmatched intervals are recovered by an anti-join on
+    * all interval columns). Positions are integral (epoch
+    * days/seconds/µs — caller's choice of unit).
     */
   def pointInInterval(
       intervals: DataFrame,
@@ -42,17 +45,18 @@ object RangeJoin {
     val pts = points.withColumn("__bucket", bucketOf(col(tCol)))
     val contained = col(tCol).isNotNull &&
       col(tCol) >= col(loCol) && col(tCol) < col(hiCol)
-    val joined =
-      if (how == "inner")
-        iv.join(pts, Seq("__bucket")).where(contained)
-      else {
-        // left: keep each interval-bucket row; null out points that fail
-        // containment so downstream counts see them as misses
-        val j = iv.join(pts, Seq("__bucket"), "left")
-        points.columns.foldLeft(j) { (df, c) =>
-          df.withColumn(c, when(contained, col(c)))
-        }
+    val inner = iv.join(pts, Seq("__bucket")).where(contained)
+      .drop("__bucket")
+    if (how == "inner") inner
+    else {
+      val ivCols = intervals.columns.toSeq
+      val unmatched = intervals
+        .join(inner.select(ivCols.map(col): _*).distinct(), ivCols,
+          "left_anti")
+      val withNulls = points.schema.fields.foldLeft(unmatched) { (df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))
       }
-    joined.drop("__bucket")
+      inner.unionByName(withNulls.select(inner.columns.map(col): _*))
+    }
   }
 }

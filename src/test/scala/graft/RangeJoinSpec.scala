@@ -62,16 +62,20 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("left join keeps point-free intervals at count zero") {
-    val counts = RangeJoin.pointInInterval(
+  test("left join emits matched pairs plus exactly one row per point-free interval") {
+    val rows = RangeJoin.pointInInterval(
         intervals, "lo", "hi", points, "t", bucketWidth = 7, how = "left")
-      .groupBy("iid").agg(count(col("pid")).as("n"))
-      .as[(Long, Long)].collect().toMap
-    assert(counts.keySet == Set(1L, 2L, 3L, 4L, 5L))
-    assert(counts(5L) == 0L)
+      .select(col("iid"), col("pid")).as[(Long, Option[Long])]
+      .collect().toList
+    // matched rows ≡ theta join, no spurious null rows for matched intervals
+    assert(rows.collect { case (i, Some(p)) => (i, p) }.toSet == thetaPairs)
+    // unmatched interval 5 appears exactly once, with a null point
+    assert(rows.filter(_._1 == 5L) == List((5L, None)))
+    assert(rows.count(_._2.isEmpty) == 1)
+    // count aggregation over the left result matches the theta counts
+    val counts = rows.groupBy(_._1).view
+      .mapValues(_.count(_._2.nonEmpty).toLong).toMap
     val theta = thetaPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    counts.filter(_._2 > 0).foreach { case (iid, n) =>
-      assert(n == theta(iid), s"interval $iid")
-    }
+    assert(counts == theta ++ Map(5L -> 0L))
   }
 }
