@@ -147,7 +147,15 @@ object VectorExpressions {
       litInt(exprs(1), "graft_minhash", "numHashes"))),
     "graft_simhash" -> (exprs => SimHashSigExpr(exprs.head)),
     "graft_shingle_hashes" -> (exprs => ShingleHashExpr(exprs.head,
-      litInt(exprs(1), "graft_shingle_hashes", "k"))))
+      litInt(exprs(1), "graft_shingle_hashes", "k"))),
+    "graft_misra_gries" -> (exprs => MisraGriesAgg(exprs.head,
+      litInt(exprs(1), "graft_misra_gries", "k"))),
+    // Spark's own codegen'd probe expression, re-exposed so a library
+    // user (and [[graft.ext.BloomPrune]]) can probe a sketch built with
+    // the public DataFrameStatFunctions.bloomFilter API
+    "graft_bloom_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
 
   /** Idempotently register the native expressions in the session's
     * function registry (no-op — and no re-registration warning — when a

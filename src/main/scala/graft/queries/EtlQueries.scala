@@ -303,7 +303,37 @@ object EtlQueries {
         c => round(c * 100).cast("long").cast("string"))))
   }
 
+  /** Wide→long reshape (the Polars `melt` every reference user reaches
+    * for) via Spark's native `unpivot`: each part row becomes one row per
+    * measure with the measure name in `metric`. Narrow, shuffle-free —
+    * the Expand node emits both rows inside the scan's codegen stage, so
+    * at 100 TB this is a map-only pass whose output is exactly 2× the
+    * input rows, never a pivot-style wide aggregation. Values leave as
+    * integer hundredths (price cents; size × 100) so one BIGINT column
+    * carries both measures hash-stably.
+    */
+  val q95Unpivot: QuerySpec = QuerySpec.oracled(
+    "q95_unpivot",
+    """SELECT p_partkey, 'p_retailprice' AS metric,
+      |  CAST(round(p_retailprice * 100) AS BIGINT) AS val_100
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS BIGINT) * 100 FROM part
+      |ORDER BY p_partkey, metric""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_retailprice"), col("p_size")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .select(col("p_partkey"), col("metric"),
+        round(col("value") * 100).cast("long").as("val_100"))
+      .orderBy("p_partkey", "metric")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
-      q91TableDiff, q93TableProfile)
+      q91TableDiff, q93TableProfile, q95Unpivot)
 }

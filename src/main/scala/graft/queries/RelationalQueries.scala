@@ -241,7 +241,43 @@ object RelationalQueries {
         .orderBy("owner")
   }
 
+  /** Bloom-pruned fact-dim join ([[graft.ext.BloomPrune]]): urgent-order
+    * revenue by return flag, with the lineitem scan pre-filtered by a
+    * bloom sketch of the urgent order keys BEFORE the join shuffle. The
+    * sketch admits false positives (killed by the exact join) and no
+    * false negatives, so the oracle is the PLAIN join — result-invariance
+    * is exactly what the gate adjudicates; BloomPruneSpec additionally
+    * pins the pruning ratio. At 100 TB the ~20% priority selectivity cuts
+    * the fact-side shuffle ~5×; the probe runs inside the scan's codegen
+    * stage.
+    */
+  val q96BloomJoin: QuerySpec = QuerySpec.oracled(
+    "q96_bloom_join",
+    """SELECT l_returnflag,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+      |                 (1 - CAST(l_discount AS DECIMAL(18,6)))) * 100)
+      |    AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, dir) =>
+      val urgent = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val pruned = graft.ext.BloomPrune.filterByDim(
+        t(spark, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 6)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 6)))) * 100)
+            .cast(LongType).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
-      q90IntervalJoin)
+      q90IntervalJoin, q96BloomJoin)
 }

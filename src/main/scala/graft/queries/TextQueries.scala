@@ -533,9 +533,51 @@ object TextQueries {
       .orderBy("lang", "split")
   }
 
+  /** Exact corpus heavy hitters (tokens covering > 1% of all token
+    * occurrences) via the two-pass sketch-verify plan: pass 1 folds the
+    * whole stream into ONE [[graft.functions.MisraGriesAgg]] sketch
+    * (≤ 256 counters per partial, merged map-side — the only shuffle is
+    * k-entry sketches, one per partition) plus the exact total count;
+    * pass 2 exact-counts ONLY the ≤ 256 candidates (an `isin` filter the
+    * scan evaluates before any shuffle) and applies the threshold. The
+    * MG guarantee (any item with freq > n/257 is in the sketch, for any
+    * row order or partition layout) makes the final set EXACT for the 1%
+    * threshold, so the oracle is the plain groupBy-HAVING — which at
+    * 100 TB would shuffle the entire vocabulary; the sketch plan shuffles
+    * ≤ 256 rows per partition plus the candidate counts.
+    */
+  val q94HeavyHitters: QuerySpec = QuerySpec.oracled(
+    "q94_heavy_hitters",
+    s"""WITH tok AS (
+       |  SELECT unnest($toksSql) AS tok FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tok)
+       |SELECT tok, count(*) AS cnt
+       |FROM tok, tot
+       |GROUP BY tok, n
+       |HAVING count(*) * 100 > n
+       |ORDER BY cnt DESC, tok""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorExpressions.register(spark)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextStats.tokensCol("text")).as("tok"))
+    // pass 1: one row out — the driver holds a ≤256-entry sketch, the
+    // broadcast-sized artifact this pattern is built around
+    val sketch = toks.agg(
+      count(lit(1)).as("n"),
+      expr("graft_misra_gries(tok, 256)").as("cand")).head()
+    val n = sketch.getLong(0)
+    val cand = sketch.getSeq[String](1)
+    // pass 2: exact counts for candidates only; threshold is exact
+    toks.filter(col("tok").isin(cand: _*))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 > n)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
-      q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign)
+      q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
+      q94HeavyHitters)
 }
