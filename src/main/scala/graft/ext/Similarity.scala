@@ -391,4 +391,47 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_sim"))
   }
+
+  /** Semantic deduplication (SemDeDup-shaped): vectors are coarse-clustered
+    * to their nearest centroid (the IVF home cell), and WITHIN each cluster
+    * a vector is dropped when a lower-id member sits above the cosine
+    * threshold — the deterministic min-id survivor rule, replayable in any
+    * engine. Returns every vector with its cluster and a `kept` flag.
+    *
+    * Cluster-scoping is what makes this the scale path: candidate pairs
+    * are one equi-self-join on the cell id (one shuffle to co-partition by
+    * cell; cross-cluster pairs are never formed), so the pair count is
+    * Σ|cell|² instead of n² — and at 100 TB you raise `numCentroids` so
+    * cells stay bounded (the published SemDeDup recipe: k ≈ n/10⁴). The
+    * deliberate approximation vs full near-dup ([[cosineNearDupPairsBucketed]])
+    * is that near-identical vectors straddling a centroid boundary are
+    * missed — the accepted trade for never touching cross-cluster pairs.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCentroids: Int = 16,
+      dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    graft.functions.HyperplaneExpressions.register(corpus.sparkSession)
+    val c = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).as("v"),
+      selfNormFast(vecCol).as("n"),
+      expr(s"element_at(graft_ivf_cells(`$vecCol`, $numCentroids, $dim, 1), 1)")
+        .as("cell"))
+    val a = c.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("n").as("n_a"), col("cell"))
+    val b = c.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("n").as("n_b"), col("cell").as("cell_b"))
+    val dropped = a.join(b,
+        col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .filter(dotFast("v_a", "v_b") / (col("n_a") * col("n_b")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    c.join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+  }
 }

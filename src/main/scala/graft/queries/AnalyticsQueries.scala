@@ -260,7 +260,65 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** One PageRank iteration as DuckDB CTEs: incoming mass from the
+    * previous rank table, then the damped rebase — integer ops only, the
+    * exact mirror of [[graft.ext.PageRank.ranks]]'s loop body.
+    */
+  private def prIterSql(i: Int): String =
+    s"""inc$i AS (
+       |  SELECT e.t AS node, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS s
+       |  FROM e JOIN r${i - 1} p ON e.f = p.node JOIN outw o ON e.f = o.f
+       |  GROUP BY e.t),
+       |r$i AS (
+       |  SELECT n.node,
+       |    (1000000000000 * 3 // 20) // nn.n
+       |      + CAST((17 * coalesce(i.s, 0)) // 20 AS BIGINT) AS r
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN inc$i i ON n.node = i.node)"""
+      .stripMargin
+
+  /** Weighted PageRank (3 iterations, damping 17/20) over the event-type
+    * transition graph — [[graft.ext.PageRank]]'s exact integer fixed-point
+    * formulation, which is what lets an iterative float-free rank be
+    * hash-adjudicated at all: BIGINT micro-unit ranks, `div` edge
+    * contributions, exact integer sums. The oracle unrolls the three
+    * iterations as CTE pairs. Per iteration the plan is the canonical two
+    * shuffles (ranks⋈edges on src, mass aggregate on dst); at 100 TB the
+    * edge table partitions once and is reused every round.
+    */
+  val q98PageRank: QuerySpec = QuerySpec.oracled(
+    "q98_pagerank",
+    s"""WITH seq AS (
+       |  SELECT event_type AS f0,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ns(ts), event_id) AS t0
+       |  FROM events),
+       |e AS (
+       |  SELECT f0 AS f, t0 AS t, count(*) AS w FROM seq
+       |  WHERE t0 IS NOT NULL GROUP BY 1, 2),
+       |outw AS (SELECT f, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY f),
+       |nodes AS (SELECT f AS node FROM e UNION SELECT t FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000000 // nn.n AS r
+       |       FROM nodes CROSS JOIN nn),
+       |${prIterSql(1)},
+       |${prIterSql(2)},
+       |${prIterSql(3)}
+       |SELECT node AS event_type, r AS rank_micro FROM r3
+       |ORDER BY rank_micro DESC, event_type""".stripMargin) { (spark, dir) =>
+    val userWin = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = CoreQueries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(userWin))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+    graft.ext.PageRank.ranks(edges, "src", "dst", "w", iterations = 3)
+      .select(col("node").as("event_type"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("event_type"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
-      q78SaltedDistinct, q80VarianceExact, q83GapFill)
+      q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank)
 }

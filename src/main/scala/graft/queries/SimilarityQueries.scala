@@ -350,8 +350,40 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Semantic dedup ([[graft.ext.Similarity.semanticDedup]]): coarse
+    * k-means-cell clustering (the IVF home cell), then the min-id survivor
+    * rule within each cluster at cosine ≥ 0.4 — SemDeDup's shape, with
+    * every decision deterministic so the oracle replays assignment, pair
+    * filter, and survivorship exactly. Candidate pairs are cluster-scoped
+    * equi-joins (Σ|cell|², never n²); the accepted approximation is that
+    * boundary-straddling near-dups are missed — q41 is the exhaustive
+    * variant when recall must be total.
+    */
+  val q97SemanticDedup: QuerySpec = QuerySpec.oracled(
+    "q97_semantic_dedup",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell
+       |  FROM nv),
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id AS vec_id
+       |  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    >= 0.4)
+       |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+       |FROM cv c LEFT JOIN drp d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin) { (spark, dir) =>
+    Similarity.semanticDedup(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", threshold = 0.4,
+      numCentroids = NumCentroids, dim = Dim)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
-      q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd)
+      q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
+      q97SemanticDedup)
 }
