@@ -155,7 +155,9 @@ object VectorExpressions {
     // the public DataFrameStatFunctions.bloomFilter API
     "graft_bloom_might_contain" -> (exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1))))
+        exprs(0), exprs(1))),
+    "graft_nfc" -> (exprs => NfcNormalizeExpr(exprs.head)),
+    "graft_strip_accents" -> (exprs => StripAccentsExpr(exprs.head)))
 
   /** Idempotently register the native expressions in the session's
     * function registry (no-op — and no re-registration warning — when a

@@ -31,6 +31,26 @@ object EventQueries {
       staged.toString
     }
 
+  /** Start and drain a (memory-sink, AvailableNow) stream with
+    * `spark.sql.shuffle.partitions` temporarily lowered to 8. Stateful
+    * operators commit one state-store delta PER state partition PER
+    * micro-batch, so a small backlog drained over a few micro-batches
+    * pays partitions × batches × stores in fixed commit cost no matter
+    * how little data flows — at 32 partitions that overhead dominated the
+    * stream-stream joins' bench time (q89: 8.0 s, mostly store commits).
+    * State-partition count is pinned per query at START time (it lives in
+    * the checkpoint), which is why the conf is scoped here and restored:
+    * a production deployment sizes it to keyspace × state volume instead,
+    * and batch queries in the same session keep the session default.
+    */
+  private def drainScoped(spark: org.apache.spark.sql.SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try start.awaitTermination() finally spark.conf.set(key, prev)
+  }
+
   /** Stage the q38 two-file stream: events (with µs timestamps) plus a
     * far-future sentinel file that advances the watermark so every real
     * session closes. Memoized per sf dir.
@@ -260,13 +280,12 @@ object EventQueries {
 
     spark.streams.active
       .filter(_.name == "q30_mem").foreach(_.stop())
-    val q = stream.writeStream
+    drainScoped(spark)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q30_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
 
     spark.table("q30_mem")
       .select(
@@ -316,13 +335,12 @@ object EventQueries {
     val sessions = SessionWindows.sessionWindowStream(stream)
 
     spark.streams.active.filter(_.name == "q38_mem").foreach(_.stop())
-    val q = sessions.writeStream
+    drainScoped(spark)(sessions.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q38_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
 
     spark.table("q38_mem")
       .filter(col("user_id") >= 0)
@@ -361,13 +379,12 @@ object EventQueries {
       .groupBy(window(col("ts_ts"), "6 hours", "3 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     spark.streams.active.filter(_.name == "q50_mem").foreach(_.stop())
-    val q = stream.writeStream
+    drainScoped(spark)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q50_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     spark.table("q50_mem")
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
@@ -398,13 +415,12 @@ object EventQueries {
       .select(md5(col("text")).as("content_key"))
       .dropDuplicates("content_key")
     spark.streams.active.filter(_.name == "q43_mem").foreach(_.stop())
-    val q = distinctKeys.writeStream
+    drainScoped(spark)(distinctKeys.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q43_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     spark.table("q43_mem").orderBy("content_key")
   }.withSetup((s, d) => { stageQ43(s, d); () })
 
@@ -436,13 +452,12 @@ object EventQueries {
       .dropDuplicatesWithinWatermark("content_key")
       .select("content_key")
     spark.streams.active.filter(_.name == "q54_mem").foreach(_.stop())
-    val q = distinctKeys.writeStream
+    drainScoped(spark)(distinctKeys.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q54_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     spark.table("q54_mem").orderBy("content_key")
   }.withSetup((s, d) => { stageQ43(s, d); () })
 
@@ -540,13 +555,12 @@ object EventQueries {
         col("c_ts") > col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
     spark.streams.active.filter(_.name == "q77_mem").foreach(_.stop())
-    val q = joined.writeStream
+    drainScoped(spark)(joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q77_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     spark.table("q77_mem")
       .select(col("v_user").as("user_id"),
         col("v_id").as("view_id"), col("c_id").as("click_id"),
@@ -591,13 +605,12 @@ object EventQueries {
       .groupBy(window(col("ts_ts"), "6 hours"), col("category"))
       .agg(count(lit(1)).as("n"))
     spark.streams.active.filter(_.name == "q84_mem").foreach(_.stop())
-    val q = stream.writeStream
+    drainScoped(spark)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q84_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     spark.table("q84_mem")
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("category"), col("n"))
@@ -689,13 +702,12 @@ object EventQueries {
           col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
         "left_outer")
       spark.streams.active.filter(_.name == "q89_mem").foreach(_.stop())
-      val q = joined.writeStream
+      drainScoped(spark)(joined.writeStream
         .outputMode("append")
         .format("memory")
         .queryName("q89_mem")
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .start())
       spark.table("q89_mem")
         .filter(col("v_user") >= 0)
         .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
@@ -730,15 +742,14 @@ object EventQueries {
         expr("ts div 1000").as("tus"))
       .as[graft.streaming.StreamingFunnel.FunnelEvent]
     spark.streams.active.filter(_.name == "q70_mem").foreach(_.stop())
-    val q = graft.streaming.StreamingFunnel.funnelStages(ev)
+    drainScoped(spark)(graft.streaming.StreamingFunnel.funnelStages(ev)
       .toDF("user_id", "funnel_stage")
       .writeStream
       .outputMode("update")
       .format("memory")
       .queryName("q70_mem")
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start())
     spark.table("q70_mem")
       .groupBy("user_id")
       .agg(max("funnel_stage").as("funnel_stage"))

@@ -574,10 +574,57 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Unicode normalization ([[graft.functions.NfcNormalizeExpr]] /
+    * [[graft.functions.StripAccentsExpr]]): text with combining sequences
+    * (e+U+0301, u+U+0308, n+U+0303 — planted around each customer name,
+    * since the TPC-H corpus is pure ASCII) is NFC-composed and accent-
+    * stripped. Both are standard Unicode algorithms, so DuckDB's
+    * utf8proc `nfc_normalize`/`strip_accents` reproduce the bytes
+    * exactly — the len_raw→len_norm drop (3 per row) adjudicates that
+    * composition really happened. Narrow per-row codegen'd projection:
+    * zero shuffles, and the ASCII fast path skips the String round-trip
+    * on the (at corpus scale, dominant) pure-ASCII rows.
+    */
+  /** The planted decoration, in explicitly DECOMPOSED form (base letter
+    * + combining mark as separate code points -- composed source literals
+    * would make the NFC check vacuous): Cafe+U+0301, u+U+0308, strasse
+    * with U+00DF (no decomposition, must pass through), n+U+0303. Built
+    * from escapes so no editor/tool can silently NFC the source file.
+    */
+  private val rawPrefix = "Cafe\u0301 "
+  private val rawSuffix = " u\u0308ber stra\u00dfe n\u0303"
+
+  val q99Normalize: QuerySpec = QuerySpec.oracled(
+    "q99_normalize",
+    s"""WITH r AS (
+       |  SELECT c_custkey,
+       |    '$rawPrefix' || c_name || '$rawSuffix'
+       |      AS raw
+       |  FROM customer WHERE c_custkey % 10 = 0)
+       |SELECT c_custkey, length(raw) AS len_raw,
+       |  nfc_normalize(raw) AS norm,
+       |  length(nfc_normalize(raw)) AS len_norm,
+       |  strip_accents(nfc_normalize(raw)) AS stripped
+       |FROM r ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorExpressions.register(spark)
+    spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        concat(lit(rawPrefix), col("c_name"),
+          lit(rawSuffix)).as("raw"))
+      .select(col("c_custkey"),
+        length(col("raw")).cast("long").as("len_raw"),
+        expr("graft_nfc(raw)").as("norm"))
+      .select(col("c_custkey"), col("len_raw"), col("norm"),
+        length(col("norm")).cast("long").as("len_norm"),
+        expr("graft_strip_accents(norm)").as("stripped"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
-      q94HeavyHitters)
+      q94HeavyHitters, q99Normalize)
 }
