@@ -42,21 +42,32 @@ object PageRank {
       col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(wCol).cast("long").as("__w"))
     val outw = e.groupBy("__src").agg(sum("__w").as("__out"))
-    val ew = e.join(outw, "__src")
+    // computed once, read every iteration — persist, or iteration i
+    // re-executes the whole edge derivation i times
+    val ew = e.join(outw, "__src").persist()
     val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
+      .union(e.select(col("__dst").as("node"))).distinct().persist()
     val n = nodes.count()
     val base = (total * 3L / 20L) / n
     var r = nodes.withColumn("r", lit(total / n))
-    for (_ <- 1 to iterations) {
-      val inc = ew.join(r, col("__src") === col("node"))
-        .select(col("__dst"),
-          expr("(r * __w) div __out").as("__c"))
-        .groupBy("__dst").agg(sum("__c").as("__s"))
-      r = nodes.join(inc, col("node") === col("__dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(17 * coalesce(__s, 0L)) div 20")).as("r"))
+    try {
+      for (_ <- 1 to iterations) {
+        val inc = ew.join(r, col("__src") === col("node"))
+          .select(col("__dst"),
+            expr("(r * __w) div __out").as("__c"))
+          .groupBy("__dst").agg(sum("__c").as("__s"))
+        r = nodes.join(inc, col("node") === col("__dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(17 * coalesce(__s, 0L)) div 20")).as("r"))
+          // truncate lineage per round (the Clusters discipline): without
+          // it iteration i's plan embeds iterations 1..i-1 and the DAG —
+          // and any recompute — grows superlinearly with the round count
+          .localCheckpoint()
+      }
+      r.select(col("node"), col("r").as("rank_micro"))
+    } finally {
+      ew.unpersist()
+      nodes.unpersist()
     }
-    r.select(col("node"), col("r").as("rank_micro"))
   }
 }
