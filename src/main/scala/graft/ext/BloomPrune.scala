@@ -35,11 +35,16 @@ object BloomPrune {
       dimKey: String,
       fpp: Double = 0.01): DataFrame = {
     graft.functions.VectorExpressions.register(fact.sparkSession)
-    // upper bound for sizing; the dim side is the small side by contract
-    val nKeys = math.max(dim.count(), 1L)
-    val bf = dim.stat.bloomFilter(dimKey, nKeys, fpp)
+    // the sizing count and the sketch aggregate both scan the dim
+    // pipeline — persist so it computes once, not twice
+    val d = dim.persist()
     val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    try {
+      // upper bound for sizing; the dim side is the small side by contract
+      val nKeys = math.max(d.count(), 1L)
+      val bf = d.stat.bloomFilter(dimKey, nKeys, fpp)
+      bf.writeTo(bos)
+    } finally d.unpersist()
     fact.filter(call_function("graft_bloom_might_contain",
       lit(bos.toByteArray), col(factKey).cast("long")))
   }

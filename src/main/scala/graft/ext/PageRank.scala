@@ -48,13 +48,22 @@ object PageRank {
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().persist()
     val n = nodes.count()
+    if (n == 0) {
+      ew.unpersist(); nodes.unpersist()
+      return nodes.select(col("node"), lit(0L).as("rank_micro"))
+    }
     val base = (total * 3L / 20L) / n
     var r = nodes.withColumn("r", lit(total / n))
     try {
       for (_ <- 1 to iterations) {
+        // identical value to `(r * __w) div __out` (write r = q·out + s:
+        // (r·w) div out = q·w + (s·w) div out) but never forms the r·w
+        // product, which overflows Long once rank ~ total meets an edge
+        // weight over ~2^63/total — reachable event counts at corpus scale
         val inc = ew.join(r, col("__src") === col("node"))
           .select(col("__dst"),
-            expr("(r * __w) div __out").as("__c"))
+            expr("(r div __out) * __w + ((r % __out) * __w) div __out")
+              .as("__c"))
           .groupBy("__dst").agg(sum("__c").as("__s"))
         r = nodes.join(inc, col("node") === col("__dst"), "left")
           .select(col("node"),

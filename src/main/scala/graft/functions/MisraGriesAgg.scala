@@ -96,12 +96,17 @@ case class MisraGriesAgg(
     new GenericArrayData(
       buf.keys.toArray.sorted.map(UTF8String.fromString(_)))
 
+  // length-prefixed raw UTF-8, NOT writeUTF: writeUTF caps one string at
+  // 64 KB and a single giant whitespace-free token (base64 blob, minified
+  // JS) would crash the buffer exchange instead of sketching
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (item, c) =>
-      out.writeUTF(item)
+      val b = item.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
       out.writeLong(c)
     }
     out.flush()
@@ -114,8 +119,9 @@ case class MisraGriesAgg(
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
     while (i < n) {
-      val item = in.readUTF()
-      buf.update(item, in.readLong())
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
       i += 1
     }
     buf

@@ -574,6 +574,15 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** The planted decoration, in explicitly DECOMPOSED form (base letter
+    * + combining mark as separate code points -- composed source literals
+    * would make the NFC check vacuous): Cafe+U+0301, u+U+0308, strasse
+    * with U+00DF (no decomposition, must pass through), n+U+0303. Built
+    * from escapes so no editor/tool can silently NFC the source file.
+    */
+  private val rawPrefix = "Cafe\u0301 "
+  private val rawSuffix = " u\u0308ber stra\u00dfe n\u0303"
+
   /** Unicode normalization ([[graft.functions.NfcNormalizeExpr]] /
     * [[graft.functions.StripAccentsExpr]]): text with combining sequences
     * (e+U+0301, u+U+0308, n+U+0303 — planted around each customer name,
@@ -585,15 +594,6 @@ object TextQueries {
     * zero shuffles, and the ASCII fast path skips the String round-trip
     * on the (at corpus scale, dominant) pure-ASCII rows.
     */
-  /** The planted decoration, in explicitly DECOMPOSED form (base letter
-    * + combining mark as separate code points -- composed source literals
-    * would make the NFC check vacuous): Cafe+U+0301, u+U+0308, strasse
-    * with U+00DF (no decomposition, must pass through), n+U+0303. Built
-    * from escapes so no editor/tool can silently NFC the source file.
-    */
-  private val rawPrefix = "Cafe\u0301 "
-  private val rawSuffix = " u\u0308ber stra\u00dfe n\u0303"
-
   val q99Normalize: QuerySpec = QuerySpec.oracled(
     "q99_normalize",
     s"""WITH r AS (

@@ -48,6 +48,18 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(r("b") > r("c"))
   }
 
+  test("huge edge weights do not overflow the contribution product") {
+    // naive (r * w) div out with r = T/2 = 5e11 and w = out = 2e9 forms
+    // 1e21 — past Long; the split form q·w + (s·w) div out stays exact
+    val w = 2000000000L
+    val r = run(Seq(("a", "b", w), ("b", "a", w)), iters = 2)
+    assert(r == Map("a" -> Total / 2, "b" -> Total / 2))
+  }
+
+  test("empty edge set returns an empty result, not a crash") {
+    assert(run(Seq.empty, iters = 3).isEmpty)
+  }
+
   test("ranks are bit-identical under any partitioning") {
     val edges = (0 until 50).flatMap { i =>
       Seq((s"n${i % 10}", s"n${(i * 3) % 10}", (i % 4) + 1L),
