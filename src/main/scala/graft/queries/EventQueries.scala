@@ -717,12 +717,98 @@ object EventQueries {
           coalesce(col("click_id"), lit(-1L)))
   }.withSetup((s, d) => { stageQ89(s, d); () })
 
+  private val q100Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q100 two-batch change stream: file 00 = the base customer
+    * state, file 01 = deterministic updates (%7 keys renamed) plus
+    * inserts (%97 keys offset by 1M). 00's mtime is backdated so the
+    * file source (oldest-first with maxFilesPerTrigger=1) folds base
+    * before updates. Memoized per sf dir.
+    */
+  def stageQ100(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q100Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q100_chg", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val base = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      base.coalesce(1).write.parquet(s"$staged/00")
+      base.filter(col("k") % 7 === 0)
+        .select(col("k"), concat(col("name"), lit("-v2")).as("name"))
+        .unionByName(base.filter(col("k") % 97 === 0)
+          .select((col("k") + 1000000).as("k"),
+            concat(lit("NewCust#"), (col("k") + 1000000).cast("string"))
+              .as("name")))
+        .coalesce(1).write.parquet(s"$staged/01")
+      def flatten(sub: String, name: String): Unit = {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
+        ()
+      }
+      flatten("00", "00.parquet"); flatten("01", "01.parquet")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$staged/00.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000))
+      staged.toString
+    }
+
+  /** Incremental snapshot maintenance as a stream
+    * ([[graft.streaming.StreamingSnapshot]]): the keep-last-by-PK upsert
+    * folded over micro-batches via `foreachBatch` — base state in batch 1,
+    * renames + inserts in batch 2, exactly-once per batch from the
+    * checkpointed batch id, torn-write-proof from the batch operator's
+    * temp+rename. The oracle is the associativity claim itself: folding
+    * per batch ≡ ONE batch-priority keep-last over everything, which is
+    * plain SQL. Snapshot and checkpoint are wiped per invocation so every
+    * run re-folds from scratch (the staged source files are memoized).
+    */
+  val q100StreamingSnapshot: QuerySpec = QuerySpec.oracled(
+    "q100_streaming_snapshot",
+    """WITH upd AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    'NewCust#' || CAST(c_custkey + 1000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |unioned AS (
+      |  SELECT c_custkey AS k, c_name AS name, 0 AS seq FROM customer
+      |  UNION ALL SELECT k, name, 1 FROM upd),
+      |last AS (
+      |  SELECT k, name,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM unioned)
+      |SELECT k, name FROM last WHERE rn = 1 ORDER BY k""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.SnapshotOptions
+      val staged = stageQ100(spark, dir)
+      val runDir = new java.io.File(
+        QuerySpec.stagedPath("q100_state", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(runDir)
+      runDir.mkdirs()
+      val schema = spark.read.parquet(s"$staged/00.parquet").schema
+      val src = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+      drainScoped(spark)(graft.streaming.StreamingSnapshot.start(
+        spark, src, "customer_state", runDir.toString,
+        SnapshotOptions(pk = Seq("k")), s"$runDir/ckpt"))
+      spark.read.parquet(s"$runDir/customer_state.snapshot.parquet")
+        .orderBy("k")
+  }.withSetup((s, d) => { stageQ100(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
-      q89StreamLeftOuter)
+      q89StreamLeftOuter, q100StreamingSnapshot)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
