@@ -64,4 +64,68 @@ object Skew {
       .groupBy(col("__key"))
       .agg(sum(col("__partial")).as("n_distinct"))
   }
+
+  /** Detect the join keys whose row count exceeds `threshold`, EXACTLY,
+    * with bounded memory: one [[graft.functions.MisraGriesAgg]] sketch
+    * pass (≤ `k` counters per partial, k-bounded shuffle — never a
+    * groupBy over the full key space) yields ≤ k candidates, then one
+    * exact count of the candidates only. Sound whenever
+    * threshold > rows/(k+1) — the MG superset guarantee; at 100 TB this
+    * is how you find the 3 hot keys without shuffling a billion cold
+    * ones. Keys return stringified (the sketch's domain); membership
+    * tests compare on `cast(key as string)`, which is injective for the
+    * integral/string keys a join uses.
+    */
+  def heavyKeys(
+      df: DataFrame,
+      key: Column,
+      threshold: Long,
+      k: Int = 256): Seq[String] = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val keyed = df.select(key.cast("string").as("__key"))
+    val cand = keyed
+      .agg(expr(s"graft_misra_gries(__key, $k)").as("cand"))
+      .head().getSeq[String](0)
+    if (cand.isEmpty) return Seq.empty
+    keyed.filter(col("__key").isin(cand: _*))
+      .groupBy("__key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > threshold)
+      .select("__key").collect().map(_.getString(0)).toSeq
+  }
+
+  /** [[saltedJoin]] applied ONLY to a detected hot-key set: hot left rows
+    * salt over `s` tasks and hot right rows replicate s×, while cold keys
+    * join exactly as a plain shuffle join (salt 0, single copy). This is
+    * the production form — blanket salting replicates the ENTIRE right
+    * side s×, but skew is by definition concentrated, so paying
+    * replication only on the hot keys makes the overhead O(hot matches)
+    * instead of O(|right|·s). Row-identical to the plain join for any
+    * hot-set choice (each pair still meets in exactly one salt group) —
+    * detection quality affects only performance, never the result, which
+    * is what lets the oracle adjudicate the plain join.
+    */
+  def adaptiveSaltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      saltFrom: Column,
+      s: Int,
+      hotKeys: Seq[String]): DataFrame = {
+    require(s >= 1, "salt fan-out must be >= 1")
+    if (hotKeys.isEmpty) {
+      return left.join(right, leftKey === rightKey)
+    }
+    val salted = left.withColumn("__salt",
+      when(leftKey.cast("string").isin(hotKeys: _*),
+        pmod(xxhash64(saltFrom), lit(s))).otherwise(lit(0L)))
+    val replicated = right.withColumn("__salt",
+      explode(when(rightKey.cast("string").isin(hotKeys: _*),
+        sequence(lit(0L), lit((s - 1).toLong)))
+        .otherwise(array(lit(0L)))))
+    salted
+      .join(replicated,
+        leftKey === rightKey && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -333,7 +333,47 @@ object EtlQueries {
       .orderBy("p_partkey", "metric")
   }
 
+  /** Incremental aggregate maintenance ([[graft.ext.Incremental]]): the
+    * standing per-priority order summary is maintained as two PARTIAL
+    * states (history < 1997, delta ≥ 1997) merged by state algebra —
+    * counts and integer-cent sums add, date extremes take min/max — and
+    * the oracle recomputes from scratch over everything, adjudicating
+    * that merge ≡ recompute. Exactness rides the determinism rule: sums
+    * carry BIGINT cents (a double sum re-merged under a different
+    * grouping drifts). At 100 TB the delta batch aggregates only itself
+    * and the merge shuffles |keys| × batches rows, not history.
+    */
+  val q102IncrementalAgg: QuerySpec = QuerySpec.oracled(
+    "q102_incremental_agg",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.TimestampType
+    val orders = t(spark, dir, "orders")
+    val cut = lit("1997-01-01").cast(TimestampType)
+    def state(part: org.apache.spark.sql.DataFrame) = part
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        min(col("o_orderdate")).as("first_ts"),
+        max(col("o_orderdate")).as("last_ts"))
+    graft.ext.Incremental.mergeStates(
+        Seq(state(orders.filter(col("o_orderdate") < cut)),
+          state(orders.filter(col("o_orderdate") >= cut))),
+        keys = Seq("o_orderpriority"),
+        sumCols = Seq("n_orders", "cents"),
+        minCols = Seq("first_ts"), maxCols = Seq("last_ts"))
+      .select(col("o_orderpriority"), col("n_orders"), col("cents"),
+        date_format(col("first_ts"), "yyyy-MM-dd").as("first_day"),
+        date_format(col("last_ts"), "yyyy-MM-dd").as("last_day"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
-      q91TableDiff, q93TableProfile, q95Unpivot)
+      q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg)
 }

@@ -277,7 +277,54 @@ object RelationalQueries {
         .orderBy("l_returnflag")
   }
 
+  /** Adaptive (hot-key-only) salted join: the q79 pattern in its
+    * production form. Skew is PLANTED (2% of lineitem rows collapse onto
+    * key 0 — a hot key two orders of magnitude above the rest);
+    * [[graft.ext.Skew.heavyKeys]] detects it with the Misra–Gries sketch
+    * + exact verify (k-bounded shuffle, never a full-keyspace groupBy),
+    * and [[graft.ext.Skew.adaptiveSaltedJoin]] salts ONLY that key —
+    * cold keys pay nothing, vs blanket salting's |right|×s replication.
+    * Detection affects performance only, never rows (any hot set gives
+    * the identical join), so the oracle adjudicates the plain join.
+    */
+  val q101AdaptiveSkewJoin: QuerySpec = QuerySpec.oracled(
+    "q101_adaptive_skew_join",
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 50 = 0 THEN 0 ELSE l_orderkey END
+      |      AS fkey,
+      |    l_returnflag
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT CASE WHEN o_orderkey % 50 = 0 THEN 0 ELSE o_orderkey END
+      |      AS dkey,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(n_orders) AS BIGINT) AS weight_sum
+      |FROM f JOIN d ON fkey = dkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (spark, dir) =>
+      val hotCase = (k: org.apache.spark.sql.Column) =>
+        when(k % 50 === 0, 0L).otherwise(k)
+      val f = t(spark, dir, "lineitem")
+        .select(hotCase(col("l_orderkey")).as("fkey"), col("l_returnflag"),
+          col("l_orderkey"), col("l_linenumber"))
+      val d = t(spark, dir, "orders")
+        .select(hotCase(col("o_orderkey")).as("dkey"))
+        .groupBy("dkey").agg(count(lit(1)).as("n_orders"))
+      val n = f.count() // parquet metadata count
+      val hot = graft.ext.Skew.heavyKeys(f, col("fkey"), threshold = n / 100)
+      graft.ext.Skew.adaptiveSaltedJoin(
+          f, d, col("fkey"), col("dkey"),
+          saltFrom = concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+          s = 8, hotKeys = hot)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("n_orders")).as("weight_sum"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
-      q90IntervalJoin, q96BloomJoin)
+      q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin)
 }
