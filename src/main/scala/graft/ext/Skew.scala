@@ -65,31 +65,39 @@ object Skew {
       .agg(sum(col("__partial")).as("n_distinct"))
   }
 
-  /** Detect the join keys whose row count exceeds `threshold`, EXACTLY,
-    * with bounded memory: one [[graft.functions.MisraGriesAgg]] sketch
-    * pass (≤ `k` counters per partial, k-bounded shuffle — never a
-    * groupBy over the full key space) yields ≤ k candidates, then one
-    * exact count of the candidates only. Sound whenever
-    * threshold > rows/(k+1) — the MG superset guarantee; at 100 TB this
-    * is how you find the 3 hot keys without shuffling a billion cold
-    * ones. Keys return stringified (the sketch's domain); membership
-    * tests compare on `cast(key as string)`, which is injective for the
-    * integral/string keys a join uses.
+  /** Detect the join keys holding more than `minShare` of all rows,
+    * EXACTLY, with bounded memory: one [[graft.functions.MisraGriesAgg]]
+    * sketch pass (≤ `k` counters per partial, k-bounded shuffle — never a
+    * groupBy over the full key space; the total row count rides the same
+    * aggregate for free) yields ≤ k candidates, then one exact count of
+    * the candidates only. The MG superset guarantee covers shares above
+    * 1/(k+1), so that soundness precondition is ENFORCED — a threshold
+    * below it would silently miss true heavy keys. At 100 TB this is how
+    * you find the 3 hot keys without shuffling a billion cold ones. Keys
+    * return stringified (the sketch's domain); membership tests compare
+    * on `cast(key as string)`, injective for the integral/string keys a
+    * join uses.
     */
   def heavyKeys(
       df: DataFrame,
       key: Column,
-      threshold: Long,
+      minShare: Double,
       k: Int = 256): Seq[String] = {
+    require(minShare * (k + 1) > 1.0,
+      s"heavyKeys: minShare=$minShare is below the k=$k sketch's " +
+        s"guarantee 1/(k+1) — raise k or the share")
     graft.functions.VectorExpressions.register(df.sparkSession)
     val keyed = df.select(key.cast("string").as("__key"))
-    val cand = keyed
-      .agg(expr(s"graft_misra_gries(__key, $k)").as("cand"))
-      .head().getSeq[String](0)
+    val head = keyed
+      .agg(count(lit(1)).as("n"),
+        expr(s"graft_misra_gries(__key, $k)").as("cand"))
+      .head()
+    val n = head.getLong(0)
+    val cand = head.getSeq[String](1)
     if (cand.isEmpty) return Seq.empty
     keyed.filter(col("__key").isin(cand: _*))
       .groupBy("__key").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > threshold)
+      .filter(col("__n") > lit(n) * minShare)
       .select("__key").collect().map(_.getString(0)).toSeq
   }
 

@@ -51,6 +51,35 @@ object EventQueries {
     try start.awaitTermination() finally spark.conf.set(key, prev)
   }
 
+  /** Collapse the part-directory `staged/sub` (a coalesce(1) write) into
+    * the single file `staged/name` — the two-file stream stagers need
+    * flat, name-ordered files, not part directories. Shared by
+    * stageQ38/stageQ89/stageQ100.
+    */
+  private def flattenPart(spark: org.apache.spark.sql.SparkSession,
+      staged: String, sub: String, name: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file under $staged/$sub — empty staging write?"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
+    ()
+  }
+
+  /** Backdate `path` by 60 s so the oldest-first file source (with
+    * maxFilesPerTrigger=1) drains it before its sibling.
+    */
+  private def backdate(path: String): Unit = {
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    ()
+  }
+
   /** Stage the q38 two-file stream: events (with µs timestamps) plus a
     * far-future sentinel file that advances the watermark so every real
     * session closes. Memoized per sf dir.
@@ -75,21 +104,9 @@ object EventQueries {
         s"SELECT -1L AS user_id, -1L AS event_id, " +
           s"timestamp_micros(${maxTs + 864000000000L}L) AS ts_ts")
         .coalesce(1).write.parquet(s"$staged/01")
-      def flatten(sub: String, name: String): Unit = {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
-          .map(_.getPath).find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
-        ()
-      }
-      flatten("00", "00.parquet"); flatten("01", "01.parquet")
-      // older mtime on 00 so maxFilesPerTrigger=1 processes it first
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$staged/00.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60000))
+      flattenPart(spark, staged.toString, "00", "00.parquet")
+      flattenPart(spark, staged.toString, "01", "01.parquet")
+      backdate(s"$staged/00.parquet")
       staged.toString
     }
 
@@ -643,20 +660,9 @@ object EventQueries {
            |  timestamp_micros(${farFuture}L) AS ts_ts
            |FROM VALUES ('view'), ('click') AS t(type)""".stripMargin)
         .coalesce(1).write.parquet(s"$staged/01")
-      def flatten(sub: String, name: String): Unit = {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
-          .map(_.getPath).find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
-        ()
-      }
-      flatten("00", "00.parquet"); flatten("01", "01.parquet")
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$staged/00.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60000))
+      flattenPart(spark, staged.toString, "00", "00.parquet")
+      flattenPart(spark, staged.toString, "01", "01.parquet")
+      backdate(s"$staged/00.parquet")
       staged.toString
     }
 
@@ -721,7 +727,7 @@ object EventQueries {
 
   /** Stage the q100 two-batch change stream: file 00 = the base customer
     * state, file 01 = deterministic updates (%7 keys renamed) plus
-    * inserts (%97 keys offset by 1M). 00's mtime is backdated so the
+    * inserts (%97 keys offset by 1e9 — past any supported sf's key range, so an insert key can never collide with a renamed base key). 00's mtime is backdated so the
     * file source (oldest-first with maxFilesPerTrigger=1) folds base
     * before updates. Memoized per sf dir.
     */
@@ -736,24 +742,13 @@ object EventQueries {
       base.filter(col("k") % 7 === 0)
         .select(col("k"), concat(col("name"), lit("-v2")).as("name"))
         .unionByName(base.filter(col("k") % 97 === 0)
-          .select((col("k") + 1000000).as("k"),
-            concat(lit("NewCust#"), (col("k") + 1000000).cast("string"))
+          .select((col("k") + 1000000000L).as("k"),
+            concat(lit("NewCust#"), (col("k") + 1000000000L).cast("string"))
               .as("name")))
         .coalesce(1).write.parquet(s"$staged/01")
-      def flatten(sub: String, name: String): Unit = {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
-          .map(_.getPath).find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
-        ()
-      }
-      flatten("00", "00.parquet"); flatten("01", "01.parquet")
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$staged/00.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 60000))
+      flattenPart(spark, staged.toString, "00", "00.parquet")
+      flattenPart(spark, staged.toString, "01", "01.parquet")
+      backdate(s"$staged/00.parquet")
       staged.toString
     }
 
@@ -773,8 +768,8 @@ object EventQueries {
       |  SELECT c_custkey AS k, c_name || '-v2' AS name
       |  FROM customer WHERE c_custkey % 7 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 1000000,
-      |    'NewCust#' || CAST(c_custkey + 1000000 AS VARCHAR)
+      |  SELECT c_custkey + 1000000000,
+      |    'NewCust#' || CAST(c_custkey + 1000000000 AS VARCHAR)
       |  FROM customer WHERE c_custkey % 97 = 0),
       |unioned AS (
       |  SELECT c_custkey AS k, c_name AS name, 0 AS seq FROM customer

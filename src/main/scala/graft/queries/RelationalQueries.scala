@@ -312,8 +312,7 @@ object RelationalQueries {
       val d = t(spark, dir, "orders")
         .select(hotCase(col("o_orderkey")).as("dkey"))
         .groupBy("dkey").agg(count(lit(1)).as("n_orders"))
-      val n = f.count() // parquet metadata count
-      val hot = graft.ext.Skew.heavyKeys(f, col("fkey"), threshold = n / 100)
+      val hot = graft.ext.Skew.heavyKeys(f, col("fkey"), minShare = 0.01)
       graft.ext.Skew.adaptiveSaltedJoin(
           f, d, col("fkey"), col("dkey"),
           saltFrom = concat_ws("#", col("l_orderkey"), col("l_linenumber")),

@@ -16,18 +16,26 @@ class AdaptiveSkewSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("heavyKeys finds exactly the planted hot keys, any partitioning") {
+    // 1200 rows: hot1 = 41.7%, hot2 = 25%, every cold key < 0.1%
     val rows = (Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2") ++
       (0 until 400).map(i => s"cold$i")).map(Tuple1(_))
     for (parts <- Seq(1, 7)) {
       val df = rows.toDF("k").repartition(parts)
-      val got = Skew.heavyKeys(df, col("k"), threshold = 100).toSet
+      val got = Skew.heavyKeys(df, col("k"), minShare = 0.1).toSet
       assert(got == Set("hot1", "hot2"))
     }
   }
 
   test("heavyKeys on uniform data returns nothing") {
     val df = (0 until 300).map(i => Tuple1(s"k$i")).toDF("k")
-    assert(Skew.heavyKeys(df, col("k"), threshold = 5).isEmpty)
+    assert(Skew.heavyKeys(df, col("k"), minShare = 0.02).isEmpty)
+  }
+
+  test("heavyKeys rejects shares below the sketch guarantee") {
+    val df = Seq(Tuple1("a")).toDF("k")
+    intercept[IllegalArgumentException] {
+      Skew.heavyKeys(df, col("k"), minShare = 0.001, k = 256)
+    }
   }
 
   test("adaptive join is row-identical to the plain join for any hot set") {
