@@ -166,6 +166,104 @@ object ReaderQueries {
       .orderBy("l_returnflag")
   }.withSetup((s, d) => { stageQ82(s, d); () })
 
+  /** CSV sink round trip — S7/S12 gate-adjudicated (the sinks were
+    * spec-only goldens before this): customer exports through the REAL
+    * Export dispatcher (RFC-4180, header, single-file parity mode) and is
+    * read back with the original schema; the oracle aggregates the
+    * parquet original, so row/hash equality proves the write→read loop
+    * lossless. Doubles survive because Spark writes shortest-round-trip
+    * decimal text; the aggregate still leaves as integer cents per the
+    * determinism rule. The export itself is timed — this row measures the
+    * sink, not just the read.
+    */
+  val q103CsvRoundtrip: QuerySpec = QuerySpec.oracled(
+    "q103_csv_roundtrip",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents,
+      |  min(c_name) AS first_name, max(c_name) AS last_name
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Export, ExportOptions}
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+    val out = QuerySpec.stagedPath("q103_csv_out", dir)
+    Export.toExport(src, "customer_rt", out,
+      ExportOptions(exportFormat = Some("csv")))
+    spark.read.schema(src.schema).option("header", "true")
+      .option("escape", "\"")
+      .csv(s"$out/customer_rt.csv")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum("c_custkey").as("key_sum"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+        min("c_name").as("first_name"), max("c_name").as("last_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** JSONL sink round trip — S9 gate-adjudicated, same contract as q103:
+    * export through the dispatcher's line-JSON path, read back with the
+    * original schema, aggregate against the parquet original.
+    */
+  val q104JsonlRoundtrip: QuerySpec = QuerySpec.oracled(
+    "q104_jsonl_roundtrip",
+    """SELECT c_nationkey, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Export, ExportOptions}
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+    val out = QuerySpec.stagedPath("q104_jsonl_out", dir)
+    Export.toExport(src, "customer_rt", out,
+      ExportOptions(exportFormat = Some("jsonl")))
+    spark.read.schema(src.schema).json(s"$out/customer_rt.jsonl")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum("c_custkey").as("key_sum"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Singer sink round trip — S11 gate-adjudicated end-to-end: customer
+    * exports through the real Singer emission (SCHEMA, RECORD×n, STATE
+    * message stream), the `data.singer` file is read back as text,
+    * RECORD messages parse through `from_json` against the original
+    * schema, and the aggregate must equal the parquet original. The out
+    * dir is wiped per invocation because the Singer sink APPENDS by
+    * contract (reference parity) — a stale file would double rows.
+    */
+  val q105SingerRoundtrip: QuerySpec = QuerySpec.oracled(
+    "q105_singer_roundtrip",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents,
+      |  max(c_name) AS last_name
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Export, ExportOptions}
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+    val out = QuerySpec.stagedPath("q105_singer_out", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Export.toExport(src, "customer_rt", out,
+      ExportOptions(exportFormat = Some("singer"),
+        keys = Seq("c_custkey")))
+    val msgSchema = new StructType()
+      .add("type", StringType).add("record", src.schema)
+    spark.read.text(s"$out/data.singer")
+      .select(from_json(col("value"), msgSchema).as("m"))
+      .filter(col("m.type") === "RECORD")
+      .select("m.record.*")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+        max("c_name").as("last_name"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc)
+    Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
+      q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip)
 }
