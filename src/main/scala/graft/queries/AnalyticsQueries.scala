@@ -318,7 +318,51 @@ object AnalyticsQueries {
       .orderBy(col("rank_micro").desc, col("event_type"))
   }
 
+  /** Exponentially time-decayed event counts (half-life = 1 day,
+    * trending/recency scoring): the decay factor 2^-age is a POWER OF
+    * TWO, so the whole metric stays in exact integer arithmetic — each
+    * day bucket contributes `count << (30 - age)` (a 2^30-scaled weight),
+    * sums are exact BIGINT adds, order-independent, hash-adjudicable.
+    * The generic e^-λt form would sum engine-rounded doubles in
+    * partition order and could never pass the gate bit-for-bit (the q98
+    * lesson applied to decay). Ages beyond 30 days contribute 0 —
+    * identically in both engines — which is also the production
+    * truncation (2^-30 of a count is noise). One grouped count + one
+    * broadcast scalar max; shuffles carry (type, day) rows only.
+    */
+  val q107TimeDecay: QuerySpec = QuerySpec.oracled(
+    "q107_time_decay",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 1000) // 86400000000 AS day
+      |  FROM events),
+      |mx AS (SELECT max(day) AS m FROM e),
+      |d AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN m - day <= 30
+      |    THEN c * (CAST(1 AS BIGINT) << CAST(30 - (m - day) AS INT))
+      |    ELSE 0 END) AS BIGINT) AS decayed_x2p30,
+      |  CAST(sum(c) AS BIGINT) AS total
+      |FROM d CROSS JOIN mx
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (spark, dir) =>
+      val e = CoreQueries.events(spark, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      d.crossJoin(broadcast(e.agg(max("day").as("m"))))
+        .withColumn("age", col("m") - col("day"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("age") <= 30,
+            expr("c * shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+            .otherwise(0L)).as("decayed_x2p30"),
+          sum("c").as("total"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
-      q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank)
+      q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
+      q107TimeDecay)
 }

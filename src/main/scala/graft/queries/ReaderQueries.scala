@@ -263,7 +263,39 @@ object ReaderQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** JSON array sink round trip — S8 gate-adjudicated, completing the
+    * sink family (q103 CSV, q104 JSONL, q105 Singer): the pretty-printed
+    * single-file JS array (the reference's `JSON.stringify(…, null, 2)`
+    * byte format) reads back through Spark's multiLine JSON source and
+    * must aggregate-match the original. nation keeps the file small —
+    * this sink is the reference-parity path, explicitly NOT the scale
+    * sink (the array streams through the driver by design; ExportSpec
+    * pins the bytes, this row pins the values).
+    */
+  val q106JsonArrayRoundtrip: QuerySpec = QuerySpec.oracled(
+    "q106_json_array_roundtrip",
+    """SELECT n_regionkey, count(*) AS n,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+      |  max(n_name) AS last_name
+      |FROM nation GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Export, ExportOptions}
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val out = QuerySpec.stagedPath("q106_json_out", dir)
+    Export.toExport(src, "nation_rt", out,
+      ExportOptions(exportFormat = Some("json")))
+    spark.read.schema(src.schema).option("multiLine", "true")
+      .json(s"$out/nation_rt.json")
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        sum("n_nationkey").as("key_sum"),
+        max("n_name").as("last_name"))
+      .orderBy("n_regionkey")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
-      q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip)
+      q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
+      q106JsonArrayRoundtrip)
 }
