@@ -373,7 +373,56 @@ object EtlQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** The reference's CORE operator — the batch snapshot merge pipeline
+    * (M3: read snapshot, keep-last upsert by PK, temp-write + atomic
+    * rename, re-read) — gate-adjudicated end-to-end: two successive
+    * `snapshotRecords` folds (base state, then deterministic renames +
+    * inserts) run inside the timed body against a per-run-wiped state
+    * dir, and the final snapshot READ BACK FROM DISK must equal one
+    * batch-priority keep-last in SQL. q100 adjudicates the same fold
+    * driven by Structured Streaming; this row pins the batch form the
+    * reference actually ships.
+    */
+  val q108SnapshotFold: QuerySpec = QuerySpec.oracled(
+    "q108_snapshot_fold",
+    """WITH upd AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewSnap#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |unioned AS (
+      |  SELECT c_custkey AS k, c_name AS name, 0 AS seq FROM customer
+      |  UNION ALL SELECT k, name, 1 FROM upd),
+      |last AS (
+      |  SELECT k, name,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM unioned)
+      |SELECT k, name FROM last WHERE rn = 1 ORDER BY k""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.{Snapshot, SnapshotOptions}
+      val base = t(spark, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      val upd = base.filter(col("k") % 5 === 0)
+        .select(col("k"), concat(col("name"), lit("-v2")).as("name"))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 1000000000L).as("k"),
+            concat(lit("NewSnap#"), (col("k") + 1000000000L).cast("string"))
+              .as("name")))
+      val stateDir = graft.queries.QuerySpec.stagedPath("q108_state", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(stateDir))
+      new java.io.File(stateDir).mkdirs()
+      val opts = SnapshotOptions(pk = Seq("k"))
+      Snapshot.snapshotRecords(spark, Some(base), "cust", stateDir, opts)
+      Snapshot.snapshotRecords(spark, Some(upd), "cust", stateDir, opts)
+        .get // the post-merge re-read from the renamed file
+        .orderBy("k")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
-      q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg)
+      q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
+      q108SnapshotFold)
 }
