@@ -188,10 +188,12 @@ object ReaderQueries {
     import graft.operators.{Export, ExportOptions}
     val src = spark.read.parquet(s"$dir/customer.parquet")
     val out = QuerySpec.stagedPath("q103_csv_out", dir)
+    // hermetic conf: the dispatcher's env hooks (unified names, prefix
+    // templating, catalog mode) must not rewire a gate query's file name
     Export.toExport(src, "customer_rt", out,
-      ExportOptions(exportFormat = Some("csv")))
-    spark.read.schema(src.schema).option("header", "true")
-      .option("escape", "\"")
+      ExportOptions(exportFormat = Some("csv")),
+      conf = graft.conf.GluestickConf(Map.empty))
+    spark.read.schema(src.schema).options(Export.csvWriteOptions)
       .csv(s"$out/customer_rt.csv")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
@@ -217,7 +219,8 @@ object ReaderQueries {
     val src = spark.read.parquet(s"$dir/customer.parquet")
     val out = QuerySpec.stagedPath("q104_jsonl_out", dir)
     Export.toExport(src, "customer_rt", out,
-      ExportOptions(exportFormat = Some("jsonl")))
+      ExportOptions(exportFormat = Some("jsonl")),
+      conf = graft.conf.GluestickConf(Map.empty))
     spark.read.schema(src.schema).json(s"$out/customer_rt.jsonl")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n"),
@@ -249,7 +252,8 @@ object ReaderQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     Export.toExport(src, "customer_rt", out,
       ExportOptions(exportFormat = Some("singer"),
-        keys = Seq("c_custkey")))
+        keys = Seq("c_custkey")),
+      conf = graft.conf.GluestickConf(Map.empty))
     val msgSchema = new StructType()
       .add("type", StringType).add("record", src.schema)
     spark.read.text(s"$out/data.singer")
@@ -284,7 +288,8 @@ object ReaderQueries {
       .select("n_nationkey", "n_name", "n_regionkey")
     val out = QuerySpec.stagedPath("q106_json_out", dir)
     Export.toExport(src, "nation_rt", out,
-      ExportOptions(exportFormat = Some("json")))
+      ExportOptions(exportFormat = Some("json")),
+      conf = graft.conf.GluestickConf(Map.empty))
     spark.read.schema(src.schema).option("multiLine", "true")
       .json(s"$out/nation_rt.json")
       .groupBy("n_regionkey")
