@@ -361,8 +361,42 @@ object AnalyticsQueries {
         .orderBy("event_type")
   }
 
+  /** Rolling 7-day distinct users per day (the WAU family): exact sliding
+    * DISTINCT cannot ride a window frame (`count(DISTINCT) OVER` is
+    * unsupported — duplicate users straddling frame boundaries break
+    * incremental state), so the plan dedups to (day, user) once and joins
+    * the small day spine against it on the 7-day range — the spine is
+    * tens-of-rows and broadcasts, so the big side shuffles once for the
+    * dedup and once for the per-day count, both keyed. Each (day, user)
+    * row fans out to ≤ 7 spine days; at 100 TB that bounded fan-out of
+    * ids-only rows is the price of exactness (the approximate path is
+    * q56's HLL sketches, which merge across window partials).
+    */
+  val q109RollingDistinct: QuerySpec = QuerySpec.oracled(
+    "q109_rolling_distinct",
+    """WITH du AS (
+      |  SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |    user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du)
+      |SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |FROM days d JOIN du u
+      |  ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day ORDER BY d.day""".stripMargin) { (spark, dir) =>
+    val du = CoreQueries.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    du.join(broadcast(days),
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct("user_id").as("wau"))
+      .orderBy("day")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
-      q107TimeDecay)
+      q107TimeDecay, q109RollingDistinct)
 }
