@@ -395,8 +395,120 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Exact simple linear regression (value vs hour-of-day) per event type —
+    * q80's moment discipline extended to two variables: the five moments
+    * (n, Σx, Σy, Σx², Σxy) accumulate as integers (products through
+    * DECIMAL(38,0), so no ANSI overflow), then slope/intercept are an
+    * explicit IEEE expression tree over the exact moments — both engines
+    * run the same correctly-rounded op sequence on identical integers, so
+    * the doubles are bit-identical. Moments are trivially mergeable: this
+    * is the map-side-combine form of regression at 100 TB (one shuffle of
+    * 5 longs per group), where `regr_slope`'s float accumulation would be
+    * partial-order-dependent.
+    */
+  val q112RegressionExact: QuerySpec = QuerySpec.oracled(
+    "q112_regression_exact",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n, sx, sy, sxx, sxy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents,
+      |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+      |FROM m ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val m = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(((ts div 1000) div 3600000000) % 24 AS BIGINT)").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("long")
+          .as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("long")
+          .as("sxy"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+    m.withColumn("slope_cents", slope)
+      .withColumn("intercept_cents",
+        (col("sy").cast("double") - slope * col("sx").cast("double")) / nD)
+      .orderBy("event_type")
+  }
+
+  /** Interval union (gaps-and-islands): each event projects a 5-minute
+    * activity interval [ts, ts+300s); per user, overlapping-or-adjacent
+    * intervals merge into islands and the query reports exact covered
+    * microseconds — the dwell/uptime primitive. One shuffle on user_id;
+    * both windows (running max-end and running break-sum) share the same
+    * sort, so Catalyst runs them in a single Window node. Island state is
+    * O(1) per row — no interval list ever materializes, which is what
+    * makes the sweep safe for users with millions of events.
+    */
+  val q114IntervalUnion: QuerySpec = QuerySpec.oracled(
+    "q114_interval_union",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS t
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, s, t,
+      |    max(t) OVER (PARTITION BY user_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, s, t,
+      |    CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END
+      |      AS brk
+      |  FROM w),
+      |g AS (
+      |  SELECT user_id, s, t,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY s
+      |      ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM f),
+      |i AS (
+      |  SELECT user_id, isl, max(t) - min(s) AS len
+      |  FROM g GROUP BY user_id, isl)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(len) AS BIGINT) AS covered_us
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("s")
+    CoreQueries.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("s"),
+        expr("ts div 1000 + 300000000").as("t"))
+      .withColumn("prev_end",
+        max(col("t")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("s") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "isl")
+      .agg((max(col("t")) - min(col("s"))).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
-      q107TimeDecay, q109RollingDistinct)
+      q107TimeDecay, q109RollingDistinct, q112RegressionExact,
+      q114IntervalUnion)
 }

@@ -640,8 +640,71 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** GROUPING SETS (the general form of rollup/cube, q05/q33): three
+    * explicit grouping sets in ONE pass — Catalyst expands them via a
+    * single Expand node feeding one partial-aggregated shuffle, so adding
+    * a set costs a row-multiplier, never a rescan. `grouping_id` keys which
+    * set a row belongs to; both engines bit-order it left-to-right over the
+    * listed columns (reference has no grouping sets — relational substrate,
+    * SURVEY §2.6).
+    */
+  val q110GroupingSets: QuerySpec = QuerySpec.oracled(
+    "q110_grouping_sets",
+    """SELECT
+      |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  coalesce(l_returnflag, '*') AS rflag,
+      |  coalesce(l_linestatus, '*') AS lstatus,
+      |  count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_linestatus), ())
+      |ORDER BY gid, rflag, lstatus""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("*")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("*")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
+  /** Window distribution functions (percent_rank / cume_dist) — the last
+    * window family q36's frames and q04's rank don't cover. The ORDER BY
+    * key is made unique (price, then key) so rank has no peer groups and
+    * both fractions are ratios of identical integers; the single division
+    * is correctly rounded identically in both engines (q68's discipline).
+    * One shuffle on the partition key; per-partition state is a sort.
+    */
+  val q111WindowDistribution: QuerySpec = QuerySpec.oracled(
+    "q111_window_distribution",
+    """SELECT o_orderkey, o_orderpriority,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q39Pivot,
+    q39Pivot, q110GroupingSets, q111WindowDistribution,
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
