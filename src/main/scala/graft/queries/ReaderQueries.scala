@@ -299,8 +299,56 @@ object ReaderQueries {
       .orderBy("n_regionkey")
   }
 
+  private val q113Staging = new QuerySpec.StagingCache[String]
+
+  /** Hive-partitioned copy of `events` keyed by UTC epoch-day — the layout
+    * a date-scoped 100 TB table lives in. Memoized per sf dir; Bench
+    * stages it untimed through the setup hook.
+    */
+  def stageQ113(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q113Staging.getOrStage(dir) {
+      val path = QuerySpec.stagedPath("q113_part_events", dir)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("day_idx",
+          expr("CAST((ts div 1000) div 86400000000 AS INT)"))
+        .repartition(col("day_idx")) // one file per day dir, no small files
+        .write.mode("overwrite").partitionBy("day_idx").parquet(path)
+      path
+    }
+
+  /** Partition pruning over a date-partitioned layout: the day filter is a
+    * PARTITION filter, so the scan opens only the 3 matching day
+    * directories and never touches the rest of the table — at 100 TB the
+    * difference between reading ~10 TB/day × 3 and a full-table scan.
+    * PushdownSpec pins the plan shape (PartitionFilters present, exactly
+    * 3 partition dirs read); this row adjudicates the values. The oracle
+    * recomputes the same day index from raw timestamps.
+    */
+  val q113PartitionPrune: QuerySpec = QuerySpec.oracled(
+    "q113_partition_prune",
+    """WITH e AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+      |    event_type, value
+      |  FROM events)
+      |SELECT day_idx, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM e
+      |WHERE day_idx BETWEEN 19725 AND 19727
+      |GROUP BY day_idx, event_type
+      |ORDER BY day_idx, event_type""".stripMargin) { (spark, dir) =>
+    val staged = stageQ113(spark, dir)
+    spark.read.parquet(staged)
+      .filter(col("day_idx").between(19725, 19727))
+      .groupBy(col("day_idx").cast("long").as("day_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("day_idx", "event_type")
+  }.withSetup((s, d) => { stageQ113(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
-      q106JsonArrayRoundtrip)
+      q106JsonArrayRoundtrip, q113PartitionPrune)
 }

@@ -58,4 +58,19 @@ class PushdownSpec extends AnyFunSuite with SparkSpec {
     assert(scan.relation.location.inputFiles.length == 4)
     assert(scan.metrics("numFiles").value == 1)
   }
+
+  test("q113 day filter prunes to exactly the 3 matching day partitions") {
+    val df = graft.queries.ReaderQueries.q113PartitionPrune
+      .fn(spark, "/root/testdata/sf0.001")
+    val Seq(scan) = scans(df)
+    assert(scan.metadata("PartitionFilters").nonEmpty,
+      scan.metadata.toString)
+    // events spans 30 days; the BETWEEN keeps days 19725..19727 only
+    val dayDirs = scan.relation.location.inputFiles
+      .flatMap("day_idx=(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).distinct
+    assert(dayDirs.length >= 25, s"staging wrote ${dayDirs.length} days")
+    val touched = scan.metrics("numFiles").value
+    assert(touched == 3, s"scan touched $touched files, expected 3")
+  }
 }
