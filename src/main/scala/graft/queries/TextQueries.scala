@@ -621,10 +621,135 @@ object TextQueries {
       .orderBy("c_custkey")
   }
 
+  /** Token-budget selection: per language, greedily keep the largest
+    * documents (n_chars desc, doc_id tiebreak) until a fixed token budget
+    * is exhausted — the training-mix assembly step after capping (q73) and
+    * split assignment (q92). One shuffle on `lang`; the running-sum window
+    * holds a single counter per language. The budget test is on the
+    * PREFIX-INCLUSIVE sum, so a doc is kept iff it fits entirely — no
+    * fractional documents, same rule both engines.
+    */
+  val q115TokenBudget: QuerySpec = QuerySpec.oracled(
+    "q115_token_budget",
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    len(list_filter($toksSql, x -> x <> ''))::BIGINT AS n_toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+       |  FROM tk)
+       |SELECT lang, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+       |FROM w WHERE cum_toks <= 4000
+       |ORDER BY lang, doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(graft.ext.Dedup.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= 4000)
+      .select("lang", "doc_id", "n_toks", "cum_toks")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Boilerplate REMOVAL — the transform twin of q68's detection: segments
+    * appearing in ≥ 2 documents are dropped and each doc reports its kept
+    * segment count plus an order-preserving fingerprint of the surviving
+    * segments (md5 over the chunk-index-sorted kept hashes), which is what
+    * makes the rewrite adjudicable without shipping text. Same 100 TB
+    * shape as q68 — segment fan-out is shuffle-free, document frequencies
+    * are one partial-aggregated shuffle keyed by segment hash, and rows
+    * carry (hash, id, idx) scalars only; the per-doc reassembly state is
+    * the doc's own segment list, bounded by document length.
+    */
+  val q116StripBoilerplate: QuerySpec = QuerySpec.oracled(
+    "q116_strip_boilerplate",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    range(1, len(toks) + 1, 8) AS starts
+       |  FROM tk WHERE len(toks) > 0),
+       |sg AS (
+       |  SELECT doc_id, CAST((start - 1) // 8 AS INT) AS idx,
+       |    md5(array_to_string(
+       |      list_slice(toks, start, least(start + 7, n)), ' ')) AS seg
+       |  FROM (SELECT doc_id, toks, n, unnest(starts) AS start FROM st)),
+       |df AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM sg
+       |       GROUP BY seg),
+       |j AS (
+       |  SELECT sg.doc_id, sg.idx, sg.seg,
+       |    CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END AS k
+       |  FROM sg JOIN df USING (seg))
+       |SELECT doc_id,
+       |  count(*) AS n_segments,
+       |  CAST(sum(k) AS BIGINT) AS n_kept,
+       |  md5(coalesce(array_to_string(list_transform(
+       |    list_filter(list_sort(list(struct_pack(i := idx, k := k,
+       |      s := seg))), x -> x.k = 1), x -> x.s), ' '), '')) AS kept_md5
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val sg = TextStats.chunkTokens(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      chunkSize = 8, stride = 8)
+      .select(col("doc_id"), col("chunk_idx").as("i"),
+        col("chunk_md5").as("s"))
+    val dfreq = sg.groupBy("s")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    sg.join(dfreq, "s")
+      .withColumn("k", when(col("n_docs") === 1, 1).otherwise(0))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("k")).as("n_kept"),
+        sort_array(collect_list(struct(col("i"), col("k"), col("s"))))
+          .as("arr"))
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        expr("md5(array_join(transform(filter(arr, x -> x.k = 1)," +
+          " x -> x.s), ' '))").as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Global top-25 bigram frequencies — the n-gram table that seeds
+    * tokenizer/vocab work and repetition filters. Bigram fan-out is a
+    * zero-shuffle columnar transform over the token array (positions
+    * 1..n-1 zip their successor); the count is one partial-aggregated
+    * shuffle on the bigram string, and only 25 rows survive the
+    * total-ordered (count desc, bigram) limit, which Spark runs as
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  val q117TopNgrams: QuerySpec = QuerySpec.oracled(
+    "q117_top_ngrams",
+    s"""WITH tk AS (
+       |  SELECT list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+       |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+       |        FROM tk WHERE len(toks) >= 2))
+       |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+       |ORDER BY n DESC, bigram LIMIT 25""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.ext.Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(25)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
-      q94HeavyHitters, q99Normalize)
+      q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
+      q117TopNgrams)
 }
