@@ -798,12 +798,68 @@ object EventQueries {
         .orderBy("k")
   }.withSetup((s, d) => { stageQ100(s, d); () })
 
+  /** Streaming top-k: watermarked 6h-window counts maintained by the
+    * stream, ranked top-3 per window in a BATCH finishing step over the
+    * streamed aggregate — rank is not incrementally maintainable in
+    * append mode (a late row can reorder a whole window), and the
+    * finishing input is |windows|×|types| rows, trivially small relative
+    * to the raw stream no matter the scale. This split (incremental
+    * heavy agg, batch light finish) is the production shape for
+    * leaderboards over streams.
+    */
+  val q118StreamingTopk: QuerySpec = QuerySpec.oracled(
+    "q118_streaming_topk",
+    """WITH w AS (
+      |  SELECT
+      |    CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT) AS ws,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT ws, event_type, n,
+      |    row_number() OVER (PARTITION BY ws
+      |      ORDER BY n DESC, event_type) AS rk
+      |  FROM w)
+      |SELECT ws AS window_start_us, event_type, n,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3
+      |ORDER BY window_start_us, rk""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    spark.streams.active
+      .filter(_.name == "q118_mem").foreach(_.stop())
+    drainScoped(spark)(stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q118_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+
+    val w = Window.partitionBy("window_start_us")
+      .orderBy(col("n").desc, col("event_type"))
+    spark.table("q118_mem")
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("window_start_us", "rk")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
-      q89StreamLeftOuter, q100StreamingSnapshot)
+      q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
