@@ -347,8 +347,60 @@ object ReaderQueries {
       .orderBy("day_idx", "event_type")
   }.withSetup((s, d) => { stageQ113(s, d); () })
 
+  private val q119Staging = new QuerySpec.StagingCache[String]
+
+  /** Two parquet batches with DIFFERENT schemas in one dataset dir — the
+    * tap-evolved-its-schema scenario the reference's catalog merge
+    * (SURVEY §2.4) exists for: batch1 predates the `o_orderpriority` and
+    * `o_custkey` columns, batch2 carries them.
+    */
+  def stageQ119(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q119Staging.getOrStage(dir) {
+      val path = QuerySpec.stagedPath("q119_evolving", dir)
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      path
+    }
+
+  /** Schema evolution on read: `mergeSchema` unions the per-file schemas
+    * (old rows surface NULL for later-added columns) — Spark's native form
+    * of the reference's recursive catalog merge. Footer-only work: schema
+    * merging reads metadata, never data, so it costs O(files), not
+    * O(bytes), at 100 TB; the `batch` partition column adjudicates that
+    * rows kept their provenance. Oracle = explicit UNION with NULL fill.
+    */
+  val q119SchemaEvolution: QuerySpec = QuerySpec.oracled(
+    "q119_schema_evolution",
+    """WITH u AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS batch
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT CAST(batch AS BIGINT) AS batch,
+      |  coalesce(o_orderpriority, '<pre-schema>') AS priority,
+      |  count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val staged = stageQ119(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(staged)
+      .groupBy(col("batch").cast("long").as("batch"),
+        coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("batch", "priority")
+  }.withSetup((s, d) => { stageQ119(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
-      q106JsonArrayRoundtrip, q113PartitionPrune)
+      q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution)
 }

@@ -323,7 +323,40 @@ object RelationalQueries {
         .orderBy("l_returnflag")
   }
 
+  /** Global total-order rank of a fact table, decimated to every 100th
+    * row. The oracle is a bare `row_number() OVER (ORDER BY ...)` — whose
+    * literal Spark translation is the no-PARTITION-BY window that drags
+    * every row through ONE task. This query instead reuses q74's
+    * distributed-rank shape: `orderBy` (sampled RangePartitioning — each
+    * partition sorts a disjoint key range in parallel) + `zipWithIndex`
+    * (global offsets from per-partition counts, no collapse), then the
+    * `rank % 100` decimation filters map-side. Bit-identical to the
+    * single-partition window at any partition count; every stage stays
+    * parallel at 100 TB. The sort key is made unique (price, key) so rank
+    * and decimation are deterministic.
+    */
+  val q120GlobalSort: QuerySpec = QuerySpec.oracled(
+    "q120_global_sort",
+    """SELECT rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk % 100 = 0
+      |ORDER BY rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").cast(LongType), col("o_totalprice"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double)].rdd.zipWithIndex
+      .flatMap { case ((key, price), idx) =>
+        val rk = idx + 1
+        if (rk % 100 == 0) Some((rk, key, price)) else None
+      }
+      .toDF("rk", "o_orderkey", "o_totalprice")
+      .orderBy("rk")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
-      q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin)
+      q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort)
 }
