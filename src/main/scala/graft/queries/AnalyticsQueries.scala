@@ -488,21 +488,13 @@ object AnalyticsQueries {
       |SELECT user_id, count(*) AS n_islands,
       |  CAST(sum(len) AS BIGINT) AS covered_us
       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("s")
-    CoreQueries.events(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("s"),
-        expr("ts div 1000 + 300000000").as("t"))
-      .withColumn("prev_end",
-        max(col("t")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("prev_end").isNull || col("s") > col("prev_end"), 1)
-          .otherwise(0))
-      .withColumn("isl",
-        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("user_id", "isl")
-      .agg((max(col("t")) - min(col("s"))).as("len"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_us"))
+    graft.ext.Intervals.coverage(
+      CoreQueries.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("s"),
+          expr("ts div 1000 + 300000000").as("t")),
+      "user_id", "s", "t")
+      .select(col("user_id"), col("n_islands"),
+        col("covered").as("covered_us"))
       .orderBy("user_id")
   }
 
