@@ -421,8 +421,56 @@ object EtlQueries {
         .orderBy("k")
   }
 
+  /** k-anonymity release gate (k=50) over the (event_type, day) cohort
+    * grid: cohorts with ≥ 50 distinct users release their exact stats;
+    * smaller cohorts collapse into one `<suppressed>` bucket per event
+    * type, so aggregate totals stay auditable while no released row
+    * isolates fewer than k users — the privacy partner to q52's content
+    * redaction. Two aggregations, both partial-aggregated: the cohort
+    * grid (one shuffle on the pair key, countDistinct expands internally)
+    * then the tiny release rollup. `n_users_sum` over suppressed cohorts
+    * intentionally sums per-cohort distincts (a user active on two
+    * suppressed days counts twice) — the exact cross-day distinct is what
+    * the suppression exists to withhold.
+    */
+  val q121KAnonymity: QuerySpec = QuerySpec.oracled(
+    "q121_k_anonymity",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+      |    count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type,
+      |    CASE WHEN n_users >= 50 THEN CAST(day_idx AS VARCHAR)
+      |         ELSE '<suppressed>' END AS cohort,
+      |    n_rows, n_users
+      |  FROM c)
+      |SELECT event_type, cohort,
+      |  count(*) AS n_cohorts,
+      |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |  CAST(sum(n_users) AS BIGINT) AS n_users_sum
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.queries.{CoreQueries => CQ}
+    CQ.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day_idx"),
+        col("user_id"))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_id").as("n_users"))
+      .withColumn("cohort",
+        when(col("n_users") >= 50, col("day_idx").cast("string"))
+          .otherwise("<suppressed>"))
+      .groupBy("event_type", "cohort")
+      .agg(count(lit(1)).as("n_cohorts"),
+        sum("n_rows").as("n_rows"),
+        sum("n_users").as("n_users_sum"))
+      .orderBy("event_type", "cohort")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
-      q108SnapshotFold)
+      q108SnapshotFold, q121KAnonymity)
 }
