@@ -498,9 +498,54 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Daily-count anomaly gate: a (type, day) count is anomalous iff it
+    * sits more than 2 population-σ from its type's mean — decided ENTIRELY
+    * in integer arithmetic by cross-multiplying the definition:
+    * |c−μ| > 2σ  ⟺  (n·c−S)² > 4·(n·Sxx−S²), every term a BIGINT. No
+    * division, no sqrt, no float ever exists, so the flag is
+    * hash-adjudicable and layout-independent — a float z-score version
+    * could flip a boundary row per partial-agg order. One shuffle for the
+    * count grid, one tiny per-type window over ≤ |days| rows.
+    */
+  val q123AnomalyGate: QuerySpec = QuerySpec.oracled(
+    "q123_anomaly_gate",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, day_idx, cnt,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS s,
+      |    sum(cnt * cnt) OVER (PARTITION BY event_type) AS sxx
+      |  FROM c)
+      |SELECT event_type, day_idx, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(n * cnt - s AS BIGINT) AS dev_n,
+      |  (n * cnt - s) * (n * cnt - s) > 4 * (n * sxx - s * s)
+      |    AS is_anomaly
+      |FROM m ORDER BY event_type, day_idx""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("event_type")
+    CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("sxx", sum(col("cnt") * col("cnt")).over(w))
+      .select(col("event_type"), col("day_idx"), col("cnt"),
+        (col("n") * col("cnt") - col("s")).as("dev_n"),
+        ((col("n") * col("cnt") - col("s")) *
+          (col("n") * col("cnt") - col("s")) >
+          (col("n") * col("sxx") - col("s") * col("s")) * 4)
+          .as("is_anomaly"))
+      .orderBy("event_type", "day_idx")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
-      q114IntervalUnion)
+      q114IntervalUnion, q123AnomalyGate)
 }

@@ -75,6 +75,50 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
+  /** Binary-layer exact dedup: identical payload BYTES collapse to a
+    * min-id survivor, regardless of any metadata — the first pass every
+    * multimodal corpus runs (identical images re-crawled under different
+    * ids). The corpus has no exact byte duplicates at gate sf, so the
+    * fixture PLANTS them (q85's discipline): every %40th asset re-ingests
+    * under id+10000 — the same additive injection in both engines, so the
+    * dup groups are adjudicated nonzero. Digests compute map-side in the
+    * scan stage, so the one shuffle carries (16-byte digest, id, length)
+    * rows, never payloads — at 100 TB of media that is the entire design:
+    * bytes stay where they were read. Reports only groups with copies
+    * plus the bytes reclaimed by keeping one survivor each.
+    */
+  val q122MultimodalDedup: QuerySpec = QuerySpec.oracled(
+    "q122_multimodal_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 40 = 0),
+      |h AS (
+      |  SELECT doc_id AS asset_id, md5(text) AS payload_md5,
+      |    octet_length(encode(text))::BIGINT AS n_bytes
+      |  FROM d)
+      |SELECT payload_md5, count(*) AS n_copies,
+      |  min(asset_id) AS survivor_id,
+      |  CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS bytes_reclaimed
+      |FROM h GROUP BY payload_md5 HAVING count(*) >= 2
+      |ORDER BY payload_md5""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val assets = Multimodal.assetsFromText(withDups, "doc_id", "text")
+    assets.toDF()
+      .select(col("asset_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("payload_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        min("asset_id").as("survivor_id"),
+        ((count(lit(1)) - 1) * min(col("n_bytes"))).as("bytes_reclaimed"))
+      .filter(col("n_copies") >= 2)
+      .orderBy("payload_md5")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta)
+    Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
+      q122MultimodalDedup)
 }
