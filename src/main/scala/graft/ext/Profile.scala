@@ -46,4 +46,34 @@ object Profile {
         s"stack(${cols.size}, $stackArgs) AS (col, n_null, n_distinct, min_s, max_s)")
       .orderBy("col")
   }
+
+  /** The scale variant: same single-scan profile but distincts come from
+    * `approx_count_distinct` (HLL++, rsd-bounded) ALONGSIDE the exact
+    * count. q93's exact multi-distinct Expand multiplies scan output rows
+    * by #cols before the shuffle — the standard ANALYZE trade, but at
+    * 100 TB the HLL sketches (one fixed-size buffer per column per
+    * partition, no Expand) are what a user actually runs; the exact
+    * column exists to make the error claim adjudicable (q56's pattern).
+    * Returns (col, n_null, n_distinct, n_distinct_approx, min_s, max_s).
+    */
+  def tableWithApprox(df: DataFrame, cols: Seq[ProfileCol],
+      rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(c.source)).as(s"${c.name}__nn"),
+        countDistinct(c.source).as(s"${c.name}__nd"),
+        approx_count_distinct(c.source, rsd).as(s"${c.name}__na"),
+        c.fmt(min(c.source)).as(s"${c.name}__mn"),
+        c.fmt(max(c.source)).as(s"${c.name}__mx"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'${c.name}', `${c.name}__nn`, `${c.name}__nd`, `${c.name}__na`, " +
+        s"`${c.name}__mn`, `${c.name}__mx`"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col, n_null, n_distinct, n_distinct_approx, min_s, max_s)")
+      .orderBy("col")
+  }
 }

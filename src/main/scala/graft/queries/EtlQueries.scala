@@ -469,8 +469,50 @@ object EtlQueries {
       .orderBy("event_type", "cohort")
   }
 
+  /** q93's profile at the shape a 100 TB table actually runs:
+    * `approx_count_distinct` (HLL++ — one fixed-size sketch per column
+    * per partition, NO multi-distinct Expand) beside the exact count,
+    * with the 5% error claim adjudicated as a boolean (q56's pattern:
+    * the oracle states TRUE, Spark must earn it). Exact null counts and
+    * min/max hash-match as usual; the exact distinct column exists only
+    * to make the claim checkable — the production operator is the sketch.
+    */
+  val q125ProfileApprox: QuerySpec = QuerySpec.oracled(
+    "q125_profile_approx",
+    """SELECT 'o_custkey' AS col,
+      |  count(*) - count(o_custkey) AS n_null,
+      |  count(DISTINCT o_custkey) AS n_distinct,
+      |  TRUE AS approx_within_5pct,
+      |  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+      |  CAST(max(o_custkey) AS VARCHAR) AS max_s
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderkey', count(*) - count(o_orderkey),
+      |  count(DISTINCT o_orderkey), TRUE,
+      |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*) - count(o_totalprice),
+      |  count(DISTINCT o_totalprice), TRUE,
+      |  CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+      |  CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+      |FROM orders
+      |ORDER BY col""".stripMargin) { (spark, dir) =>
+    import graft.ext.Profile.ProfileCol
+    graft.ext.Profile.tableWithApprox(t(spark, dir, "orders"), Seq(
+      ProfileCol("o_custkey", col("o_custkey")),
+      ProfileCol("o_orderkey", col("o_orderkey")),
+      ProfileCol("o_totalprice", col("o_totalprice"),
+        c => round(c * 100).cast("long").cast("string"))))
+      .select(col("col"), col("n_null"), col("n_distinct"),
+        (abs(col("n_distinct_approx") - col("n_distinct")) <=
+          col("n_distinct") * 0.05).as("approx_within_5pct"),
+        col("min_s"), col("max_s"))
+      .orderBy("col")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
-      q108SnapshotFold, q121KAnonymity)
+      q108SnapshotFold, q121KAnonymity, q125ProfileApprox)
 }

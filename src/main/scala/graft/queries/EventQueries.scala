@@ -854,12 +854,100 @@ object EventQueries {
       .orderBy("window_start_us", "rk")
   }.withSetup((s, d) => { stageQ30(s, d); () })
 
+  private val q124Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q124 two-file stream: (event_type, ts_ts) rows plus a
+    * far-future sentinel file that advances the watermark so every real
+    * window closes through BOTH stateful operators. Memoized per sf dir.
+    */
+  def stageQ124(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q124Staging.getOrStage(dir) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staged = new java.io.File(
+        QuerySpec.stagedPath("q124_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val base = CoreQueries.events(spark, dir)
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ts_ts"))
+      base.coalesce(1).write.parquet(s"$staged/00")
+      val maxTs = spark.read.parquet(s"$staged/00")
+        .agg(max(unix_micros(col("ts_ts")))).head().getLong(0)
+      // sentinel 10 days later pushes the watermark past every real window
+      base.sparkSession.sql(
+        s"SELECT '~sentinel' AS event_type, " +
+          s"timestamp_micros(${maxTs + 864000000000L}L) AS ts_ts")
+        .coalesce(1).write.parquet(s"$staged/01")
+      flattenPart(spark, staged.toString, "00", "00.parquet")
+      flattenPart(spark, staged.toString, "01", "01.parquet")
+      backdate(s"$staged/00.parquet")
+      staged.toString
+    }
+
+  /** CHAINED stateful streaming aggregation (Spark's multiple-stateful-
+    * operator support): hourly counts maintained incrementally, then a
+    * second watermarked aggregation rolls closed hourly windows into 6h
+    * summaries via `window_time` — the two-tier rollup (fine-grain state,
+    * coarse-grain emit) that at 100 TB/day keeps first-tier state at one
+    * counter per (hour, type) while the second tier sees only 1-row-per-
+    * hour inputs, not raw events. Append mode end to end: tier-2 input is
+    * tier-1's FINAL closed windows, so late data is resolved once, in
+    * tier 1. The far-future sentinel closes every real window through
+    * both tiers; its own windows never emit (the watermark never passes
+    * them) and the filter drops it defensively anyway.
+    */
+  val q124ChainedWindows: QuerySpec = QuerySpec.oracled(
+    "q124_chained_windows",
+    """WITH h AS (
+      |  SELECT
+      |    CAST(epoch_us(ts) - epoch_us(ts) % 3600000000 AS BIGINT) AS hs,
+      |    event_type, count(*) AS n_hour
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(hs - hs % 21600000000 AS BIGINT) AS window_start_us,
+      |  event_type,
+      |  CAST(sum(n_hour) AS BIGINT) AS n_total,
+      |  CAST(max(n_hour) AS BIGINT) AS max_hour,
+      |  count(*) AS n_hours
+      |FROM h GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ124(spark, dir)
+    val schema = spark.read.parquet(s"$staged/00.parquet").schema
+    val tiered = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_hour"))
+      .groupBy(window(window_time(col("window")), "6 hours"),
+        col("event_type"))
+      .agg(sum("n_hour").as("n_total"), max("n_hour").as("max_hour"),
+        count(lit(1)).as("n_hours"))
+
+    spark.streams.active
+      .filter(_.name == "q124_mem").foreach(_.stop())
+    drainScoped(spark)(tiered.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("q124_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+
+    spark.table("q124_mem")
+      .filter(col("event_type") =!= "~sentinel")
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_total"), col("max_hour"), col("n_hours"))
+      .orderBy("window_start_us", "event_type")
+  }.withSetup((s, d) => { stageQ124(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
-      q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk)
+      q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
+      q124ChainedWindows)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
