@@ -150,6 +150,8 @@ object VectorExpressions {
       litInt(exprs(1), "graft_shingle_hashes", "k"))),
     "graft_misra_gries" -> (exprs => MisraGriesAgg(exprs.head,
       litInt(exprs(1), "graft_misra_gries", "k"))),
+    "graft_top_k" -> (exprs => TopKAgg(exprs(0), exprs(1),
+      litInt(exprs(2), "graft_top_k", "k"))),
     // Spark's own codegen'd probe expression, re-exposed so a library
     // user (and [[graft.ext.BloomPrune]]) can probe a sketch built with
     // the public DataFrameStatFunctions.bloomFilter API

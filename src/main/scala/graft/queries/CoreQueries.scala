@@ -703,8 +703,45 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Top-k per group via the k-bounded native aggregate
+    * ([[graft.functions.TopKAgg]]) — the scale form of q04's window rank:
+    * each partial holds ≤ k pairs and partials merge by keeping the best
+    * k, so the shuffle carries k rows per group per partition instead of
+    * every row of every group (at 100 TB the window form's shuffle is
+    * the whole table). Deterministic total order (cents desc, id asc)
+    * makes the result layout-independent; TopKAggSpec pins parity with
+    * the window formulation across partitionings, and the oracle IS the
+    * window formulation.
+    */
+  val q126TopkAggregate: QuerySpec = QuerySpec.oracled(
+    "q126_topk_aggregate",
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents DESC, event_id) AS rk
+      |  FROM c)
+      |SELECT event_type, CAST(rk AS BIGINT) AS rk, cents, event_id
+      |FROM r WHERE rk <= 3
+      |ORDER BY event_type, rk""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorExpressions.register(spark)
+    events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+      .groupBy("event_type")
+      .agg(expr("graft_top_k(cents, event_id, 3)").as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).as("rk"),
+        col("col.rank_val").as("cents"), col("col.id").as("event_id"))
+      .orderBy("event_type", "rk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q39Pivot, q110GroupingSets, q111WindowDistribution,
+    q39Pivot, q110GroupingSets, q111WindowDistribution, q126TopkAggregate,
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,
