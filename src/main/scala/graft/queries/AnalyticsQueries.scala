@@ -543,9 +543,57 @@ object AnalyticsQueries {
       .orderBy("event_type", "day_idx")
   }
 
+  /** Winsorized (robust) mean: per-type p01/p99 cent boundaries — rounded
+    * to INTEGERS the moment they leave the percentile aggregate — then
+    * every value clamps into [lo, hi] and the clamped INTEGER sum divides
+    * once. Rounding the boundaries first is what keeps the whole thing
+    * hash-adjudicable: a float clamp would sum interpolated doubles in
+    * partition order. Two passes over the column (exact percentiles need
+    * the sorted group; the boundary row set is |types|, broadcast back),
+    * which is the exact-robust-stats trade; the approx path swaps pass 1
+    * for `approx_percentile` with the same clamp.
+    */
+  val q127Winsorize: QuerySpec = QuerySpec.oracled(
+    "q127_winsorize",
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CAST(round(quantile_cont(cents, 0.01), 0) AS BIGINT) AS lo,
+      |    CAST(round(quantile_cont(cents, 0.99), 0) AS BIGINT) AS hi
+      |  FROM c GROUP BY event_type)
+      |SELECT c.event_type, b.lo, b.hi, count(*) AS n,
+      |  CAST(sum(CASE WHEN cents < lo THEN lo
+      |                WHEN cents > hi THEN hi ELSE cents END) AS BIGINT)
+      |    AS wsum_cents,
+      |  CAST(sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clamped
+      |FROM c JOIN b USING (event_type)
+      |GROUP BY c.event_type, b.lo, b.hi
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val c = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val b = c.groupBy("event_type")
+      .agg(
+        round(expr("percentile(cents, 0.01)"), 0).cast("long").as("lo"),
+        round(expr("percentile(cents, 0.99)"), 0).cast("long").as("hi"))
+    c.join(broadcast(b), "event_type")
+      .groupBy("event_type", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo"), col("lo"))
+          .when(col("cents") > col("hi"), col("hi"))
+          .otherwise(col("cents"))).as("wsum_cents"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clamped"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
-      q114IntervalUnion, q123AnomalyGate)
+      q114IntervalUnion, q123AnomalyGate, q127Winsorize)
 }

@@ -740,8 +740,41 @@ object CoreQueries {
       .orderBy("event_type", "rk")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics a dimension
+    * lookup with an explicit "unknown" bucket needs (a plain equi-join
+    * silently drops every NULL fact row; the null-safe form routes them
+    * to the NULL dim row). Spark plans `<=>` as a hash join on the
+    * null-safe key wrapper, so it shuffles like any equi-join — no
+    * nested loop. The %-7 nullif plants a NULL key population.
+    */
+  val q129NullsafeJoin: QuerySpec = QuerySpec.oracled(
+    "q129_nullsafe_join",
+    """WITH l AS (
+      |  SELECT nullif(user_id % 7, 3) AS k, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |d (k, label) AS (VALUES
+      |  (0::BIGINT, 'zero'), (1::BIGINT, 'one'), (2::BIGINT, 'two'),
+      |  (CAST(NULL AS BIGINT), 'unknown'))
+      |SELECT coalesce(l.k, -1) AS k_out, d.label, l.n
+      |FROM l LEFT JOIN d ON l.k IS NOT DISTINCT FROM d.k
+      |ORDER BY k_out""".stripMargin) { (spark, dir) =>
+    val l = events(spark, dir)
+      .select(expr("nullif(user_id % 7, 3)").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(0 AS BIGINT), 'zero'), (CAST(1 AS BIGINT), 'one'),
+        |  (CAST(2 AS BIGINT), 'two'), (CAST(NULL AS BIGINT), 'unknown')
+        |  AS t(k, label)""".stripMargin)
+    l.join(d, l("k") <=> d("k"), "left")
+      .select(coalesce(l("k"), lit(-1L)).as("k_out"), d("label"), l("n"))
+      .orderBy("k_out")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q39Pivot, q110GroupingSets, q111WindowDistribution, q126TopkAggregate,
+    q129NullsafeJoin,
     q01PricingSummary, q02FilterProject, q03JoinAggNationRevenue,
     q04TopkPerGroup, q05Rollup, q06SetOps, q07UpsertKeepLast,
     q08UnionByName, q09CastMatrix, q10ParseDates, q11IsoFormat,

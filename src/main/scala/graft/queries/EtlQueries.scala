@@ -511,8 +511,57 @@ object EtlQueries {
       .orderBy("col")
   }
 
+  /** Order-invariant table checksum: every row folds to a 60-bit hash of
+    * its canonical string (doubles as cents, dates as strings — the
+    * cross-engine rules), and the checksum is the exact SUM of row hashes
+    * (accumulated in DECIMAL(38,0)/hugeint, reduced mod 2^61−1) — sum is
+    * commutative, so the digest is independent of row order, partition
+    * layout, and engine. This is the cheap "did anything change" gate a
+    * pipeline runs before the row-level q91 diff: one map-side hash pass
+    * + a one-row aggregate, no shuffle of data rows at any scale.
+    */
+  val q128TableChecksum: QuerySpec = QuerySpec.oracled(
+    "q128_table_checksum",
+    """WITH o AS (
+      |  SELECT ('0x' || substr(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' ||
+      |    CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      |    || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+      |    o_orderpriority), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |c AS (
+      |  SELECT ('0x' || substr(md5(
+      |    CAST(c_custkey AS VARCHAR) || '|' || c_name), 1, 15))::BIGINT
+      |    AS h
+      |  FROM customer)
+      |SELECT 'customer' AS tbl, count(*) AS n_rows,
+      |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum FROM c
+      |UNION ALL
+      |SELECT 'orders', count(*),
+      |  CAST(sum(h) % 2305843009213693951 AS BIGINT) FROM o
+      |ORDER BY tbl""".stripMargin) { (spark, dir) =>
+    import graft.ext.Dedup.hash60
+    def rowSum(df: DataFrame, name: String, canon: org.apache.spark.sql.Column) =
+      df.select(hash60(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast("decimal(38,0)")) % 2305843009213693951L)
+            .cast("long").as("checksum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    val o = rowSum(t(spark, dir, "orders"), "orders",
+      concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority")))
+    val c = rowSum(t(spark, dir, "customer"), "customer",
+      concat_ws("|", col("c_custkey"), col("c_name")))
+    c.unionByName(o).orderBy("tbl")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
-      q108SnapshotFold, q121KAnonymity, q125ProfileApprox)
+      q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
+      q128TableChecksum)
 }
