@@ -58,15 +58,23 @@ object Profile {
     */
   def tableWithApprox(df: DataFrame, cols: Seq[ProfileCol],
       rsd: Double = 0.02): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    // sketch pass: plain aggregates only — NO distinct column, so Catalyst
+    // plans a straight partial agg with no Expand. Mixing countDistinct
+    // into this aggregate would drag every HLL buffer through the
+    // Expand's #distinct-groups row multiplication (measured 2.4× q93).
+    val sketchAggs = cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(c.source)).as(s"${c.name}__nn"),
-        countDistinct(c.source).as(s"${c.name}__nd"),
         approx_count_distinct(c.source, rsd).as(s"${c.name}__na"),
         c.fmt(min(c.source)).as(s"${c.name}__mn"),
         c.fmt(max(c.source)).as(s"${c.name}__mx"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // exact pass: the adjudication twin, isolated so its multi-distinct
+    // Expand carries bare values, not sketch buffers
+    val exactAggs = cols.map(c =>
+      countDistinct(c.source).as(s"${c.name}__nd"))
+    val one = df.agg(sketchAggs.head, sketchAggs.tail: _*)
+      .crossJoin(df.agg(exactAggs.head, exactAggs.tail: _*)) // 1×1 rows
     val stackArgs = cols.map { c =>
       s"'${c.name}', `${c.name}__nn`, `${c.name}__nd`, `${c.name}__na`, " +
         s"`${c.name}__mn`, `${c.name}__mx`"
