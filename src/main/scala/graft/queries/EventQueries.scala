@@ -941,13 +941,62 @@ object EventQueries {
       .orderBy("window_start_us", "event_type")
   }.withSetup((s, d) => { stageQ124(s, d); () })
 
+  /** Chained stateful operators of DIFFERENT kinds: watermark-bounded
+    * dedup (`dropDuplicatesWithinWatermark` on a planted duplicate
+    * stream) feeding a windowed aggregation — the ingest-then-aggregate
+    * shape of every at-least-once pipeline (the transport retries, the
+    * dedup absorbs them, the aggregate never double-counts). Both
+    * operators run in ONE append-mode stream; dedup state evicts at the
+    * watermark while window state holds only open windows. The oracle
+    * aggregates the DISTINCT event set in batch — stream ≡ batch proves
+    * the duplicates died before the counts.
+    */
+  val q130DedupWindow: QuerySpec = QuerySpec.oracled(
+    "q130_dedup_window",
+    """WITH d AS (
+      |  SELECT DISTINCT event_id, event_type,
+      |    CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT) AS ws
+      |  FROM events)
+      |SELECT ws AS window_start_us, event_type, count(*) AS n
+      |FROM d GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val counts = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      // plant at-least-once delivery: every row arrives twice
+      .withColumn("dup", explode(array(lit(1), lit(2))))
+      .drop("dup")
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts_ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    spark.streams.active
+      .filter(_.name == "q130_mem").foreach(_.stop())
+    drainScoped(spark)(counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q130_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+
+    spark.table("q130_mem")
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_us", "event_type")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
-      q124ChainedWindows)
+      q124ChainedWindows, q130DedupWindow)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

@@ -745,11 +745,43 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram")).limit(25)
   }
 
+  /** Weighted (importance) sampling: each doc keeps with probability
+    * proportional to its length — the training-mix upsampling rule —
+    * decided by the q49/q92 deterministic hashing discipline: keep iff
+    * the doc's salted md5 basis-point is below its OWN rate
+    * (min(10000, 20·n_chars) bp — median doc ≈ 61%, long docs cap at 100%). No RNG state, so the sample is
+    * identical on any engine, partitioning, or rerun, and per-doc
+    * inclusion is auditable (the rate rides along). Zero shuffles before
+    * the ordering.
+    */
+  val q131WeightedSample: QuerySpec = QuerySpec.oracled(
+    "q131_weighted_sample",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    least(10000, n_chars * 20) AS rate_bp,
+      |    ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 10000 AS bp
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(rate_bp AS BIGINT) AS rate_bp
+      |FROM s WHERE bp < rate_bp
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val bp = conv(substring(md5(concat(lit("wsample:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        least(lit(10000L), expr("n_chars * 20")).as("rate_bp"),
+        bp.as("bp"))
+      .filter(col("bp") < col("rate_bp"))
+      .select("doc_id", "lang", "rate_bp")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
-      q117TopNgrams)
+      q117TopNgrams, q131WeightedSample)
 }

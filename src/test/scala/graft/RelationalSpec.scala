@@ -49,6 +49,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(distributed == viaWindow)
   }
 
+  test("q120 distributed rank equals the single-partition window rank") {
+    val viaWindow = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("rk", row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey")).cast("long"))
+      .filter(col("rk") % 100 === 0)
+      .select(col("rk"), col("o_orderkey").cast("long"), col("o_totalprice"))
+      .orderBy("rk")
+      .as[(Long, Long, Double)].collect().toSeq
+    val distributed = RelationalQueries.q120GlobalSort.fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(distributed == viaWindow)
+  }
+
   test("zOrderKey matches a reference bit interleave") {
     def ref(x: Long, y: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L) { (acc, i) =>
