@@ -591,9 +591,45 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Bounded-hop BFS ([[graft.ext.Bfs]]) over a planted deterministic
+    * graph (each customer key < 1000 emits edges to (2u+1)%1000 and
+    * (3u+7)%1000 — same arithmetic both engines, so the graph and every
+    * distance are adjudicable). 4 hops from node 1; the oracle replays
+    * the expansion as a bounded recursive CTE with min-hop dedup. Per
+    * hop one frontier⋈edges shuffle + one min-aggregate; the frontier
+    * carries only nodes first reached that hop, so a converged region
+    * stops costing anything — the reachability/lineage primitive.
+    */
+  val q132BfsReach: QuerySpec = QuerySpec.oracled(
+    "q132_bfs_reach",
+    """WITH e AS (
+      |  SELECT c_custkey AS u, (c_custkey * 2 + 1) % 1000 AS v
+      |  FROM customer WHERE c_custkey < 1000
+      |  UNION ALL
+      |  SELECT c_custkey, (c_custkey * 3 + 7) % 1000
+      |  FROM customer WHERE c_custkey < 1000),
+      |walk AS (
+      |  WITH RECURSIVE w(node, d) AS (
+      |    SELECT CAST(1 AS BIGINT), 0
+      |    UNION ALL
+      |    SELECT e.v, w.d + 1 FROM w JOIN e ON e.u = w.node
+      |    WHERE w.d < 4)
+      |  SELECT node, min(d) AS d FROM w GROUP BY node)
+      |SELECT node, CAST(d AS INT) AS d FROM walk
+      |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val c = CoreQueries.events(spark, dir).sparkSession
+      .read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), ((col("u") * 2 + 1) % 1000).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 3 + 7) % 1000).as("v")))
+    graft.ext.Bfs.boundedDistances(spark, edges, source = 1L, maxHops = 4)
+      .orderBy("node")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
-      q114IntervalUnion, q123AnomalyGate, q127Winsorize)
+      q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach)
 }
