@@ -29,22 +29,32 @@ object Bfs {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 16,
       s"bounded BFS: maxHops must be in [0,16], got $maxHops")
+    // persist, or hop i re-executes the whole edge derivation i times
+    // (the PageRank discipline)
     val e = edges.select(col("u").cast("long"), col("v").cast("long"))
-    var dist = spark.range(1)
-      .select(lit(source).as("node"), lit(0).cast("int").as("d"))
-    var frontier = dist
-    var hop = 0
-    while (hop < maxHops) {
-      hop += 1
-      val reached = frontier.join(e, frontier("node") === e("u"))
-        .select(e("v").as("node"), lit(hop).cast("int").as("d"))
-      val merged = dist.unionByName(reached)
-        .groupBy("node").agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
-      // only nodes first reached THIS hop can extend the next frontier
-      frontier = merged.filter(col("d") === hop)
-      dist = merged
+      .persist()
+    try {
+      var dist = spark.range(1)
+        .select(lit(source).as("node"), lit(0).cast("int").as("d"))
+      var frontier = dist
+      var hop = 0
+      while (hop < maxHops) {
+        hop += 1
+        val reached = frontier.join(e, frontier("node") === e("u"))
+          .select(e("v").as("node"), lit(hop).cast("int").as("d"))
+        val merged = dist.unionByName(reached)
+          .groupBy("node").agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+        // only nodes first reached THIS hop can extend the next frontier
+        frontier = merged.filter(col("d") === hop)
+        dist = merged
+      }
+      dist
+    } finally {
+      // every round's result is eagerly checkpointed, so the returned
+      // frame no longer references the edge lineage
+      e.unpersist(false)
+      ()
     }
-    dist
   }
 }

@@ -44,20 +44,28 @@ case class TopKAgg(
           s"(${a.simpleString}, ${b.simpleString})")
     }
 
-  /** Head of the queue = the WORST kept pair (so a better incoming pair
-    * evicts it in O(log k)). Worse = smaller rank_val, or equal rank_val
-    * with larger id.
+  /** Total order, best pair first: larger rank_val, ties to smaller id.
+    * Explicit compares — a negate-the-value key (-v, i) would overflow at
+    * rank_val = Long.MinValue and invert that pair's position. The heap
+    * is ordered by this too: PriorityQueue surfaces its MAXIMUM, which
+    * under best-first is the WORST kept pair — exactly the eviction
+    * candidate.
     */
-  private val worstFirst: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (v, i) => (-v, i) }
+  private val bestFirst: Ordering[(Long, Long)] =
+    new Ordering[(Long, Long)] {
+      def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val byVal = java.lang.Long.compare(b._1, a._1) // larger v first
+        if (byVal != 0) byVal else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
-    mutable.PriorityQueue.empty(worstFirst)
+    mutable.PriorityQueue.empty(bestFirst)
 
   private def offer(
       buf: mutable.PriorityQueue[(Long, Long)], p: (Long, Long)): Unit = {
     if (buf.size < k) { buf.enqueue(p); () }
-    else if (worstFirst.compare(p, buf.head) < 0) {
+    else if (bestFirst.compare(p, buf.head) < 0) {
       // p is strictly better than the current worst
       buf.dequeue(); buf.enqueue(p); ()
     }
@@ -81,8 +89,7 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
-    // ascending under worstFirst's (-v, i) key = best pair first
-    val best = buf.toArray.sorted(worstFirst)
+    val best = buf.toArray.sorted(bestFirst)
     new GenericArrayData(best.map { case (v, i) =>
       new GenericInternalRow(Array[Any](v, i))
     })

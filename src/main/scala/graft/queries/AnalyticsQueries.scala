@@ -617,8 +617,7 @@ object AnalyticsQueries {
       |  SELECT node, min(d) AS d FROM w GROUP BY node)
       |SELECT node, CAST(d AS INT) AS d FROM walk
       |ORDER BY node""".stripMargin) { (spark, dir) =>
-    val c = CoreQueries.events(spark, dir).sparkSession
-      .read.parquet(s"$dir/customer.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
       .filter(col("c_custkey") < 1000)
       .select(col("c_custkey").as("u"))
     val edges = c.select(col("u"), ((col("u") * 2 + 1) % 1000).as("v"))

@@ -718,7 +718,7 @@ object CoreQueries {
     """WITH c AS (
       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
       |    event_id
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |r AS (
       |  SELECT event_type, cents, event_id,
       |    row_number() OVER (PARTITION BY event_type
@@ -729,6 +729,10 @@ object CoreQueries {
       |ORDER BY event_type, rk""".stripMargin) { (spark, dir) =>
     graft.functions.VectorExpressions.register(spark)
     events(spark, dir)
+      // the aggregate skips null ranks by contract; the oracle's window
+      // would RANK null cents (NULLS LAST still get row_numbers), so
+      // both sides exclude them explicitly
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),
         col("event_id"))

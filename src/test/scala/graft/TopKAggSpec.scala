@@ -54,6 +54,16 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
       Set(("a", 9L, 2L, 1L), ("a", 5L, 1L, 2L)))
   }
 
+  test("Long.MinValue ranks last, not first (no negation overflow)") {
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq((Long.MinValue, 1L), (5L, 2L), (3L, 3L))
+      .toDF("v", "id")
+    val got = df.agg(expr("graft_top_k(v, id, 2)").as("top"))
+      .selectExpr("inline(top)")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 2L), (3L, 3L)))
+  }
+
   test("null rank values are skipped") {
     graft.functions.VectorExpressions.register(spark)
     val df = Seq((Some(5L), 1L), (None, 2L), (Some(7L), 3L))
