@@ -626,9 +626,70 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  /** Longest consecutive-day activity streak per user, via the TYPED
+    * Dataset API: `groupByKey(...).mapGroups` runs a 6-line sorted-scan
+    * per user — the per-group imperative escape hatch for logic window
+    * functions express awkwardly. The scale contract of `mapGroups`: ONE
+    * shuffle on the key, then each group streams through a single
+    * function call, so it is safe exactly when per-group data is bounded
+    * (a user's distinct active DAYS — ≤ a few thousand, forever). The
+    * oracle replays the streak as gaps-and-islands SQL (day − dense rank
+    * is constant within a consecutive run), proving the typed scan ≡
+    * the relational form.
+    */
+  val q133Streaks: QuerySpec = QuerySpec.oracled(
+    "q133_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS grp
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, count(*) AS len, min(day) AS start_day
+      |  FROM r GROUP BY user_id, grp),
+      |s2 AS (
+      |  SELECT user_id, len, start_day,
+      |    max(len) OVER (PARTITION BY user_id) AS mx
+      |  FROM s)
+      |SELECT user_id,
+      |  CAST(max(len) AS INT) AS longest_streak,
+      |  CAST(min(CASE WHEN len = mx THEN start_day END) AS BIGINT)
+      |    AS streak_start_day
+      |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    CoreQueries.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"))
+      .distinct()
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val days = rows.map(_._2).toArray.sorted
+        var bestLen = 1
+        var bestStart = days.head
+        var curLen = 1
+        var curStart = days.head
+        for (i <- 1 until days.length) {
+          if (days(i) == days(i - 1) + 1) curLen += 1
+          else { curLen = 1; curStart = days(i) }
+          // strict > keeps the EARLIEST start among equal-length streaks,
+          // matching the oracle's min(start_day) FILTER (len = max)
+          if (curLen > bestLen) { bestLen = curLen; bestStart = curStart }
+        }
+        (user, bestLen, bestStart)
+      }
+      .toDF("user_id", "longest_streak", "streak_start_day")
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
-      q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach)
+      q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
+      q133Streaks)
 }
