@@ -686,10 +686,45 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE's common case):
+    * each user's chronologically-ordered event types collapse to an
+    * initials string (c/e/p/s/v — all distinct) and a regex asks the
+    * behavioral question "viewed, then purchased, with no error in
+    * between" (`v[^e]*p`). One shuffle to assemble per-user sequences
+    * (bounded by per-user event counts, like q63's state machine); the
+    * regex runs once per user on a string of length = #events, not per
+    * event. The (tus, event_id) sort key is unique, so the sequence —
+    * and therefore the match — is deterministic in both engines.
+    */
+  val q135SequenceMatch: QuerySpec = QuerySpec.oracled(
+    "q135_sequence_match",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS n_events,
+      |  regexp_matches(seq, 'v[^e]*p') AS view_to_purchase_clean
+      |FROM s ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    CoreQueries.events(spark, dir)
+      .select(col("user_id"),
+        struct(expr("ts div 1000").as("tus"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("init")).as("ev"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"),
+        expr("array_join(transform(evs, x -> x.init), '')").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        col("seq").rlike("v[^e]*p").as("view_to_purchase_clean"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
       q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
-      q133Streaks)
+      q133Streaks, q135SequenceMatch)
 }

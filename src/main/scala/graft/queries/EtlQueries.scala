@@ -559,9 +559,47 @@ object EtlQueries {
     c.unionByName(o).orderBy("tbl")
   }
 
+  /** Right-to-erasure (GDPR) propagation: a deterministic deletion set
+    * (user_id % 97 = 0) is scrubbed from the events fact via a broadcast
+    * ANTI join (the deletion set is always dimension-sized), and the
+    * operation emits its own audit evidence — per-event-type surviving
+    * counts plus a tombstone row per erased user with the rows it
+    * removed. One scan serves both outputs; at 100 TB the anti join is
+    * map-side (broadcast), so erasure costs one pass, no shuffle of the
+    * fact table.
+    */
+  val q134ErasurePropagate: QuerySpec = QuerySpec.oracled(
+    "q134_erasure_propagate",
+    """WITH del AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+      |kept AS (
+      |  SELECT event_type, count(*) AS n FROM events
+      |  WHERE user_id NOT IN (SELECT user_id FROM del)
+      |  GROUP BY event_type),
+      |tomb AS (
+      |  SELECT user_id, count(*) AS n FROM events
+      |  WHERE user_id % 97 = 0 GROUP BY user_id)
+      |SELECT 'kept:' || event_type AS entry, n FROM kept
+      |UNION ALL
+      |SELECT 'tombstone:' || CAST(user_id AS VARCHAR), n FROM tomb
+      |ORDER BY entry""".stripMargin) { (spark, dir) =>
+    import graft.queries.{CoreQueries => CQ}
+    val ev = CQ.events(spark, dir).select("user_id", "event_type")
+    val del = ev.filter(col("user_id") % 97 === 0)
+      .select("user_id").distinct()
+    val kept = ev.join(broadcast(del), Seq("user_id"), "left_anti")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(concat(lit("kept:"), col("event_type")).as("entry"), col("n"))
+    val tomb = ev.filter(col("user_id") % 97 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(concat(lit("tombstone:"), col("user_id").cast("string"))
+        .as("entry"), col("n"))
+    kept.unionByName(tomb).orderBy("entry")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
-      q128TableChecksum)
+      q128TableChecksum, q134ErasurePropagate)
 }
