@@ -721,10 +721,264 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Exact per-node triangle counts ([[graft.ext.Triangles]]) over a
+    * planted deterministic graph (customer keys < 1000 emit three edges
+    * each — identity, doubling, and integer-division generators mod 400,
+    * whose locality yields a clustered graph: ~2.4k edges, ~355
+    * triangles at sf0.01). The Spark side runs degree-oriented wedge
+    * enumeration — oriented out-degree is O(sqrt(m)) on ANY graph, so
+    * the wedge join survives celebrity-skewed graphs where the naive
+    * adjacency self-join is quadratic in max degree. The oracle replays
+    * the textbook 3-way self-join on the id-canonical edge set (each
+    * triangle x<y<z appears exactly once as (x,y)(y,z)(x,z)), proving
+    * the oriented enumeration ≡ the declarative form.
+    */
+  val q136TriangleCount: QuerySpec = QuerySpec.oracled(
+    "q136_triangle_count",
+    """WITH r AS (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 1000),
+      |raw AS (
+      |  SELECT k % 400 AS u, (k // 3) % 400 AS v FROM r
+      |  UNION ALL SELECT k % 400, (k * 2 + 1) % 400 FROM r
+      |  UNION ALL SELECT k % 400, ((k // 7) + 5) % 400 FROM r),
+      |e AS (
+      |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      |  FROM raw WHERE u <> v),
+      |t AS (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM e a JOIN e b ON b.u = a.v
+      |           JOIN e c ON c.u = a.u AND c.v = b.v),
+      |n AS (
+      |  SELECT x AS node FROM t
+      |  UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY node ORDER BY node""".stripMargin) { (spark, dir) =>
+    val k = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("k"))
+    val raw = k.select((col("k") % 400).as("u"),
+        expr("(k div 3) % 400").as("v"))
+      .unionByName(k.select((col("k") % 400).as("u"),
+        ((col("k") * 2 + 1) % 400).as("v")))
+      .unionByName(k.select((col("k") % 400).as("u"),
+        expr("((k div 7) + 5) % 400").as("v")))
+    graft.ext.Triangles.perNodeCounts(raw).orderBy("node")
+  }
+
+  /** Pairwise Pearson correlation matrix over lineitem's four numeric
+    * measures in ONE scan: a single map-side-combinable aggregate
+    * collects every first/second/cross moment as an exact integer
+    * (cents-scaled longs; squares and cross-products summed in
+    * decimal(38,0) — they overflow int64 at sf ≥ 0.01), then the six
+    * upper-triangle correlations are pure driver-side arithmetic on the
+    * one aggregate row, exploded to rows. At 100 TB a k-metric
+    * correlation matrix costs one scan and a 1-row-per-partition
+    * reduce — no shuffle of data, no per-pair pass. Determinism: both
+    * engines cast the SAME exact integers to double and apply the SAME
+    * single expression (sqrt is IEEE-exact; no transcendentals).
+    */
+  val q137CorrMatrix: QuerySpec = QuerySpec.oracled(
+    "q137_corr_matrix",
+    """WITH c AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |         CAST(round(l_tax * 100) AS BIGINT) AS t
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(e) AS DOUBLE) AS se,
+      |    CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
+      |    CAST(sum(q * q) AS DOUBLE) AS sqq,
+      |    CAST(sum(e * e) AS DOUBLE) AS see,
+      |    CAST(sum(d * d) AS DOUBLE) AS sdd,
+      |    CAST(sum(t * t) AS DOUBLE) AS stt,
+      |    CAST(sum(q * e) AS DOUBLE) AS sqe,
+      |    CAST(sum(q * d) AS DOUBLE) AS sqd,
+      |    CAST(sum(q * t) AS DOUBLE) AS sqt,
+      |    CAST(sum(e * d) AS DOUBLE) AS sed,
+      |    CAST(sum(e * t) AS DOUBLE) AS set_,
+      |    CAST(sum(d * t) AS DOUBLE) AS sdt
+      |  FROM c)
+      |SELECT var_x, var_y, n,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+      |FROM (
+      |  SELECT 'discount' AS var_x, 'extendedprice' AS var_y, n,
+      |    sd AS sx, se AS sy, sdd AS sxx, see AS syy, sed AS sxy FROM m
+      |  UNION ALL SELECT 'discount', 'tax', n, sd, st, sdd, stt, sdt
+      |    FROM m
+      |  UNION ALL SELECT 'extendedprice', 'tax', n, se, st, see, stt,
+      |    set_ FROM m
+      |  UNION ALL SELECT 'quantity', 'discount', n, sq, sd, sqq, sdd,
+      |    sqd FROM m
+      |  UNION ALL SELECT 'quantity', 'extendedprice', n, sq, se, sqq,
+      |    see, sqe FROM m
+      |  UNION ALL SELECT 'quantity', 'tax', n, sq, st, sqq, stt, sqt
+      |    FROM m)
+      |ORDER BY var_x, var_y""".stripMargin) { (spark, dir) =>
+    val c = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        round(col("l_quantity") * 100).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("e"),
+        round(col("l_discount") * 100).cast("long").as("d"),
+        round(col("l_tax") * 100).cast("long").as("t"))
+    def s2(a: String, b: String) =
+      sum((col(a) * col(b)).cast("decimal(38,0)")).cast("double")
+    val m = c.agg(
+      count(lit(1)).as("n"),
+      sum("q").cast("double").as("sq"), sum("e").cast("double").as("se"),
+      sum("d").cast("double").as("sd"), sum("t").cast("double").as("st"),
+      s2("q", "q").as("sqq"), s2("e", "e").as("see"),
+      s2("d", "d").as("sdd"), s2("t", "t").as("stt"),
+      s2("q", "e").as("sqe"), s2("q", "d").as("sqd"),
+      s2("q", "t").as("sqt"), s2("e", "d").as("sed"),
+      s2("e", "t").as("set_"), s2("d", "t").as("sdt"))
+    val nD = col("n").cast("double")
+    def pair(vx: String, vy: String, sx: String, sy: String,
+        sxx: String, syy: String, sxy: String) =
+      struct(
+        lit(vx).as("var_x"), lit(vy).as("var_y"), col("n").as("n"),
+        ((nD * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(nD * col(sxx) - col(sx) * col(sx)) *
+           sqrt(nD * col(syy) - col(sy) * col(sy)))).as("corr"))
+    m.select(explode(array(
+        pair("discount", "extendedprice", "sd", "se", "sdd", "see", "sed"),
+        pair("discount", "tax", "sd", "st", "sdd", "stt", "sdt"),
+        pair("extendedprice", "tax", "se", "st", "see", "stt", "set_"),
+        pair("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd"),
+        pair("quantity", "extendedprice", "sq", "se", "sqq", "see", "sqe"),
+        pair("quantity", "tax", "sq", "st", "sqq", "stt", "sqt")))
+        .as("p"))
+      .select(col("p.*"))
+      .orderBy("var_x", "var_y")
+  }
+
+  /** Welch's unequal-variance two-sample t-test (purchase vs view event
+    * values) in ONE conditional-aggregation scan: per-arm n / sum /
+    * sum-of-squares as exact integers, then mean, sample variance, the
+    * t statistic, and Welch–Satterthwaite degrees of freedom as a single
+    * deterministic double expression on the 1-row aggregate. The A/B
+    * readout at 100 TB is one map-side-combinable pass over the event
+    * log — no per-arm subqueries, no second scan, no shuffle of data.
+    */
+  val q138WelchTtest: QuerySpec = QuerySpec.oracled(
+    "q138_welch_ttest",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+      |      ELSE 0 END) AS DOUBLE) AS s_a,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END)
+      |      AS DOUBLE) AS s_b,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents * cents
+      |      ELSE 0 END) AS DOUBLE) AS ss_a,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents
+      |      ELSE 0 END) AS DOUBLE) AS ss_b
+      |  FROM c),
+      |v AS (
+      |  SELECT n_a, n_b,
+      |    s_a / CAST(n_a AS DOUBLE) AS mean_a,
+      |    s_b / CAST(n_b AS DOUBLE) AS mean_b,
+      |    ((ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+      |       / (CAST(n_a AS DOUBLE) - 1)) / CAST(n_a AS DOUBLE) AS va,
+      |    ((ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+      |       / (CAST(n_b AS DOUBLE) - 1)) / CAST(n_b AS DOUBLE) AS vb
+      |  FROM m)
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(va + vb) AS t_stat,
+      |  ((va + vb) * (va + vb)) /
+      |    (va * va / (CAST(n_a AS DOUBLE) - 1) +
+      |     vb * vb / (CAST(n_b AS DOUBLE) - 1)) AS df_welch
+      |FROM v""".stripMargin) { (spark, dir) =>
+    val c = CoreQueries.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def armSum(arm: String, e: org.apache.spark.sql.Column) =
+      sum(when(col("event_type") === arm, e).otherwise(lit(0L)))
+    val m = c.agg(
+      armSum("purchase", lit(1L)).as("n_a"),
+      armSum("view", lit(1L)).as("n_b"),
+      armSum("purchase", col("cents")).cast("double").as("s_a"),
+      armSum("view", col("cents")).cast("double").as("s_b"),
+      armSum("purchase", (col("cents") * col("cents"))
+        .cast("decimal(38,0)")).cast("double").as("ss_a"),
+      armSum("view", (col("cents") * col("cents"))
+        .cast("decimal(38,0)")).cast("double").as("ss_b"))
+    val (nA, nB) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val v = m.select(col("n_a"), col("n_b"),
+      (col("s_a") / nA).as("mean_a"),
+      (col("s_b") / nB).as("mean_b"),
+      (((col("ss_a") - col("s_a") * col("s_a") / nA) / (nA - 1)) / nA)
+        .as("va"),
+      (((col("ss_b") - col("s_b") * col("s_b") / nB) / (nB - 1)) / nB)
+        .as("vb"))
+    v.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+      ((col("mean_a") - col("mean_b")) / sqrt(col("va") + col("vb")))
+        .as("t_stat"),
+      (((col("va") + col("vb")) * (col("va") + col("vb"))) /
+        (col("va") * col("va") / (col("n_a").cast("double") - 1) +
+         col("vb") * col("vb") / (col("n_b").cast("double") - 1)))
+        .as("df_welch"))
+  }
+
+  /** Pointwise-lift table (the mutual-information/PMI readout) between
+    * event type and hour-of-day: joint and marginal counts from ONE
+    * groupBy over the fact, marginals recovered by windows OVER THE
+    * 120-ROW AGGREGATE (zero additional passes over the data), lift =
+    * (n_xy·n)/(n_x·n_y) as one exact-integer-fed division. Deliberately
+    * emits per-cell lift rather than summed MI: all products stay below
+    * 2^53 so every double is exact, and no cross-row float summation
+    * exists whose ORDER could differ between engines (ln is also not
+    * correctly-rounded across libms — the PMI log is the caller's
+    * one-liner). The feature-association scan at 100 TB is one shuffle.
+    */
+  val q139PointwiseLift: QuerySpec = QuerySpec.oracled(
+    "q139_pointwise_lift",
+    """WITH j AS (
+      |  SELECT event_type,
+      |    CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+      |    count(*) AS n_xy
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour, CAST(n_xy AS BIGINT) AS n_xy,
+      |  CAST(sum(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+      |  CAST(sum(n_xy) OVER (PARTITION BY hour) AS BIGINT) AS n_y,
+      |  CAST(sum(n_xy) OVER () AS BIGINT) AS n,
+      |  (CAST(n_xy AS DOUBLE) * CAST(sum(n_xy) OVER () AS DOUBLE)) /
+      |  (CAST(sum(n_xy) OVER (PARTITION BY event_type) AS DOUBLE) *
+      |   CAST(sum(n_xy) OVER (PARTITION BY hour) AS DOUBLE)) AS lift
+      |FROM j ORDER BY event_type, hour""".stripMargin) { (spark, dir) =>
+    val j = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(((ts div 1000) div 3600000000) % 24 AS BIGINT)")
+          .as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_xy"))
+    val nX = sum("n_xy").over(Window.partitionBy("event_type"))
+    val nY = sum("n_xy").over(Window.partitionBy("hour"))
+    val n = sum("n_xy").over(Window.partitionBy())
+    j.select(col("event_type"), col("hour"), col("n_xy"),
+        nX.as("n_x"), nY.as("n_y"), n.as("n"),
+        ((col("n_xy").cast("double") * n.cast("double")) /
+          (nX.cast("double") * nY.cast("double"))).as("lift"))
+      .orderBy("event_type", "hour")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
       q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
-      q133Streaks, q135SequenceMatch)
+      q133Streaks, q135SequenceMatch, q136TriangleCount, q137CorrMatrix,
+      q138WelchTtest, q139PointwiseLift)
 }
