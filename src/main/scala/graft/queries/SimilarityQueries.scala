@@ -385,5 +385,43 @@ object SimilarityQueries {
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
-      q97SemanticDedup)
+      q97SemanticDedup, q140CentroidPool)
+
+  /** Per-label embedding centroid (mean-pool) in long form: `posexplode`
+    * expands vectors to (label, pos, value) rows, values quantize to
+    * exact 1e-4-step integers, and ONE partially-aggregated groupBy on
+    * (label, pos) produces the pooled sums — the map-side combine means
+    * the shuffle carries at most |labels|·dim rows per partition no
+    * matter how many vectors feed it, which is what makes class
+    * centroids / prototype vectors computable over 100 TB of
+    * embeddings. Output stays long-form (label, pos) — arrays don't
+    * hash portably across engines — with the mean as one fixed-order
+    * division chain; reassembly to vectors is the caller's
+    * `sort_array(collect_list(...))`. Oracle: DuckDB 1.0 has no UNNEST
+    * WITH ORDINALITY, so it replays positions via a lateral
+    * `range(len(...))` + 1-based list indexing.
+    */
+  lazy val q140CentroidPool: QuerySpec = QuerySpec.oracled(
+    "q140_centroid_pool",
+    """SELECT label, pos, count(*) AS n_vecs,
+      |  CAST(sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 10000)
+      |    AS BIGINT)) AS BIGINT) AS s_q,
+      |  (CAST(sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 10000)
+      |     AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10000
+      |    AS mean_val
+      |FROM (
+      |  SELECT label, embedding, CAST(t.p AS BIGINT) AS pos
+      |  FROM embeddings, UNNEST(range(len(embedding))) AS t(p))
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("val").cast("double") * 10000).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("s_q"))
+      .withColumn("mean_val",
+        (col("s_q").cast("double") / col("n_vecs").cast("double")) / 10000)
+      .orderBy("label", "pos")
+  }
 }
