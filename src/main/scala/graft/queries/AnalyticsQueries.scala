@@ -974,11 +974,69 @@ object AnalyticsQueries {
       .orderBy("event_type", "hour")
   }
 
+  /** Lag-1 autocorrelation of daily event counts per type — the
+    * time-series "is yesterday predictive of today" readout. Three
+    * cheap stages: one groupBy builds the daily series (the only pass
+    * over the fact), a lag window pairs consecutive days WITHIN each
+    * type's few-hundred-row series, and exact integer moments feed one
+    * deterministic correlation expression. Counts are exact longs;
+    * cross-products sum in decimal(38,0) (daily counts at 100 TB reach
+    * 10¹⁰, so count-pair products overflow int64). The window and final
+    * aggregate run over |types|·|days| rows — the fact is scanned once.
+    */
+  val q141Autocorr: QuerySpec = QuerySpec.oracled(
+    "q141_autocorr",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, cnt AS y,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS x
+      |  FROM d),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy
+      |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+      |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS autocorr_lag1
+      |FROM m ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val d = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val p = d.select(col("event_type"), col("cnt").as("y"),
+        lag("cnt", 1).over(w).as("x"))
+      .filter(col("x").isNotNull)
+    def s2(a: String, b: String) =
+      sum((col(a) * col(b)).cast("decimal(38,0)")).cast("double")
+    val m = p.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+      s2("x", "x").as("sxx"), s2("y", "y").as("syy"),
+      s2("x", "y").as("sxy"))
+    val nD = col("n").cast("double")
+    m.select(col("event_type"), col("n"),
+        ((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+           sqrt(nD * col("syy") - col("sy") * col("sy"))))
+          .as("autocorr_lag1"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
       q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
       q133Streaks, q135SequenceMatch, q136TriangleCount, q137CorrMatrix,
-      q138WelchTtest, q139PointwiseLift)
+      q138WelchTtest, q139PointwiseLift, q141Autocorr)
 }
