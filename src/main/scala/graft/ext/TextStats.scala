@@ -290,4 +290,27 @@ object TextStats {
         when(col("n_tokens") >= 2,
           round(col("top_bigram_count").cast("double") /
             (col("n_tokens") - 1), 4)).as("top_bigram_frac"))
+
+  /** Hashing-trick feature buckets: every token maps to
+    * `hash60(token) % numBuckets`, and the result is the LONG-FORM hashed
+    * feature matrix — one row per (group, bucket) with total term count
+    * and distinct-token count (the collision diagnostic). The md5-derived
+    * 60-bit hash is the repo's cross-engine workhorse: DuckDB replays the
+    * identical bucket ids, which a seeded `xxhash64` could not. Shape at
+    * scale: explode → one hash-partitioned aggregate on (group, bucket),
+    * output cardinality ≤ |groups| × numBuckets regardless of corpus size.
+    * Reference analogue: the reference has no feature hashing; this is a
+    * training-pipeline extension (vectorize text without a vocab build).
+    */
+  def hashedFeatures(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      numBuckets: Int = 256): DataFrame =
+    docs
+      .select(col(groupCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", Dedup.hash60(col("tok")) % numBuckets)
+      .groupBy(groupCol, "bucket")
+      .agg(count(lit(1)).as("n_terms"),
+        countDistinct("tok").as("n_uniq"))
 }

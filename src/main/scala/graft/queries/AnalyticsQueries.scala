@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1032,11 +1033,170 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Benford first-digit audit of lineitem extended prices — the
+    * data-quality screen for fabricated, truncated, or unit-mismatched
+    * numeric columns. The digit is taken from exact cents
+    * (`round(price*100)` as BIGINT → leading char of the integer's
+    * decimal rendering), never from double→string formatting, so both
+    * engines bucket identically; the Benford expectation is a fixed
+    * basis-point literal table (3010…458), and the chi-square terms are
+    * single correctly-rounded IEEE divisions over exact integers. One
+    * narrow 1-column scan into a 9-group aggregate — the whole result
+    * is 9 rows regardless of input scale, and the window total runs
+    * over those 9 rows, not the fact.
+    */
+  val q142Benford: QuerySpec = QuerySpec.oracled(
+    "q142_benford",
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1)::INT AS digit
+      |  FROM lineitem),
+      |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+      |t AS (SELECT digit, cnt, sum(cnt) OVER () AS total,
+      |  CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+      |    WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+      |    WHEN 8 THEN 511 ELSE 458 END AS exp_bp FROM c)
+      |SELECT digit, cnt, exp_bp,
+      |  CAST(cnt * 10000 AS DOUBLE) / CAST(total AS DOUBLE) AS obs_bp,
+      |  (CAST(cnt * 10000 AS DOUBLE) / CAST(total AS DOUBLE) - exp_bp) *
+      |  (CAST(cnt * 10000 AS DOUBLE) / CAST(total AS DOUBLE) - exp_bp) /
+      |  exp_bp AS chisq_term
+      |FROM t ORDER BY digit""".stripMargin) { (spark, dir) =>
+    val digits = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(substring(
+        expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val withTotal = counts
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .withColumn("exp_bp", expr(
+        """CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+          |  WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+          |  WHEN 8 THEN 511 ELSE 458 END""".stripMargin))
+    val obsBp =
+      (col("cnt") * 10000).cast("double") / col("total").cast("double")
+    withTotal.select(col("digit"), col("cnt"), col("exp_bp"),
+        obsBp.as("obs_bp"),
+        ((obsBp - col("exp_bp")) * (obsBp - col("exp_bp")) / col("exp_bp"))
+          .as("chisq_term"))
+      .orderBy("digit")
+  }
+
+  /** Top event-path trigrams — the "what do users do next (twice)"
+    * extension of q72's lag-1 transition matrix. Two `lead`s in ONE
+    * window pass per user (state bounded by per-user event count), a
+    * path-string aggregate whose cardinality is ≤ |event types|³ —
+    * independent of fact size — and a deterministic total-order top-k
+    * (count desc, path asc) so the LIMIT boundary is tie-stable under
+    * any partitioning.
+    */
+  val q143PathTrigrams: QuerySpec = QuerySpec.oracled(
+    "q143_path_trigrams",
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |paths AS (
+      |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
+      |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+      |SELECT path, cnt FROM paths
+      |ORDER BY cnt DESC, path LIMIT 20""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    CoreQueries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(20)
+  }
+
+  /** 2-D skyline (Pareto frontier) over per-part totals
+    * ([[graft.ext.Skyline.skyline2d]]): the parts no other part beats on
+    * BOTH total quantity (maximize) and total revenue (minimize). Spark
+    * side runs the distributed two-level sweep (local prune per shuffle
+    * partition, global sweep over survivors only — see the operator's
+    * Scaladoc and SkylineSpec's partition-invariance proof); the oracle
+    * replays the plain one-pass running-min sweep, which the two-level
+    * form provably equals. Totals are exact integers (quantity units,
+    * revenue cents).
+    */
+  val q145Skyline: QuerySpec = QuerySpec.oracled(
+    "q145_skyline",
+    """WITH p AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_quantity AS BIGINT)) AS qty,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT l_partkey, qty, rev_cents,
+      |    min(rev_cents) OVER (ORDER BY qty DESC, rev_cents, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+      |  FROM p)
+      |SELECT l_partkey, qty, rev_cents FROM s
+      |WHERE prev_min IS NULL OR rev_cents < prev_min
+      |ORDER BY l_partkey""".stripMargin) { (spark, dir) =>
+    val pts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("rev_cents"))
+    graft.ext.Skyline.skyline2d(pts, "qty", "rev_cents", "l_partkey")
+      .orderBy("l_partkey")
+  }
+
+  /** Weighted median of line price (cents) with quantity weights, per
+    * return flag. The pre-aggregate to DISTINCT price points is what
+    * makes this both deterministic and scalable: the cumulative-weight
+    * window runs over |distinct prices| rows per flag (bounded by the
+    * price domain, not the fact), its ORDER BY key is unique within the
+    * partition so RANGE-vs-ROWS framing cannot diverge, and there is no
+    * tie order left for engines to disagree on. All arithmetic is exact
+    * integers; the median is the smallest price whose doubled cumulative
+    * weight reaches the flag's total.
+    */
+  val q146WeightedMedian: QuerySpec = QuerySpec.oracled(
+    "q146_weighted_median",
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |a AS (SELECT flag, cents, sum(w) AS w FROM g GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, cents, w,
+      |    sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+      |    sum(w) OVER (PARTITION BY flag) AS tw
+      |  FROM a)
+      |SELECT flag, min(cents) AS wmedian_cents, max(tw) AS total_weight
+      |FROM c WHERE 2 * cw >= tw GROUP BY flag
+      |ORDER BY flag""".stripMargin) { (spark, dir) =>
+    val a = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("flag", "cents").agg(sum("w").as("w"))
+    val cum = Window.partitionBy("flag").orderBy("cents")
+    val tot = Window.partitionBy("flag")
+    a.withColumn("cw", sum("w").over(cum))
+      .withColumn("tw", sum("w").over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("flag")
+      .agg(min("cents").as("wmedian_cents"), max("tw").as("total_weight"))
+      .orderBy("flag")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
       q107TimeDecay, q109RollingDistinct, q112RegressionExact,
       q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
       q133Streaks, q135SequenceMatch, q136TriangleCount, q137CorrMatrix,
-      q138WelchTtest, q139PointwiseLift, q141Autocorr)
+      q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
+      q143PathTrigrams, q145Skyline, q146WeightedMedian)
 }

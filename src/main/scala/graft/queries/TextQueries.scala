@@ -777,11 +777,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Feature hashing ([[graft.ext.TextStats.hashedFeatures]]): the
+    * vocab-free text vectorizer — token → md5-60-bit hash → one of 256
+    * buckets, long-form (lang, bucket) rows with term counts and the
+    * distinct-token collision diagnostic. The oracle replays the exact
+    * hash arithmetic ('0x'-prefixed 15-hex-char md5 slice → BIGINT).
+    */
+  val q144FeatureHash: QuerySpec = QuerySpec.oracled(
+    "q144_feature_hash",
+    s"""WITH tk AS (
+       |  SELECT lang,
+       |    unnest(list_filter($toksSql, x -> x <> '')) AS tok
+       |  FROM documents)
+       |SELECT lang,
+       |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bucket,
+       |  count(*) AS n_terms,
+       |  count(DISTINCT tok) AS n_uniq
+       |FROM tk GROUP BY 1, 2
+       |ORDER BY lang, bucket""".stripMargin) { (spark, dir) =>
+    TextStats.hashedFeatures(
+      spark.read.parquet(s"$dir/documents.parquet"), "lang", "text", 256)
+      .orderBy("lang", "bucket")
+  }
+
+  /** Source purity via Gini impurity of the language mix: per source,
+    * `1 − Σ p_lang²` — the probability two random docs from the source
+    * differ in language. Log-free diversity (entropy's ln is not
+    * correctly-rounded across libms; Gini is pure rational arithmetic):
+    * exact integer counts, squares summed in decimal(38,0) (per-source doc
+    * counts at 100 TB reach 10¹⁰, so squares overflow int64), ONE final
+    * IEEE division. Two cheap aggregates — (source, lang) then source —
+    * both map-side combinable; output is |sources| rows at any scale.
+    */
+  val q147SourceGini: QuerySpec = QuerySpec.oracled(
+    "q147_source_gini",
+    """WITH c AS (
+      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+      |SELECT source, sum(c) AS n_docs, count(*) AS n_langs,
+      |  1 - CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) /
+      |      CAST(CAST(sum(c) AS DECIMAL(38,0)) * sum(c) AS DOUBLE)
+      |      AS gini
+      |FROM c GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val c = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    c.groupBy("source")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_langs"),
+        (lit(1) - sum(col("c").cast("decimal(38,0)") * col("c"))
+            .cast("double") /
+          (sum("c").cast("decimal(38,0)") * sum("c")).cast("double"))
+          .as("gini"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
-      q117TopNgrams, q131WeightedSample)
+      q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini)
 }
