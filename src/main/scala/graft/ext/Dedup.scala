@@ -313,4 +313,70 @@ object Dedup {
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ t over trigram
+    * shingle-hash sets — the subset-duplication detector MinHash cannot
+    * express (a short doc quoted whole inside a long one has high
+    * containment but low Jaccard, so Jaccard-calibrated bands miss it).
+    *
+    * Candidate generation is the PREFIX FILTER (SSJoin/PPJoin family): in
+    * a global canonical element order — ascending document frequency,
+    * then hash, so the rarest shingles come first — a set S only needs its
+    * first `|S| − ⌈t·|S|⌉ + 1` elements indexed: any pair meeting the
+    * overlap bound o = ⌈t·min⌉ shares its canonically-smallest common
+    * element e_min, and e_min provably sits inside the SMALLER set's
+    * prefix (if it didn't, the o−1 non-prefix slots above it could not
+    * hold the ≥ o−1 intersection elements that outrank it). Joining every
+    * doc's prefix against the FULL posting list therefore finds every
+    * qualifying pair exactly once from the smaller side — lossless, no
+    * band tuning, no false-negative probability. Rarest-first ordering is
+    * a pure optimization: prefixes fill with low-df shingles, so the
+    * prefix ⋈ postings join fans out by Σ prefix_cnt(h)·df(h) with the
+    * high-df terms near-absent from the left side; the residual hot-h
+    * skew rides a plain equi-join, which AQE splits. The exact
+    * integer-arithmetic verify (den·inter ≥ num·min) then pins semantics,
+    * exactly as in the MinHash path.
+    *
+    * No reference analogue (`/root/reference/src` has no set-similarity
+    * join); training-pipeline extension.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      thresholdNum: Int = 9,
+      thresholdDen: Int = 10): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen)
+    val sets = withShingleHashSets(docs, idCol, textCol, k)
+    val rows = shingleHashes(sets)
+    val dfreq = rows.groupBy("h").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("__df"), col("h"))
+    // prefix length |S| - ceil(t*|S|) + 1, ceil in exact integers
+    val prefix = rows.join(dfreq, "h")
+      .withColumn("__rnk", row_number().over(w))
+      .join(sets.select(col("doc_id"),
+        size(col("hsh")).cast("long").as("__sz")), "doc_id")
+      .filter(col("__rnk") <= expr(
+        s"__sz - ((__sz * $thresholdNum + ${thresholdDen - 1}) " +
+          s"DIV $thresholdDen) + 1"))
+    val cands = prefix.select(col("doc_id").as("id_p"), col("h"))
+      .join(rows.select(col("doc_id").as("id_f"), col("h")), "h")
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    val sizes = sets.select(col("doc_id"), size(col("hsh")).cast("long"))
+      .toDF("doc_id", "sz")
+    withOverlapExploded(cands, sets)
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .withColumn("min_size", least(col("sz_a"), col("sz_b")))
+      .filter(col("inter_size") * thresholdDen >=
+        col("min_size") * thresholdNum)
+      .select("id_a", "id_b", "inter_size", "min_size")
+  }
 }

@@ -217,7 +217,33 @@ object DedupQueries {
       .orderBy("doc_id")
   }.withSetup((s, d) => { stagePairs(s, d); () })
 
+  /** Containment near-dup ([[graft.ext.Dedup.containmentPairs]]): pairs
+    * with |A∩B| / min ≥ 0.8 over trigram shingle-hash sets, found via the
+    * lossless prefix filter (rarest-first canonical order) — the
+    * subset-duplication case Jaccard-calibrated MinHash bands miss by
+    * construction. The oracle replays exact all-pairs containment with
+    * the same hashes; ContainmentSpec separately proves prefix ⋈ full ≡
+    * all-pairs on adversarial subset fixtures.
+    */
+  val q148Containment: QuerySpec = QuerySpec.oracled(
+    "q148_containment",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    least(len(a.h), len(b.h)) AS min_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter_size, min_size FROM p
+       |WHERE inter_size * 10 >= min_size * 8
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Dedup.containmentPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text",
+      k = 3, thresholdNum = 8, thresholdDen = 10)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
-      q57DupClusters, q69ClusterSurvivor)
+      q57DupClusters, q69ClusterSurvivor, q148Containment)
 }

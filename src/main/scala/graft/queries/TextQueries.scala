@@ -830,11 +830,62 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Filter-funnel audit: the per-language kill report every corpus
+    * cleaning pipeline publishes — each doc attributed to the FIRST rule
+    * it fails (too_short → repetitive → low_alpha → pass), then (lang,
+    * verdict) counts and basis-point shares. One narrow projection
+    * computes every signal in a single pass over `text`; thresholds
+    * compare exact integers cross-multiplied (never a float ratio), and
+    * the share division runs over the |langs|×|verdicts| aggregate, not
+    * the corpus. The oracle replays the identical rule chain.
+    */
+  val q149FilterFunnel: QuerySpec = QuerySpec.oracled(
+    "q149_filter_funnel",
+    s"""WITH f AS (
+       |  SELECT lang,
+       |    len(list_filter($toksSql, x -> x <> '')) AS nt,
+       |    len(list_distinct(list_filter($toksSql, x -> x <> ''))) AS nd,
+       |    length(text) AS nc,
+       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+       |  FROM documents),
+       |v AS (
+       |  SELECT lang, CASE WHEN nt < 50 THEN 'too_short'
+       |    WHEN (nt - nd) * 10 > nt * 3 THEN 'repetitive'
+       |    WHEN alpha * 2 < nc THEN 'low_alpha'
+       |    ELSE 'pass' END AS verdict
+       |  FROM f),
+       |c AS (SELECT lang, verdict, count(*) AS n_docs FROM v GROUP BY 1, 2)
+       |SELECT lang, verdict, n_docs,
+       |  CAST(n_docs * 10000 AS DOUBLE) /
+       |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share_bp
+       |FROM c ORDER BY lang, verdict""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        graft.ext.Dedup.tokens(col("text")).as("__toks"),
+        length(col("text")).as("__nc"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("__alpha"))
+      .withColumn("__nt", size(col("__toks")))
+      .withColumn("__nd", size(array_distinct(col("__toks"))))
+      .withColumn("verdict",
+        when(col("__nt") < 50, "too_short")
+          .when((col("__nt") - col("__nd")) * 10 > col("__nt") * 3,
+            "repetitive")
+          .when(col("__alpha") * 2 < col("__nc"), "low_alpha")
+          .otherwise("pass"))
+    val counts = d.groupBy("lang", "verdict").agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("share_bp", (col("n_docs") * 10000).cast("double") /
+        sum("n_docs").over(Window.partitionBy("lang")).cast("double"))
+      .orderBy("lang", "verdict")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
       q58Decontaminate, q60Repetition, q62TfIdf, q66Chunking,
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
-      q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini)
+      q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
+      q149FilterFunnel)
 }
