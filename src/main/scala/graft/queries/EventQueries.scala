@@ -990,13 +990,117 @@ object EventQueries {
       .orderBy("window_start_us", "event_type")
   }.withSetup((s, d) => { stageQ30(s, d); () })
 
+  private val q150Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage events as THREE disjoint time-sliced files (terciles of the
+    * time range, mod-times ordered oldest-first) so the
+    * `transformWithState` query genuinely carries state ACROSS
+    * micro-batches: with `maxFilesPerTrigger=1` each slice is its own
+    * batch and a user's session fold resumes from the previous batch's
+    * `last_tus`. Memoized per sf dir.
+    */
+  def stageQ150(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q150Staging.getOrStage(dir) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staged = new java.io.File(QuerySpec.stagedPath("q150_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val base = CoreQueries.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val (lo, hi) = {
+        val r = base.agg(min("tus"), max("tus")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      val slices = Seq(
+        ("00", col("tus") <= cut1),
+        ("01", col("tus") > cut1 && col("tus") <= cut2),
+        ("02", col("tus") > cut2))
+      slices.zipWithIndex.foreach { case ((name, cond), i) =>
+        base.filter(cond).coalesce(1).write.parquet(s"$staged/$name")
+        flattenPart(spark, staged.toString, name, s"$name.parquet")
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$staged/$name.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (3 - i) * 60000L))
+      }
+      staged.toString
+    }
+
+  /** Arbitrary stateful processing via Spark 4's `transformWithState`
+    * ([[graft.streaming.StatefulSessions]]): per-user lifetime event and
+    * session counts over ONE fixed-size RocksDB state record per user,
+    * drained as three time-ordered micro-batches so the fold provably
+    * resumes across batch boundaries. Update-mode emission makes the
+    * running record visible each batch; counts are monotone, so the final
+    * ledger is the per-user max — which the oracle replays in batch with
+    * the q29 lag-window sessionization (gap ≥ 30 min). Stream ≡ batch is
+    * the correctness claim.
+    */
+  val q150TransformWithState: QuerySpec = QuerySpec.oracled(
+    "q150_transform_state",
+    """WITH s AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM s GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.StatefulSessions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ150(spark, dir)
+    val schema = spark.read.parquet(s"$staged/00.parquet").schema
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val eventEnc = org.apache.spark.sql.Encoders.product[Event]
+      implicit val outEnc = org.apache.spark.sql.Encoders.product[UserSessions]
+      implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .as[Event](eventEnc)
+        .groupByKey(_.user_id)(keyEnc)
+        .transformWithState(new SessionCountProcessor(1800000000L),
+          TimeMode.None(), OutputMode.Update(), outEnc)
+
+      spark.streams.active
+        .filter(_.name == "q150_mem").foreach(_.stop())
+      drainScoped(spark)(out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("q150_mem")
+        .trigger(Trigger.AvailableNow())
+        .start())
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+
+    spark.table("q150_mem")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .orderBy("user_id")
+  }.withSetup((s, d) => { stageQ150(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
-      q124ChainedWindows, q130DedupWindow)
+      q124ChainedWindows, q130DedupWindow, q150TransformWithState)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
