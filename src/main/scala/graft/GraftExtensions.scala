@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (functions.VectorExpressions.builders ++
       functions.HyperplaneExpressions.builders).foreach {
       case (name, builder) =>
@@ -29,4 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo("graft.functions", name),
           builder))
     }
+    // native as-of join planner strategy + its pushdown-restoring
+    // optimizer rule (plans.AsofJoinNative); the code-side path installs
+    // the same objects via experimental strategies/optimizations
+    ext.injectPlannerStrategy(_ => plans.AsofJoinNative.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => plans.AsofJoinNative.AsofPushdownRule)
+  }
 }

@@ -1094,13 +1094,52 @@ object EventQueries {
       .orderBy("user_id")
   }.withSetup((s, d) => { stageQ150(s, d); () })
 
+  /** The q28 workload on the NATIVE as-of join
+    * ([[graft.plans.AsofJoinNative]]: custom LogicalPlan + SparkStrategy +
+    * streaming-merge SparkPlan) instead of the composed union + window
+    * sweep. Same oracle as q28, so the two formulations are adjudicated
+    * against the same DuckDB ASOF JOIN; AsofNativeSpec additionally pins
+    * native ≡ composed across direction/strictness/tolerance/partitioning.
+    * The right side is read through its own scan so the hand-built binary
+    * node's attribute ids stay disjoint.
+    */
+  val q151AsofNative: QuerySpec = QuerySpec.oracled(
+    "q151_asof_native",
+    """WITH ded AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT l.o_orderkey, d.prev_orderkey,
+      |  CAST(epoch_us(l.o_orderdate) - epoch_us(d.o_orderdate) AS BIGINT)
+      |    AS gap_us
+      |FROM orders l ASOF JOIN ded d
+      |  ON l.o_custkey = d.o_custkey AND l.o_orderdate > d.o_orderdate
+      |ORDER BY l.o_orderkey""".stripMargin) { (spark, dir) =>
+    def withUs(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.withColumn(name, unix_micros(col("o_orderdate").cast("timestamp")))
+    val left = withUs(spark.read.parquet(s"$dir/orders.parquet"), "t_us")
+    val ded = withUs(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("prev_orderkey")), "prev_us")
+      .drop("o_orderdate")
+    graft.plans.AsofJoinNative.asof(
+      left, ded, Seq("o_custkey"), "t_us", "prev_us",
+      Seq("prev_orderkey", "prev_us"), forward = false, strict = true)
+      .filter(col("asof_prev_orderkey").isNotNull) // inner-join semantics
+      .select(col("o_orderkey"),
+        col("asof_prev_orderkey").as("prev_orderkey"),
+        (col("t_us") - col("asof_prev_us")).as("gap_us"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
-      q124ChainedWindows, q130DedupWindow, q150TransformWithState)
+      q124ChainedWindows, q130DedupWindow, q150TransformWithState,
+      q151AsofNative)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
