@@ -1132,6 +1132,125 @@ object EventQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Sliding join-aggregate — "events by the same user in the preceding
+    * hour" — composed from TWO native as-of joins over per-user cumulative
+    * counts instead of a range self-join: count[t−1h, t) =
+    * cum(< t) − cum(< t−1h), each cum looked up by a strict backward
+    * as-of against the DISTINCT-time cumulative ledger. The range join
+    * explodes by |events-in-window| per row (quadratic in hot users); this
+    * shape is two sorted merges with O(1) state against a ledger no larger
+    * than the event set — the 100 TB feature-engineering pattern for
+    * "trailing N-period activity" columns. The ledger is built per side
+    * from its own scan so the hand-built nodes keep disjoint attr ids;
+    * the oracle replays the naive range join, proving the algebra.
+    */
+  val q152SlidingJoinAgg: QuerySpec = QuerySpec.oracled(
+    "q152_sliding_join_agg",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+      |SELECT a.event_id,
+      |  CAST(count(b.event_id) AS BIGINT) AS n_prev_hour
+      |FROM e a LEFT JOIN e b ON b.user_id = a.user_id
+      |  AND b.t >= a.t - 3600000000 AND b.t < a.t
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) {
+    (spark, dir) =>
+      val HourUs = 3600000000L
+      def cumLedger() = {
+        val w = Window.partitionBy("user_id").orderBy("t")
+        CoreQueries.events(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("t"))
+          .groupBy("user_id", "t").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+          .select(col("user_id"), col("t").as("rt"), col("cum"))
+      }
+      val left = CoreQueries.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t"))
+        .withColumn("t2", col("t") - HourUs)
+      val atT = graft.plans.AsofJoinNative.asof(
+        left, cumLedger(), Seq("user_id"), "t", "rt", Seq("cum"),
+        forward = false, strict = true)
+        .withColumnRenamed("asof_cum", "c_lt")
+      val atT2 = graft.plans.AsofJoinNative.asof(
+        atT, cumLedger(), Seq("user_id"), "t2", "rt", Seq("cum"),
+        forward = false, strict = true)
+        .withColumnRenamed("asof_cum", "c_lt2")
+      atT2.select(col("event_id"),
+        (coalesce(col("c_lt"), lit(0L)) - coalesce(col("c_lt2"), lit(0L)))
+          .cast("long").as("n_prev_hour"))
+        .orderBy("event_id")
+  }
+
+  /** Same-day set completion via BITMASK aggregation: users whose events
+    * cover view|click|purchase within one day — the any-order funnel
+    * complement of q63's ordered funnel. One groupBy folds each
+    * (user, day) into a 3-bit `bit_or` mask (exact integers, map-side
+    * combinable); the day-level rollup then counts complete masks. Two
+    * aggregates total, output |days| rows at any scale.
+    */
+  val q153BitmaskCover: QuerySpec = QuerySpec.oracled(
+    "q153_bitmask_cover",
+    """WITH m AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'purchase' THEN 4 ELSE 0 END) AS mask
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, count(*) AS n_users,
+      |  CAST(count(*) FILTER (WHERE mask = 7) AS BIGINT) AS n_complete,
+      |  CAST(count(*) FILTER (WHERE mask = 7) * 10000 AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS complete_bp
+      |FROM m GROUP BY day ORDER BY day""".stripMargin) { (spark, dir) =>
+    val m = CoreQueries.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"),
+        expr("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+          "WHEN 'purchase' THEN 4 ELSE 0 END").as("bit"))
+      .groupBy("user_id", "day")
+      .agg(expr("bit_or(bit)").as("mask"))
+    m.groupBy("day")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("mask") === 7, 1L).otherwise(0L)).as("n_complete"))
+      .select(col("day"), col("n_users"), col("n_complete"),
+        ((col("n_complete") * 10000).cast("double") /
+          col("n_users").cast("double")).as("complete_bp"))
+      .orderBy("day")
+  }
+
+  /** q40's forward workload on the NATIVE as-of exec — locks the
+    * descending-scan merge path (forward = earliest strictly-later right
+    * row) against the same DuckDB ASOF JOIN oracle the composed form
+    * answers.
+    */
+  val q154AsofNativeForward: QuerySpec = QuerySpec.oracled(
+    "q154_asof_native_fwd",
+    """WITH ded AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT l.o_orderkey, d.next_orderkey,
+      |  CAST(epoch_us(d.o_orderdate) - epoch_us(l.o_orderdate) AS BIGINT)
+      |    AS wait_us
+      |FROM orders l ASOF JOIN ded d
+      |  ON l.o_custkey = d.o_custkey AND l.o_orderdate < d.o_orderdate
+      |ORDER BY l.o_orderkey""".stripMargin) { (spark, dir) =>
+    def withUs(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.withColumn(name, unix_micros(col("o_orderdate").cast("timestamp")))
+    val left = withUs(spark.read.parquet(s"$dir/orders.parquet"), "t_us")
+    val ded = withUs(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("next_orderkey")), "next_us")
+      .drop("o_orderdate")
+    graft.plans.AsofJoinNative.asof(
+      left, ded, Seq("o_custkey"), "t_us", "next_us",
+      Seq("next_orderkey", "next_us"), forward = true, strict = true)
+      .filter(col("asof_next_orderkey").isNotNull)
+      .select(col("o_orderkey"),
+        col("asof_next_orderkey").as("next_orderkey"),
+        (col("asof_next_us") - col("t_us")).as("wait_us"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
@@ -1139,7 +1258,8 @@ object EventQueries {
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
-      q151AsofNative)
+      q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
+      q154AsofNativeForward)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
