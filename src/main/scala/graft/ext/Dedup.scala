@@ -256,6 +256,65 @@ object Dedup {
         col("union_size") * thresholdNum)
   }
 
+  /** Incremental MinHash-LSH near-dup: every qualifying pair that involves
+    * at least one `incoming` document — the append-only maintenance shape.
+    * A production corpus is deduplicated ONCE; each new ingest batch then
+    * only needs (incoming × corpus) ∪ (incoming × incoming) candidates,
+    * never corpus × corpus, so the per-batch cost scales with
+    * |batch| · bucket-width instead of re-paying the full self-join over
+    * 100 TB of history. Implementation: band buckets for BOTH sides (the
+    * corpus side is the part a real pipeline persists between batches),
+    * then ONE asymmetric equi-join of incoming bands against all bands —
+    * ids only, AQE-splittable — canonicalized to unordered pairs, and the
+    * same exact integer-arithmetic Jaccard verify as
+    * [[minhashNearDupPairs]]. Incoming ids must be disjoint from corpus
+    * ids (they are new documents). IncrementalDedupSpec proves the pair
+    * set equals the full self-join's pairs filtered to incoming
+    * membership.
+    */
+  def minhashNearDupPairsIncremental(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bandRows: Int = 2,
+      thresholdNum: Int = 7,
+      thresholdDen: Int = 10): DataFrame = {
+    require(numHashes % bandRows == 0)
+    val numBands = numHashes / bandRows
+    def banded(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sets = withShingleHashSets(docs, idCol, textCol, k)
+      val sig = sets.select(col("doc_id"),
+        expr(s"graft_minhash(hsh, $numHashes)").as("sig"))
+      val bands = sig.select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${numBands - 1}), b -> concat_ws(':', " +
+            s"transform(slice(sig, b * $bandRows + 1, $bandRows), " +
+            "x -> CAST(x AS STRING))))"))
+          .as(Seq("band", "bucket")))
+      (sets, bands)
+    }
+    val (setsC, bandsC) = banded(corpus)
+    val (setsI, bandsI) = banded(incoming)
+    // incoming ⋈ (corpus ∪ incoming): each pair carries ≥ 1 incoming doc.
+    // incoming × incoming pairs meet twice (once from each side) before the
+    // canonical (least, greatest) + distinct collapses them.
+    val cands = bandsI.select(col("doc_id").as("id_n"),
+        col("band"), col("bucket"))
+      .join(bandsC.union(bandsI).select(col("doc_id").as("id_o"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    withOverlapExploded(cands, setsC.union(setsI))
+      .filter(col("inter_size") * thresholdDen >=
+        col("union_size") * thresholdNum)
+  }
+
   /** SimHash near-duplicate pairs: 16-bit signatures from per-bit ±1 vote
     * sums (16 agg columns, one shuffle), Hamming ≤ `maxHamming` via the
     * pigeonhole nibble bands (distance ≤ 3 ⇒ some nibble equal) — an

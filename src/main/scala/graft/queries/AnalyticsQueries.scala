@@ -1191,6 +1191,78 @@ object AnalyticsQueries {
       .orderBy("flag")
   }
 
+  /** Robust outlier gate: per event type, median and MAD (median absolute
+    * deviation) of the value column, then the count of points farther than
+    * 3·MAD from the median — the screen that survives the heavy-tailed
+    * distributions that wreck mean/stddev z-scores (one whale purchase
+    * drags a mean arbitrarily; the median doesn't move). Both medians use
+    * the q146 distinct-value technique: aggregate to (type, value) counts
+    * first, cumulative-weight window over the UNIQUE ascending value key,
+    * median = smallest value whose doubled cumulative count reaches the
+    * total — deterministic (no interpolation, no tie order), exact integer
+    * cents throughout, and the windows run over |distinct values| rows per
+    * type, not the fact table. Two aggregate passes + two tiny broadcast
+    * joins back — shape holds at any scale.
+    */
+  val q156MadOutliers: QuerySpec = QuerySpec.oracled(
+    "q156_mad_outliers",
+    """WITH g AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT event_type, cents, count(*) AS w FROM g GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, cents, w,
+      |    sum(w) OVER (PARTITION BY event_type ORDER BY cents) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM a),
+      |med AS (SELECT event_type, min(cents) AS med_cents FROM c
+      |        WHERE 2 * cw >= tw GROUP BY 1),
+      |d AS (
+      |  SELECT g.event_type, abs(g.cents - m.med_cents) AS dv
+      |  FROM g JOIN med m USING (event_type)),
+      |da AS (SELECT event_type, dv, count(*) AS w FROM d GROUP BY 1, 2),
+      |dc AS (
+      |  SELECT event_type, dv, w,
+      |    sum(w) OVER (PARTITION BY event_type ORDER BY dv) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM da),
+      |mad AS (SELECT event_type, min(dv) AS mad_cents FROM dc
+      |        WHERE 2 * cw >= tw GROUP BY 1)
+      |SELECT g.event_type, max(m.med_cents) AS med_cents,
+      |  max(x.mad_cents) AS mad_cents, count(*) AS n,
+      |  CAST(sum(CASE WHEN abs(g.cents - m.med_cents) > 3 * x.mad_cents
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM g JOIN med m USING (event_type) JOIN mad x USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val g = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    def lowerMedian(pts: org.apache.spark.sql.DataFrame, valCol: String,
+        out: String) = {
+      val a = pts.groupBy("event_type", valCol)
+        .agg(count(lit(1)).as("w"))
+      val cum = Window.partitionBy("event_type").orderBy(valCol)
+      val tot = Window.partitionBy("event_type")
+      a.withColumn("cw", sum("w").over(cum))
+        .withColumn("tw", sum("w").over(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("event_type").agg(min(valCol).as(out))
+    }
+    val med = lowerMedian(g, "cents", "med_cents")
+    val dev = g.join(med, "event_type")
+      .select(col("event_type"),
+        abs(col("cents") - col("med_cents")).as("dv"))
+    val mad = lowerMedian(dev, "dv", "mad_cents")
+    g.join(med, "event_type").join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        count(lit(1)).as("n"),
+        sum(when(abs(col("cents") - col("med_cents")) >
+          col("mad_cents") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
@@ -1198,5 +1270,5 @@ object AnalyticsQueries {
       q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
       q133Streaks, q135SequenceMatch, q136TriangleCount, q137CorrMatrix,
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
-      q143PathTrigrams, q145Skyline, q146WeightedMedian)
+      q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers)
 }

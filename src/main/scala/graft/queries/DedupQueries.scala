@@ -243,7 +243,39 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental near-dup maintenance
+    * ([[graft.ext.Dedup.minhashNearDupPairsIncremental]]): documents with
+    * `doc_id % 7 = 0` play the freshly-ingested batch, the rest the
+    * already-deduplicated corpus; the result is every qualifying pair
+    * touching the batch — corpus × corpus pairs are structurally excluded
+    * from candidate generation, which is what keeps per-batch dedup cost
+    * proportional to the batch, not the 100 TB history. The oracle replays
+    * exact all-pairs Jaccard restricted to pairs with an incoming member.
+    */
+  val q155IncrementalNearDup: QuerySpec = QuerySpec.oracled(
+    "q155_incremental_neardup",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+       |SELECT id_a, id_b, inter_size, union_size FROM p
+       |WHERE inter_size * 10 >= union_size * 7
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.minhashNearDupPairsIncremental(
+      corpus = docs.filter(col("doc_id") % 7 =!= 0),
+      incoming = docs.filter(col("doc_id") % 7 === 0),
+      idCol = "doc_id", textCol = "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 7, thresholdDen = 10)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
-      q57DupClusters, q69ClusterSurvivor, q148Containment)
+      q57DupClusters, q69ClusterSurvivor, q148Containment,
+      q155IncrementalNearDup)
 }

@@ -1217,6 +1217,49 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Mergeable-sketch rollup: per-(type, day) HLL sketches of distinct
+    * users, UNIONED up to per-(type, week) estimates — the pre-aggregation
+    * pattern that makes distinct-count cubes possible at 100 TB: daily
+    * sketches are built once (map-side combinable, fixed 2^12-register
+    * size), persist at |types|·|days| rows, and any coarser rollup
+    * (week/month/all-time, or cross-type) is a register-wise union of the
+    * stored sketches — the raw fact table is never rescanned. The exact
+    * weekly distinct count rides the same output row; the sketch claim is
+    * adjudicated as a boolean (estimate within 5% of exact — the q56
+    * convention: DuckDB can't replay datasketches registers, but it CAN
+    * verify the accuracy contract), and HllRollupSpec separately proves
+    * union-of-daily ≡ direct-weekly on the fixture.
+    */
+  val q157HllRollup: QuerySpec = QuerySpec.oracled(
+    "q157_hll_rollup",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) // 7 AS week,
+      |    user_id
+      |  FROM events)
+      |SELECT event_type, week, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS est_within_5pct
+      |FROM g GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val base = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"),
+        col("user_id"))
+    val daily = base.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val weekly = daily
+      .groupBy(col("event_type"), expr("day div 7").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    val exact = base
+      .groupBy(col("event_type"), expr("day div 7").as("week"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    exact.join(weekly, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("exact_users"),
+        (abs(col("__est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("est_within_5pct"))
+      .orderBy("event_type", "week")
+  }
+
   /** q40's forward workload on the NATIVE as-of exec — locks the
     * descending-scan merge path (forward = earliest strictly-later right
     * row) against the same DuckDB ASOF JOIN oracle the composed form
@@ -1259,7 +1302,7 @@ object EventQueries {
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
-      q154AsofNativeForward)
+      q154AsofNativeForward, q157HllRollup)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
