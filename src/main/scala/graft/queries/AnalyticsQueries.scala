@@ -1263,6 +1263,104 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint detection on the daily event-count series, one
+    * series per event type: C_d = Σ_{i≤d} (x_i − mean) peaks exactly where
+    * the level of the series shifts, so `argmax |C_d|` is the classic
+    * single-changepoint estimator (Page's cumulative-sum statistic without
+    * the reset, i.e. the form that IS a prefix sum and therefore one
+    * window pass instead of an unparallelizable recursion). All arithmetic
+    * is exact integer: with N days and total T, N·C_d = Σ (N·x_i − T), so
+    * the statistic is scaled by N once rather than dividing by it — no
+    * float mean, no cross-engine rounding. Shape at 100 TB: the fact
+    * table collapses to |types|·|days| rows in one aggregate pass; the
+    * window + argmax run over that tiny series. Tie on |C| → earliest day.
+    */
+  val q159CusumChangepoint: QuerySpec = QuerySpec.oracled(
+    "q159_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, day, n,
+      |    count(*) OVER (PARTITION BY event_type) AS nd,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot
+      |  FROM d),
+      |c AS (
+      |  SELECT event_type, day, nd,
+      |    sum(nd * n - tot) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS cs
+      |  FROM t),
+      |r AS (
+      |  SELECT event_type, day AS cp_day,
+      |    CAST(abs(cs) AS BIGINT) AS max_abs_c,
+      |    nd AS n_days,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cs) DESC, day) AS rn
+      |  FROM c)
+      |SELECT event_type, cp_day, max_abs_c, n_days FROM r WHERE rn = 1
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val d = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val per = Window.partitionBy("event_type")
+    val cum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rank = Window.partitionBy("event_type")
+      .orderBy(col("max_abs_c").desc, col("cp_day"))
+    d.withColumn("nd", count(lit(1)).over(per))
+      .withColumn("tot", sum("n").over(per))
+      .withColumn("cs", sum(col("nd") * col("n") - col("tot")).over(cum))
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("cs")).as("max_abs_c"), col("nd").as("n_days"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("event_type")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * strictly-earlier event of an attributable type (click / view /
+    * signup) by the same user, falling back to 'direct' when the user has
+    * no prior touch. One window pass — `last(..., ignoreNulls)` over
+    * `ROWS UNBOUNDED PRECEDING → 1 PRECEDING` ordered by (ts, event_id)
+    * (the id tiebreak makes same-microsecond orderings identical in both
+    * engines) — then a tiny per-source rollup of purchase counts and
+    * integer-cents revenue. Shape at 100 TB: state per user is one
+    * carried value inside the window sweep (no self-join against the
+    * touch history), partitioned by user — exactly how attribution runs
+    * on a billion-user event log.
+    */
+  val q160LastTouchAttribution: QuerySpec = QuerySpec.oracled(
+    "q160_last_touch_attribution",
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+      |  FROM events)
+      |SELECT coalesce(src, 'direct') AS source,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM w WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val touch = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    CoreQueries.events(spark, dir)
+      .withColumn("src",
+        last(when(col("event_type").isin("click", "view", "signup"),
+          col("event_type")), ignoreNulls = true).over(touch))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("src"), lit("direct")).as("source"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
@@ -1270,5 +1368,6 @@ object AnalyticsQueries {
       q114IntervalUnion, q123AnomalyGate, q127Winsorize, q132BfsReach,
       q133Streaks, q135SequenceMatch, q136TriangleCount, q137CorrMatrix,
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
-      q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers)
+      q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
+      q159CusumChangepoint, q160LastTouchAttribution)
 }

@@ -1260,6 +1260,86 @@ object EventQueries {
       .orderBy("event_type", "week")
   }
 
+  /** Mergeable-HISTOGRAM rollup — the quantile twin of q157's HLL pattern:
+    * per-(type, day) fixed-bin histograms (map<bin, count>, bin = 500-cent
+    * linear buckets) are built once from the fact table; a per-(type, week)
+    * approximate median is then answered entirely from the stored daily
+    * maps (explode + per-bin sum = element-wise histogram union — the fact
+    * table is never rescanned). Unlike a percentile over raw rows, the
+    * daily sketch is FIXED-SIZE (≤ ~100 bins regardless of row count), so
+    * a 100 TB fact table collapses to |types|·|days| map rows after one
+    * pass, and every coarser quantile rollup (week / month / all-time)
+    * costs only a sum over bins. The approx-median error is bounded by
+    * construction to one bin width: the merged cumulative histogram puts
+    * the exact lower median inside the selected bin, so
+    * `approx ≤ exact < approx + 500`. The exact weekly median (the q146
+    * distinct-value cumulative-weight technique) rides the same row and
+    * the bin-width contract is adjudicated as a boolean the oracle can
+    * replay.
+    */
+  val q158HistQuantileRollup: QuerySpec = QuerySpec.oracled(
+    "q158_hist_quantile_rollup",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) // 7 AS week,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT event_type, week, cents, count(*) AS w
+      |      FROM g GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT event_type, week, cents, w,
+      |    sum(w) OVER (PARTITION BY event_type, week ORDER BY cents) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type, week) AS tw
+      |  FROM a)
+      |SELECT event_type, week, min(cents) AS exact_med_cents,
+      |  TRUE AS approx_within_bin
+      |FROM c WHERE 2 * cw >= tw GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val g = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // daily sketch: one fixed-size map<bin, count> per (type, day) — this
+    // is the artifact a pipeline would persist between rollup queries
+    val daily = g
+      .groupBy(col("event_type"), col("day"), (col("cents") / 500)
+        .cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy("event_type", "day")
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("w"))))
+        .as("sk"))
+    // weekly union: explode stored maps, per-bin sum = histogram merge
+    val merged = daily
+      .select(col("event_type"), expr("day div 7").as("week"),
+        explode(col("sk")).as(Seq("bin", "w")))
+      .groupBy("event_type", "week", "bin")
+      .agg(sum("w").as("w"))
+    val cum = Window.partitionBy("event_type", "week").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type", "week")
+    val approx = merged
+      .withColumn("cw", sum("w").over(cum))
+      .withColumn("tw", sum("w").over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("event_type", "week")
+      .agg((min("bin") * 500).as("approx_cents"))
+    val exactCum = Window.partitionBy("event_type", "week").orderBy("cents")
+    val exact = g
+      .groupBy(col("event_type"), expr("day div 7").as("week"), col("cents"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("cw", sum("w").over(exactCum))
+      .withColumn("tw", sum("w").over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("event_type", "week")
+      .agg(min("cents").as("exact_med_cents"))
+    exact.join(approx, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("exact_med_cents"),
+        (col("approx_cents") <= col("exact_med_cents") &&
+          col("exact_med_cents") < col("approx_cents") + 500)
+          .as("approx_within_bin"))
+      .orderBy("event_type", "week")
+  }
+
   /** q40's forward workload on the NATIVE as-of exec — locks the
     * descending-scan merge path (forward = earliest strictly-later right
     * row) against the same DuckDB ASOF JOIN oracle the composed form
@@ -1302,7 +1382,7 @@ object EventQueries {
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
-      q154AsofNativeForward, q157HllRollup)
+      q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
