@@ -274,8 +274,113 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  private val q161Staging = new QuerySpec.StagingCache[String]
+
+  /** Split the documents table into three doc_id-striped parquet files,
+    * backdated oldest-first so the file stream drains them as three
+    * ordered ingest batches. Memoized per sf dir.
+    */
+  def stageQ161(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q161Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q161_docs", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      (0 until 3).foreach { i =>
+        val sub = s"b0$i"
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.parquet(s"$staged/$sub")
+        val part = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$staged/$sub"))
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part- file under $staged/$sub"))
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$staged/$sub.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$staged/$sub.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (3 - i) * 60000L))
+      }
+      staged.toString
+    }
+
+  /** STREAMING near-dup maintenance: the documents table arrives as three
+    * ingest batches over a file stream; each `foreachBatch` runs
+    * [[graft.ext.Dedup.minhashNearDupPairsIncremental]] of the batch
+    * against the corpus PERSISTED so far (a parquet dir, exactly the
+    * artifact a production pipeline keeps between ingests), appends the
+    * discovered pairs to a result dir, then folds the batch into the
+    * corpus. Every qualifying pair is emitted exactly once — in the batch
+    * where its LATER member arrives (same-batch pairs via the
+    * incoming × incoming leg) — so the union over batches must equal the
+    * one-shot all-pairs result: the oracle is q18's full exact-Jaccard
+    * SQL, unfiltered. No batch ever pays a corpus × corpus join; this is
+    * the continuous-ingest dedup shape at 100 TB (per-batch cost ∝ batch,
+    * checkpointed source progress, idempotent-by-batchId writes being the
+    * production hardening of the append used here).
+    */
+  val q161StreamIncrementalDedup: QuerySpec = QuerySpec.oracled(
+    "q161_stream_incr_dedup",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter_size, union_size FROM p
+       |WHERE inter_size * 10 >= union_size * 7
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ161(spark, dir)
+    val run = new java.io.File(
+      QuerySpec.stagedPath("q161_run", dir + "#" + System.nanoTime()))
+    val corpusDir = s"$run/corpus"
+    val pairsDir = s"$run/pairs"
+    val schema = spark.read.parquet(s"$staged/b00.parquet").schema
+    def corpusFiles(): Array[java.io.File] =
+      Option(new java.io.File(corpusDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val incoming = batch.persist()
+        try {
+          val corpus =
+            if (corpusFiles().isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                schema)
+            else spark.read.parquet(corpusDir)
+          Dedup.minhashNearDupPairsIncremental(
+            corpus, incoming, "doc_id", "text",
+            k = 3, numHashes = 128, bandRows = 2,
+            thresholdNum = 7, thresholdDen = 10)
+            .write.mode("append").parquet(pairsDir)
+          incoming.write.mode("append").parquet(corpusDir)
+        } finally { incoming.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$run/ckpt")
+      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try stream.awaitTermination() finally spark.conf.set(key, prev)
+    spark.read.parquet(pairsDir)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .orderBy("id_a", "id_b")
+  }.withSetup((s, d) => { stageQ161(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
-      q155IncrementalNearDup)
+      q155IncrementalNearDup, q161StreamIncrementalDedup)
 }

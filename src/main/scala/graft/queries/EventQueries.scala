@@ -1340,6 +1340,63 @@ object EventQueries {
       .orderBy("event_type", "week")
   }
 
+  /** Sketch ALGEBRA on top of q157's stored HLL sketches: estimated
+    * audience overlap |A ∩ B| between every pair of event types via
+    * inclusion–exclusion — est(A) + est(B) − est(A ∪ B), where the union
+    * estimate comes from `hll_union_agg` over the two types' per-type
+    * sketches. This is the query family persisted sketches exist for:
+    * once per-type (or per-type-per-day) sketches are stored, EVERY
+    * pairwise overlap across T types is answered from T fixed-size
+    * sketches — no T² distinct-count scans of the fact table, which is
+    * the difference between feasible and not at 100 TB (the exact twin
+    * needs a self-join of user sets per pair). Intersection by
+    * inclusion–exclusion compounds three ±1.6% estimates (2^12
+    * registers), so the adjudicated contract is within 10% of exact on
+    * these high-overlap audiences; the exact count rides the same row.
+    */
+  val q162HllIntersection: QuerySpec = QuerySpec.oracled(
+    "q162_hll_intersection",
+    """WITH u AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.user_id FROM u a JOIN u b USING (user_id)
+      |  WHERE a.event_type < b.event_type)
+      |SELECT type_a, type_b,
+      |  count(DISTINCT user_id) AS exact_overlap,
+      |  TRUE AS est_within_10pct
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val base = CoreQueries.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    // the stored artifact: ONE fixed-size sketch per event type (|types|
+    // rows — a pipeline persists this table; here the plan just reuses
+    // the tiny aggregate on both sides of the pair cross)
+    val sk = base.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"))
+      .crossJoin(sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b")))
+      .filter(col("type_a") < col("type_b"))
+    // est(A ∩ B) = est(A) + est(B) − est(A ∪ B), all from stored sketches
+    val est = pairs.select(col("type_a"), col("type_b"),
+      (hll_sketch_estimate(col("sk_a")) +
+        hll_sketch_estimate(col("sk_b")) -
+        hll_sketch_estimate(expr("hll_union(sk_a, sk_b)")))
+        .as("est_overlap"))
+    val exact = base.select(col("event_type").as("type_a"), col("user_id"))
+      .join(base.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(countDistinct("user_id").as("exact_overlap"))
+    exact.join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          col("exact_overlap") * 0.10).as("est_within_10pct"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q40's forward workload on the NATIVE as-of exec — locks the
     * descending-scan merge path (forward = earliest strictly-later right
     * row) against the same DuckDB ASOF JOIN oracle the composed form
@@ -1382,7 +1439,8 @@ object EventQueries {
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
-      q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup)
+      q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
+      q162HllIntersection)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
