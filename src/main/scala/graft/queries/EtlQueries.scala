@@ -597,9 +597,39 @@ object EtlQueries {
     kept.unionByName(tomb).orderBy("entry")
   }
 
+  /** l-diversity release gate — the companion to q121's k-anonymity:
+    * k-anonymity alone leaks when a cohort is homogeneous in the SENSITIVE
+    * attribute (everyone in the cohort shares it, so membership reveals
+    * it). Per quasi-identifier cohort (day, user band), count distinct
+    * sensitive values (event_type) and release only cohorts with ≥ 3 —
+    * the l = 3 diversity rule. One aggregate pass (count + distinct-count
+    * per cohort, both map-side combinable), |cohorts| output rows at any
+    * fact scale; the verdict is a deterministic boolean on exact integer
+    * counts.
+    */
+  val q165LDiversity: QuerySpec = QuerySpec.oracled(
+    "q165_l_diversity",
+    """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+      |  user_id % 10 AS band,
+      |  count(*) AS n_rows,
+      |  count(DISTINCT event_type) AS n_sensitive,
+      |  count(DISTINCT event_type) >= 3 AS released
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.queries.{CoreQueries => CQ}
+    CQ.events(spark, dir)
+      .groupBy(
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day_idx"),
+        (col("user_id") % 10).as("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("event_type").as("n_sensitive"))
+      .withColumn("released", col("n_sensitive") >= 3)
+      .orderBy("day_idx", "band")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
-      q128TableChecksum, q134ErasurePropagate)
+      q128TableChecksum, q134ErasurePropagate, q165LDiversity)
 }

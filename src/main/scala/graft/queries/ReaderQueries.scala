@@ -399,49 +399,61 @@ object ReaderQueries {
       .orderBy("batch", "priority")
   }.withSetup((s, d) => { stageQ119(s, d); () })
 
-  /** Z-order locality ([[graft.ext.ZOrder]]): Morton-interleave
-    * (user_id % 256, day % 256) at 8 bits/dim, bucket the 16-bit curve
-    * into contiguous z-ranges of length 2^12, and report each occupied
-    * bucket's row count and PER-DIMENSION min/max spread. The adjudicated
-    * values prove the curve's locality guarantee directly: fixing the top
-    * 4 z-bits fixes the top 2 bits of BOTH dimensions, so every bucket's
-    * x-spread and y-spread are < 64 — which is exactly why a z-range-
-    * clustered file layout bounds both dimensions in every file's parquet
-    * min/max footer and lets a 2-D box predicate skip files on either
-    * dimension (ZOrderSpec writes the layout and counts prunable files vs
-    * a 1-D sort). The interleave is the same generated shift/mask/or
-    * chain on both engines ([[graft.ext.ZOrder.interleave2Sql]] /
-    * [[graft.ext.ZOrder.interleave2SqlDuck]] from one loop — no drift).
+  private val q163Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the events table as a Z-ORDERED parquet layout
+    * ([[graft.ext.ZOrder.writeZOrdered]]) clustered on
+    * (user_id % 256, day % 256) at 8 bits/dim into 24 range files.
+    * Memoized per sf dir; Bench stages untimed via the setup hook.
     */
-  val q163ZOrderLocality: QuerySpec = {
-    val zDuck = graft.ext.ZOrder.interleave2SqlDuck("x", "y", 8)
-    QuerySpec.oracled(
-      "q163_zorder_locality",
-      s"""WITH e AS (
-         |  SELECT user_id % 256 AS x,
-         |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 256 AS y
-         |  FROM events),
-         |z AS (SELECT x, y, $zDuck AS zv FROM e)
-         |SELECT zv // 4096 AS z_bucket, count(*) AS n,
-         |  min(x) AS min_x, max(x) AS max_x,
-         |  min(y) AS min_y, max(y) AS max_y
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+  def stageQ163(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q163Staging.getOrStage(dir) {
+      val path = QuerySpec.stagedPath("q163_zorder", dir)
       val e = CoreQueries.events(spark, dir)
-        .select((col("user_id") % 256).as("x"),
+        .select(col("event_type"), col("value"),
+          (col("user_id") % 256).as("x"),
           (expr("CAST((ts div 1000) div 86400000000 AS BIGINT)") % 256)
             .as("y"))
-      e.withColumn("zv", graft.ext.ZOrder.interleave2(col("x"), col("y"), 8))
-        .groupBy(expr("zv div 4096").as("z_bucket"))
-        .agg(count(lit(1)).as("n"),
-          min("x").as("min_x"), max("x").as("max_x"),
-          min("y").as("min_y"), max("y").as("max_y"))
-        .orderBy("z_bucket")
+      graft.ext.ZOrder.writeZOrdered(e, path, "x", "y", 8, 24)
+      path
     }
-  }
+
+  /** 2-D box scan THROUGH the z-ordered layout (q76 pins the curve
+    * arithmetic; ZOrderSpec proves the file pruning; this row runs the
+    * end-to-end read a user actually issues): filter on BOTH clustered
+    * dimensions over the staged layout, aggregate per event type. Both
+    * predicates reach the parquet scan as pushed filters, and because the
+    * layout bounds x AND y per file, the reader's footer min/max skip the
+    * files outside the box — on a 100 TB table clustered this way the box
+    * touches O(box area / file span) files while the same query on a
+    * date-sorted layout reads every file for the user-band predicate.
+    * The oracle recomputes from the RAW events table, so the result also
+    * proves the clustered rewrite lost nothing.
+    */
+  val q163ZOrderPrunedScan: QuerySpec = QuerySpec.oracled(
+    "q163_zorder_pruned_scan",
+    """WITH e AS (
+      |  SELECT event_type, value, user_id % 256 AS x,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 256 AS y
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM e
+      |WHERE x BETWEEN 32 AND 47 AND y BETWEEN 16 AND 31
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val staged = stageQ163(spark, dir)
+    spark.read.parquet(staged)
+      .filter(col("x").between(32, 47) && col("y").between(16, 31))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy("event_type")
+  }.withSetup((s, d) => { stageQ163(s, d); () })
 
   val all: Seq[QuerySpec] =
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
       q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution,
-      q163ZOrderLocality)
+      q163ZOrderPrunedScan)
 }

@@ -125,17 +125,16 @@ object RelationalQueries {
     * shift/and/or builtins only, so the whole key stays inside one
     * whole-stage-codegen span; no UDF, no custom expression needed.
     */
+  /** Canonical implementation lives in [[graft.ext.ZOrder]]; kept as a
+    * named alias because RelationalSpec pins it against a reference
+    * interleave independently of ZOrderSpec.
+    */
   def zOrderKey(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    graft.ext.ZOrder.interleave2(x, y, bits)
 
   private def zOrderSqlTerms(bits: Int): String =
-    (0 until bits).map { i =>
-      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
-    }.mkString(" + ")
+    graft.ext.ZOrder.interleave2SqlDuck("x", "y", bits)
 
   /** Z-order clustering key over (part, supplier): bucketing rows by Morton
     * key keeps BOTH dimensions locally bounded per bucket (the min/max
@@ -143,8 +142,10 @@ object RelationalQueries {
     * 256×256 key space). At 100 TB this is the data-layout play: write
     * sorted by zkey (`repartitionByRange(zkey)` + sortWithinPartitions) and
     * parquet min/max stats prune file reads for predicates on EITHER
-    * dimension — a linear sort can only serve one. ZOrderLayoutSpec pins
-    * the locality claim; this query pins the key arithmetic cross-engine.
+    * dimension — a linear sort can only serve one. The layout itself is
+    * [[graft.ext.ZOrder.writeZOrdered]]: ZOrderSpec proves the file-level
+    * pruning, q163 reads a staged z-ordered layout end-to-end, and this
+    * query pins the key arithmetic cross-engine.
     */
   val q76ZOrder: QuerySpec = QuerySpec.oracled(
     "q76_zorder",
@@ -356,7 +357,57 @@ object RelationalQueries {
       .orderBy("rk")
   }
 
+  /** Frequent-pair mining (market basket) with APRIORI pruning: parts
+    * co-ordered in ≥ 3 baskets, with each pair's support and both
+    * singleton supports (lift-ready). The scale discipline is the prune
+    * ORDER: singleton supports come first (one map-side-combinable
+    * aggregate), parts below minsup are dropped BEFORE the pair explode —
+    * by the apriori property no frequent pair can contain an infrequent
+    * part, so the prune is lossless — and only then does the per-basket
+    * self-join run, whose fan-out is basket²/2 (baskets are small and
+    * bounded: max 13 parts here; a hot-basket cap would be the production
+    * guard). The frequent-part set joins in as a broadcast semi-join
+    * (frequency tables are ≪ facts at any scale). Everything else is
+    * integer counting.
+    */
+  val q164FrequentPairs: QuerySpec = QuerySpec.oracled(
+    "q164_frequent_pairs",
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part
+      |  FROM lineitem),
+      |s AS (SELECT part, count(*) AS sup FROM b GROUP BY 1),
+      |f AS (SELECT part, sup FROM s WHERE sup >= 3),
+      |bf AS (
+      |  SELECT b.ord, b.part, f.sup FROM b JOIN f USING (part)),
+      |p AS (
+      |  SELECT a.part AS part_a, c.part AS part_b,
+      |    max(a.sup) AS sup_a, max(c.sup) AS sup_b,
+      |    count(*) AS sup_ab
+      |  FROM bf a JOIN bf c ON a.ord = c.ord AND a.part < c.part
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, sup_ab, sup_a, sup_b FROM p
+      |WHERE sup_ab >= 3
+      |ORDER BY part_a, part_b""".stripMargin) { (spark, dir) =>
+    val b = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("part"))
+      .distinct()
+    val freq = b.groupBy("part").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 3)
+    val bf = b.join(broadcast(freq), "part")
+    bf.select(col("ord"), col("part").as("part_a"), col("sup").as("sup_a"))
+      .join(bf.select(col("ord"), col("part").as("part_b"),
+        col("sup").as("sup_b")), "ord")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("sup_ab"),
+        max("sup_a").as("sup_a"), max("sup_b").as("sup_b"))
+      .filter(col("sup_ab") >= 3)
+      .select("part_a", "part_b", "sup_ab", "sup_a", "sup_b")
+      .orderBy("part_a", "part_b")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
-      q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort)
+      q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
+      q164FrequentPairs)
 }
