@@ -18,6 +18,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only: optional arg = comma-separated query-name filter (the
+    // driver passes no args and benches everything)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(',').toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.specs.map(_.name).toSet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: filter names match no query: ${unknown.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,7 +65,9 @@ object Bench {
       shuffleBytes.get()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.specs.map { spec =>
+    val results = SparkEntry.specs
+      .filter(spec => only.forall(_.contains(spec.name)))
+      .map { spec =>
       spec.setup.foreach { s =>
         try s(spark, sfDir)
         catch { case e: Throwable =>
