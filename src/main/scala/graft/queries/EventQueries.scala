@@ -1340,6 +1340,93 @@ object EventQueries {
       .orderBy("event_type", "week")
   }
 
+  /** ROLLING quantile from stored daily histograms — the dashboard query
+    * the q158 sketches exist for: trailing-7-day P90 of the value
+    * distribution per event type, for every day, computed ENTIRELY from
+    * the per-(type, day, bin) daily histogram rows. The trailing merge is
+    * a RANGE window (6 PRECEDING) per (type, bin) over a dense
+    * (type, day, bin) grid — densification matters: a bin absent on day d
+    * but present on d−3 must still contribute a row for d's window — then
+    * the P90 crossing runs over bins per (type, day). Cost at 100 TB:
+    * after the one histogram pass the windows touch
+    * |types|·|days|·|bins| rows (thousands), never the fact table; the
+    * exact trailing P90 (range-join + distinct-value crossing) rides
+    * along only to adjudicate the one-bin error contract — a production
+    * pipeline runs just the sketch path.
+    */
+  val q166RollingP90: QuerySpec = QuerySpec.oracled(
+    "q166_rolling_p90",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |days AS (SELECT DISTINCT event_type, day FROM g),
+      |tr AS (
+      |  SELECT d.event_type, d.day, g.cents
+      |  FROM days d JOIN g ON g.event_type = d.event_type
+      |    AND g.day BETWEEN d.day - 6 AND d.day),
+      |a AS (SELECT event_type, day, cents, count(*) AS w
+      |      FROM tr GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT event_type, day, cents, w,
+      |    sum(w) OVER (PARTITION BY event_type, day ORDER BY cents) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type, day) AS tw
+      |  FROM a)
+      |SELECT event_type, day, min(cents) AS exact_p90_cents,
+      |  TRUE AS approx_within_bin
+      |FROM c WHERE 10 * cw >= 9 * tw GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val g = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST((ts div 1000) div 86400000000 AS BIGINT)").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // stored daily sketch, long form: one (type, day, bin, w) row per
+    // occupied 500-cent bin
+    val daily = g
+      .groupBy(col("event_type"), col("day"),
+        expr("cents div 500").as("bin"))
+      .agg(count(lit(1)).as("w"))
+    val days = daily.select("event_type", "day").distinct()
+    val bins = daily.select("event_type", "bin").distinct()
+    val dense = days.join(bins, "event_type")
+      .join(daily, Seq("event_type", "day", "bin"), "left")
+      .na.fill(0L, Seq("w"))
+    val trail = Window.partitionBy("event_type", "bin").orderBy("day")
+      .rangeBetween(-6, 0)
+    val rolled = dense.withColumn("w7", sum("w").over(trail))
+      .filter(col("w7") > 0)
+    val cum = Window.partitionBy("event_type", "day").orderBy("bin")
+    val tot = Window.partitionBy("event_type", "day")
+    val approx = rolled
+      .withColumn("cw", sum("w7").over(cum))
+      .withColumn("tw", sum("w7").over(tot))
+      .filter(col("cw") * 10 >= col("tw") * 9)
+      .groupBy("event_type", "day")
+      .agg((min("bin") * 500).as("approx_cents"))
+    // exact adjudication twin (range join + distinct-value crossing)
+    val tr = days.as("d").join(g.as("e"),
+      col("e.event_type") === col("d.event_type") &&
+        col("e.day").between(col("d.day") - 6, col("d.day")))
+      .select(col("d.event_type").as("event_type"),
+        col("d.day").as("day"), col("e.cents").as("cents"))
+    val exact = tr.groupBy("event_type", "day", "cents")
+      .agg(count(lit(1)).as("w"))
+      .withColumn("cw",
+        sum("w").over(Window.partitionBy("event_type", "day")
+          .orderBy("cents")))
+      .withColumn("tw", sum("w").over(tot))
+      .filter(col("cw") * 10 >= col("tw") * 9)
+      .groupBy("event_type", "day")
+      .agg(min("cents").as("exact_p90_cents"))
+    exact.join(approx, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("exact_p90_cents"),
+        (col("approx_cents") <= col("exact_p90_cents") &&
+          col("exact_p90_cents") < col("approx_cents") + 500)
+          .as("approx_within_bin"))
+      .orderBy("event_type", "day")
+  }
+
   /** Sketch ALGEBRA on top of q157's stored HLL sketches: estimated
     * audience overlap |A ∩ B| between every pair of event types via
     * inclusion–exclusion — est(A) + est(B) − est(A ∪ B), where the union
@@ -1440,7 +1527,7 @@ object EventQueries {
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
-      q162HllIntersection)
+      q162HllIntersection, q166RollingP90)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated
