@@ -271,6 +271,17 @@ object Dedup {
     * ids (they are new documents). IncrementalDedupSpec proves the pair
     * set equals the full self-join's pairs filtered to incoming
     * membership.
+    *
+    * Scale notes, honestly: (1) as written, the lazy plan evaluates the
+    * incoming side's fused shingle/minhash pass in more than one branch
+    * (candidate legs + verify union) — a production deployment persists
+    * the banded corpus AND the incoming bands/sets between steps (the
+    * corpus table is a durable artifact anyway; q161's streaming loop
+    * keeps it in parquet), which also removes the recompute; (2) hot
+    * band-buckets here ride AQE's skew-split of the plain equi-join
+    * rather than the explicit `saltedSelfJoin` cap the batch variant
+    * uses — the asymmetric join's skew exposure is bounded by the BATCH
+    * side's bucket width, which is small by construction.
     */
   def minhashNearDupPairsIncremental(
       corpus: DataFrame,

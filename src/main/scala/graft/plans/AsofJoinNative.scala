@@ -169,8 +169,17 @@ object AsofJoinNative {
         s"as-of time column $n must be LongType µs, got ${a.dataType}")
       a
     }
+    val lKeys = keyCols.map(attr(lPlan, _))
+    val rKeys = keyCols.map(attr(rPlan, _))
+    // the exec's key projection/ordering is built from the LEFT key types;
+    // a left/right dtype mismatch would silently mis-compare, not error
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key ${l.name} type mismatch: left ${l.dataType}, " +
+          s"right ${r.dataType} — cast one side before joining")
+    }
     val node = AsofJoinPlan(lPlan, rPlan,
-      keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
+      lKeys, rKeys,
       timeAttr(lPlan, leftTimeCol), timeAttr(rPlan, rightTimeCol),
       rightValueCols.map(attr(rPlan, _)),
       forward, strict, toleranceUs)

@@ -286,26 +286,14 @@ object DedupQueries {
       val staged = new java.io.File(QuerySpec.stagedPath("q161_docs", dir))
       org.apache.commons.io.FileUtils.deleteQuietly(staged)
       staged.mkdirs()
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text")
       (0 until 3).foreach { i =>
         val sub = s"b0$i"
         docs.filter(col("doc_id") % 3 === i).coalesce(1)
           .write.parquet(s"$staged/$sub")
-        val part = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$staged/$sub"))
-          .map(_.getPath).find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(
-            s"no part- file under $staged/$sub"))
-        fs.rename(part,
-          new org.apache.hadoop.fs.Path(s"$staged/$sub.parquet"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
-        java.nio.file.Files.setLastModifiedTime(
-          java.nio.file.Paths.get(s"$staged/$sub.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - (3 - i) * 60000L))
+        QuerySpec.flattenPart(spark, staged.toString, sub, s"$sub.parquet")
+        QuerySpec.backdate(s"$staged/$sub.parquet", (3 - i) * 60000L)
       }
       staged.toString
     }
@@ -346,34 +334,38 @@ object DedupQueries {
     def corpusFiles(): Array[java.io.File] =
       Option(new java.io.File(corpusDir).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val incoming = batch.persist()
-        try {
-          val corpus =
-            if (corpusFiles().isEmpty)
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                schema)
-            else spark.read.parquet(corpusDir)
-          Dedup.minhashNearDupPairsIncremental(
-            corpus, incoming, "doc_id", "text",
-            k = 3, numHashes = 128, bandRows = 2,
-            thresholdNum = 7, thresholdDen = 10)
-            .write.mode("append").parquet(pairsDir)
-          incoming.write.mode("append").parquet(corpusDir)
-        } finally { incoming.unpersist(); () }
-      }
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$run/ckpt")
-      .start()
+    // scope the shuffle-partition override BEFORE start(): the streaming
+    // runtime snapshots session conf when the query starts
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
-    try stream.awaitTermination() finally spark.conf.set(key, prev)
+    try {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val incoming = batch.persist()
+          try {
+            val corpus =
+              if (corpusFiles().isEmpty)
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  schema)
+              else spark.read.parquet(corpusDir)
+            Dedup.minhashNearDupPairsIncremental(
+              corpus, incoming, "doc_id", "text",
+              k = 3, numHashes = 128, bandRows = 2,
+              thresholdNum = 7, thresholdDen = 10)
+              .write.mode("append").parquet(pairsDir)
+            incoming.write.mode("append").parquet(corpusDir)
+          } finally { incoming.unpersist(); () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$run/ckpt")
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.read.parquet(pairsDir)
       .select("id_a", "id_b", "inter_size", "union_size")
       .orderBy("id_a", "id_b")

@@ -57,28 +57,14 @@ object EventQueries {
     * stageQ38/stageQ89/stageQ100.
     */
   private def flattenPart(spark: org.apache.spark.sql.SparkSession,
-      staged: String, sub: String, name: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
-      .map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"no part- file under $staged/$sub — empty staging write?"))
-    fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
-    ()
-  }
+      staged: String, sub: String, name: String): Unit =
+    QuerySpec.flattenPart(spark, staged, sub, name)
 
   /** Backdate `path` by 60 s so the oldest-first file source (with
     * maxFilesPerTrigger=1) drains it before its sibling.
     */
-  private def backdate(path: String): Unit = {
-    java.nio.file.Files.setLastModifiedTime(
-      java.nio.file.Paths.get(path),
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000))
-    ()
-  }
+  private def backdate(path: String): Unit =
+    QuerySpec.backdate(path, 60000L)
 
   /** Stage the q38 two-file stream: events (with µs timestamps) plus a
     * far-future sentinel file that advances the watermark so every real
@@ -1021,10 +1007,7 @@ object EventQueries {
       slices.zipWithIndex.foreach { case ((name, cond), i) =>
         base.filter(cond).coalesce(1).write.parquet(s"$staged/$name")
         flattenPart(spark, staged.toString, name, s"$name.parquet")
-        java.nio.file.Files.setLastModifiedTime(
-          java.nio.file.Paths.get(s"$staged/$name.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - (3 - i) * 60000L))
+        QuerySpec.backdate(s"$staged/$name.parquet", (3 - i) * 60000L)
       }
       staged.toString
     }
@@ -1302,8 +1285,8 @@ object EventQueries {
     // daily sketch: one fixed-size map<bin, count> per (type, day) — this
     // is the artifact a pipeline would persist between rollup queries
     val daily = g
-      .groupBy(col("event_type"), col("day"), (col("cents") / 500)
-        .cast("bigint").as("bin"))
+      .groupBy(col("event_type"), col("day"),
+        expr("cents div 500").as("bin"))
       .agg(count(lit(1)).as("w"))
       .groupBy("event_type", "day")
       .agg(map_from_entries(collect_list(struct(col("bin"), col("w"))))

@@ -54,4 +54,35 @@ object QuerySpec {
       .map("%02x".format(_)).mkString.substring(0, 12)
     s"/root/repo/target/tmp/${base}_$digest"
   }
+
+  /** Collapse the part-directory `staged/sub` (a coalesce(1) write) into
+    * the single file `staged/name` — file-stream stagers need flat,
+    * name-ordered files, not part directories. Fails loudly on an empty
+    * staging write. Shared by every multi-batch stream stager.
+    */
+  private[queries] def flattenPart(
+      spark: org.apache.spark.sql.SparkSession,
+      staged: String, sub: String, name: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$staged/$sub"))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part- file under $staged/$sub — empty staging write?"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$staged/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$staged/$sub"), true)
+    ()
+  }
+
+  /** Backdate `path`'s mtime by `millisAgo` so the oldest-first file
+    * source (with maxFilesPerTrigger=1) drains staged batches in the
+    * intended order.
+    */
+  private[queries] def backdate(path: String, millisAgo: Long): Unit = {
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - millisAgo))
+    ()
+  }
 }

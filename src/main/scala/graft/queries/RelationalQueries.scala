@@ -120,11 +120,6 @@ object RelationalQueries {
       .orderBy("bin")
   }
 
-  /** Morton (z-order) key: interleave the low `bits` bits of two
-    * non-negative long columns — x in even positions, y in odd. Built from
-    * shift/and/or builtins only, so the whole key stays inside one
-    * whole-stage-codegen span; no UDF, no custom expression needed.
-    */
   /** Canonical implementation lives in [[graft.ext.ZOrder]]; kept as a
     * named alias because RelationalSpec pins it against a reference
     * interleave independently of ZOrderSpec.
