@@ -118,7 +118,58 @@ object MultimodalQueries {
       .orderBy("payload_md5")
   }
 
+  /** PERCEPTUAL near-dup over decoded features — q122 finds byte-identical
+    * copies; this finds assets whose DECODED content matches: run the
+    * batched [[graft.ext.Multimodal.decode]] (stub codec, real
+    * mapPartitions plumbing), quantize the 16-lane feature histogram to a
+    * 16-symbol perceptual key, and group assets by key — the pHash-bucket
+    * dedup an image pipeline runs, where re-encoded/renamed copies hash
+    * differently as bytes but identically as content. Quantization is
+    * EXACT integer arithmetic: the normalized float lane is un-normalized
+    * back to its integer count (`round(f · n_bytes)` — counts < 2^24 are
+    * float-exact), then `(count · 32) div n_bytes` — no float compare
+    * crosses the engine boundary, which is what makes a perceptual key
+    * hash-adjudicable at all. One shuffle of (key, id) rows; payloads
+    * never move.
+    */
+  val q167PerceptualDedup: QuerySpec = QuerySpec.oracled(
+    "q167_phash_dedup",
+    """WITH ch AS (
+      |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+      |    ascii(substr(text, i, 1)) % 16 AS bin
+      |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+      |cnt AS (SELECT doc_id, any_value(n) AS n, bin, count(*) AS c
+      |        FROM ch GROUP BY doc_id, bin),
+      |grid AS (
+      |  SELECT d.doc_id, d.n, b.bin, coalesce(cnt.c, 0) AS c
+      |  FROM (SELECT DISTINCT doc_id, n FROM cnt) d
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = b.bin),
+      |keys AS (
+      |  SELECT doc_id,
+      |    string_agg(CAST((c * 32) // n AS VARCHAR), '-' ORDER BY bin)
+      |      AS pkey
+      |  FROM grid GROUP BY doc_id)
+      |SELECT pkey, count(*) AS n_assets,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM keys GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val decoded = Multimodal.decode(
+      Multimodal.assetsFromText(docs, "doc_id", "text"))
+    decoded.toDF()
+      .select(col("asset_id"),
+        expr("array_join(transform(sequence(0, 15), i -> " +
+          "CAST((CAST(round(element_at(features, i + 1) * n_bytes) " +
+          "AS BIGINT) * 32) div n_bytes AS STRING)), '-')").as("pkey"))
+      .groupBy("pkey")
+      .agg(count(lit(1)).as("n_assets"),
+        min("asset_id").as("min_id"), max("asset_id").as("max_id"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("pkey")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
-      q122MultimodalDedup)
+      q122MultimodalDedup, q167PerceptualDedup)
 }

@@ -440,11 +440,11 @@ object ReaderQueries {
       |SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM e
-      |WHERE x BETWEEN 32 AND 47 AND y BETWEEN 16 AND 31
+      |WHERE x BETWEEN 2 AND 9 AND y BETWEEN 16 AND 31
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val staged = stageQ163(spark, dir)
     spark.read.parquet(staged)
-      .filter(col("x").between(32, 47) && col("y").between(16, 31))
+      .filter(col("x").between(2, 9) && col("y").between(16, 31))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
