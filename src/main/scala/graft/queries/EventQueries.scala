@@ -1410,6 +1410,117 @@ object EventQueries {
       .orderBy("event_type", "day")
   }
 
+  /** RELATIVE-error quantile sketch — the log-bin twin of q158's linear
+    * bins, the HdrHistogram / DDSketch bucket family re-expressed in exact
+    * integer arithmetic: bucket = (octave, 3-bit sub-bucket) where
+    * octave = floor(log2(cents)) via `length(bin(c)) − 1` and the
+    * sub-bucket is the next 3 mantissa bits, so every bucket's width is
+    * ≤ lo/8 — a UNIFORM ≤ 12.5 % relative error across all five decades
+    * this column spans, where q158's fixed 500-cent bins give ±500 no
+    * matter how small the value (a 600-cent P50 estimated to ±500 is
+    * useless; here it is ±75). Values < 8 get exact singleton buckets.
+    * The sketch is mergeable exactly like q158 (bucket counts sum) and
+    * FIXED-size: ≤ 8·64 + 8 buckets can ever exist for a BIGINT column,
+    * so the fact table collapses to |types|·|occupied| rows in one pass
+    * and P50/P90/P99 all read the same tiny table. Every quantity —
+    * bucket bounds, ceil-target crossing (`100·cw ≥ qn·tw`), error
+    * contract — is integer, so unlike the HLL contracts the oracle
+    * replays the ENTIRE sketch path bit-for-bit, adjudicating the
+    * estimates themselves, not just a tolerance boolean. The exact
+    * quantile (distinct-value crossing, q146 technique) rides along; both
+    * contract booleans (`within_bucket`, width·8 ≤ lo) are provable by
+    * construction and the oracle recomputes rather than assumes them.
+    */
+  val q168HdrQuantile: QuerySpec = QuerySpec.oracled(
+    "q168_hdr_quantile",
+    """WITH g AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |s AS (SELECT event_type, c,
+      |        greatest(length(bin(c)) - 4, 0) AS sh FROM g),
+      |b AS (
+      |  SELECT event_type, c,
+      |    CASE WHEN c < 8 THEN c
+      |         ELSE (8 + ((c >> sh) & 7)) << sh END AS lo,
+      |    CASE WHEN c < 8 THEN c
+      |         ELSE ((8 + ((c >> sh) & 7)) << sh) + (1::BIGINT << sh) - 1
+      |    END AS hi
+      |  FROM s),
+      |hb AS (SELECT event_type, lo, hi, count(*) AS w FROM b
+      |       GROUP BY 1, 2, 3),
+      |cb AS (
+      |  SELECT event_type, lo, hi,
+      |    sum(w) OVER (PARTITION BY event_type ORDER BY lo) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM hb),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q),
+      |ap AS (
+      |  SELECT event_type, q, min(lo) AS est_lo_cents,
+      |    min_by(hi, lo) AS est_hi_cents
+      |  FROM cb CROSS JOIN qs WHERE 100 * cw >= q * tw GROUP BY 1, 2),
+      |vc AS (SELECT event_type, c, count(*) AS w FROM g GROUP BY 1, 2),
+      |cv AS (
+      |  SELECT event_type, c,
+      |    sum(w) OVER (PARTITION BY event_type ORDER BY c) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM vc),
+      |ex AS (SELECT event_type, q, min(c) AS exact_cents
+      |       FROM cv CROSS JOIN qs WHERE 100 * cw >= q * tw GROUP BY 1, 2)
+      |SELECT event_type, q, exact_cents, est_lo_cents, est_hi_cents,
+      |  (exact_cents BETWEEN est_lo_cents AND est_hi_cents)
+      |    AS within_bucket,
+      |  ((est_hi_cents - est_lo_cents) * 8 <= est_lo_cents
+      |    OR est_hi_cents = est_lo_cents) AS rel_err_le_12_5pct
+      |FROM ex JOIN ap USING (event_type, q)
+      |ORDER BY event_type, q""".stripMargin) { (spark, dir) =>
+    val g = CoreQueries.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    // the stored sketch: one (type, lo, hi, w) row per occupied log-bin —
+    // the single fact-table pass; everything below reads only this
+    val hb = g
+      .withColumn("sh", expr("greatest(length(bin(c)) - 4, 0)"))
+      .withColumn("lo", expr(
+        "CASE WHEN c < 8 THEN c " +
+          "ELSE shiftleft(8 + (shiftright(c, sh) & 7), sh) END"))
+      .withColumn("hi", expr(
+        "CASE WHEN c < 8 THEN c " +
+          "ELSE shiftleft(8 + (shiftright(c, sh) & 7), sh) " +
+          "+ shiftleft(CAST(1 AS BIGINT), sh) - 1 END"))
+      .groupBy("event_type", "lo", "hi")
+      .agg(count(lit(1)).as("w"))
+    val qs = explode(array(lit(50), lit(90), lit(99)))
+    val cum = Window.partitionBy("event_type").orderBy("lo")
+    val tot = Window.partitionBy("event_type")
+    val approx = hb
+      .withColumn("cw", sum("w").over(cum))
+      .withColumn("tw", sum("w").over(tot))
+      .withColumn("q", qs)
+      .filter(col("cw") * 100 >= col("q") * col("tw"))
+      .groupBy("event_type", "q")
+      .agg(min("lo").as("est_lo_cents"),
+        min_by(col("hi"), col("lo")).as("est_hi_cents"))
+    val exact = g.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("w"))
+      .withColumn("cw",
+        sum("w").over(Window.partitionBy("event_type").orderBy("c")))
+      .withColumn("tw", sum("w").over(tot))
+      .withColumn("q", qs)
+      .filter(col("cw") * 100 >= col("q") * col("tw"))
+      .groupBy("event_type", "q")
+      .agg(min("c").as("exact_cents"))
+    exact.join(approx, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("exact_cents"),
+        col("est_lo_cents"), col("est_hi_cents"),
+        col("exact_cents").between(col("est_lo_cents"), col("est_hi_cents"))
+          .as("within_bucket"),
+        ((col("est_hi_cents") - col("est_lo_cents")) * 8 <=
+          col("est_lo_cents") ||
+          col("est_hi_cents") === col("est_lo_cents"))
+          .as("rel_err_le_12_5pct"))
+      .orderBy("event_type", "q")
+  }
+
   /** Sketch ALGEBRA on top of q157's stored HLL sketches: estimated
     * audience overlap |A ∩ B| between every pair of event types via
     * inclusion–exclusion — est(A) + est(B) − est(A ∪ B), where the union
@@ -1510,7 +1621,7 @@ object EventQueries {
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
-      q162HllIntersection, q166RollingP90)
+      q162HllIntersection, q166RollingP90, q168HdrQuantile)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

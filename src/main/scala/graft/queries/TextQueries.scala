@@ -880,6 +880,96 @@ object TextQueries {
       .orderBy("lang", "verdict")
   }
 
+  /** Training-MIXTURE assembly: apportion a global token budget across
+    * languages by target mixture weights (en 40 / zh 20 / es 15 / de 15 /
+    * fr 10), then fill each stratum's quota with an unbiased deterministic
+    * sample. The apportionment is Hamilton's largest-remainder method in
+    * exact integers — floor quotas `(B·w) div 100`, then the leftover
+    * `B − Σfloor` tokens go to the largest remainders (lang tiebreak) —
+    * the standard apportionment that sums EXACTLY to the budget, where
+    * naive per-stratum rounding over- or under-shoots. Selection inside a
+    * stratum orders by `md5('mix2:' ‖ doc_id)` (the q49 deterministic-
+    * uniform rule — RNG-free, partition-invariant) and keeps whole docs
+    * while the prefix-inclusive running sum fits (q115's rule). 100 TB
+    * shape: one fact pass for token counts; the apportionment arithmetic
+    * runs on the |strata|-row weight table (the only single-partition
+    * window, 5 rows); selection is one per-lang window over (id, n_toks)
+    * scalars. This is the data-mixing step an LLM pipeline runs after
+    * dedup/quality: hit domain weights exactly, reproducibly, without
+    * materializing text.
+    */
+  val q169MixtureAllocate: QuerySpec = QuerySpec.oracled(
+    "q169_mixture_allocate",
+    s"""WITH wt(lang, w) AS (VALUES ('de', 15), ('en', 40), ('es', 15),
+       |    ('fr', 10), ('zh', 20)),
+       |tk AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter($toksSql, x -> x <> ''))::BIGINT AS n_toks
+       |  FROM documents),
+       |tot AS (
+       |  SELECT CAST(sum(n_toks) AS BIGINT) * 3 // 10 AS b FROM tk),
+       |ap AS (
+       |  SELECT lang, w, b, (b * w) // 100 AS q0, (b * w) % 100 AS rem
+       |  FROM wt CROSS JOIN tot),
+       |r AS (
+       |  SELECT lang, w, q0, b, sum(q0) OVER () AS sq,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rn
+       |  FROM ap),
+       |qa AS (
+       |  SELECT lang, w,
+       |    CAST(q0 + CASE WHEN rn <= b - sq THEN 1 ELSE 0 END AS BIGINT)
+       |      AS quota
+       |  FROM r),
+       |sel AS (
+       |  SELECT lang, doc_id, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY lang
+       |      ORDER BY md5('mix2:' || doc_id::VARCHAR), doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tk),
+       |kept AS (
+       |  SELECT sel.lang, sel.doc_id, sel.n_toks
+       |  FROM sel JOIN qa USING (lang) WHERE sel.cum <= qa.quota)
+       |SELECT qa.lang, qa.w AS weight, qa.quota AS quota_toks,
+       |  count(kept.doc_id) AS n_docs,
+       |  coalesce(CAST(sum(kept.n_toks) AS BIGINT), 0) AS sel_toks
+       |FROM qa LEFT JOIN kept ON kept.lang = qa.lang
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wt = Seq(("de", 15), ("en", 40), ("es", 15), ("fr", 10),
+      ("zh", 20)).toDF("lang", "w")
+    val tk = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(graft.ext.Dedup.tokens(col("text"))).cast("long").as("n_toks"))
+    val tot = tk.agg(expr("CAST(sum(n_toks) AS BIGINT) * 3 div 10").as("b"))
+    // apportionment over the |strata|-row weight table: the ONLY
+    // single-partition window, bounded by stratum count, never data size
+    val ap = wt.crossJoin(tot)
+      .withColumn("q0", expr("b * w div 100"))
+      .withColumn("rem", expr("(b * w) % 100"))
+    val r = ap
+      .withColumn("sq", sum("q0").over(Window.partitionBy()))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+    val qa = r.select(col("lang"), col("w"),
+      expr("q0 + IF(rn <= b - sq, 1L, 0L)").as("quota"))
+    val sel = tk.withColumn("cum", sum("n_toks").over(
+      Window.partitionBy("lang")
+        .orderBy(expr("md5(concat('mix2:', CAST(doc_id AS STRING)))"),
+          col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val kept = sel.join(qa.select("lang", "quota"), "lang")
+      .filter(col("cum") <= col("quota"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sel_toks"))
+    qa.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("w").as("weight"),
+        col("quota").as("quota_toks"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sel_toks"), lit(0L)).as("sel_toks"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -887,5 +977,5 @@ object TextQueries {
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
-      q149FilterFunnel)
+      q149FilterFunnel, q169MixtureAllocate)
 }
