@@ -449,4 +449,62 @@ object Dedup {
         col("min_size") * thresholdNum)
       .select("id_a", "id_b", "inter_size", "min_size")
   }
+
+  /** Sorted-neighborhood near-duplicate pairs: the classic entity-
+    * resolution blocking discipline (Hernández & Stolfo, SIGMOD'95) as the
+    * LINEAR-candidate member of the dedup family. Every document gets a
+    * normalized blocking key (lowercased alphanumeric prefix); the corpus
+    * is globally sorted by (key, id); each doc is a candidate only against
+    * its `window−1` successors in that order — exactly `(window−1)·n`
+    * candidate pairs, against LSH's bucket-quadratic worst case — and the
+    * exact integer-arithmetic Jaccard verify (`den·inter ≥ num·union` over
+    * the k-shingle hash sets) then pins semantics, as everywhere in this
+    * family. Catches what prefix-keyed sorting co-locates (shared
+    * openings, template families with small edits); complements — not
+    * replaces — MinHash, which is key-order-blind.
+    *
+    * 100 TB shape: the global sort is a range-partitioned exchange
+    * (sampled boundaries, parallel partition sorts) + `zipWithIndex` —
+    * the same machinery as the q120 global rank, NOT a single-partition
+    * window. Candidate generation is an equi-join on the dense rank
+    * (successor rank = rank + offset, offsets exploded on one side), so
+    * no range scan and no skew: every rank value is unique. The verify
+    * joins carry ids only ([[withOverlapExploded]]).
+    *
+    * No reference analogue; training-pipeline extension.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 4,
+      keyLen: Int = 24,
+      k: Int = 2,
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 10): DataFrame = {
+    require(window >= 2, "window must cover at least one successor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+        substring(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""),
+          1, keyLen).as("__key"))
+    val ranked = keyed
+      .orderBy(col("__key"), col("doc_id"))
+      .as[(Long, String)].rdd.zipWithIndex
+      .map { case ((id, _), idx) => (idx + 1, id) }
+      .toDF("rn", "doc_id")
+    val successors = ranked
+      .withColumn("__off",
+        explode(sequence(lit(1), lit(window - 1))))
+      .select((col("rn") + col("__off")).as("rn"), col("doc_id").as("id_a"))
+    val cands = successors
+      .join(ranked.withColumnRenamed("doc_id", "id_b"), "rn")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val sets = withShingleHashSets(docs, idCol, textCol, k)
+    withOverlapExploded(cands, sets)
+      .filter(col("inter_size") * thresholdDen >=
+        col("union_size") * thresholdNum)
+      .select("id_a", "id_b", "inter_size", "union_size")
+  }
 }

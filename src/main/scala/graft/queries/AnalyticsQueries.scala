@@ -1361,6 +1361,93 @@ object AnalyticsQueries {
       .orderBy("source")
   }
 
+  /** Distribution drift between the first and second half of the event
+    * timeline, per event type: total-variation distance over $5-wide
+    * integer-cents value bins, in parts-per-million
+    * ([[graft.ext.Drift.tvdPpm]]). The snapshot-acceptance gate a
+    * training-data pipeline runs before taking a corpus refresh — with NO
+    * logarithms: mass terms are BIGINT counts, the only division is one
+    * final integer floor-div, so Spark and DuckDB agree bit-for-bit (PSI's
+    * `ln(pa/pb)` would hinge on two libms rounding identically).
+    * Shape: one map-side-combinable groupBy over raw events; everything
+    * downstream runs on the tiny (type × bin) histogram with broadcast
+    * totals.
+    */
+  val q170TvdDrift: QuerySpec = QuerySpec.oracled(
+    "q170_tvd_drift",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+      |    epoch_us(ts) // 86400000000 < 19738 AS isa
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, bin,
+      |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+      |    CAST(sum(nb) AS BIGINT) AS tb
+      |  FROM c GROUP BY 1),
+      |s AS (
+      |  SELECT c.event_type, any_value(t.ta) AS ta, any_value(t.tb) AS tb,
+      |    CAST(sum(abs(c.na * t.tb - c.nb * t.ta)) AS BIGINT) AS num
+      |  FROM c JOIN t USING (event_type) GROUP BY c.event_type)
+      |SELECT event_type, ta AS na, tb AS nb,
+      |  CASE WHEN ta * tb = 0 THEN NULL
+      |    ELSE CAST((1000000 * num) // (2 * ta * tb) AS BIGINT)
+      |  END AS tvd_ppm
+      |FROM s ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    graft.ext.Drift.tvdPpm(
+      CoreQueries.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) DIV 500").as("bin"),
+          expr("(ts div 1000) div 86400000000 < 19738").as("isa")),
+      grpCol = "event_type", inACol = "isa", binCol = "bin")
+      .orderBy("event_type")
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) per event type, comparing the
+    * even-user cohort's value distribution against the odd-user cohort's —
+    * the nonparametric complement to q138's Welch t-test (no normality
+    * assumption; rank-based, so robust to the heavy-tailed value
+    * distributions metric pipelines actually see). Reported in the exact
+    * DOUBLED form `u2_a = 2·R_A − NA·(NA+1)`: midrank ties stay integral
+    * (`2·rank + tie_count − 1`), so the whole statistic is BIGINT and
+    * hash-stable across engines ([[graft.ext.Drift.mannWhitneyU2]]).
+    */
+  val q171MannWhitney: QuerySpec = QuerySpec.oracled(
+    "q171_mann_whitney",
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+      |    user_id % 2 = 0 AS isa
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, isa,
+      |    CAST(rank() OVER (PARTITION BY event_type ORDER BY c)
+      |      AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY event_type, c)
+      |      AS BIGINT) AS ct
+      |  FROM e)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |  CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |  CAST(sum(CASE WHEN isa THEN 2 * rk + ct - 1 ELSE 0 END)
+      |    - sum(CASE WHEN isa THEN 1 ELSE 0 END)
+      |      * (sum(CASE WHEN isa THEN 1 ELSE 0 END) + 1)
+      |    AS BIGINT) AS u2_a
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    graft.ext.Drift.mannWhitneyU2(
+      CoreQueries.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+          (col("user_id") % 2 === 0).as("isa")),
+      grpCol = "event_type", inACol = "isa", valCol = "c")
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
@@ -1369,5 +1456,6 @@ object AnalyticsQueries {
       q133Streaks, q135SequenceMatch, q136TriangleCount, q137CorrMatrix,
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
-      q159CusumChangepoint, q160LastTouchAttribution)
+      q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
+      q171MannWhitney)
 }

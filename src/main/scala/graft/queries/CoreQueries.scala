@@ -25,13 +25,25 @@ object CoreQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-nanos LongType and
-    * convert explicitly at use sites (`timestamp_micros(ts div 1000)`).
+  /** Canonical events loader: presents `ts` as epoch-nanos BIGINT no matter
+    * which physical type the fixture carries. Earlier fixture generations
+    * wrote TIMESTAMP(NANOS) — which Spark 4 refuses by default
+    * (PARQUET_TYPE_ILLEGAL), hence `nanosAsLong` → LongType nanos — while
+    * current ones write TIMESTAMP(MICROS) (TIMESTAMP_NTZ in Spark), which
+    * is reinterpreted here as UTC (all graft sessions pin
+    * `spark.sql.session.timeZone=UTC`) and scaled to nanos. Every use site
+    * keeps the one canonical convention (`timestamp_micros(ts div 1000)`),
+    * and the DuckDB oracles keep reading the same column as a timestamp
+    * (`epoch_us(ts)` ≡ `ts div 1000` here).
     */
-  private[queries] def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   /** TPC-H Q1-style pricing summary: the flagship scan→filter→agg path.

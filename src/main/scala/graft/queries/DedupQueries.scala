@@ -371,8 +371,59 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }.withSetup((s, d) => { stageQ161(s, d); () })
 
+  /** Sorted-neighborhood near-dup pairs
+    * ([[graft.ext.Dedup.sortedNeighborhoodPairs]]): LINEAR-candidate
+    * blocking — normalized 24-char prefix key, global range-partitioned
+    * sort, each doc paired only with its 3 successors, so candidates are
+    * exactly 3n (1,494 at sf0.01 vs ~n²/2 ≈ 125k all-pairs) before the
+    * exact bigram-Jaccard verify at 0.3. The oracle replays the same key,
+    * the same total order (row_number over (key, doc_id)), the same rank-
+    * window candidates, and the same integer-arithmetic verify.
+    */
+  val q172SortedNeighborhood: QuerySpec = QuerySpec.oracled(
+    "q172_sorted_neighborhood",
+    """WITH ky AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+      |      1, 24) AS key
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn
+      |  FROM ky),
+      |c AS (
+      |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+      |    greatest(a.doc_id, b.doc_id) AS id_b
+      |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+      |tk AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS s
+      |  FROM tk),
+      |hs AS (
+      |  SELECT doc_id, list_distinct(list_transform(s,
+      |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+      |  FROM sh WHERE len(s) > 0),
+      |p AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.h, y.h)) AS inter_size,
+      |    len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS union_size
+      |  FROM c JOIN hs x ON x.doc_id = c.id_a JOIN hs y ON y.doc_id = c.id_b)
+      |SELECT id_a, id_b, inter_size, union_size FROM p
+      |WHERE inter_size * 10 >= union_size * 3
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Dedup.sortedNeighborhoodPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text",
+      window = 4, keyLen = 24, k = 2, thresholdNum = 3, thresholdDen = 10)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
-      q155IncrementalNearDup, q161StreamIncrementalDedup)
+      q155IncrementalNearDup, q161StreamIncrementalDedup,
+      q172SortedNeighborhood)
 }

@@ -16,18 +16,22 @@ object EventQueries {
   private val q38Staging = new QuerySpec.StagingCache[String]
 
   /** Stage the events parquet into a directory (file-source streams need a
-    * directory, not a file). Memoized per sf dir; Bench calls this untimed
-    * via the spec's setup hook, Verify hits it inside the query body.
+    * directory, not a file), normalized through [[CoreQueries.events]] so
+    * the staged `ts` is the canonical epoch-nanos BIGINT regardless of the
+    * fixture's physical timestamp type — every downstream stream transform
+    * does `ts div 1000` against this one schema. Memoized per sf dir; Bench
+    * calls this untimed via the spec's setup hook, Verify hits it inside
+    * the query body.
     */
   def stageQ30(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     q30Staging.getOrStage(dir) {
       val staged = new java.io.File(
         QuerySpec.stagedPath("q30_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
       staged.mkdirs()
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val dst = staged.toPath.resolve("events.parquet")
-      java.nio.file.Files.copy(src, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      CoreQueries.events(spark, dir).coalesce(1)
+        .write.parquet(s"$staged/00")
+      flattenPart(spark, staged.toString, "00", "events.parquet")
       staged.toString
     }
 

@@ -309,8 +309,7 @@ object ReaderQueries {
       dir: String): String =
     q113Staging.getOrStage(dir) {
       val path = QuerySpec.stagedPath("q113_part_events", dir)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
+      CoreQueries.events(spark, dir)
         .withColumn("day_idx",
           expr("CAST((ts div 1000) div 86400000000 AS INT)"))
         .repartition(col("day_idx")) // one file per day dir, no small files

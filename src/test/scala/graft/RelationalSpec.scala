@@ -110,8 +110,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
   test("q77 stream-stream join equals the batch self-join") {
     val streamed = EventQueries.q77StreamStreamJoin.fn(spark, sf0001)
       .collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf0001/events.parquet")
+    val e = graft.queries.CoreQueries.events(spark, sf0001)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tus"))
     val v = e.filter(col("event_type") === "view")

@@ -26,9 +26,8 @@ class SessionWindowsSpec extends AnyFunSuite with SparkSpec {
 
   test("batch twin equals the per-user fold on real events") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val events = graft.queries.CoreQueries
+      .events(spark, "/root/testdata/sf0.001")
       .selectExpr("user_id", "event_id", "ts div 1000 AS tus")
       .as[SessionEvent]
     val got = SessionWindows.batchSessionize(spark, events)
