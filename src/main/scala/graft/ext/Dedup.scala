@@ -507,4 +507,51 @@ object Dedup {
         col("union_size") * thresholdNum)
       .select("id_a", "id_b", "inter_size", "union_size")
   }
+
+  /** Duplicated-span fraction: what FRACTION of each document's text is
+    * covered by fixed-width character windows that also appear verbatim
+    * in at least one OTHER document. The corpus-curation signal behind
+    * span-level dedup (a document can be 90 % boilerplate shared with
+    * thousands of siblings yet never cross a DOC-level MinHash threshold
+    * — this measures that 90 % directly; the doc-level family is blind
+    * to it by construction).
+    *
+    * Windows of `width` chars at `stride` offsets (strided, not sliding:
+    * n/stride windows per doc, not n — the standard cost/recall trade);
+    * a window is duplicated when its hash occurs in ≥ 2 DISTINCT docs,
+    * so intra-doc repetition (q60's signal) does not count. Output per
+    * doc: (`doc_id`, `n_windows`, `n_dup`, `dup_ppm`) with `dup_ppm` an
+    * exact integer floor-div — cross-engine bit-stable.
+    *
+    * 100 TB shape: explode is a bounded fan-out (len/stride rows per
+    * doc, hash + id only — never the window text past the md5); the
+    * distinct-doc count is ONE hash-partitioned groupBy on the window
+    * hash, and the join back is on the same key so the exchange is
+    * reused; final per-doc rollup is map-side combinable. No pairwise
+    * anything — cost is linear in corpus size.
+    *
+    * No reference analogue; training-pipeline extension.
+    */
+  def duplicatedSpanFraction(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nCharsCol: String,
+      width: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val w = docs.filter(col(nCharsCol) >= width)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L),
+          ((col(nCharsCol) - width) / stride).cast("long"))).as("i"))
+      .select(col(idCol),
+        md5(expr(s"substring($textCol, CAST(i * $stride + 1 AS INT), $width)"))
+          .as("h"))
+    val nd = w.groupBy("h").agg(countDistinct(idCol).as("nd"))
+    w.join(nd, "h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .select(col(idCol), col("n_windows"), col("n_dup"),
+        expr("n_dup * 1000000 DIV n_windows").as("dup_ppm"))
+  }
 }

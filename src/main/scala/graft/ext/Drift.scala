@@ -62,6 +62,54 @@ object Drift {
           .cast("long").as("tvd_ppm"))
   }
 
+  /** Kolmogorov–Smirnov two-sample statistic per group, in parts-per-
+    * million: `ks_ppm = ⌊1e6 · max_x |F_A(x) − F_B(x)|⌋` over the
+    * empirical CDFs, computed as `⌊(1e6 · max_x |cumA(x)·NB − cumB(x)·NA|)
+    * DIV (NA·NB)⌋` — pure BIGINT, no division until the single final
+    * floor-div. KS completes the drift trio: TVD sees binned mass
+    * ([[tvdPpm]]), Mann-Whitney sees rank shift ([[mannWhitneyU2]]), KS
+    * sees the worst single point of CDF divergence — sensitive to
+    * location AND shape changes that leave means and bin masses intact.
+    *
+    * Input: one row per observation, integer-valued `valCol`, boolean
+    * `inACol`. Output: (`grpCol`, `na`, `nb`, `ks_ppm`), null `ks_ppm`
+    * when either sample is empty. Supremum over distinct observed values
+    * is exact for the two-sample statistic (the CDF difference only
+    * changes at sample points).
+    *
+    * 100 TB shape: one map-side-combinable (grp × value) groupBy collapses
+    * the fact table to distinct values before any sort; the running CDFs
+    * are a window ordered by value WITHIN each group — per-group sort over
+    * distinct values only. A single group whose distinct-value set exceeds
+    * one partition substitutes the range-partitioned global-rank machinery
+    * (q120) for the window; the arithmetic is unchanged. Totals broadcast.
+    */
+  def ksPpm(
+      obs: DataFrame,
+      grpCol: String,
+      inACol: String,
+      valCol: String): DataFrame = {
+    val perVal = obs.groupBy(col(grpCol), col(valCol).as("__v"))
+      .agg(
+        sum(when(col(inACol), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col(inACol), 1L).otherwise(0L)).as("__nb"))
+    val wCum = Window.partitionBy(grpCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perVal.groupBy(col(grpCol))
+      .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    perVal
+      .withColumn("__ca", sum("__na").over(wCum))
+      .withColumn("__cb", sum("__nb").over(wCum))
+      .join(broadcast(totals), grpCol)
+      .groupBy(col(grpCol), col("__ta"), col("__tb"))
+      .agg(max(abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")))
+        .as("__sup"))
+      .select(col(grpCol), col("__ta").as("na"), col("__tb").as("nb"),
+        when(col("__ta") * col("__tb") === 0L, lit(null))
+          .otherwise(expr("(1000000 * __sup) DIV (__ta * __tb)"))
+          .cast("long").as("ks_ppm"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) statistic per group, in the exact
     * doubled form `u2_a = 2·U_A = 2·R_A − NA·(NA+1)` where `R_A` is sample
     * A's rank sum with midrank ties. Doubling keeps ties integral: a tie
@@ -98,5 +146,64 @@ object Drift {
           .otherwise(0L)).as("__r2a"))
       .select(col(grpCol), col("na"), col("nb"),
         (col("__r2a") - col("na") * (col("na") + 1L)).as("u2_a"))
+  }
+
+  /** t-closeness distance: Earth-Mover's Distance between each cohort's
+    * distribution of an ORDERED, binned sensitive attribute and the
+    * global distribution, in ppm of the maximum possible shift. For an
+    * ordered attribute with m equi-spaced bins the EMD has the closed
+    * form `Σ_b |cumsum_g(b) − cumsum_G(b)| / (m−1)` over probability
+    * cumsums — here cross-multiplied to stay integral:
+    * `emd_ppm = ⌊1e6 · Σ_b |cg(b)·N − cG(b)·n| / ((m−1)·n·N)⌋`.
+    *
+    * The third privacy gate beside k-anonymity (cohort too small) and
+    * l-diversity (cohort homogeneous): a cohort can pass both yet still
+    * leak because its sensitive DISTRIBUTION diverges from the table's
+    * (k-anon/l-div see counts, not shape). Output per cohort:
+    * (grpCol, `n`, `emd_ppm`, `released` = emd_ppm ≤ tPpm); `emd_ppm`
+    * is 0 when the attribute has a single global bin (m = 1).
+    *
+    * 100 TB shape: two map-side-combinable aggregates collapse the facts
+    * to (cohort × bin) and (bin) count tables; the dense grid is a
+    * broadcast cross of those SMALL tables (|cohorts|·|bins| rows), the
+    * cumsums are windows over ≤ |bins| rows per cohort, and the totals
+    * broadcast. Products stay < 2^63 while n·N < 9.2e18 — lift the
+    * counts to DECIMAL(38,0) past ~3e9 rows per side.
+    */
+  def emdClosenessPpm(
+      obs: DataFrame,
+      grpCol: String,
+      binCol: String,
+      tPpm: Long = 150000L): DataFrame = {
+    // distinct aliases per derived frame: all four share obs's lineage,
+    // and rejoining same-lineage attributes trips ambiguous resolution
+    val cb = obs.groupBy(grpCol, binCol).agg(count(lit(1)).as("c"))
+      .select(col(grpCol).as("__cb_g"), col(binCol).as("__cb_b"), col("c"))
+    val gb = obs.groupBy(binCol).agg(count(lit(1)).as("g"))
+      .select(col(binCol).as("__gb_b"), col("g"))
+    val bd = obs.groupBy(grpCol).agg(count(lit(1)).as("n"))
+    val tot = obs.agg(count(lit(1)).as("nn"),
+      countDistinct(binCol).as("m"))
+    val grid = bd.crossJoin(broadcast(gb))
+      .join(cb,
+        col(grpCol) === col("__cb_g") && col("__gb_b") === col("__cb_b"),
+        "left")
+      .select(col(grpCol), col("__gb_b").as(binCol), col("n"), col("g"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wB = Window.partitionBy(grpCol).orderBy(binCol)
+    // "cg"/"cG" would collide under Spark's case-insensitive resolution
+    val cum = grid.select(col(grpCol), col(binCol), col("n"),
+      sum("c").over(wB).as("cg"), sum("g").over(wB).as("cgl"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(grpCol)
+      .agg(first("n").as("n"),
+        sum(abs(col("cg") * col("nn") - col("cgl") * col("n"))).as("__num"),
+        first("nn").as("__nn"), first("m").as("__m"))
+      .select(col(grpCol), col("n"),
+        when(col("__m") <= 1L, 0L)
+          .otherwise(expr(
+            "CAST((1000000 * __num) DIV ((__m - 1) * n * __nn) AS BIGINT)"))
+          .as("emd_ppm"))
+      .withColumn("released", col("emd_ppm") <= tPpm)
   }
 }

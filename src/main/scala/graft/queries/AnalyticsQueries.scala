@@ -1448,6 +1448,55 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Kolmogorov–Smirnov two-sample statistic per event type (first vs
+    * second half of the timeline, the q170 split) in ppm
+    * ([[graft.ext.Drift.ksPpm]]) — the CDF-supremum member of the drift
+    * trio: catches location/shape drift that leaves q170's $5 bin masses
+    * and q171's mean ranks nearly unchanged. Exact BIGINT cross-
+    * multiplication, one final floor-div; the oracle replays the same
+    * cumulative windows over the same integer-cents values.
+    */
+  val q173KsTest: QuerySpec = QuerySpec.oracled(
+    "q173_ks_test",
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+      |    epoch_us(ts) // 86400000000 < 19738 AS isa
+      |  FROM events WHERE value IS NOT NULL),
+      |v AS (
+      |  SELECT event_type, c,
+      |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, na, nb,
+      |    sum(na) OVER (PARTITION BY event_type ORDER BY c
+      |      ROWS UNBOUNDED PRECEDING) AS ca,
+      |    sum(nb) OVER (PARTITION BY event_type ORDER BY c
+      |      ROWS UNBOUNDED PRECEDING) AS cb
+      |  FROM v),
+      |t AS (
+      |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+      |    CAST(sum(nb) AS BIGINT) AS tb
+      |  FROM cum GROUP BY 1),
+      |s AS (
+      |  SELECT cum.event_type, any_value(t.ta) AS ta, any_value(t.tb) AS tb,
+      |    CAST(max(abs(cum.ca * t.tb - cum.cb * t.ta)) AS BIGINT) AS sup
+      |  FROM cum JOIN t USING (event_type) GROUP BY cum.event_type)
+      |SELECT event_type, ta AS na, tb AS nb,
+      |  CASE WHEN ta * tb = 0 THEN NULL
+      |    ELSE CAST((1000000 * sup) // (ta * tb) AS BIGINT)
+      |  END AS ks_ppm
+      |FROM s ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    graft.ext.Drift.ksPpm(
+      CoreQueries.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+          expr("(ts div 1000) div 86400000000 < 19738").as("isa")),
+      grpCol = "event_type", inACol = "isa", valCol = "c")
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63Funnel, q64Cohort, q65Histogram, q72TransitionMatrix,
       q78SaltedDistinct, q80VarianceExact, q83GapFill, q98PageRank,
@@ -1457,5 +1506,5 @@ object AnalyticsQueries {
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
-      q171MannWhitney)
+      q171MannWhitney, q173KsTest)
 }

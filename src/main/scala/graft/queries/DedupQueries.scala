@@ -421,9 +421,43 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicated-span fraction ([[graft.ext.Dedup.duplicatedSpanFraction]]):
+    * per-document ppm of 64-char windows (stride 32) whose hash occurs in
+    * ≥ 2 DISTINCT documents — the span-level dedup signal the doc-level
+    * MinHash/SimHash family cannot see (shared boilerplate below the
+    * doc-similarity threshold). Intra-doc repeats don't count (that is
+    * q60's signal). All-integer output, exact floor-div ppm.
+    */
+  val q177DupSpans: QuerySpec = QuerySpec.oracled(
+    "q177_dup_spans",
+    """WITH d AS (
+      |  SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 64),
+      |ix AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (n_chars - 64) // 32 + 1)) AS i
+      |  FROM d),
+      |w AS (
+      |  SELECT doc_id, md5(substr(text, (i * 32 + 1)::INT, 64)) AS h
+      |  FROM ix),
+      |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
+      |per AS (
+      |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup
+      |  FROM w JOIN nd USING (h) GROUP BY 1)
+      |SELECT doc_id, n_windows, n_dup,
+      |  n_dup * 1000000 // n_windows AS dup_ppm
+      |FROM per ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.duplicatedSpanFraction(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", nCharsCol = "n_chars",
+      width = 64, stride = 32)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
       q155IncrementalNearDup, q161StreamIncrementalDedup,
-      q172SortedNeighborhood)
+      q172SortedNeighborhood, q177DupSpans)
 }

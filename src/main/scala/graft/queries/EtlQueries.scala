@@ -627,9 +627,114 @@ object EtlQueries {
       .orderBy("day_idx", "band")
   }
 
+  /** Approximate functional-dependency audit
+    * ([[graft.ext.Profile.fdAudit]]): the g3 measure — minimum row
+    * deletions until A→B holds exactly — over four candidate FDs on
+    * events, ONE scan for all of them (per-row Expand to (fd, a, b)
+    * tuples, then two shrinking map-side-combinable aggregations).
+    * event_id→user_id and event_id→event_type hold (event_id is the PK);
+    * both directions between user_id and event_type fail, with g3 and
+    * violating-determinant counts quantifying by how much — the key-
+    * detection / "is this column derivable" step of profiling, beside
+    * q93's per-column stats.
+    */
+  val q175FdAudit: QuerySpec = QuerySpec.oracled(
+    "q175_fd_audit",
+    """WITH m AS (
+      |  SELECT 'event_id->user_id' AS fd, event_id::VARCHAR AS a,
+      |    user_id::VARCHAR AS b FROM events
+      |  UNION ALL
+      |  SELECT 'event_id->event_type', event_id::VARCHAR, event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'user_id->event_type', user_id::VARCHAR, event_type
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_type->user_id', event_type, user_id::VARCHAR
+      |  FROM events),
+      |ab AS (
+      |  SELECT fd, a, b, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM m GROUP BY 1, 2, 3),
+      |pa AS (
+      |  SELECT fd, a, CAST(sum(cnt) AS BIGINT) AS rows_a,
+      |    CAST(max(cnt) AS BIGINT) AS keep_a,
+      |    CAST(count(*) AS BIGINT) AS nb
+      |  FROM ab GROUP BY 1, 2)
+      |SELECT fd, CAST(sum(rows_a) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_determinants,
+      |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_determinants,
+      |  CAST(sum(rows_a) - sum(keep_a) AS BIGINT) AS g3_remove_rows,
+      |  sum(rows_a) - sum(keep_a) = 0 AS holds
+      |FROM pa GROUP BY fd ORDER BY fd""".stripMargin) { (spark, dir) =>
+    graft.ext.Profile.fdAudit(
+      CoreQueries.events(spark, dir),
+      Seq("event_id" -> "user_id", "event_id" -> "event_type",
+        "user_id" -> "event_type", "event_type" -> "user_id"))
+      .orderBy("fd")
+  }
+
+  /** t-closeness release gate ([[graft.ext.Drift.emdClosenessPpm]]) — the
+    * third privacy gate beside k-anonymity (q121: cohort too small) and
+    * l-diversity (q165: cohort homogeneous): a cohort passing both still
+    * leaks when its sensitive-attribute DISTRIBUTION diverges from the
+    * table's. Cohort = user band, sensitive = `value` in 10 ordered
+    * 50-unit bins; distance = ordered-EMD in exact cross-multiplied
+    * BIGINT ppm (the q170/q173 discipline — the oracle adjudicates the
+    * statistic itself), release iff EMD ≤ 0.15.
+    */
+  val q179TCloseness: QuerySpec = QuerySpec.oracled(
+    "q179_t_closeness",
+    """WITH e AS (
+      |  SELECT user_id % 10 AS band,
+      |    CAST(round(value * 100) AS BIGINT) // 5000 AS bin
+      |  FROM events WHERE value IS NOT NULL),
+      |cb AS (
+      |  SELECT band, bin, CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2),
+      |gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS g FROM e GROUP BY 1),
+      |bd AS (SELECT band, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT bin) AS BIGINT) AS m
+      |  FROM e),
+      |grid AS (
+      |  SELECT bd.band, gb.bin, bd.n, gb.g, coalesce(cb.c, 0) AS c
+      |  FROM bd CROSS JOIN gb
+      |  LEFT JOIN cb ON cb.band = bd.band AND cb.bin = gb.bin),
+      |cum AS (
+      |  SELECT band, bin, n,
+      |    CAST(sum(c) OVER (PARTITION BY band ORDER BY bin) AS BIGINT)
+      |      AS cg,
+      |    CAST(sum(g) OVER (PARTITION BY band ORDER BY bin) AS BIGINT)
+      |      AS cgl
+      |  FROM grid),
+      |s AS (
+      |  SELECT band, any_value(n) AS n,
+      |    CAST(sum(abs(cg * tot.nn - cgl * n)) AS BIGINT) AS num,
+      |    any_value(tot.nn) AS nn, any_value(tot.m) AS m
+      |  FROM cum CROSS JOIN tot GROUP BY band),
+      |r AS (
+      |  SELECT band, n,
+      |    CASE WHEN m <= 1 THEN 0
+      |      ELSE CAST((1000000 * num) // ((m - 1) * n * nn) AS BIGINT)
+      |    END AS emd_ppm
+      |  FROM s)
+      |SELECT band, n, emd_ppm, emd_ppm <= 150000 AS released
+      |FROM r ORDER BY band""".stripMargin) { (spark, dir) =>
+    graft.ext.Drift.emdClosenessPpm(
+      CoreQueries.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select((col("user_id") % 10).as("band"),
+          expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("bin")),
+      grpCol = "band", binCol = "bin", tPpm = 150000L)
+      .orderBy("band")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
-      q128TableChecksum, q134ErasurePropagate, q165LDiversity)
+      q128TableChecksum, q134ErasurePropagate, q165LDiversity,
+      q175FdAudit, q179TCloseness)
 }

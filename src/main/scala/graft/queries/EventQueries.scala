@@ -1616,6 +1616,114 @@ object EventQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Count-min sketch frequency estimation ([[graft.ext.Cms]]): build the
+    * 4×512 counter table over every event's user_id WITHOUT ever shuffling
+    * on the key (map-side combine collapses each partition to ≤ d·w
+    * counter rows — the sketch's whole point at 100 TB), then probe the
+    * 20 heaviest users. The md5-derived bucket hashes are engine-portable,
+    * so the oracle replays build, probe, and min-reduce bit-for-bit — the
+    * q168 standard (adjudicate the estimates, not a tolerance boolean).
+    * `never_under` carries CMS's one-sided guarantee (est ≥ true) as a
+    * per-row adjudicated column; the exact-count branch exists only to
+    * select probes and expose the true counts beside the estimates.
+    */
+  val q174CmsFreq: QuerySpec = QuerySpec.oracled(
+    "q174_cms_freq",
+    """WITH obs AS (SELECT user_id FROM events),
+      |sk AS (
+      |  SELECT t.j,
+      |    ('0x' || substr(md5(t.j::VARCHAR || ':' || obs.user_id::VARCHAR),
+      |      1, 15))::BIGINT % 512 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM obs CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+      |tc AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      |  FROM obs GROUP BY 1),
+      |top AS (
+      |  SELECT user_id, true_cnt FROM tc
+      |  ORDER BY true_cnt DESC, user_id LIMIT 20),
+      |pr AS (
+      |  SELECT top.user_id, t.j,
+      |    ('0x' || substr(md5(t.j::VARCHAR || ':' || top.user_id::VARCHAR),
+      |      1, 15))::BIGINT % 512 AS bucket
+      |  FROM top CROSS JOIN range(4) t(j)),
+      |est AS (
+      |  SELECT pr.user_id,
+      |    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+      |  FROM pr LEFT JOIN sk ON sk.j = pr.j AND sk.bucket = pr.bucket
+      |  GROUP BY 1)
+      |SELECT top.user_id, top.true_cnt, est.est_cnt,
+      |  est.est_cnt >= top.true_cnt AS never_under
+      |FROM top JOIN est USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val obs = CoreQueries.events(spark, dir).select(col("user_id"))
+    val sk = graft.ext.Cms.sketch(obs, "user_id", depth = 4, width = 512)
+    val top = obs.groupBy("user_id")
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+      .limit(20)
+    graft.ext.Cms
+      .estimate(sk, top.select("user_id"), "user_id", depth = 4, width = 512)
+      .join(top, "user_id")
+      .select(col("user_id"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).as("never_under"))
+      .orderBy("user_id")
+  }
+
+  /** Join-cardinality estimation from two count-min sketches
+    * ([[graft.ext.Cms.joinSizeEstimate]]): `|A ⋈ B|` on user_id between
+    * the click and purchase cohorts, estimated as the AMS/CM inner
+    * product `min_j Σ_b cntA·cntB` — the number a cost-based planner
+    * wants BEFORE running the join, priced at an O(d·w) counter merge
+    * instead of a shuffle of either input. One-sided like the point
+    * estimate (collisions only add mass), carried as the adjudicated
+    * `never_under` column beside the exact pair count. The md5 bucket
+    * hashes make build + merge engine-portable, so the oracle replays
+    * the whole estimator bit-for-bit (the q174 standard).
+    */
+  val q176CmsJoinSize: QuerySpec = QuerySpec.oracled(
+    "q176_cms_join_size",
+    """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+      |ska AS (
+      |  SELECT t.j,
+      |    ('0x' || substr(md5(t.j::VARCHAR || ':' || a.user_id::VARCHAR),
+      |      1, 15))::BIGINT % 512 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM a CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+      |skb AS (
+      |  SELECT t.j,
+      |    ('0x' || substr(md5(t.j::VARCHAR || ':' || b.user_id::VARCHAR),
+      |      1, 15))::BIGINT % 512 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM b CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+      |ip AS (
+      |  SELECT ska.j, CAST(sum(ska.cnt * skb.cnt) AS BIGINT) AS ip
+      |  FROM ska JOIN skb ON ska.j = skb.j AND ska.bucket = skb.bucket
+      |  GROUP BY 1),
+      |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_pairs FROM ip),
+      |tru AS (
+      |  SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS true_pairs
+      |  FROM (SELECT user_id, count(*) AS c FROM a GROUP BY 1) ca
+      |  JOIN (SELECT user_id, count(*) AS c FROM b GROUP BY 1) cb
+      |    USING (user_id))
+      |SELECT tru.true_pairs, est.est_pairs,
+      |  est.est_pairs >= tru.true_pairs AS never_under
+      |FROM tru CROSS JOIN est""".stripMargin) { (spark, dir) =>
+    val ev = CoreQueries.events(spark, dir)
+    val a = ev.filter(col("event_type") === "click").select("user_id")
+    val b = ev.filter(col("event_type") === "purchase").select("user_id")
+    val est = graft.ext.Cms.joinSizeEstimate(
+      graft.ext.Cms.sketch(a, "user_id", depth = 4, width = 512),
+      graft.ext.Cms.sketch(b, "user_id", depth = 4, width = 512))
+    val tru = a.groupBy("user_id").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("user_id").agg(count(lit(1)).as("cb")), "user_id")
+      .agg(sum(col("ca") * col("cb")).cast("long").as("true_pairs"))
+    tru.crossJoin(est)
+      .select(col("true_pairs"), col("est_pairs"),
+        (col("est_pairs") >= col("true_pairs")).as("never_under"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
@@ -1625,7 +1733,8 @@ object EventQueries {
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
-      q162HllIntersection, q166RollingP90, q168HdrQuantile)
+      q162HllIntersection, q166RollingP90, q168HdrQuantile, q174CmsFreq,
+      q176CmsJoinSize)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

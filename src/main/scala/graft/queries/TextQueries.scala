@@ -970,6 +970,65 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Inverted-index build: the search-index artifact itself — per term,
+    * document frequency, collection frequency, and the head of the
+    * posting list (first 8 doc ids ascending, serialized as a CSV string
+    * so the driver hash adjudicates it; a real sink would keep the
+    * array). Distinct from q62 (per-DOC top terms) and q117 (corpus
+    * n-gram counts): this is the term→docs direction a retrieval or
+    * contamination-lookup pipeline serves from.
+    *
+    * 100 TB shape: tokenize+explode is a narrow fan-out; (term, doc) tf
+    * is ONE map-side-combinable groupBy; df/cf and the posting head both
+    * roll up from that table partitioned BY TERM — the window and the
+    * final agg reuse the same exchange, and per-term state is bounded by
+    * the rn ≤ 8 cutoff before any collect_list materializes. Top-50 by
+    * df is a driver-side limit over |vocab| rows, not facts.
+    */
+  val q178InvertedIndex: QuerySpec = QuerySpec.oracled(
+    "q178_inverted_index",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter($toksSql, x -> x <> '')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tk GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM tf GROUP BY 1),
+       |post AS (
+       |  SELECT term,
+       |    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+       |  FROM (SELECT term, doc_id,
+       |          row_number() OVER (PARTITION BY term ORDER BY doc_id)
+       |            AS rn
+       |        FROM tf)
+       |  WHERE rn <= 8 GROUP BY 1)
+       |SELECT agg.term, agg.df, agg.cf, post.postings
+       |FROM agg JOIN post USING (term)
+       |ORDER BY df DESC, term LIMIT 50""".stripMargin) { (spark, dir) =>
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.ext.Dedup.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    // sort numerically BEFORE casting to string ("10" < "2" lexically)
+    val post = tf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy("term")
+      .agg(expr("concat_ws(',', transform(sort_array(collect_list(doc_id))," +
+        " x -> cast(x AS string)))").as("postings"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
+      .join(post, "term")
+      .orderBy(col("df").desc, col("term")).limit(50)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -977,5 +1036,5 @@ object TextQueries {
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
-      q149FilterFunnel, q169MixtureAllocate)
+      q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex)
 }
