@@ -381,11 +381,118 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** The PQ codebook (8 sub-spaces × 16 codewords × 8 dims) as literal
+    * SQL VALUES rows — k/1000 rationals print exactly. */
+  private def pqCbSql: String = {
+    val rows = Similarity.pqCodebook(8, 16, 8).map { case (m, c, v) =>
+      s"($m, $c, ${v.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"seed(m, cw, cvec) AS (VALUES $rows)"
+  }
+
+  /** Product-quantization ANN ([[graft.ext.Similarity.pqTopK]]): corpus
+    * compressed to 8 one-byte codes per 64-dim vector (32× smaller than
+    * float32 — the index that fits in memory at 100 TB), queries scan the
+    * CODES via an ADC distance-table sum and only the top-10 candidates
+    * touch float vectors for the exact re-rank. Sub-space distances are
+    * fixed-pointed (`floor(d²·1e6 + 0.5)` int64) immediately after a
+    * bit-exact ordered fold, so the ADC sum is an integer sum — the
+    * oracle replays codebook TRAINING (one fixed-point k-means step per
+    * sub-space, [[graft.ext.Similarity.pqTrainedCodebook]] — recall@3
+    * 0.38 at this budget, ~2× the untrained seeds at tight budgets),
+    * encode, scan, and re-rank exactly.
+    */
+  val q180AnnPq: QuerySpec = QuerySpec.oracled(
+    "q180_ann_pq",
+    s"""$normCte,
+       |$pqCbSql,
+       |cs AS (
+       |  SELECT vec_id AS cid, CAST(t.mi AS INT) AS m,
+       |    list_slice(embedding, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
+       |  FROM embeddings CROSS JOIN range(8) t(mi)),
+       |sd0 AS (
+       |  SELECT cs.cid, cs.m, seed.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - seed.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - seed.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN seed USING (m)),
+       |sasg AS (
+       |  SELECT cid, m, cw FROM (
+       |    SELECT cid, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM sd0) WHERE rk = 1),
+       |fx AS (
+       |  SELECT sasg.m, sasg.cw, t.i,
+       |    sum(CAST(floor(cs.sub[t.i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM sasg
+       |  JOIN cs ON cs.cid = sasg.cid AND cs.m = sasg.m
+       |  CROSS JOIN range(1, 9) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cent AS (
+       |  SELECT m, cw,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS tvec
+       |  FROM fx GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT seed.m, seed.cw, coalesce(cent.tvec, seed.cvec) AS cvec
+       |  FROM seed LEFT JOIN cent
+       |    ON cent.m = seed.m AND cent.cw = seed.cw),
+       |d0 AS (
+       |  SELECT cs.cid, cs.m, cb.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - cb.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - cb.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN cb USING (m)),
+       |enc AS (
+       |  SELECT cid, m, cw FROM (
+       |    SELECT cid, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |qt AS (SELECT cid AS qid, m, cw, d2u FROM d0 WHERE cid < 20),
+       |adc AS (
+       |  SELECT qt.qid, enc.cid, CAST(sum(qt.d2u) AS BIGINT) AS ad2u
+       |  FROM enc JOIN qt ON enc.m = qt.m AND enc.cw = qt.cw
+       |  WHERE enc.cid <> qt.qid
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ad2u, cid) AS crk
+       |    FROM adc) WHERE crk <= 50),
+       |scored AS (
+       |  SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.qid
+       |  JOIN nv c ON c.vec_id = cand.cid),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.pqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      numSub = 8, codebookSize = 16, dim = Dim, candidates = 50)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
-      q97SemanticDedup, q140CentroidPool)
+      q97SemanticDedup, q140CentroidPool, q180AnnPq)
 
   /** Per-label embedding centroid (mean-pool) in long form: `posexplode`
     * expands vectors to (label, pos, value) rows, values quantize to
