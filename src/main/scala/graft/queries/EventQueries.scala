@@ -1724,6 +1724,71 @@ object EventQueries {
         (col("est_pairs") >= col("true_pairs")).as("never_under"))
   }
 
+  /** Watermark-planning disorder audit: given an ARRIVAL log, how far
+    * does event time lag the running event-time maximum — the number that
+    * decides `withWatermark`'s delay (too small → late data dropped, too
+    * large → state lingers). Lateness of an event is `max(event time so
+    * far in arrival order) − its event time`; per type the audit reports
+    * the worst lag and how much data a 30 s / 60 s watermark would drop
+    * (exact integer µs + floor-div ppm). The fixture simulates the
+    * arrival log deterministically (md5 ingest jitter ≤ 120 s on top of
+    * event time) since the test events arrive pre-sorted; on a real
+    * ingest the arrival sequence is the log's own order.
+    *
+    * 100 TB shape: one window sweep per type over arrival order (the
+    * same per-key sort a streaming job pays anyway) then a map-side-
+    * combinable rollup to |types| rows; all-BIGINT so the oracle
+    * adjudicates the recommendation itself.
+    */
+  val q181DisorderAudit: QuerySpec = QuerySpec.oracled(
+    "q181_disorder_audit",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS tus,
+      |    epoch_us(ts) +
+      |      ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)),
+      |        1, 15))::BIGINT % 120000000 AS arr_us,
+      |    event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, tus,
+      |    max(tus) OVER (PARTITION BY event_type
+      |                   ORDER BY arr_us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS runmax
+      |  FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(runmax - tus) AS BIGINT) AS max_late_us,
+      |  CAST(sum(CASE WHEN runmax - tus > 30000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late_30s,
+      |  CAST(sum(CASE WHEN runmax - tus > 60000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late_60s,
+      |  CAST(1000000 * sum(CASE WHEN runmax - tus > 60000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS drop_60s_ppm
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = CoreQueries.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("arr_us", col("tus") +
+        conv(substring(md5(concat(lit("arr:"),
+          col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 120000000L)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("arr_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("runmax", max("tus").over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("runmax") - col("tus")).as("max_late_us"),
+        sum(when(col("runmax") - col("tus") > 30000000L, 1L).otherwise(0L))
+          .cast("long").as("n_late_30s"),
+        sum(when(col("runmax") - col("tus") > 60000000L, 1L).otherwise(0L))
+          .cast("long").as("n_late_60s"))
+      .withColumn("drop_60s_ppm",
+        expr("1000000 * n_late_60s DIV n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
@@ -1734,7 +1799,7 @@ object EventQueries {
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
       q162HllIntersection, q166RollingP90, q168HdrQuantile, q174CmsFreq,
-      q176CmsJoinSize)
+      q176CmsJoinSize, q181DisorderAudit)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

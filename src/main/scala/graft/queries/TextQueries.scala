@@ -1029,6 +1029,102 @@ object TextQueries {
       .orderBy(col("df").desc, col("term")).limit(50)
   }
 
+  /** Cohen's kappa between two quality-filter RULE VERSIONS per source —
+    * the chance-corrected agreement metric every labeling/eval pipeline
+    * reports when comparing annotators or filter revisions (raw accuracy
+    * rewards majority-class guessing; kappa subtracts marginal-product
+    * chance agreement). Rater A is the q24 verdict rule, rater B a
+    * revision with different cutoffs; both decide on exact cross-
+    * multiplied integers (never a float ratio). All counts exact BIGINT;
+    * kappa itself is ONE IEEE division of two exact integers (the q147
+    * discipline — correctly rounded, bit-identical cross-engine), null
+    * when chance agreement is total (denominator 0). (A gold-vs-language-
+    * ID kappa would be the same shape, but this corpus's synthetic text
+    * makes every language-ID constant — kappa 0 by construction — so the
+    * registered pair is the one that actually varies.)
+    *
+    * 100 TB shape: rating is a narrow per-row projection; then three
+    * map-side-combinable aggregates (per-source n/agree, rater-A
+    * marginals, rater-B marginals) and a marginal-product join over
+    * |sources|·|classes| rows — the fact table is scanned once.
+    */
+  val q182KappaAgreement: QuerySpec = QuerySpec.oracled(
+    "q182_kappa_agreement",
+    s"""WITH f AS (
+       |  SELECT doc_id, source, length(text)::BIGINT AS n_chars,
+       |    len($toksSql)::BIGINT AS n_tokens,
+       |    len(list_distinct($toksSql))::BIGINT AS n_uniq
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN n_tokens < 20 THEN 'short'
+       |         WHEN n_uniq * 10 < n_tokens * 3 THEN 'rep'
+       |         ELSE 'ok' END AS rater_a,
+       |    CASE WHEN n_chars < 120 THEN 'short'
+       |         WHEN n_uniq * 5 < n_tokens * 2 THEN 'rep'
+       |         ELSE 'ok' END AS rater_b
+       |  FROM f),
+       |base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS agree
+       |  FROM d GROUP BY 1),
+       |ra AS (
+       |  SELECT source, rater_a AS cls, CAST(count(*) AS BIGINT) AS ca
+       |  FROM d GROUP BY 1, 2),
+       |rb AS (
+       |  SELECT source, rater_b AS cls, CAST(count(*) AS BIGINT) AS cb
+       |  FROM d GROUP BY 1, 2),
+       |sx AS (
+       |  SELECT ra.source, CAST(sum(ra.ca * rb.cb) AS BIGINT) AS s
+       |  FROM ra JOIN rb ON ra.source = rb.source AND ra.cls = rb.cls
+       |  GROUP BY 1)
+       |SELECT base.source, base.n, base.agree,
+       |  coalesce(sx.s, 0) AS chance_s,
+       |  CASE WHEN base.n * base.n = coalesce(sx.s, 0) THEN NULL
+       |    ELSE round(
+       |      CAST(base.n * base.agree - coalesce(sx.s, 0) AS DOUBLE) /
+       |      CAST(base.n * base.n - coalesce(sx.s, 0) AS DOUBLE), 6)
+       |  END AS kappa
+       |FROM base LEFT JOIN sx ON sx.source = base.source
+       |ORDER BY base.source""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = TextStats.qualityFeatures(docs, "text")
+      .select(col("doc_id"), col("source"),
+        when(col("n_tokens") < 20, "short")
+          .when(col("n_uniq") * 10 < col("n_tokens") * 3, "rep")
+          .otherwise("ok").as("rater_a"),
+        when(col("n_chars") < 120, "short")
+          .when(col("n_uniq") * 5 < col("n_tokens") * 2, "rep")
+          .otherwise("ok").as("rater_b"))
+    val base = d.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rater_a") === col("rater_b"), 1L).otherwise(0L))
+          .cast("long").as("agree"))
+    val ra = d.groupBy(col("source").as("src_a"),
+        col("rater_a").as("cls_a"))
+      .agg(count(lit(1)).as("ca"))
+    val rb = d.groupBy(col("source").as("src_b"),
+        col("rater_b").as("cls_b"))
+      .agg(count(lit(1)).as("cb"))
+    val sx = ra.join(rb,
+        col("src_a") === col("src_b") && col("cls_a") === col("cls_b"))
+      .groupBy(col("src_a").as("source"))
+      .agg(sum(col("ca") * col("cb")).cast("long").as("s"))
+    base.join(sx, Seq("source"), "left")
+      .select(col("source"), col("n"), col("agree"),
+        coalesce(col("s"), lit(0L)).as("chance_s"),
+        when(col("n") * col("n") === coalesce(col("s"), lit(0L)),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("agree") - coalesce(col("s"), lit(0L)))
+              .cast("double") /
+            (col("n") * col("n") - coalesce(col("s"), lit(0L)))
+              .cast("double"), 6))
+          .as("kappa"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1036,5 +1132,6 @@ object TextQueries {
       q67SequencePacking, q68Boilerplate, q73LangCap, q92SplitAssign,
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
-      q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex)
+      q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
+      q182KappaAgreement)
 }
