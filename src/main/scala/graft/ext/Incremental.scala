@@ -38,4 +38,25 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Delta-join algebra for materialized JOIN-view maintenance: with
+    * append-only deltas, `(A ∪ ΔA) ⋈ (B ∪ ΔB)` decomposes exactly into
+    * `A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`. The first term is the STORED view —
+    * in production it is never recomputed; each refresh pays only the
+    * three delta terms, each bounded by a delta's size times its match
+    * rate. Returns the four terms in that order (head = base view) so
+    * callers can aggregate each and [[mergeStates]] them — which keeps
+    * the whole refresh in mergeable-state algebra end to end.
+    *
+    * `joinOn` is an unresolved column predicate (e.g.
+    * `col("o_custkey") === col("c_custkey")`) resolved per term. At
+    * 100 TB: deltas are the small side — Spark broadcasts them against
+    * the base tables, so no base table ever reshuffles.
+    */
+  def deltaJoinParts(
+      aBase: DataFrame, aDelta: DataFrame,
+      bBase: DataFrame, bDelta: DataFrame,
+      joinOn: org.apache.spark.sql.Column): Seq[DataFrame] =
+    Seq(aBase.join(bBase, joinOn), aDelta.join(bBase, joinOn),
+      aBase.join(bDelta, joinOn), aDelta.join(bDelta, joinOn))
 }

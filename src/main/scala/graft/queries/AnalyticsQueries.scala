@@ -1373,6 +1373,88 @@ object AnalyticsQueries {
     * downstream runs on the tiny (type × bin) histogram with broadcast
     * totals.
     */
+  /** Chi-squared independence audit between two categorical columns —
+    * the association/leakage check (is the user band informative about
+    * event type?) completing the stats toolbox beside the two-sample
+    * drift trio (q170/q171/q173) and kappa (q182). The statistic is
+    * DEFINED in per-cell fixed point so two engines can agree exactly:
+    * each cell contributes `⌊1e6·(N·O − R·C)² / (N·R·C)⌋` (all positive
+    * integers, so floor-div and truncating div coincide), and chi² in
+    * ppm is the BIGINT sum of cell contributions — order-free. Cramér's
+    * V is then one literal-order IEEE expression over exact integers,
+    * identical in both engines. Intermediates ride DECIMAL(38,0) /
+    * INT128 ((N·O)²·1e6 ≈ 5e27 at sf0.1; past ~1e9 rows per table,
+    * compute the audit on a fixed-rate sample or drop the ppm scale).
+    *
+    * 100 TB shape: ONE map-side-combinable (row-class × col-class)
+    * groupBy collapses the facts; marginals, the cell grid, and the
+    * rollup all run on |r|·|c| rows. Output: one row.
+    */
+  val q184ChiSquared: QuerySpec = QuerySpec.oracled(
+    "q184_chi_squared",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 10 AS band FROM events),
+      |o AS (
+      |  SELECT event_type, band, CAST(count(*) AS BIGINT) AS obs
+      |  FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, CAST(sum(obs) AS BIGINT) AS rr
+      |  FROM o GROUP BY 1),
+      |c AS (
+      |  SELECT band, CAST(sum(obs) AS BIGINT) AS cc FROM o GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+      |    CAST(count(DISTINCT band) AS BIGINT) AS nc
+      |  FROM e),
+      |cells AS (
+      |  SELECT CAST((1000000 *
+      |      ((t.n::HUGEINT * o.obs - r.rr::HUGEINT * c.cc) *
+      |       (t.n::HUGEINT * o.obs - r.rr::HUGEINT * c.cc)))
+      |    // (t.n::HUGEINT * r.rr * c.cc) AS BIGINT) AS ppm
+      |  FROM o JOIN r USING (event_type) JOIN c USING (band)
+      |  CROSS JOIN t),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(sum(ppm) AS BIGINT) AS chi2_ppm
+      |  FROM cells)
+      |SELECT t.n, s.n_cells, (t.nr - 1) * (t.nc - 1) AS dof,
+      |  s.chi2_ppm,
+      |  round(sqrt(CAST(s.chi2_ppm AS DOUBLE) / 1000000.0 /
+      |    CAST(t.n * least(t.nr - 1, t.nc - 1) AS DOUBLE)), 6)
+      |    AS cramers_v
+      |FROM s CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    val e = CoreQueries.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 10).as("band"))
+    val o = e.groupBy("event_type", "band").agg(count(lit(1)).as("obs"))
+    val r = o.groupBy(col("event_type").as("et_r"))
+      .agg(sum("obs").cast("long").as("rr"))
+    val c = o.groupBy(col("band").as("band_c"))
+      .agg(sum("obs").cast("long").as("cc"))
+    val t = e.agg(count(lit(1)).as("n"),
+      countDistinct("event_type").as("nr"),
+      countDistinct("band").as("nc"))
+    val cells = o
+      .join(r, col("event_type") === col("et_r"))
+      .join(c, col("band") === col("band_c"))
+      .crossJoin(broadcast(t))
+      .select(expr(
+        """CAST((1000000 *
+          |  ((CAST(n AS DECIMAL(38,0)) * obs - CAST(rr AS DECIMAL(38,0)) * cc) *
+          |   (CAST(n AS DECIMAL(38,0)) * obs - CAST(rr AS DECIMAL(38,0)) * cc)))
+          |DIV (CAST(n AS DECIMAL(38,0)) * rr * cc) AS BIGINT)""".stripMargin
+          .replace("\n", " ")).as("ppm"))
+    val s = cells.agg(count(lit(1)).as("n_cells"),
+      sum("ppm").cast("long").as("chi2_ppm"))
+    s.crossJoin(broadcast(t))
+      .select(col("n"), col("n_cells"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("chi2_ppm"),
+        round(sqrt(col("chi2_ppm").cast("double") / 1000000.0 /
+          (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")),
+          6).as("cramers_v"))
+  }
+
   val q170TvdDrift: QuerySpec = QuerySpec.oracled(
     "q170_tvd_drift",
     """WITH e AS (
@@ -1506,5 +1588,5 @@ object AnalyticsQueries {
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
-      q171MannWhitney, q173KsTest)
+      q171MannWhitney, q173KsTest, q184ChiSquared)
 }

@@ -731,10 +731,50 @@ object EtlQueries {
       .orderBy("band")
   }
 
+  /** Materialized JOIN-view maintenance by delta-join algebra
+    * ([[graft.ext.Incremental.deltaJoinParts]]): `(A∪ΔA)⋈(B∪ΔB)` =
+    * `A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`, each term aggregated to mergeable
+    * state and folded with [[graft.ext.Incremental.mergeStates]] — the
+    * companion to q102 (aggregate maintenance) for views WITH a join.
+    * Fixture: orders split at a date cut (fact append), customers split
+    * on key residue (dim append); the oracle recomputes the full join
+    * from raw rows, so the gate adjudicates incremental ≡ recompute.
+    * In production the base⋈base term is the stored view (never
+    * recomputed) and each refresh pays only the three delta joins —
+    * deltas broadcast, base tables never reshuffle.
+    */
+  val q183IncrementalJoin: QuerySpec = QuerySpec.oracled(
+    "q183_incremental_join",
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.TimestampType
+    val orders = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val cut = lit("1997-01-01").cast(TimestampType)
+    def state(part: org.apache.spark.sql.DataFrame) = part
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    graft.ext.Incremental.mergeStates(
+        graft.ext.Incremental.deltaJoinParts(
+          orders.filter(col("o_orderdate") < cut),
+          orders.filter(col("o_orderdate") >= cut),
+          cust.filter(col("c_custkey") % 3 =!= 0),
+          cust.filter(col("c_custkey") % 3 === 0),
+          col("o_custkey") === col("c_custkey")).map(state),
+        keys = Seq("c_mktsegment", "o_orderpriority"),
+        sumCols = Seq("n", "cents"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,
-      q175FdAudit, q179TCloseness)
+      q175FdAudit, q179TCloseness, q183IncrementalJoin)
 }
