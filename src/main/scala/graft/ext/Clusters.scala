@@ -136,4 +136,44 @@ object Clusters {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
+
+  /** Synchronous label propagation (community detection) with a
+    * deterministic tie-break: labels start as node ids; each iteration
+    * every node adopts the most frequent label among its NEIGHBORS
+    * (ties → smallest label). Unlike [[connectedComponents]] (which
+    * answers "is there any path"), a few LPA rounds find DENSE groups —
+    * two components bridged by one edge stay separate communities.
+    * Fixed iteration count + deterministic tie-break = engine-replayable
+    * (classic async LPA is run-order-dependent and could never be
+    * oracle-adjudicated).
+    *
+    * `edges`: undirected distinct pairs in columns (a, b), a ≠ b.
+    * Output: (v, lab) for every node incident to an edge.
+    *
+    * 100 TB shape: per iteration, one join of the symmetrized edge list
+    * against the |V|-row label table (labels broadcast when V is
+    * dimension-sized; otherwise both shuffle on the join key) and one
+    * (node, label) count + argmax — the standard DataFrame LPA round.
+    * Edge rows carry two longs; labels one long per node.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "labelPropagation: need at least one iteration")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    var lbl = sym.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+    for (_ <- 1 to iters) {
+      val nb = sym
+        .join(lbl.select(col("v").as("__nv"), col("lab").as("nlab")),
+          col("dst") === col("__nv"))
+        .groupBy("src", "nlab")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("c").desc, col("nlab"))
+      lbl = nb.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("v"), col("nlab").as("lab"))
+    }
+    lbl
+  }
 }

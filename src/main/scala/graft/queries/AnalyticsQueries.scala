@@ -1373,6 +1373,68 @@ object AnalyticsQueries {
     * downstream runs on the tiny (type × bin) histogram with broadcast
     * totals.
     */
+  /** Label-propagation community detection
+    * ([[graft.ext.Clusters.labelPropagation]]) over the co-purchase graph
+    * (parts sharing an order ≥ 2 times) — the graph-family member between
+    * connected components (q57: any path merges) and triangles (q136:
+    * local density): two LPA rounds find DENSE part groups, and a single
+    * bridging order no longer merges two communities. Deterministic by
+    * construction — synchronous rounds, ties to the smallest label — so
+    * the oracle replays both rounds exactly (classic async LPA could
+    * never be gate-adjudicated). Edges thresholded at co-occurrence ≥ 2
+    * (3,638 edges at sf0.01 vs 115k raw pairs — the dedup that keeps the
+    * graph dense-signal only).
+    */
+  val q186Communities: QuerySpec = QuerySpec.oracled(
+    "q186_communities",
+    """WITH p AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |ew AS (SELECT pa, pb FROM p GROUP BY pa, pb HAVING count(*) >= 2),
+      |ed AS (SELECT pa AS src, pb AS dst FROM ew
+      |       UNION ALL SELECT pb, pa FROM ew),
+      |l0 AS (SELECT DISTINCT src AS v FROM ed),
+      |c1 AS (
+      |  SELECT ed.src, l0.v AS nlab, count(*) AS c
+      |  FROM ed JOIN l0 ON l0.v = ed.dst GROUP BY 1, 2),
+      |l1 AS (
+      |  SELECT src AS v, nlab AS lab FROM (
+      |    SELECT src, nlab,
+      |      row_number() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+      |        AS rk
+      |    FROM c1) WHERE rk = 1),
+      |c2 AS (
+      |  SELECT ed.src, l1.lab AS nlab, count(*) AS c
+      |  FROM ed JOIN l1 ON l1.v = ed.dst GROUP BY 1, 2),
+      |l2 AS (
+      |  SELECT src AS v, nlab AS lab FROM (
+      |    SELECT src, nlab,
+      |      row_number() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+      |        AS rk
+      |    FROM c2) WHERE rk = 1)
+      |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(min(v) AS BIGINT) AS min_member,
+      |  CAST(max(v) AS BIGINT) AS max_member
+      |FROM l2 GROUP BY lab
+      |ORDER BY n_members DESC, community LIMIT 50""".stripMargin) {
+    (spark, dir) =>
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+    graft.ext.Clusters.labelPropagation(pairs, iters = 2)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min("v").as("min_member"), max("v").as("max_member"))
+      .orderBy(col("n_members").desc, col("community")).limit(50)
+  }
+
   /** Chi-squared independence audit between two categorical columns —
     * the association/leakage check (is the user band informative about
     * event type?) completing the stats toolbox beside the two-sample
@@ -1588,5 +1650,5 @@ object AnalyticsQueries {
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
-      q171MannWhitney, q173KsTest, q184ChiSquared)
+      q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities)
 }

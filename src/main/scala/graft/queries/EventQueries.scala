@@ -1789,6 +1789,70 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming per-user quota accounting ([[graft.streaming.RateLimit]]):
+    * `transformWithState` with MAP state — one counter per (user,
+    * tumbling day) — counts arrivals across micro-batches and reports
+    * what a 3-per-day quota admits vs drops (binding at both gate SFs:
+    * 1,739 windows exceed it at sf0.01). Map-keyed windows keep
+    * stragglers exact across batch boundaries (a "current window"
+    * ValueState would under-count), which is what makes this stream ≡
+    * the batch GROUP BY the oracle runs. Same RocksDB store + staged
+    * 3-file source as q150; emission is the running per-window count
+    * (Update mode), the final answer its max (monotone).
+    */
+  val q185StreamQuota: QuerySpec = QuerySpec.oracled(
+    "q185_stream_quota",
+    """SELECT user_id,
+      |  (epoch_us(ts) // 86400000000) * 86400000000 AS win_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(least(count(*), 3) AS BIGINT) AS accepted,
+      |  CAST(count(*) - least(count(*), 3) AS BIGINT) AS dropped
+      |FROM events GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.streaming.RateLimit._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ150(spark, dir)
+    val schema = spark.read.parquet(s"$staged/00.parquet").schema
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val evEnc = org.apache.spark.sql.Encoders.product[Ev]
+      implicit val outEnc = org.apache.spark.sql.Encoders.product[WinCount]
+      implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .as[Ev](evEnc)
+        .groupByKey(_.user_id)(keyEnc)
+        .transformWithState(new QuotaProcessor(86400000000L),
+          TimeMode.None(), OutputMode.Update(), outEnc)
+      spark.streams.active
+        .filter(_.name == "q185_mem").foreach(_.stop())
+      drainScoped(spark)(out.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("q185_mem")
+        .trigger(Trigger.AvailableNow())
+        .start())
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table("q185_mem")
+      .groupBy("user_id", "win_us")
+      .agg(max("n_events").as("n_events"))
+      .select(col("user_id"), col("win_us"), col("n_events"),
+        least(col("n_events"), lit(3L)).as("accepted"),
+        (col("n_events") - least(col("n_events"), lit(3L))).as("dropped"))
+      .orderBy("user_id", "win_us")
+  }.withSetup((s, d) => { stageQ150(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
@@ -1799,7 +1863,7 @@ object EventQueries {
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
       q162HllIntersection, q166RollingP90, q168HdrQuantile, q174CmsFreq,
-      q176CmsJoinSize, q181DisorderAudit)
+      q176CmsJoinSize, q181DisorderAudit, q185StreamQuota)
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

@@ -71,4 +71,35 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     val empty: DataFrame = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Clusters.connectedComponents(empty).isEmpty)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 2,
+      parts: Int = 3): Map[Long, Long] =
+    Clusters.labelPropagation(
+      edges.toDF("a", "b").repartition(parts), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("LPA separates two cliques joined by one bridge; CC merges them") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((4L, 11L)) // one bridge
+    val labs = lpa(edges)
+    val commA = (1L to 4L).map(labs).toSet
+    val commB = (11L to 14L).map(labs).toSet
+    assert(commA.size == 1, s"clique A not uniform: $commA")
+    assert(commB.size == 1, s"clique B not uniform: $commB")
+    assert(commA != commB, "bridge merged the cliques")
+    // connected components DO merge them — the contrast LPA exists for
+    val ccLabs = cc(edges.map { case (a, b) => (a, b) })
+    assert(ccLabs.values.toSet.size == 1)
+  }
+
+  test("LPA is deterministic and partition-invariant") {
+    val edges = (1L to 30L).flatMap(i =>
+      Seq((i, (i * 7) % 30 + 1), (i, (i * 11) % 30 + 1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    assert(lpa(edges, parts = 1) == lpa(edges, parts = 13))
+    assert(lpa(edges, iters = 1, parts = 2) == lpa(edges, iters = 1, parts = 7))
+  }
 }
