@@ -169,7 +169,89 @@ object MultimodalQueries {
       .orderBy("pkey")
   }
 
+  /** Hamming-radius perceptual near-dup — q167's exact-key match misses a
+    * re-encode that shifts ONE coarse feature bin; this finds all asset
+    * pairs whose 16-symbol perceptual keys differ in ≤ 1 position, by the
+    * dedup family's pigeonhole trick: split the key into 4 bands of 4 —
+    * radius 1 touches at most one band, so every qualifying pair shares
+    * ≥ 3 exact bands and the (band, value) equi-join loses nothing.
+    * Candidates carry ids only; the exact Hamming verify is one ordered
+    * integer fold over the two key arrays. Honesty note (the q41
+    * discipline): these coarse 16-symbol keys only halve the candidate
+    * space at gate scale — the win is the bounded-equi-join SHAPE (and
+    * hot bands salt exactly like [[graft.ext.Dedup.saltedSelfJoin]]);
+    * pruning sharpens with key entropy.
+    */
+  val q187PhashHamming: QuerySpec = QuerySpec.oracled(
+    "q187_phash_hamming",
+    """WITH ch AS (
+      |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+      |    ascii(substr(text, i, 1)) % 16 AS bin
+      |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+      |cnt AS (SELECT doc_id, any_value(n) AS n, bin, count(*) AS c
+      |        FROM ch GROUP BY doc_id, bin),
+      |grid AS (
+      |  SELECT d.doc_id, d.n, b.bin, coalesce(cnt.c, 0) AS c
+      |  FROM (SELECT DISTINCT doc_id, n FROM cnt) d
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = b.bin),
+      |k AS (
+      |  SELECT doc_id, list(CAST((c * 32) // n AS INT) ORDER BY bin) AS kv
+      |  FROM grid GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, t.b,
+      |    array_to_string(list_transform(kv[t.b*4+1 : t.b*4+4],
+      |      x -> x::VARCHAR), ':') AS bval
+      |  FROM k, unnest(range(0, 4)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT cand.id_a, cand.id_b,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> CASE WHEN x.kv[i] = y.kv[i] THEN 0 ELSE 1 END))
+      |      AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN k x ON x.doc_id = cand.id_a
+      |  JOIN k y ON y.doc_id = cand.id_b)
+      |SELECT id_a, id_b, hamming FROM ver WHERE hamming <= 1
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val decoded = Multimodal.decode(
+      Multimodal.assetsFromText(docs, "doc_id", "text"))
+    val keyed = decoded.toDF().select(col("asset_id"),
+      expr("transform(sequence(0, 15), i -> " +
+        "CAST((CAST(round(element_at(features, i + 1) * n_bytes) " +
+        "AS BIGINT) * 32) div n_bytes AS INT))").as("kv"))
+    val bands = keyed.select(col("asset_id"), col("kv"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "array_join(transform(slice(kv, b * 4 + 1, 4), " +
+        "x -> CAST(x AS STRING)), ':') AS bval))")).as("e"))
+      .select(col("asset_id"), col("e.band").as("band"),
+        col("e.bval").as("bval"))
+    val cand = bands.select(col("asset_id").as("id_a"), col("band"),
+        col("bval"))
+      .join(bands.select(col("asset_id").as("id_b"),
+        col("band").as("band_b"), col("bval").as("bval_b")),
+        col("band") === col("band_b") && col("bval") === col("bval_b") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(keyed.select(col("asset_id").as("id_a"), col("kv").as("kv_a")),
+        "id_a")
+      .join(keyed.select(col("asset_id").as("id_b"), col("kv").as("kv_b")),
+        "id_b")
+      .withColumn("hamming", expr(
+        "CAST(aggregate(zip_with(kv_a, kv_b, " +
+          "(x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, " +
+          "(a, v) -> a + v) AS BIGINT)"))
+      .filter(col("hamming") <= 1)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
-      q122MultimodalDedup, q167PerceptualDedup)
+      q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming)
 }

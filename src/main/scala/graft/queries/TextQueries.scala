@@ -1125,6 +1125,62 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Group-leakage-safe train/val/test split: assignment hashes the
+    * SOURCE, not the document — every doc of a source lands in the same
+    * split, so correlated or near-duplicate docs within a source can
+    * never straddle train and eval (the leakage q92's row-level split
+    * permits and dedup can't fully catch). Same salted-md5 basis-point
+    * rule as q49/q92, applied one level up; emits per-split source/doc/
+    * char tallies plus `leaky_sources` (sources in > 1 split) — zero by
+    * construction, adjudicated as a hard column. At 100 TB: the split
+    * table is |sources| rows, broadcast to tag the corpus in one
+    * map-side join.
+    */
+  val q188GroupSplit: QuerySpec = QuerySpec.oracled(
+    "q188_group_split",
+    """WITH s AS (SELECT DISTINCT source FROM documents),
+      |a AS (
+      |  SELECT source,
+      |    CASE
+      |      WHEN ('0x' || substr(md5('gsplit:' || source), 1, 15))::BIGINT
+      |        % 10000 < 8000 THEN 'train'
+      |      WHEN ('0x' || substr(md5('gsplit:' || source), 1, 15))::BIGINT
+      |        % 10000 < 9000 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM s),
+      |leak AS (
+      |  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS leaky_sources
+      |  FROM (SELECT source, count(DISTINCT split) AS n_splits
+      |        FROM a GROUP BY 1))
+      |SELECT a.split, CAST(count(DISTINCT d.source) AS BIGINT)
+      |    AS n_sources,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+      |  any_value(leak.leaky_sources) AS leaky_sources
+      |FROM documents d JOIN a USING (source) CROSS JOIN leak
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bp = conv(substring(md5(concat(lit("gsplit:"), col("source"))),
+      1, 15), 16, 10).cast("long") % 10000
+    val a = docs.select("source").distinct()
+      .select(col("source"),
+        when(bp < 8000, "train").when(bp < 9000, "val")
+          .otherwise("test").as("split"))
+    val leak = a.groupBy("source")
+      .agg(countDistinct("split").as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+        .cast("long").as("leaky_sources"))
+    docs.join(broadcast(a), "source")
+      .crossJoin(broadcast(leak))
+      .groupBy("split")
+      .agg(countDistinct("source").as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        first("leaky_sources").as("leaky_sources"))
+      .orderBy("split")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1133,5 +1189,5 @@ object TextQueries {
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
-      q182KappaAgreement)
+      q182KappaAgreement, q188GroupSplit)
 }
