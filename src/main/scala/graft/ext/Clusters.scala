@@ -158,22 +158,29 @@ object Clusters {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "labelPropagation: need at least one iteration")
+    // read every iteration — persist, or round i re-derives the edge
+    // lineage i times (the q98/q132 iteration discipline); each round
+    // localCheckpoints so the final plan doesn't embed all rounds
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-    var lbl = sym.select(col("src").as("v")).distinct()
-      .withColumn("lab", col("v"))
-    for (_ <- 1 to iters) {
-      val nb = sym
-        .join(lbl.select(col("v").as("__nv"), col("lab").as("nlab")),
-          col("dst") === col("__nv"))
-        .groupBy("src", "nlab")
-        .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("c").desc, col("nlab"))
-      lbl = nb.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("src").as("v"), col("nlab").as("lab"))
-    }
-    lbl
+      .persist()
+    try {
+      var lbl = sym.select(col("src").as("v")).distinct()
+        .withColumn("lab", col("v"))
+      for (_ <- 1 to iters) {
+        val nb = sym
+          .join(lbl.select(col("v").as("__nv"), col("lab").as("nlab")),
+            col("dst") === col("__nv"))
+          .groupBy("src", "nlab")
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(col("c").desc, col("nlab"))
+        lbl = nb.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src").as("v"), col("nlab").as("lab"))
+          .localCheckpoint()
+      }
+      lbl
+    } finally sym.unpersist()
   }
 }

@@ -59,4 +59,38 @@ object RangeJoin {
       inner.unionByName(withNulls.select(inner.columns.map(col): _*))
     }
   }
+
+  /** Numeric band join: pair rows of `left` and `right` whose integer
+    * values differ by at most `eps` (`|lv − rv| ≤ eps`), optionally
+    * within equi-key groups (`keys`). Same bucket decomposition as
+    * [[pointInInterval]], specialized to the symmetric-band predicate:
+    * the LEFT side maps to its single `eps`-wide bucket, the RIGHT side
+    * explodes to its bucket ± 1 — any pair within `eps` differs by at
+    * most one bucket, so the equi-join has complete recall, each pair
+    * matches exactly one exploded row (no dedup pass), and the exact
+    * band predicate filters inside the bucket.
+    *
+    * Why it scales: the naive form is a theta join (broadcast nested
+    * loop / cartesian — dead at 100 TB); this is ONE shuffle per side on
+    * (keys, bucket) with a fixed 3× fan-out on the right, AQE-splittable
+    * like any equi-join. Columns of both inputs survive; callers alias
+    * to avoid collisions.
+    */
+  def bandJoin(
+      left: DataFrame, lvCol: String,
+      right: DataFrame, rvCol: String,
+      eps: Long,
+      keys: Seq[String] = Seq.empty): DataFrame = {
+    require(eps > 0, "bandJoin: eps must be positive")
+    def bucketOf(c: Column): Column =
+      floor(c.cast("long").cast("double") / eps).cast("long")
+    val l = left.withColumn("__bucket", bucketOf(col(lvCol)))
+    val r = right.withColumn("__rb", bucketOf(col(rvCol)))
+      .withColumn("__bucket",
+        explode(array(col("__rb") - 1, col("__rb"), col("__rb") + 1)))
+      .drop("__rb")
+    l.join(r, keys :+ "__bucket")
+      .where(abs(col(lvCol) - col(rvCol)) <= eps)
+      .drop("__bucket")
+  }
 }

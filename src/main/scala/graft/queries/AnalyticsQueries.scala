@@ -1435,6 +1435,75 @@ object AnalyticsQueries {
       .orderBy(col("n_members").desc, col("community")).limit(50)
   }
 
+  /** Degree assortativity of the co-purchase graph — the graph-health
+    * scalar (do hubs attach to hubs?) beside q186's communities and
+    * q136's triangles: Pearson correlation of endpoint degrees over the
+    * symmetrized edge list, computed with exact BIGINT power sums
+    * (N·Σxy − Σx·Σy over the cross-multiplied q112 discipline) and ONE
+    * literal-order IEEE expression at the end. Negative r = hub-leaf
+    * (dissasortative, typical for co-purchase); the sign and magnitude
+    * drive sampling strategy for graph-structured training data.
+    *
+    * 100 TB shape: degrees = one groupBy over edges; endpoint join =
+    * broadcast of the |V|-row degree table onto edges twice; power sums
+    * = one map-side-combinable aggregate to a single row.
+    */
+  val q189Assortativity: QuerySpec = QuerySpec.oracled(
+    "q189_assortativity",
+    """WITH p AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |ew AS (SELECT pa, pb FROM p GROUP BY pa, pb HAVING count(*) >= 2),
+      |ed AS (SELECT pa AS src, pb AS dst FROM ew
+      |       UNION ALL SELECT pb, pa FROM ew),
+      |dg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+      |       FROM ed GROUP BY 1),
+      |xy AS (
+      |  SELECT dx.deg AS x, dy.deg AS y
+      |  FROM ed JOIN dg dx ON dx.v = ed.src JOIN dg dy ON dy.v = ed.dst),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM xy)
+      |SELECT n, round(
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+      |FROM s""".stripMargin) { (spark, dir) =>
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ew = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val ed = ew.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(ew.select(col("pb").as("src"), col("pa").as("dst")))
+    val dg = ed.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = ed
+      .join(broadcast(dg.select(col("v").as("__vx"), col("deg").as("x"))),
+        col("src") === col("__vx"))
+      .join(broadcast(dg.select(col("v").as("__vy"), col("deg").as("y"))),
+        col("dst") === col("__vy"))
+      .select("x", "y")
+    xy.agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .select(col("n"), round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("assortativity"))
+  }
+
   /** Chi-squared independence audit between two categorical columns —
     * the association/leakage check (is the user band informative about
     * event type?) completing the stats toolbox beside the two-sample
@@ -1650,5 +1719,6 @@ object AnalyticsQueries {
       q138WelchTtest, q139PointwiseLift, q141Autocorr, q142Benford,
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
-      q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities)
+      q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
+      q189Assortativity)
 }

@@ -401,8 +401,43 @@ object RelationalQueries {
       .orderBy("part_a", "part_b")
   }
 
+  /** Numeric band join ([[graft.ext.RangeJoin.bandJoin]]): pair F-status
+    * orders with O-status orders of the same priority whose totals are
+    * within $10 — the symmetric-band theta join (entity matching on a
+    * numeric attribute, price-anomaly twins) decomposed into an
+    * equi-join: left side keeps its single eps-bucket, right side
+    * explodes to bucket ± 1, complete recall with each pair matched
+    * exactly once, exact integer-cents band filter inside the bucket.
+    */
+  val q190BandJoin: QuerySpec = QuerySpec.oracled(
+    "q190_band_join",
+    """WITH a AS (
+      |  SELECT o_orderkey AS ka, o_orderpriority AS pr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS ca
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (
+      |  SELECT o_orderkey AS kb, o_orderpriority AS pr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cb
+      |  FROM orders WHERE o_orderstatus = 'O')
+      |SELECT a.pr AS pr, a.ka, b.kb, abs(a.ca - b.cb) AS gap_cents
+      |FROM a JOIN b ON a.pr = b.pr AND abs(a.ca - b.cb) <= 1000
+      |ORDER BY a.pr, ka, kb""".stripMargin) { (spark, dir) =>
+    val orders = t(spark, dir, "orders")
+    def side(status: String, k: String, c: String) = orders
+      .filter(col("o_orderstatus") === status)
+      .select(col("o_orderkey").as(k), col("o_orderpriority").as("pr"),
+        round(col("o_totalprice") * 100).cast("long").as(c))
+    graft.ext.RangeJoin.bandJoin(
+        side("F", "ka", "ca"), "ca",
+        side("O", "kb", "cb"), "cb",
+        eps = 1000L, keys = Seq("pr"))
+      .select(col("pr"), col("ka"), col("kb"),
+        abs(col("ca") - col("cb")).as("gap_cents"))
+      .orderBy("pr", "ka", "kb")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
       q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
-      q164FrequentPairs)
+      q164FrequentPairs, q190BandJoin)
 }

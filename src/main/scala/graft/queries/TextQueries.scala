@@ -1181,6 +1181,93 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** Dataset card: the datasheet a corpus release ships with, as ONE
+    * query — corpus totals, language mix, quality-verdict mix (the q24
+    * rule), and the exact-duplicate rate (docs whose full-text hash
+    * appears ≥ 2 times), emitted as (section, item, n) rows so the card
+    * is itself a table a release gate can diff against the previous
+    * snapshot's. Every number is an exact BIGINT count.
+    *
+    * 100 TB shape: four independent map-side-combinable aggregates over
+    * one corpus scan each (Spark shares the scan via exchange reuse
+    * where shapes allow), unioned into a |rows|≈|langs|+|verdicts|+6
+    * artifact — the card is always tiny no matter the corpus.
+    */
+  val q191DatasetCard: QuerySpec = QuerySpec.oracled(
+    "q191_dataset_card",
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    len($toksSql)::BIGINT AS n_tokens,
+       |    len(list_distinct($toksSql))::BIGINT AS n_uniq,
+       |    md5(text) AS h
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT 'corpus' AS section, x.item, x.n FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS docs,
+       |      CAST(sum(n_chars) AS BIGINT) AS chars,
+       |      CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |      CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+       |      CAST(count(DISTINCT source) AS BIGINT) AS sources
+       |    FROM f) t,
+       |    LATERAL (VALUES ('docs', t.docs), ('chars', t.chars),
+       |      ('tokens', t.tokens), ('langs', t.langs),
+       |      ('sources', t.sources)) x(item, n)),
+       |langs AS (
+       |  SELECT 'lang' AS section, lang AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY lang),
+       |quality AS (
+       |  SELECT 'quality' AS section,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN n_uniq * 10 < n_tokens * 3 THEN 'repetitive'
+       |         ELSE 'ok' END AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY 2),
+       |dup AS (
+       |  SELECT 'dup' AS section, 'exact_dup_docs' AS item,
+       |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+       |  FROM (SELECT count(*) AS c FROM f GROUP BY h HAVING count(*) >= 2))
+       |SELECT section, item, n FROM corpus
+       |UNION ALL SELECT * FROM langs
+       |UNION ALL SELECT * FROM quality
+       |UNION ALL SELECT * FROM dup
+       |ORDER BY section, item""".stripMargin) { (spark, dir) =>
+    val f = TextStats.qualityFeatures(
+        spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("n_tokens"), col("n_uniq"), md5(col("text")).as("h"))
+    val corpus = f.agg(count(lit(1)).as("docs"),
+        sum("n_chars").cast("long").as("chars"),
+        sum("n_tokens").cast("long").as("tokens"),
+        countDistinct("lang").as("langs"),
+        countDistinct("source").as("sources"))
+      .select(explode(expr(
+        "array(struct('docs' AS item, docs AS n)," +
+          " struct('chars' AS item, chars AS n)," +
+          " struct('tokens' AS item, tokens AS n)," +
+          " struct('langs' AS item, langs AS n)," +
+          " struct('sources' AS item, sources AS n))"))
+        .as("e"))
+      .select(lit("corpus").as("section"), col("e.item").as("item"),
+        col("e.n").as("n"))
+    val langs = f.groupBy(col("lang").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("lang").as("section"), col("item"), col("n"))
+    val quality = f
+      .select(when(col("n_tokens") < 20, "too_short")
+        .when(col("n_uniq") * 10 < col("n_tokens") * 3, "repetitive")
+        .otherwise("ok").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .select(lit("quality").as("section"), col("item"), col("n"))
+    val dup = f.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(coalesce(sum("c"), lit(0L)).cast("long").as("n"))
+      .select(lit("dup").as("section"),
+        lit("exact_dup_docs").as("item"), col("n"))
+    corpus.unionByName(langs).unionByName(quality).unionByName(dup)
+      .orderBy("section", "item")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1189,5 +1276,5 @@ object TextQueries {
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
-      q182KappaAgreement, q188GroupSplit)
+      q182KappaAgreement, q188GroupSplit, q191DatasetCard)
 }
