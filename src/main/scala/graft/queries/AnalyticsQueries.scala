@@ -1435,6 +1435,63 @@ object AnalyticsQueries {
       .orderBy(col("n_members").desc, col("community")).limit(50)
   }
 
+  /** Trend detection: which (event type × user band) segments RISE or
+    * FALL between the two timeline halves — the "what changed in this
+    * snapshot" report beside q170's did-anything-change gate (TVD says
+    * how much total mass moved; this names the movers). Lift is exact
+    * cross-multiplied ppm: `⌊1e6·(nb·TA) / (na·TB)⌋` (second-half share
+    * over first-half share — volume-normalized so a globally bigger
+    * half doesn't read as every segment rising), floor-div, positive
+    * operands. Segments new in half B (na = 0) report null lift and
+    * sort first as born; top risers by lift then the integer evidence.
+    *
+    * 100 TB shape: ONE map-side-combinable (segment × half) groupBy,
+    * broadcast totals, |segments| rows ever after.
+    */
+  val q192TrendDetect: QuerySpec = QuerySpec.oracled(
+    "q192_trend_detect",
+    """WITH e AS (
+      |  SELECT event_type || '/' || CAST(user_id % 5 AS VARCHAR) AS seg,
+      |    epoch_us(ts) // 86400000000 < 19738 AS isa
+      |  FROM events),
+      |c AS (
+      |  SELECT seg,
+      |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT)
+      |    AS tb
+      |  FROM c),
+      |l AS (
+      |  SELECT c.seg, c.na, c.nb,
+      |    CASE WHEN c.na = 0 THEN NULL
+      |      ELSE CAST((1000000 * c.nb * t.ta) // (c.na * t.tb) AS BIGINT)
+      |    END AS lift_ppm
+      |  FROM c CROSS JOIN t)
+      |SELECT seg, na, nb, lift_ppm
+      |FROM l
+      |ORDER BY lift_ppm DESC NULLS FIRST, seg
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val c = CoreQueries.events(spark, dir)
+      .select(concat(col("event_type"), lit("/"),
+          (col("user_id") % 5).cast("string")).as("seg"),
+        expr("(ts div 1000) div 86400000000 < 19738").as("isa"))
+      .groupBy("seg")
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"))
+    val t = c.agg(sum("na").cast("long").as("ta"),
+      sum("nb").cast("long").as("tb"))
+    c.crossJoin(broadcast(t))
+      .select(col("seg"), col("na"), col("nb"),
+        when(col("na") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * nb * ta) DIV (na * tb) AS BIGINT)"))
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc_nulls_first, col("seg"))
+      .limit(10)
+  }
+
   /** Degree assortativity of the co-purchase graph — the graph-health
     * scalar (do hubs attach to hubs?) beside q186's communities and
     * q136's triangles: Pearson correlation of endpoint degrees over the
@@ -1720,5 +1777,5 @@ object AnalyticsQueries {
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
-      q189Assortativity)
+      q189Assortativity, q192TrendDetect)
 }

@@ -1268,6 +1268,68 @@ object TextQueries {
       .orderBy("section", "item")
   }
 
+  /** Source-level vocabulary overlap: pairwise exact Jaccard between
+    * each source's DISTINCT-token vocabulary — the corpus-granularity
+    * dedup signal for mixture design (two crawls of the same site look
+    * unrelated to doc-level dedup once boilerplate is stripped, but
+    * their vocabularies overlap near-totally; down-weight one before
+    * training). Integer-exact: intersection via a (token) equi-join on
+    * the deduped (source, token) table, union by inclusion–exclusion,
+    * floor-div ppm.
+    *
+    * 100 TB shape: the (source, token) table is the corpus collapsed to
+    * vocab entries (map-side-combinable distinct); the self-join is on
+    * the token key — hot tokens (stopwords present in every source) are
+    * the skew axis, handled exactly like the dedup family's hot buckets
+    * ([[graft.ext.Dedup.saltedSelfJoin]] / stop-token drop) when
+    * |sources| is large. Output is |source-pairs| rows — tiny.
+    */
+  val q193SourceOverlap: QuerySpec = QuerySpec.oracled(
+    "q193_source_overlap",
+    s"""WITH tk AS (
+       |  SELECT source, tok FROM (
+       |    SELECT source,
+       |      unnest(list_filter($toksSql, x -> x <> '')) AS tok
+       |    FROM documents) GROUP BY 1, 2),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+       |       FROM tk GROUP BY 1),
+       |ix AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ix.sa, ix.sb, ix.inter,
+       |  x.sz + y.sz - ix.inter AS union_sz,
+       |  CAST((1000000 * ix.inter) // (x.sz + y.sz - ix.inter) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM ix JOIN sz x ON x.source = ix.sa
+       |JOIN sz y ON y.source = ix.sb
+       |ORDER BY jaccard_ppm DESC, sa, sb LIMIT 30""".stripMargin) {
+    (spark, dir) =>
+    val tk = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val sz = tk.groupBy(col("source").as("__szs"))
+      .agg(count(lit(1)).as("sz"))
+    val ix = tk.select(col("source").as("sa"), col("tok"))
+      .join(tk.select(col("source").as("sb"), col("tok").as("tok_b")),
+        col("tok") === col("tok_b") && col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("inter"))
+    ix.join(broadcast(sz.select(col("__szs").as("__sa"),
+        col("sz").as("sz_a"))), col("sa") === col("__sa"))
+      .join(broadcast(sz.select(col("__szs").as("__sb"),
+        col("sz").as("sz_b"))), col("sb") === col("__sb"))
+      .select(col("sa"), col("sb"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
+        expr("CAST((1000000 * inter) DIV (sz_a + sz_b - inter) AS BIGINT)")
+          .as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("sa"), col("sb"))
+      .limit(30)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1276,5 +1338,6 @@ object TextQueries {
       q94HeavyHitters, q99Normalize, q115TokenBudget, q116StripBoilerplate,
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
-      q182KappaAgreement, q188GroupSplit, q191DatasetCard)
+      q182KappaAgreement, q188GroupSplit, q191DatasetCard,
+      q193SourceOverlap)
 }
