@@ -1435,6 +1435,79 @@ object AnalyticsQueries {
       .orderBy(col("n_members").desc, col("community")).limit(50)
   }
 
+  /** Discrete survival-hazard table (time-to-convert with CENSORING) —
+    * what q64's retention curve cannot say: retention counts everyone
+    * still absent as "not yet", silently treating users last seen on
+    * day 2 like users observed for 60 days. Survival analysis separates
+    * them: a user either converts at offset d (first purchase, an
+    * event) or is censored at their last observed day. Per day-offset:
+    * at-risk count (suffix sum of observation endings — everyone whose
+    * observation reaches d), conversions, censorings, and the discrete
+    * hazard `⌊1e6·events/at_risk⌋` — exact integers, so the oracle
+    * adjudicates the estimator itself (the Kaplan-Meier survival curve
+    * is the running product of (1 − hazard), left to the caller to
+    * avoid a cross-engine float product).
+    *
+    * 100 TB shape: ONE per-user groupBy collapses the facts to a
+    * |users|-row (offset, event?) table, then |offsets|-row counts and
+    * one tiny suffix-sum window — nothing after the first aggregate
+    * scales with events.
+    */
+  val q195HazardTable: QuerySpec = QuerySpec.oracled(
+    "q195_hazard_table",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts) // 86400000000) AS entry_day,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts) // 86400000000 END) AS purch_day,
+      |    max(epoch_us(ts) // 86400000000) AS last_day
+      |  FROM events GROUP BY 1),
+      |o AS (
+      |  SELECT user_id,
+      |    CASE WHEN purch_day IS NOT NULL THEN purch_day - entry_day
+      |         ELSE last_day - entry_day END AS d,
+      |    purch_day IS NOT NULL AS ev
+      |  FROM u),
+      |c AS (
+      |  SELECT d,
+      |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS events,
+      |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS censored,
+      |    CAST(count(*) AS BIGINT) AS ending
+      |  FROM o GROUP BY 1),
+      |r AS (
+      |  SELECT d, events, censored,
+      |    CAST(sum(ending) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS at_risk
+      |  FROM c)
+      |SELECT d, at_risk, events, censored,
+      |  (1000000 * events) // at_risk AS hazard_ppm
+      |FROM r ORDER BY d LIMIT 30""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val day = expr("(ts div 1000) div 86400000000")
+    val u = CoreQueries.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(day).as("entry_day"),
+        min(when(col("event_type") === "purchase", day)).as("purch_day"),
+        max(day).as("last_day"))
+    val c = u.select(
+        when(col("purch_day").isNotNull,
+          col("purch_day") - col("entry_day"))
+          .otherwise(col("last_day") - col("entry_day")).as("d"),
+        col("purch_day").isNotNull.as("ev"))
+      .groupBy("d")
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).cast("long").as("events"),
+        sum(when(col("ev"), 0L).otherwise(1L)).cast("long").as("censored"),
+        count(lit(1)).as("ending"))
+    val w = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.withColumn("at_risk", sum("ending").over(w).cast("long"))
+      .select(col("d"), col("at_risk"), col("events"), col("censored"),
+        expr("(1000000 * events) DIV at_risk").as("hazard_ppm"))
+      .orderBy("d").limit(30)
+  }
+
   /** Trend detection: which (event type × user band) segments RISE or
     * FALL between the two timeline halves — the "what changed in this
     * snapshot" report beside q170's did-anything-change gate (TVD says
@@ -1777,5 +1850,5 @@ object AnalyticsQueries {
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
-      q189Assortativity, q192TrendDetect)
+      q189Assortativity, q192TrendDetect, q195HazardTable)
 }

@@ -1330,6 +1330,70 @@ object TextQueries {
       .limit(30)
   }
 
+  /** N-gram novelty scoring: per document, the ppm of its DISTINCT
+    * bigrams absent from the corpus's 500 most frequent — the inverse of
+    * q58's contamination join (there: kill text matching a reference
+    * set; here: SCORE text by how much it departs from the corpus head).
+    * Low novelty = template/boilerplate documents that per-doc
+    * repetition (q60) misses because each instance is internally clean.
+    * Exact integers end to end (distinct-bigram counts, floor-div ppm);
+    * ties at the top-500 boundary break by bigram text, so the vocab
+    * set is deterministic in both engines.
+    *
+    * 100 TB shape: the head vocabulary is a corpus-wide count + top-k —
+    * tiny — then BROADCAST; per-doc scoring is a map-side left-anti
+    * membership count, no shuffle of the corpus after the vocab build.
+    */
+  val q194NgramNovelty: QuerySpec = QuerySpec.oracled(
+    "q194_ngram_novelty",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bgs
+       |  FROM tk WHERE len(toks) >= 2),
+       |db AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg),
+       |top AS (
+       |  SELECT bigram FROM (
+       |    SELECT bigram, count(*) AS n FROM (
+       |      SELECT toks[i] || ' ' || toks[i+1] AS bigram
+       |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+       |            FROM tk WHERE len(toks) >= 2))
+       |    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 500)),
+       |sc AS (
+       |  SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN top.bigram IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_oov
+       |  FROM db LEFT JOIN top ON db.bigram = top.bigram
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_oov,
+       |  (1000000 * n_oov) // n_bigrams AS novelty_ppm
+       |FROM sc ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tk = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val db = tk.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+      .as("bigram"))
+    val top = tk.select(explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(500)
+      .select(col("bigram").as("top_bigram"))
+    db.join(broadcast(top), col("bigram") === col("top_bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("top_bigram").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        expr("(1000000 * n_oov) DIV n_bigrams").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1339,5 +1403,5 @@ object TextQueries {
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
-      q193SourceOverlap)
+      q193SourceOverlap, q194NgramNovelty)
 }
