@@ -175,12 +175,13 @@ object MultimodalQueries {
     * dedup family's pigeonhole trick: split the key into 4 bands of 4 —
     * radius 1 touches at most one band, so every qualifying pair shares
     * ≥ 3 exact bands and the (band, value) equi-join loses nothing.
-    * Candidates carry ids only; the exact Hamming verify is one ordered
-    * integer fold over the two key arrays. Honesty note (the q41
-    * discipline): these coarse 16-symbol keys only halve the candidate
-    * space at gate scale — the win is the bounded-equi-join SHAPE (and
-    * hot bands salt exactly like [[graft.ext.Dedup.saltedSelfJoin]]);
-    * pruning sharpens with key entropy.
+    * Sharper still: radius 1 leaves ≥ 3 exact bands, so some exact PAIR
+    * of bands exists — the join key is a band-pair (C(4,2) = 6 per
+    * asset), whose match rate is roughly the square of a single coarse
+    * band's, cutting candidates multiplicatively while recall stays
+    * complete. Candidates carry ids only; the exact Hamming verify is
+    * one ordered integer fold over the two key arrays. Hot band-pairs
+    * salt exactly like [[graft.ext.Dedup.saltedSelfJoin]].
     */
   val q187PhashHamming: QuerySpec = QuerySpec.oracled(
     "q187_phash_hamming",
@@ -198,15 +199,20 @@ object MultimodalQueries {
       |k AS (
       |  SELECT doc_id, list(CAST((c * 32) // n AS INT) ORDER BY bin) AS kv
       |  FROM grid GROUP BY doc_id),
+      |bv AS (
+      |  SELECT doc_id, list_transform(range(0, 4), b ->
+      |    array_to_string(list_transform(kv[b*4+1 : b*4+4],
+      |      x -> x::VARCHAR), ':')) AS bvs
+      |  FROM k),
       |bands AS (
-      |  SELECT doc_id, t.b,
-      |    array_to_string(list_transform(kv[t.b*4+1 : t.b*4+4],
-      |      x -> x::VARCHAR), ':') AS bval
-      |  FROM k, unnest(range(0, 4)) t(b)),
+      |  SELECT doc_id, t1.b1 * 4 + t2.b2 AS bp,
+      |    bvs[t1.b1 + 1] || '|' || bvs[t2.b2 + 1] AS bpv
+      |  FROM bv, range(0, 3) t1(b1), range(0, 4) t2(b2)
+      |  WHERE t2.b2 > t1.b1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id),
+      |    ON a.bp = b.bp AND a.bpv = b.bpv AND a.doc_id < b.doc_id),
       |ver AS (
       |  SELECT cand.id_a, cand.id_b,
       |    CAST(list_sum(list_transform(range(1, 17),
@@ -224,17 +230,23 @@ object MultimodalQueries {
       expr("transform(sequence(0, 15), i -> " +
         "CAST((CAST(round(element_at(features, i + 1) * n_bytes) " +
         "AS BIGINT) * 32) div n_bytes AS INT))").as("kv"))
-    val bands = keyed.select(col("asset_id"), col("kv"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+    val bands = keyed
+      .withColumn("bvs", expr("transform(sequence(0, 3), b -> " +
         "array_join(transform(slice(kv, b * 4 + 1, 4), " +
-        "x -> CAST(x AS STRING)), ':') AS bval))")).as("e"))
-      .select(col("asset_id"), col("e.band").as("band"),
-        col("e.bval").as("bval"))
-    val cand = bands.select(col("asset_id").as("id_a"), col("band"),
-        col("bval"))
+        "x -> CAST(x AS STRING)), ':'))"))
+      .select(col("asset_id"),
+        explode(expr("flatten(transform(sequence(0, 2), " +
+          "b1 -> transform(sequence(b1 + 1, 3), " +
+          "b2 -> struct(b1 * 4 + b2 AS bp, concat(" +
+          "element_at(bvs, b1 + 1), '|', element_at(bvs, b2 + 1)) " +
+          "AS bpv))))")).as("e"))
+      .select(col("asset_id"), col("e.bp").as("bp"),
+        col("e.bpv").as("bpv"))
+    val cand = bands.select(col("asset_id").as("id_a"), col("bp"),
+        col("bpv"))
       .join(bands.select(col("asset_id").as("id_b"),
-        col("band").as("band_b"), col("bval").as("bval_b")),
-        col("band") === col("band_b") && col("bval") === col("bval_b") &&
+        col("bp").as("bp_b"), col("bpv").as("bpv_b")),
+        col("bp") === col("bp_b") && col("bpv") === col("bpv_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
