@@ -455,9 +455,71 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup-ablation report: the artifact a data team publishes after a
+    * dedup pass — per language, how many documents and characters the
+    * near-dup pipeline (q18 pairs → q57 clusters → min-id survivors)
+    * REMOVED, with the removal rate in exact floor-div ppm. Strings the
+    * whole family into one adjudicated end-to-end row set: pairs,
+    * transitive clustering, survivor policy, and the per-stratum
+    * accounting all have to agree with the oracle's recursive-CTE
+    * replay for this to hash-match.
+    *
+    * 100 TB shape: reuses q57's staged pair table and cluster labels
+    * (|dups| rows, never corpus-wide); the report is one broadcast-
+    * joinable label lookup + a map-side-combinable per-lang rollup.
+    */
+  val q196DedupAblation: QuerySpec = QuerySpec.oracled(
+    "q196_dedup_ablation",
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h)) * 10 >=
+       |    (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+       |lab AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk
+       |  GROUP BY node),
+       |rep AS (
+       |  SELECT d.lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN l.doc_id <> l.cluster_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_removed,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       |    CAST(sum(CASE WHEN l.doc_id <> l.cluster_id THEN d.n_chars
+       |      ELSE 0 END) AS BIGINT) AS chars_removed
+       |  FROM lab l JOIN documents d USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT lang, n_docs, n_removed, chars_total, chars_removed,
+       |  (1000000 * chars_removed) // chars_total AS removed_ppm
+       |FROM rep ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = spark.read.parquet(stagePairs(spark, dir))
+    val lab = graft.ext.Clusters
+      .dedupClusters(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(lab, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .cast("long").as("n_removed"),
+        sum("n_chars").cast("long").as("chars_total"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_chars"))
+          .otherwise(0L)).cast("long").as("chars_removed"))
+      .withColumn("removed_ppm",
+        expr("(1000000 * chars_removed) DIV chars_total"))
+      .orderBy("lang")
+  }.withSetup((s, d) => { stagePairs(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
       q155IncrementalNearDup, q161StreamIncrementalDedup,
-      q172SortedNeighborhood, q177DupSpans)
+      q172SortedNeighborhood, q177DupSpans, q196DedupAblation)
 }

@@ -771,10 +771,77 @@ object EtlQueries {
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
+  /** Temporal-coverage audit — the "is a day of data missing?" gate a
+    * pipeline runs before training on a time-windowed corpus: densify
+    * the observed day range into a full calendar, then report span,
+    * days present, MISSING days (with the exact list), and LOW days
+    * (below 20 % of the present-day mean, decided by integer
+    * cross-multiplication). The fixture plants a deterministic ingest
+    * gap (days ≡ 3 mod 7 excluded — the q134 planted-defect idiom)
+    * since the test feed is complete; on real data the filter is
+    * dropped and the gate usually reports zeros.
+    *
+    * 100 TB shape: facts collapse to |days| rows in ONE map-side-
+    * combinable groupBy; the calendar explode, anti-join, and rollup
+    * all run on that tiny table.
+    */
+  val q197CoverageAudit: QuerySpec = QuerySpec.oracled(
+    "q197_coverage_audit",
+    """WITH src AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day FROM events
+      |  WHERE (epoch_us(ts) // 86400000000) % 7 <> 3),
+      |e AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM src
+      |      GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+      |cal AS (SELECT unnest(range((SELECT lo FROM b),
+      |  (SELECT hi FROM b) + 1)) AS day),
+      |j AS (SELECT cal.day, coalesce(e.n, 0) AS n
+      |      FROM cal LEFT JOIN e USING (day)),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS span_days,
+      |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS days_present,
+      |  CAST(sum(n) AS BIGINT) AS total FROM j),
+      |low AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS low_days
+      |  FROM j, t WHERE j.n > 0 AND j.n * t.days_present * 5 < t.total),
+      |miss AS (
+      |  SELECT coalesce(string_agg(day::VARCHAR, ',' ORDER BY day), '')
+      |    AS missing_list
+      |  FROM j WHERE n = 0)
+      |SELECT t.span_days, t.days_present,
+      |  t.span_days - t.days_present AS missing_days,
+      |  low.low_days, miss.missing_list
+      |FROM t CROSS JOIN low CROSS JOIN miss""".stripMargin) {
+    (spark, dir) =>
+    val day = expr("(ts div 1000) div 86400000000")
+    val e = CoreQueries.events(spark, dir)
+      .select(day.as("day")).filter(col("day") % 7 =!= 3)
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val cal = e.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val j = cal.join(e, Seq("day"), "left").na.fill(0L, Seq("n"))
+    val t = j.agg(count(lit(1)).as("span_days"),
+      sum(when(col("n") > 0, 1L).otherwise(0L)).cast("long")
+        .as("days_present"),
+      sum("n").cast("long").as("total"))
+    val low = j.crossJoin(broadcast(t))
+      .filter(col("n") > 0 &&
+        col("n") * col("days_present") * 5 < col("total"))
+      .agg(count(lit(1)).as("low_days"))
+    val miss = j.filter(col("n") === 0)
+      .agg(coalesce(expr("concat_ws(',', transform(" +
+        "sort_array(collect_list(day)), x -> CAST(x AS STRING)))"),
+        lit("")).as("missing_list"))
+    t.crossJoin(low).crossJoin(miss)
+      .select(col("span_days"), col("days_present"),
+        (col("span_days") - col("days_present")).as("missing_days"),
+        col("low_days"), col("missing_list"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,
-      q175FdAudit, q179TCloseness, q183IncrementalJoin)
+      q175FdAudit, q179TCloseness, q183IncrementalJoin, q197CoverageAudit)
 }
