@@ -54,6 +54,10 @@ object Cms {
       depth: Int = 4,
       width: Int = 512): DataFrame =
     obs
+      // NULL keys are dropped, matching the documented DuckDB replay
+      // (`j || ':' || key` propagates NULL → no bucket); Spark's
+      // concat_ws would instead silently hash NULL as md5('<j>')
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"),
         explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .select(col("j"), bucket(col("j"), col("__k"), width).as("bucket"))
@@ -102,5 +106,7 @@ object Cms {
         Seq("j", "bucket"))
       .groupBy("j")
       .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
-      .agg(min("ip").cast("long").as("est_pairs"))
+      // NO shared bucket at all (an empty input sketch) means the true
+      // join is 0: report 0, not NULL — the one-sided bound must hold
+      .agg(coalesce(min("ip"), lit(0L)).cast("long").as("est_pairs"))
 }

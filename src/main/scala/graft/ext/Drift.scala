@@ -102,11 +102,16 @@ object Drift {
       .withColumn("__cb", sum("__nb").over(wCum))
       .join(broadcast(totals), grpCol)
       .groupBy(col(grpCol), col("__ta"), col("__tb"))
-      .agg(max(abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")))
+      .agg(max(abs(col("__ca").cast("decimal(38,0)") * col("__tb") -
+          col("__cb").cast("decimal(38,0)") * col("__ta")))
         .as("__sup"))
       .select(col(grpCol), col("__ta").as("na"), col("__tb").as("nb"),
+        // DECIMAL(38,0) lift (the q184 discipline): __sup ≤ ta·tb, so
+        // 1e6·__sup would wrap BIGINT once a group exceeds ~3e6 rows
+        // per side — far inside the 100 TB envelope
         when(col("__ta") * col("__tb") === 0L, lit(null))
-          .otherwise(expr("(1000000 * __sup) DIV (__ta * __tb)"))
+          .otherwise(expr("(CAST(1000000 AS DECIMAL(38,0)) * __sup) " +
+            "DIV (CAST(__ta AS DECIMAL(38,0)) * __tb)"))
           .cast("long").as("ks_ppm"))
   }
 
@@ -167,8 +172,9 @@ object Drift {
     * to (cohort × bin) and (bin) count tables; the dense grid is a
     * broadcast cross of those SMALL tables (|cohorts|·|bins| rows), the
     * cumsums are windows over ≤ |bins| rows per cohort, and the totals
-    * broadcast. Products stay < 2^63 while n·N < 9.2e18 — lift the
-    * counts to DECIMAL(38,0) past ~3e9 rows per side.
+    * broadcast. Cross-products and the ppm scale ride DECIMAL(38,0)
+    * (exact to 1e38 ≈ n·N·(m−1)·1e6 at n, N ≈ 4e14 — beyond any real
+    * table), so the gate cannot wrap negative and fail open.
     */
   def emdClosenessPpm(
       obs: DataFrame,
@@ -194,15 +200,22 @@ object Drift {
     // "cg"/"cG" would collide under Spark's case-insensitive resolution
     val cum = grid.select(col(grpCol), col(binCol), col("n"),
       sum("c").over(wB).as("cg"), sum("g").over(wB).as("cgl"))
+    // DECIMAL(38,0) lift (the q184 discipline): cg·nn ≤ n·N and the sum
+    // of |cum diffs| ≤ (m−1)·n·N, so BIGINT wraps ~6 orders below the
+    // 100 TB envelope — and a wrapped NEGATIVE emd_ppm would pass the
+    // `≤ tPpm` release gate for exactly the most divergent cohorts
     cum.crossJoin(broadcast(tot))
       .groupBy(grpCol)
       .agg(first("n").as("n"),
-        sum(abs(col("cg") * col("nn") - col("cgl") * col("n"))).as("__num"),
+        sum(abs(col("cg").cast("decimal(38,0)") * col("nn") -
+          col("cgl").cast("decimal(38,0)") * col("n"))).as("__num"),
         first("nn").as("__nn"), first("m").as("__m"))
       .select(col(grpCol), col("n"),
         when(col("__m") <= 1L, 0L)
           .otherwise(expr(
-            "CAST((1000000 * __num) DIV ((__m - 1) * n * __nn) AS BIGINT)"))
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __num) " +
+              "DIV ((__m - 1) * CAST(n AS DECIMAL(38,0)) * __nn) " +
+              "AS BIGINT)"))
           .as("emd_ppm"))
       .withColumn("released", col("emd_ppm") <= tPpm)
   }

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor division for long positions, negative-safe: going
+    * through double (floor(v / w)) loses integer precision above 2^53 —
+    * at nanosecond-epoch magnitudes two values within `eps` could land
+    * 2 buckets apart and silently miss the ± 1 explode. `pmod` is
+    * non-negative, so `(v − pmod(v, w)) / w` is an exact multiple.
+    */
+  private def floorDiv(c: Column, w: Long): Column = {
+    val v = c.cast("long")
+    // (v − pmod) is an exact multiple of w; divide in DECIMAL (Column./
+    // on longs is IEEE-double division, inexact past 2^53)
+    ((v - pmod(v, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+  }
+
   /** Join `points` (integer position `tCol`) to `intervals` (half-open
     * [`loCol`, `hiCol`)) with `how` semantics ("inner" or "left" — left
     * emits each point-free interval exactly ONCE with null point columns,
@@ -37,8 +50,7 @@ object RangeJoin {
       how: String = "inner"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(how == "inner" || how == "left", s"unsupported join type: $how")
-    def bucketOf(c: Column): Column = // floor division, negative-safe
-      floor(c.cast("long").cast("double") / bucketWidth).cast("long")
+    def bucketOf(c: Column): Column = floorDiv(c, bucketWidth)
     val iv = intervals.withColumn("__bucket",
       explode(sequence(bucketOf(col(loCol)),
         bucketOf(col(hiCol).cast("long") - 1))))
@@ -82,8 +94,7 @@ object RangeJoin {
       eps: Long,
       keys: Seq[String] = Seq.empty): DataFrame = {
     require(eps > 0, "bandJoin: eps must be positive")
-    def bucketOf(c: Column): Column =
-      floor(c.cast("long").cast("double") / eps).cast("long")
+    def bucketOf(c: Column): Column = floorDiv(c, eps)
     val l = left.withColumn("__bucket", bucketOf(col(lvCol)))
     val r = right.withColumn("__rb", bucketOf(col(rvCol)))
       .withColumn("__bucket",

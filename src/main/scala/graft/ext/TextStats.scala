@@ -54,6 +54,20 @@ object TextStats {
     * (en-marker token occurrences / tokens), and a bucketed quality label.
     * Ratios are plain IEEE divisions — engine-portable.
     */
+  /** The q24 verdict thresholds in INTEGER-EXACT form (cross-multiplied
+    * `n_uniq·10 < n_tokens·3` instead of q24's reference-parity rounded
+    * float ratio — the two differ only at 4-decimal boundary values):
+    * the single source of truth for every query that re-applies the
+    * rule (q182's rater A, q191's quality mix), so a cutoff change
+    * cannot silently desync them. Labels parameterized because callers'
+    * oracles fixed different spellings.
+    */
+  def qualityVerdictExact(nTokens: Column, nUniq: Column,
+      shortLabel: String, repLabel: String): Column =
+    when(nTokens < 20, shortLabel)
+      .when(nUniq * 10 < nTokens * 3, repLabel)
+      .otherwise("ok")
+
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokensCol(textCol)
     val enMarkers = array(LangMarkers.head._2.map(lit): _*)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1419,16 +1419,8 @@ object AnalyticsQueries {
       |FROM l2 GROUP BY lab
       |ORDER BY n_members DESC, community LIMIT 50""".stripMargin) {
     (spark, dir) =>
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("pa").as("a"), col("pb").as("b"))
-    graft.ext.Clusters.labelPropagation(pairs, iters = 2)
+    graft.ext.Clusters.labelPropagation(
+        coPurchaseEdges(spark, dir), iters = 2)
       .groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_members"),
         min("v").as("min_member"), max("v").as("max_member"))
@@ -1565,6 +1557,24 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** The q186/q189 co-purchase graph: undirected distinct (a, b) part
+    * pairs sharing an order ≥ 2 times — ONE definition so the two graph
+    * queries cannot silently diverge (their SQL oracles duplicate the
+    * CTE by necessity; this is the single Scala source of truth).
+    */
+  private def coPurchaseEdges(spark: SparkSession,
+      dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+  }
+
   /** Degree assortativity of the co-purchase graph — the graph-health
     * scalar (do hubs attach to hubs?) beside q186's communities and
     * q136's triangles: Pearson correlation of endpoint degrees over the
@@ -1604,16 +1614,9 @@ object AnalyticsQueries {
       |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
       |       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
       |FROM s""".stripMargin) { (spark, dir) =>
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val ew = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-    val ed = ew.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(ew.select(col("pb").as("src"), col("pa").as("dst")))
+    val ew = coPurchaseEdges(spark, dir)
+    val ed = ew.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ew.select(col("b").as("src"), col("a").as("dst")))
     val dg = ed.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("deg"))
     val xy = ed

@@ -1701,7 +1701,8 @@ object EventQueries {
       |  SELECT ska.j, CAST(sum(ska.cnt * skb.cnt) AS BIGINT) AS ip
       |  FROM ska JOIN skb ON ska.j = skb.j AND ska.bucket = skb.bucket
       |  GROUP BY 1),
-      |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_pairs FROM ip),
+      |est AS (
+      |  SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_pairs FROM ip),
       |tru AS (
       |  SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS true_pairs
       |  FROM (SELECT user_id, count(*) AS c FROM a GROUP BY 1) ca

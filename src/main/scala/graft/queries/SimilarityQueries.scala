@@ -393,7 +393,7 @@ object SimilarityQueries {
   /** Product-quantization ANN ([[graft.ext.Similarity.pqTopK]]): corpus
     * compressed to 8 one-byte codes per 64-dim vector (32× smaller than
     * float32 — the index that fits in memory at 100 TB), queries scan the
-    * CODES via an ADC distance-table sum and only the top-10 candidates
+    * CODES via an ADC distance-table sum and only the top-50 candidates
     * touch float vectors for the exact re-rank. Sub-space distances are
     * fixed-pointed (`floor(d²·1e6 + 0.5)` int64) immediately after a
     * bit-exact ordered fold, so the ADC sum is an integer sum — the

@@ -1091,9 +1091,8 @@ object TextQueries {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val d = TextStats.qualityFeatures(docs, "text")
       .select(col("doc_id"), col("source"),
-        when(col("n_tokens") < 20, "short")
-          .when(col("n_uniq") * 10 < col("n_tokens") * 3, "rep")
-          .otherwise("ok").as("rater_a"),
+        TextStats.qualityVerdictExact(col("n_tokens"), col("n_uniq"),
+          "short", "rep").as("rater_a"),
         when(col("n_chars") < 120, "short")
           .when(col("n_uniq") * 5 < col("n_tokens") * 2, "rep")
           .otherwise("ok").as("rater_b"))
@@ -1254,9 +1253,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .select(lit("lang").as("section"), col("item"), col("n"))
     val quality = f
-      .select(when(col("n_tokens") < 20, "too_short")
-        .when(col("n_uniq") * 10 < col("n_tokens") * 3, "repetitive")
-        .otherwise("ok").as("item"))
+      .select(TextStats.qualityVerdictExact(col("n_tokens"), col("n_uniq"),
+        "too_short", "repetitive").as("item"))
       .groupBy("item").agg(count(lit(1)).as("n"))
       .select(lit("quality").as("section"), col("item"), col("n"))
     val dup = f.groupBy("h").agg(count(lit(1)).as("c"))
