@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.all ++ ReaderQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++
       EventQueries.all ++ AnalyticsQueries.all ++ RelationalQueries.all ++
-      EtlQueries.all
+      EtlQueries.all ++ RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

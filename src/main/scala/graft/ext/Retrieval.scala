@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical / hybrid retrieval over a document corpus — the query-side
+  * counterpart of the dedup and ANN families: given a handful of queries,
+  * rank a (100 TB) corpus without ever moving it.
+  *
+  * Scale shapes (all three operators):
+  *  - the query set is tiny and BROADCAST — the corpus is scanned once
+  *    map-side; no corpus shuffle ever happens for candidate generation.
+  *  - [[bm25TopK]] prunes at the tokenizer: the exploded (term, doc)
+  *    stream inner-joins the broadcast query-term list FIRST, so only
+  *    postings of query terms survive into the two aggregations
+  *    (tf per (query, term, doc); df per term). Both are partial-agg
+  *    (map-side combine) shuffles of id-sized rows.
+  *  - scoring is float-minimal: every per-term BM25 contribution is
+  *    rounded to integer micro-units and summed as BIGINT, so the final
+  *    score is order-independent (double addition is not associative;
+  *    integer addition is — the q98/q107 fixed-point discipline applied
+  *    to retrieval). The only libm call is the idf `ln`, computed on a
+  *    handful of distinct (N, df) pairs.
+  *
+  * No counterpart exists in the reference (gluestick-ts delegates all
+  * analytics to Polars and has no retrieval surface); this family is part
+  * of the LLM-pipeline extension set alongside dedup and ANN.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (Lucene idf form: `ln(1 + (N - df + 0.5)/(df + 0.5))`,
+    * always positive) top-`k` documents per query.
+    *
+    * @param docs   corpus with `idCol` and `textCol`
+    * @param queryTerms (query_id, term) pairs — the broadcast side
+    * @param k1 term-frequency saturation (default 1.2)
+    * @param b  length normalization (default 0.75)
+    *
+    * Output: (query_id, rank, <idCol>, score_micro BIGINT) where
+    * score_micro is the BM25 score in integer micro-units: each term
+    * contribution is `floor(contrib * 1e6 + 0.5)` and the per-doc sum is
+    * exact BIGINT — hash-stable across engines and partitionings.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: DataFrame, // (query_id, term)
+      idCol: String,
+      textCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tk = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+    val dl = tk.filter(size(col("toks")) > 0)
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    // one row: corpus size and total length (avgdl = total/n as DOUBLE)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+    val qt = broadcast(queryTerms.select(col("query_id"), col("term")))
+    val tc = tk.select(col(idCol), explode(col("toks")).as("term"))
+    // prune to query-term postings BEFORE any shuffle
+    val tcq = tc.join(qt, "term")
+    val tf = tcq.groupBy("query_id", "term", idCol)
+      .agg(count(lit(1)).as("c"))
+    val dft = tc.join(broadcast(queryTerms.select("term").distinct), "term")
+      .groupBy("term").agg(countDistinct(idCol).as("df"))
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) +
+          ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * ((col("c") * lit(k1 + 1)) /
+          (col("c") + lit(k1) * (lit(1 - b) +
+            lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+      // integer micro-units: the per-doc SUM is exact and order-free
+      .withColumn("cmicro",
+        floor(col("contrib") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val sm = scored.groupBy("query_id", idCol)
+      .agg(sum("cmicro").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col(idCol))
+    sm.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    * standard hybrid-retrieval combiner (`score = Σ 1/(rrfK + rank)`),
+    * kept ENTIRELY in integer arithmetic: each list contributes
+    * `1000000 DIV (rrfK + rank)`, so fusion has zero float operations and
+    * is trivially hash-stable. Inputs are two (query_id, id, rank) frames
+    * over the SAME candidate universe (inner-joined on (query_id, id)).
+    */
+  def rrfFuse(
+      lex: DataFrame, // (query_id, id, r_lex)
+      sem: DataFrame, // (query_id, id, r_sem)
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val fused = lex.join(sem, Seq("query_id", "id"))
+      .withColumn("rrf_micro",
+        expr(s"CAST(1000000 DIV ($rrfK + r_lex) + " +
+          s"1000000 DIV ($rrfK + r_sem) AS BIGINT)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        col("r_lex"), col("r_sem"), col("rrf_micro"))
+  }
+
+  /** Exact full ranking (not top-k) of every corpus candidate per query by
+    * token-set Jaccard against the query document — the lexical leg of
+    * [[rrfFuse]]. Candidates arrive with a distinct-token-set column
+    * (`tsetCol`); queries are broadcast. Ties rank by id.
+    */
+  def jaccardRanks(
+      cand: DataFrame, // (id, tset)
+      queries: DataFrame): DataFrame = { // (query_id, q_tset)
+    val scored = cand.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("inter",
+        size(array_intersect(col("tset"), col("q_tset"))))
+      .withColumn("uni",
+        size(col("tset")) + size(col("q_tset")) - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("id"))
+    scored.withColumn("r_lex", row_number().over(w))
+      .select(col("query_id"), col("id"), col("r_lex"))
+  }
+
+  /** Exact full cosine ranking per query — the semantic leg of
+    * [[rrfFuse]]; [[Similarity]]'s codegen'd fold arithmetic, queries
+    * broadcast, corpus scanned in place.
+    */
+  def cosineRanks(
+      cand: DataFrame, // (id, v)
+      queries: DataFrame, // (query_id, q_v)
+      spark: SparkSession): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val c = cand.withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val q = queries.withColumn("q_nrm", sqrt(expr("graft_dot(q_v, q_v)")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("graft_dot(v, q_v)") / (col("nrm") * col("q_nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("r_sem", row_number().over(w))
+      .select(col("query_id"), col("id"), col("r_sem"))
+  }
+
+  /** Int8 integer-dot-product ANN top-k: corpus and queries quantized with
+    * [[Similarity.quantizeInt8]] (per-vector abs-max scale), candidates
+    * scored by the EXACT integer dot of the code vectors and ranked by the
+    * de-scaled approximate dot in integer micro-units. The integer dot is
+    * the 100 TB payoff: 4× less memory traffic than float32 and the inner
+    * loop is a pure int16-accumulate (SIMD-friendly); the only floats are
+    * two per-vector scales multiplied once per pair — deterministic, and
+    * the ranking key itself (`approx_dot_micro`) is BIGINT, so ordering is
+    * engine- and partitioning-independent.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val qc = Similarity.quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("qvec").as("q_c"),
+        col("scale").as("s_c"))
+    val qq = Similarity.quantizeInt8(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_q"),
+        col("scale").as("s_q"))
+    val scored = qc.crossJoin(broadcast(qq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("idot",
+        expr("aggregate(zip_with(q_q, q_c, (x, y) -> " +
+          "CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("approx_dot_micro",
+        floor((col("s_q") * col("s_c")) * col("idot") * lit(1000000.0) +
+          lit(0.5)).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dot_micro").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("idot"), col("approx_dot_micro"))
+  }
+}

@@ -1853,5 +1853,63 @@ object AnalyticsQueries {
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
-      q189Assortativity, q192TrendDetect, q195HazardTable)
+      q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits)
+
+  /** HITS hubs & authorities ([[graft.ext.Hits.hubsAuthorities]], 2
+    * rounds) over the customer→part purchase graph (distinct
+    * orders⋈lineitem pairs): hubs are customers whose baskets concentrate
+    * on widely-bought parts, authorities the parts those hubs buy —
+    * Kleinberg's mutual reinforcement beside q98's PageRank (random-walk
+    * centrality) and q189's assortativity. Exact integer formulation:
+    * scores stay UNNORMALIZED BIGINTs (a0 = 1, every round two
+    * sum-aggregates), so partition order cannot perturb them and the
+    * oracle unrolls both rounds as plain CTEs — rankings are identical to
+    * the normalized form since normalization only rescales. Top-20 per
+    * role. Scale: per round two edges⋈scores equi-joins + partial-agg
+    * sums, linear in |E|; the distinct edge table derives once
+    * (persisted) and is reused all four joins.
+    */
+  lazy val q200Hits: QuerySpec = QuerySpec.oracled(
+    "q200_hits",
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |h1 AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY src),
+      |a1 AS (
+      |  SELECT e.dst, CAST(sum(h1.s) AS BIGINT) AS s
+      |  FROM e JOIN h1 USING (src) GROUP BY e.dst),
+      |h2 AS (
+      |  SELECT e.src, CAST(sum(a1.s) AS BIGINT) AS s
+      |  FROM e JOIN a1 USING (dst) GROUP BY e.src),
+      |a2 AS (
+      |  SELECT e.dst, CAST(sum(h2.s) AS BIGINT) AS s
+      |  FROM e JOIN h2 USING (src) GROUP BY e.dst),
+      |u AS (
+      |  SELECT CAST(src AS BIGINT) AS node, 'hub' AS role, s AS score
+      |  FROM h2
+      |  UNION ALL
+      |  SELECT CAST(dst AS BIGINT), 'authority', s FROM a2),
+      |r AS (
+      |  SELECT node, role, score,
+      |    row_number() OVER (PARTITION BY role
+      |                       ORDER BY score DESC, node) AS rnk
+      |  FROM u)
+      |SELECT role, CAST(rnk AS INTEGER) AS rank, node, score
+      |FROM r WHERE rnk <= 20
+      |ORDER BY role, rank""".stripMargin) { (spark, dir) =>
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+    val scores = graft.ext.Hits.hubsAuthorities(edges, "src", "dst", 2)
+      .select(col("node").cast("long").as("node"), col("role"),
+        col("score"))
+    val w = Window.partitionBy("role")
+      .orderBy(col("score").desc, col("node"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("role"), col("rank"), col("node"), col("score"))
+      .orderBy("role", "rank")
+  }
 }

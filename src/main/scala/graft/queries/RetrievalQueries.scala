@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.ext.{Dedup, Retrieval}
+
+import org.apache.spark.sql.functions._
+
+/** Retrieval operators ([[graft.ext.Retrieval]]): BM25 lexical ranking and
+  * lexical+semantic reciprocal-rank fusion — the query side of an LLM data
+  * pipeline (dedup and ANN are the build side). Oracles replay the exact
+  * arithmetic; every ranking key the gate hashes is a BIGINT.
+  */
+object RetrievalQueries {
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')"
+
+  // BM25 constants. The derived literals (k1+1, 1-b) are interpolated into
+  // the oracle SQL from the SAME Scala doubles the Spark side uses, so both
+  // engines see bit-identical constants (a hand-written 2.2 could round
+  // differently than Scala's 1.2 + 1).
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private val QueryTerms: Seq[(Int, String)] = Seq(
+    1 -> "merge", 1 -> "sort", 1 -> "window",
+    2 -> "spark", 2 -> "stream", 2 -> "join",
+    3 -> "customer", 3 -> "data", 3 -> "filter")
+
+  private def queryTermsSql: String =
+    QueryTerms.map { case (q, t) => s"($q, '$t')" }
+      .mkString("(VALUES ", ", ", ") AS t(query_id, term)")
+
+  /** Okapi BM25 top-10 per query ([[graft.ext.Retrieval.bm25TopK]], Lucene
+    * idf). Hash stability: each per-term contribution is floored to integer
+    * micro-units and the per-doc score is an exact BIGINT sum — double
+    * addition is not associative, integer addition is, so the score is
+    * independent of Spark's partial-aggregation order (the q98 fixed-point
+    * discipline). The idf `ln` is the only libm call; both engines compute
+    * it over identical IEEE operands on ~9 distinct df values, and the
+    * micro-unit floor absorbs any sub-micro representation noise. Scale:
+    * postings prune against the broadcast query-term list before any
+    * shuffle; tf and df are partial-agg shuffles of id-sized rows; the
+    * corpus never moves.
+    */
+  val q198Bm25TopK: QuerySpec = QuerySpec.oracled(
+    "q198_bm25_topk",
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk
+       |  WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS total FROM dl),
+       |qt AS (SELECT * FROM $queryTermsSql),
+       |tc AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |tf AS (
+       |  SELECT q.query_id, q.term, t.doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tc
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (
+       |  SELECT f.query_id, f.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + ((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+       |      ((f.c * ${K1 + 1}) / (f.c + $K1 * (${1 - B} +
+       |        $B * (l.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cmicro
+       |  FROM tf f JOIN df d ON f.term = d.term
+       |  JOIN dl l ON f.doc_id = l.doc_id
+       |  CROSS JOIN st s),
+       |sm AS (
+       |  SELECT query_id, doc_id, CAST(sum(cmicro) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM sm)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_micro
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Retrieval.bm25TopK(
+      docs = spark.read.parquet(s"$dir/documents.parquet"),
+      queryTerms = QueryTerms.toDF("query_id", "term"),
+      idCol = "doc_id", textCol = "text", k = 10, k1 = K1, b = B)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a token-set-Jaccard
+    * lexical ranking and an embedding-cosine semantic ranking over the
+    * SAME candidate universe (ids present in BOTH `documents` and
+    * `embeddings` — well-defined at every sf even where the tables have
+    * different cardinalities). Fusion is float-free: each list contributes
+    * `1000000 DIV (60 + rank)`, integers end-to-end
+    * ([[graft.ext.Retrieval.rrfFuse]]). The cosine leg reuses the
+    * q21-verified left-fold arithmetic; the Jaccard leg is integer
+    * set-overlap with one final division. Scale: 5 broadcast queries ×
+    * map-side corpus scan per leg, two bounded per-query rank windows.
+    */
+  val q199RrfFusion: QuerySpec = QuerySpec.oracled(
+    "q199_rrf_fusion",
+    s"""WITH dt AS (
+       |  SELECT doc_id AS id, list_distinct($toksSql) AS tset
+       |  FROM documents),
+       |ev AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |cand AS (
+       |  SELECT d.id, d.tset, e.embedding
+       |  FROM dt d JOIN ev e USING (id)),
+       |q AS (
+       |  SELECT id AS query_id, tset AS q_tset, embedding AS q_v
+       |  FROM cand WHERE id < 5),
+       |sc AS (
+       |  SELECT q.query_id, c.id,
+       |    CAST(len(list_intersect(c.tset, q.q_tset)) AS DOUBLE) /
+       |      (len(c.tset) + len(q.q_tset) -
+       |       len(list_intersect(c.tset, q.q_tset))) AS jac,
+       |    ${SimilarityQueries.dotSql("c.embedding", "q.q_v")} /
+       |      (sqrt(${SimilarityQueries.dotSql("c.embedding", "c.embedding")})
+       |       * sqrt(${SimilarityQueries.dotSql("q.q_v", "q.q_v")}))
+       |      AS cosine
+       |  FROM cand c JOIN q ON c.id <> q.query_id),
+       |rk AS (
+       |  SELECT query_id, id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY jac DESC, id) AS r_lex,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS r_sem
+       |  FROM sc),
+       |f AS (
+       |  SELECT query_id, id, r_lex, r_sem,
+       |    CAST(1000000 // (60 + r_lex) + 1000000 // (60 + r_sem)
+       |      AS BIGINT) AS rrf_micro
+       |  FROM rk),
+       |r AS (
+       |  SELECT query_id, id, r_lex, r_sem, rrf_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_micro DESC, id) AS rnk
+       |  FROM f)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, id,
+       |  CAST(r_lex AS INTEGER) AS r_lex, CAST(r_sem AS INTEGER) AS r_sem,
+       |  rrf_micro
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val dt = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"),
+        array_distinct(Dedup.tokens(col("text"))).as("tset"))
+    val ev = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cand = dt.join(ev, "id")
+    val qs = cand.filter(col("id") < 5)
+    val lex = Retrieval.jaccardRanks(
+      cand.select("id", "tset"),
+      qs.select(col("id").as("query_id"), col("tset").as("q_tset")))
+    val sem = Retrieval.cosineRanks(
+      cand.select("id", "v"),
+      qs.select(col("id").as("query_id"), col("v").as("q_v")), spark)
+    Retrieval.rrfFuse(lex, sem, k = 10).orderBy("query_id", "rank")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q198Bm25TopK, q199RrfFusion)
+}

@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val Dim = 64
+  private[queries] val Dim = 64
   private val NumPlanes = 8
 
   /** DuckDB left-fold dot product between two array expressions. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
 
@@ -492,7 +492,64 @@ object SimilarityQueries {
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
-      q97SemanticDedup, q140CentroidPool, q180AnnPq)
+      q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8)
+
+  /** Int8 integer-dot ANN ([[graft.ext.Retrieval.int8TopK]]): corpus and
+    * queries quantized per q48's abs-max scheme, candidates scored by the
+    * EXACT BIGINT dot of the int8 code vectors, ranked by the de-scaled
+    * approximate dot in integer micro-units. The memory-bound scale path
+    * q48 exists for: 4× less scan traffic than float32 and an
+    * integer-accumulate inner loop, with recall degrading only by
+    * quantization noise (PipelineOpsSpec bounds it). Ranking and hashing
+    * both key on BIGINTs — the only floats are the two per-vector scales,
+    * multiplied once per pair from identical 9-dp-rounded operands.
+    */
+  lazy val q202AnnInt8: QuerySpec = QuerySpec.oracled(
+    "q202_ann_int8",
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+       |      AS maxabs
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs > 0 THEN list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS INT))
+       |    ELSE list_transform(embedding, x -> 0) END AS qvec,
+       |    round(CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0 END, 9)
+       |      AS scale
+       |  FROM m),
+       |qs AS (SELECT * FROM qz WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> CAST(q.qvec[i] AS BIGINT) * c.qvec[i])),
+       |      (x, y) -> x + y) AS idot,
+       |    q.scale AS s_q, c.scale AS s_c
+       |  FROM qs q JOIN qz c ON c.vec_id <> q.vec_id),
+       |a AS (
+       |  SELECT query_id, neighbor_id, idot,
+       |    CAST(floor((s_q * s_c) * idot * 1000000.0 + 0.5) AS BIGINT)
+       |      AS approx_dot_micro
+       |  FROM sc),
+       |r AS (
+       |  SELECT query_id, neighbor_id, idot, approx_dot_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY approx_dot_micro DESC, neighbor_id)
+       |      AS rnk
+       |  FROM a)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
+       |  idot, approx_dot_micro
+       |FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.ext.Retrieval.int8TopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
 
   /** Per-label embedding centroid (mean-pool) in long form: `posexplode`
     * expands vectors to (label, pos, value) rows, values quantize to
