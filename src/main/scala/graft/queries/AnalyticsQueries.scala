@@ -1853,7 +1853,134 @@ object AnalyticsQueries {
       q143PathTrigrams, q145Skyline, q146WeightedMedian, q156MadOutliers,
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
-      q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits)
+      q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
+      q205LinearAttribution, q206KCore)
+
+  /** Linear multi-touch attribution with a 7-day lookback: every view or
+    * click in the week before a purchase shares that purchase's 10,000
+    * basis points EQUALLY — q160's last-touch twin for the other standard
+    * attribution model. Fractional credit is the adjudication trap: bp/n
+    * is not an integer, and float credit would sum in partition order.
+    * The q169 apportionment discipline instead: every touch gets
+    * `10000 DIV n`, the LAST touch (latest ts, ties → highest id) absorbs
+    * the remainder — credits are exact integers that sum to exactly
+    * 10000 per purchase. Scale: one user-key equi-join bounded by the
+    * 7-day range (the q77 attribution shape in batch), two windows per
+    * purchase-sized partition, then a map-side-combinable rollup.
+    */
+  lazy val q205LinearAttribution: QuerySpec = QuerySpec.oracled(
+    "q205_linear_attribution",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tus
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id AS pid, tus AS pts FROM e
+      |  WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS tid, event_type AS ttype, tus AS tts
+      |  FROM e WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.pid, t.tid, t.ttype, t.tts
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tts < p.pts AND t.tts >= p.pts - 604800000000),
+      |w AS (
+      |  SELECT pid, tid, ttype,
+      |    count(*) OVER (PARTITION BY pid) AS n,
+      |    row_number() OVER (PARTITION BY pid
+      |                       ORDER BY tts DESC, tid DESC) AS rn
+      |  FROM j),
+      |c AS (
+      |  SELECT ttype,
+      |    CASE WHEN rn = 1 THEN 10000 - (n - 1) * (10000 // n)
+      |         ELSE 10000 // n END AS credit_bp
+      |  FROM w)
+      |SELECT ttype AS event_type, count(*) AS n_touches,
+      |  CAST(sum(credit_bp) AS BIGINT) AS credit_bp_sum
+      |FROM c GROUP BY ttype
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("tus").as("pts"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("tid"),
+        col("event_type").as("ttype"), col("tus").as("tts"))
+    val j = p.join(t,
+      col("user_id") === col("t_user") &&
+        col("tts") < col("pts") &&
+        col("tts") >= col("pts") - lit(604800000000L))
+    val wN = Window.partitionBy("pid")
+    val wR = Window.partitionBy("pid")
+      .orderBy(col("tts").desc, col("tid").desc)
+    j.withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("credit_bp",
+        when(col("rn") === 1,
+          lit(10000) - (col("n") - 1) * expr("10000 DIV n"))
+          .otherwise(expr("10000 DIV n")))
+      .groupBy("ttype")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit_bp").as("credit_bp_sum"))
+      .select(col("ttype").as("event_type"), col("n_touches"),
+        col("credit_bp_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Bipartite k-core peeling ([[graft.ext.KCore.peelStats]], k = 30,
+    * 3 synchronous rounds) over the customer→part purchase graph — the
+    * dense-core prune run before collaborative filtering or graph
+    * embedding (sparse interactions are noise that doubles the edge
+    * list). Each round drops edges with EITHER endpoint below degree 30;
+    * peeling cascades (removing a round-1 edge can sink a round-2
+    * endpoint), which is exactly what the per-round stats surface. The
+    * oracle unrolls the three rounds as CTE filters. Per round: two
+    * node-sized degree aggregates + two joins back onto a monotonically
+    * shrinking edge table.
+    */
+  lazy val q206KCore: QuerySpec = QuerySpec.oracled(
+    "q206_kcore",
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e1 AS (
+      |  SELECT src, dst FROM e0
+      |  WHERE src IN (SELECT src FROM e0 GROUP BY src
+      |                HAVING count(*) >= 30)
+      |    AND dst IN (SELECT dst FROM e0 GROUP BY dst
+      |                HAVING count(*) >= 30)),
+      |e2 AS (
+      |  SELECT src, dst FROM e1
+      |  WHERE src IN (SELECT src FROM e1 GROUP BY src
+      |                HAVING count(*) >= 30)
+      |    AND dst IN (SELECT dst FROM e1 GROUP BY dst
+      |                HAVING count(*) >= 30)),
+      |e3 AS (
+      |  SELECT src, dst FROM e2
+      |  WHERE src IN (SELECT src FROM e2 GROUP BY src
+      |                HAVING count(*) >= 30)
+      |    AND dst IN (SELECT dst FROM e2 GROUP BY dst
+      |                HAVING count(*) >= 30))
+      |SELECT * FROM (
+      |  SELECT 1 AS round, count(*) AS n_edges,
+      |    count(DISTINCT src) AS n_src, count(DISTINCT dst) AS n_dst
+      |  FROM e1
+      |  UNION ALL
+      |  SELECT 2, count(*), count(DISTINCT src), count(DISTINCT dst)
+      |  FROM e2
+      |  UNION ALL
+      |  SELECT 3, count(*), count(DISTINCT src), count(DISTINCT dst)
+      |  FROM e3)
+      |ORDER BY round""".stripMargin) { (spark, dir) =>
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+    graft.ext.KCore.peelStats(edges, "src", "dst", k = 30, rounds = 3)
+      .orderBy("round")
+  }
 
   /** HITS hubs & authorities ([[graft.ext.Hits.hubsAuthorities]], 2
     * rounds) over the customer→part purchase graph (distinct

@@ -161,5 +161,84 @@ object RetrievalQueries {
     Retrieval.rrfFuse(lex, sem, k = 10).orderBy("query_id", "rank")
   }
 
-  val all: Seq[QuerySpec] = Seq(q198Bm25TopK, q199RrfFusion)
+  /** Rank-biased overlap (RBO, truncated at depth 10) between the lexical
+    * and semantic rankings q199 fuses — the retrieval diagnostic that says
+    * HOW MUCH the two legs agree (fusion helps most when they don't).
+    * Persistence p = 1/2 makes every weight a power of two, so RBO becomes
+    * EXACT integer arithmetic: the depth-d term is
+    * `(1000000 · |topd(L) ∩ topd(S)|) DIV (2^d · d)` and the sum is BIGINT
+    * — no float ever enters (the one RBO formulation an exact-hash gate
+    * can adjudicate; truncated RBO@10 max = 999022 ppm — per-term floors
+    * shave 1.4 ppm off the exact 1e6·(1 − 2⁻¹⁰)).
+    * Scale: the rank legs are q199's broadcast scans; the depth loop runs
+    * on |queries| × 10 rows.
+    */
+  val q203RankAgreement: QuerySpec = QuerySpec.oracled(
+    "q203_rank_agreement",
+    s"""WITH dt AS (
+       |  SELECT doc_id AS id, list_distinct($toksSql) AS tset
+       |  FROM documents),
+       |ev AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |cand AS (
+       |  SELECT d.id, d.tset, e.embedding
+       |  FROM dt d JOIN ev e USING (id)),
+       |q AS (
+       |  SELECT id AS query_id, tset AS q_tset, embedding AS q_v
+       |  FROM cand WHERE id < 5),
+       |sc AS (
+       |  SELECT q.query_id, c.id,
+       |    CAST(len(list_intersect(c.tset, q.q_tset)) AS DOUBLE) /
+       |      (len(c.tset) + len(q.q_tset) -
+       |       len(list_intersect(c.tset, q.q_tset))) AS jac,
+       |    ${SimilarityQueries.dotSql("c.embedding", "q.q_v")} /
+       |      (sqrt(${SimilarityQueries.dotSql("c.embedding", "c.embedding")})
+       |       * sqrt(${SimilarityQueries.dotSql("q.q_v", "q.q_v")}))
+       |      AS cosine
+       |  FROM cand c JOIN q ON c.id <> q.query_id),
+       |rk AS (
+       |  SELECT query_id, id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY jac DESC, id) AS r_lex,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, id) AS r_sem
+       |  FROM sc),
+       |ov AS (
+       |  SELECT rk.query_id, d.d,
+       |    CAST(count(*) FILTER (WHERE r_lex <= d.d AND r_sem <= d.d)
+       |      AS BIGINT) AS ov
+       |  FROM rk CROSS JOIN (SELECT unnest(range(1, 11)) AS d) d
+       |  GROUP BY 1, 2)
+       |SELECT query_id,
+       |  CAST(sum((1000000 * ov) // ((1 << d) * d)) AS BIGINT) AS rbo_ppm
+       |FROM ov GROUP BY query_id
+       |ORDER BY query_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val dt = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"),
+        array_distinct(Dedup.tokens(col("text"))).as("tset"))
+    val ev = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cand = dt.join(ev, "id")
+    val qs = cand.filter(col("id") < 5)
+    val lex = Retrieval.jaccardRanks(
+      cand.select("id", "tset"),
+      qs.select(col("id").as("query_id"), col("tset").as("q_tset")))
+    val sem = Retrieval.cosineRanks(
+      cand.select("id", "v"),
+      qs.select(col("id").as("query_id"), col("v").as("q_v")), spark)
+    val ranked = lex.join(sem, Seq("query_id", "id"))
+    // (depth, 2^depth) precomputed — the SQL mirror's (1 << d)
+    val depths = broadcast(
+      (1 to 10).map(d => (d, 1L << d)).toDF("d", "w"))
+    ranked.crossJoin(depths)
+      .groupBy("query_id", "d", "w")
+      .agg(count(when(col("r_lex") <= col("d") &&
+        col("r_sem") <= col("d"), 1)).as("ov"))
+      .groupBy("query_id")
+      .agg(sum(expr("(1000000 * ov) DIV (w * d)")).as("rbo_ppm"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement)
 }

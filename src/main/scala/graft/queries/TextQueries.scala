@@ -1392,6 +1392,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-balanced shard assignment (serpentine / boustrophedon): docs
+    * sorted by token count descending, dealt into 8 shards snake-wise
+    * (block 0 → shards 0..7, block 1 → 7..0, …) — the deterministic,
+    * one-pass alternative to greedy LPT bin packing (LPT's "assign to the
+    * currently lightest shard" is inherently sequential; serpentine needs
+    * only each doc's global rank and gets within one document of LPT's
+    * balance in practice). This is how training shards are kept
+    * token-balanced so no data-parallel worker straggles. Scale: the rank
+    * is q120's distributed-rank shape (sampled RangePartitioning sort +
+    * `zipWithIndex` — NO single-partition window), assignment is map-side
+    * arithmetic, and the output is an 8-row rollup. `id_sum` adjudicates
+    * exact per-shard MEMBERSHIP, not just totals.
+    */
+  val q204BalancedShards: QuerySpec = QuerySpec.oracled(
+    "q204_balanced_shards",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_toks,
+       |    row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS idx
+       |  FROM tk),
+       |a AS (
+       |  SELECT doc_id, n_toks,
+       |    CASE WHEN (idx // 8) % 2 = 0 THEN idx % 8
+       |         ELSE 7 - (idx % 8) END AS shard
+       |  FROM r)
+       |SELECT CAST(shard AS INTEGER) AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS tok_sum,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM a GROUP BY shard
+       |ORDER BY shard""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val numShards = 8
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.ext.Dedup.tokens(col("text"))).cast("long").as("n_toks"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+      .as[(Long, Long)].rdd.zipWithIndex
+      .map { case ((id, n), idx) =>
+        val pos = (idx % numShards).toInt
+        val shard =
+          if ((idx / numShards) % 2 == 0) pos else numShards - 1 - pos
+        (shard, id, n)
+      }
+      .toDF("shard", "doc_id", "n_toks")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tok_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1401,5 +1456,5 @@ object TextQueries {
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
-      q193SourceOverlap, q194NgramNovelty)
+      q193SourceOverlap, q194NgramNovelty, q204BalancedShards)
 }
