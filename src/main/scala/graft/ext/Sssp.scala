@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-source shortest paths by synchronous Bellman-Ford relaxation
+  * over a bounded round budget — the weighted companion of [[Bfs]] (hop
+  * counts) and [[PageRank]] (mass): distances are exact BIGINT weight
+  * sums, and `min` is order-independent, so the frontier needs NO
+  * fixed-point scaling tricks at all — min-plus algebra is natively
+  * hash-adjudicable. `rounds` bounds path length (distances are final for
+  * all nodes whose shortest path uses ≤ rounds edges; full convergence is
+  * the caller looping until the frame stops changing).
+  *
+  * Scale: each round is one distances⋈edges equi-join on the source
+  * endpoint plus one min-aggregate — the BFS shape with a weight column;
+  * the distance table is node-sized, edges partition once (persisted) and
+  * are reused every round; lineage is cut per round (PageRank discipline).
+  */
+object Sssp {
+
+  /** Distances from `source` after `rounds` relaxations over directed
+    * `edges` (srcCol, dstCol, wCol — non-negative integer weights).
+    * Returns (node, dist) for every node reached within `rounds` hops.
+    */
+  def boundedDistances(
+      spark: SparkSession,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      source: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")).persist()
+    try {
+      var d = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val relaxed = e.join(d, e("src") === d("node"))
+          .select(e("dst").as("node"), (d("dist") + e("w")).as("dist"))
+        d = d.union(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      d
+    } finally {
+      e.unpersist(false)
+      ()
+    }
+  }
+}

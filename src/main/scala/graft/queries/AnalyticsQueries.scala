@@ -1854,7 +1854,65 @@ object AnalyticsQueries {
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
       q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
-      q205LinearAttribution, q206KCore)
+      q205LinearAttribution, q206KCore, q207Sssp)
+
+  private def ssspIterSql(i: Int): String =
+    s"""d$i AS (
+       |  SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM d${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + e.w AS dist
+       |    FROM e JOIN d${i - 1} p ON e.src = p.node)
+       |  GROUP BY node)""".stripMargin
+
+  /** Weighted single-source shortest paths ([[graft.ext.Sssp]], 4
+    * Bellman-Ford rounds) over the symmetrized customer↔part purchase
+    * graph, weight = cheapest observed price in exact cents — "what's the
+    * cheapest connection chain from the seed customer?". Min-plus algebra
+    * needs NO fixed-point tricks: distances are exact BIGINT sums and
+    * `min` commutes, so partition order is irrelevant and the oracle
+    * unrolls the four relaxations as plain CTEs (the q98/q132 iterative
+    * family, completed for weighted graphs). Node encoding 2k / 2k+1
+    * keeps the bipartite key spaces disjoint. Per round: one
+    * distances⋈edges equi-join + one min-aggregate, linear in |E|.
+    */
+  lazy val q207Sssp: QuerySpec = QuerySpec.oracled(
+    "q207_sssp",
+    s"""WITH pair AS (
+       |  SELECT o.o_custkey AS c, l.l_partkey AS p,
+       |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT c * 2 AS src, p * 2 + 1 AS dst, w FROM pair
+       |  UNION ALL
+       |  SELECT p * 2 + 1, c * 2, w FROM pair),
+       |s AS (SELECT min(src) AS n FROM e WHERE src % 2 = 0),
+       |d0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS dist FROM s),
+       |${ssspIterSql(1)},
+       |${ssspIterSql(2)},
+       |${ssspIterSql(3)},
+       |${ssspIterSql(4)}
+       |SELECT CAST(node % 2 AS INTEGER) AS side, node // 2 AS key, dist
+       |FROM d4 ORDER BY side, key""".stripMargin) { (spark, dir) =>
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pair = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("w"))
+    val e = pair.select((col("c") * 2).as("src"),
+        (col("p") * 2 + 1).as("dst"), col("w"))
+      .unionByName(pair.select((col("p") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst"), col("w")))
+    val source = e.filter(col("src") % 2 === 0)
+      .agg(min("src")).head().getLong(0)
+    graft.ext.Sssp.boundedDistances(
+      spark, e, "src", "dst", "w", source, rounds = 4)
+      .select(expr("CAST(node % 2 AS INT)").as("side"),
+        expr("node DIV 2").as("key"), col("dist"))
+      .orderBy("side", "key")
+  }
 
   /** Linear multi-touch attribution with a 7-day lookback: every view or
     * click in the week before a purchase shares that purchase's 10,000

@@ -263,7 +263,66 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Aspect-ratio bucketing: every asset assigned to the NEAREST of the
+    * five standard training buckets (1:2, 3:4, 1:1, 4:3, 2:1) — the
+    * batching prerequisite for image training (resizing a portrait to a
+    * landscape canvas destroys it; bucketing batches like with like).
+    * "Nearest ratio" is decided in EXACT integers: |w/h − wb/hb| ranks
+    * identically to |w·hb − h·wb| · (12/hb) (12 = lcm of the hb's clears
+    * the denominators), so no float ever enters the argmin and ties break
+    * on bucket index — engine-identical by construction. Dims come from
+    * the q46 stub decode (md5-derived, the honest fake). Scale: bucket
+    * table is 5 rows broadcast; assignment is map-side; `id_sum`
+    * adjudicates exact membership (the q204 discipline).
+    */
+  val q208AspectBuckets: QuerySpec = QuerySpec.oracled(
+    "q208_aspect_buckets",
+    """WITH dims AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + (('0x' || substr(md5(text), 1, 2))::INT % 64) AS w,
+      |    1 + (('0x' || substr(md5(text), 3, 2))::INT % 64) AS h
+      |  FROM documents),
+      |bk AS (
+      |  SELECT * FROM (VALUES (0, 1, 2), (1, 3, 4), (2, 1, 1),
+      |    (3, 4, 3), (4, 2, 1)) AS t(bidx, wb, hb)),
+      |scored AS (
+      |  SELECT d.asset_id, d.w, d.h, b.bidx, b.wb, b.hb,
+      |    abs(d.w * b.hb - d.h * b.wb) * (12 // b.hb) AS dist,
+      |    row_number() OVER (PARTITION BY d.asset_id
+      |                       ORDER BY abs(d.w * b.hb - d.h * b.wb)
+      |                         * (12 // b.hb), b.bidx) AS rn
+      |  FROM dims d CROSS JOIN bk b)
+      |SELECT bidx AS bucket,
+      |  wb || ':' || hb AS ratio,
+      |  count(*) AS n_assets,
+      |  CAST(sum(asset_id) AS BIGINT) AS id_sum
+      |FROM scored WHERE rn = 1
+      |GROUP BY bidx, wb, hb
+      |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val assets = Multimodal.assetsFromText(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val dims = Multimodal.decode(assets).toDF()
+      .select(col("asset_id"), col("width").as("w"), col("height").as("h"))
+    val bk = broadcast(Seq((0, 1, 2), (1, 3, 4), (2, 1, 1), (3, 4, 3),
+      (4, 2, 1)).toDF("bidx", "wb", "hb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id")
+      .orderBy(col("dist"), col("bidx"))
+    dims.crossJoin(bk)
+      .withColumn("dist",
+        abs(col("w") * col("hb") - col("h") * col("wb")) *
+          expr("12 DIV hb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("bidx").as("bucket"),
+        concat(col("wb"), lit(":"), col("hb")).as("ratio"))
+      .agg(count(lit(1)).as("n_assets"), sum("asset_id").as("id_sum"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
-      q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming)
+      q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming,
+      q208AspectBuckets)
 }

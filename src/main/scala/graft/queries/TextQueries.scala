@@ -1447,6 +1447,79 @@ object TextQueries {
       .orderBy("shard")
   }
 
+  /** Temperature-based multilingual mixture (α = 1/2): language sampling
+    * weights w_l = √(token count) — THE standard low-resource upsampling
+    * rule (α = 1 is proportional, α → 0 uniform), with a fixed token
+    * budget apportioned by q169's Hamilton rule. Unlike q169 the weights
+    * come FROM the data, and √ is the one non-rational op the gate can
+    * still adjudicate: IEEE sqrt is CORRECTLY ROUNDED (unlike ln/exp — a
+    * general-α temperature would be libm-exposed), and the weight total
+    * is a fold in fixed language order on both engines, so quotas and
+    * remainders are engine-identical doubles before the integer floor.
+    * `rate_ppm` (quota/corpus in ppm) > 1e6 marks upsampled
+    * (low-resource) languages.
+    * Scale: one map-side-combinable (lang) aggregate; everything after is
+    * |langs|-row arithmetic.
+    */
+  val q209TemperatureMix: QuerySpec = QuerySpec.oracled(
+    "q209_temperature_mix",
+    s"""WITH tk AS (
+       |  SELECT lang,
+       |    CAST(sum(len(list_filter($toksSql, x -> x <> ''))) AS BIGINT)
+       |      AS c
+       |  FROM documents GROUP BY lang),
+       |ws AS (
+       |  SELECT list_reduce(list_prepend(0.0, list_transform(
+       |    list_sort(list({'lang': lang, 'w': sqrt(c)})),
+       |    r -> r.w)), (a, b) -> a + b) AS wsum
+       |  FROM tk),
+       |ap AS (
+       |  SELECT lang, c, sqrt(c) AS w, wsum,
+       |    CAST(floor((100000 * sqrt(c)) / wsum) AS BIGINT) AS q0,
+       |    (100000 * sqrt(c)) / wsum
+       |      - floor((100000 * sqrt(c)) / wsum) AS rem
+       |  FROM tk CROSS JOIN ws),
+       |r AS (
+       |  SELECT lang, c, q0, sum(q0) OVER () AS sq,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rn
+       |  FROM ap)
+       |SELECT lang, c AS c_toks,
+       |  CAST(q0 + CASE WHEN rn <= 100000 - sq THEN 1 ELSE 0 END
+       |    AS BIGINT) AS quota_toks,
+       |  CAST(((q0 + CASE WHEN rn <= 100000 - sq THEN 1 ELSE 0 END)
+       |    * 1000000) // c AS BIGINT) AS rate_ppm
+       |FROM r ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val tk = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang")
+      .agg(sum(size(graft.ext.Dedup.tokens(col("text"))).cast("long"))
+        .as("c"))
+    // Σ√c in fixed lang order: both engines fold the sorted list, so the
+    // double total is bit-identical (q140's ordered-fold discipline)
+    val ws = tk.agg(
+      expr("aggregate(transform(array_sort(collect_list(" +
+        "named_struct('lang', lang, 'w', sqrt(c)))), x -> x.w), 0.0D, (a, b) -> a + b)")
+        .as("wsum"))
+    val ap = tk.crossJoin(broadcast(ws))
+      .withColumn("w", sqrt(col("c")))
+      .withColumn("q0",
+        floor((lit(100000) * sqrt(col("c"))) / col("wsum")).cast("long"))
+      .withColumn("rem",
+        (lit(100000) * sqrt(col("c"))) / col("wsum") -
+          floor((lit(100000) * sqrt(col("c"))) / col("wsum")))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wRem = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("lang"))
+    ap.withColumn("sq", sum("q0").over(wAll))
+      .withColumn("rn", row_number().over(wRem))
+      .withColumn("quota_toks",
+        (col("q0") + when(col("rn") <= lit(100000) - col("sq"), 1L)
+          .otherwise(0L)).cast("long"))
+      .select(col("lang"), col("c").as("c_toks"), col("quota_toks"),
+        expr("CAST((quota_toks * 1000000) DIV c AS BIGINT)")
+          .as("rate_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1456,5 +1529,6 @@ object TextQueries {
       q117TopNgrams, q131WeightedSample, q144FeatureHash, q147SourceGini,
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
-      q193SourceOverlap, q194NgramNovelty, q204BalancedShards)
+      q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
+      q209TemperatureMix)
 }
