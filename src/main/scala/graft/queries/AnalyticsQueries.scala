@@ -1854,7 +1854,45 @@ object AnalyticsQueries {
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
       q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
-      q205LinearAttribution, q206KCore, q207Sssp)
+      q205LinearAttribution, q206KCore, q207Sssp, q211PassAtK)
+
+  /** Exact pass@k (k = 3): per user, the probability that at least one of
+    * k uniformly drawn attempts (without replacement) succeeds —
+    * `1 − C(n−c,k)/C(n,k)` — the eval-harness estimator, computed as
+    * EXACT integer arithmetic: the binomial ratio telescopes to
+    * `Π(n−c−i)/Π(n−i)`, both products small BIGINTs, one floor-div to
+    * ppm (floats would need n! beyond 2^53 immediately; the product form
+    * never exceeds n³·1e6). Attempts = events, successes = purchases;
+    * users with fewer successes than room (n−c < k) clamp to 1e6 ppm
+    * exactly as the estimator does. One map-side-combinable per-user
+    * aggregate; everything after is row-local arithmetic.
+    */
+  lazy val q211PassAtK: QuerySpec = QuerySpec.oracled(
+    "q211_pass_at_k",
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS c
+      |  FROM events GROUP BY user_id
+      |  HAVING count(*) >= 3)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_attempts,
+      |  CAST(c AS BIGINT) AS n_correct,
+      |  CAST(CASE WHEN n - c < 3 THEN 1000000
+      |    ELSE 1000000 - (1000000 * ((n - c) * (n - c - 1) * (n - c - 2)))
+      |      // (n * (n - 1) * (n - 2)) END AS BIGINT) AS pass_at_3_ppm
+      |FROM u ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    CoreQueries.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("c"))
+      .filter(col("n") >= 3)
+      .select(col("user_id"), col("n").as("n_attempts"),
+        col("c").as("n_correct"),
+        expr("""CAST(CASE WHEN n - c < 3 THEN 1000000
+                |  ELSE 1000000 - (1000000 * ((n - c) * (n - c - 1)
+                |    * (n - c - 2))) DIV (n * (n - 1) * (n - 2)) END
+                |  AS BIGINT)""".stripMargin).as("pass_at_3_ppm"))
+      .orderBy("user_id")
+  }
 
   private def ssspIterSql(i: Int): String =
     s"""d$i AS (

@@ -1520,6 +1520,69 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Literal substring search via trigram-index pruning ("grep at 100 TB"):
+    * a doc containing the pattern necessarily contains every trigram of
+    * the pattern, so the index join (doc-trigrams ⋈ broadcast
+    * pattern-trigrams, require ALL of them) yields a SOUND candidate set
+    * and only candidates pay the exact `contains` verify — the corpus is
+    * never regex-scanned. Correctness never depends on the index (the
+    * oracle is plain brute-force `contains` over every doc); the index is
+    * pure pruning, which is what makes it safe to tune. The never-matching
+    * third pattern adjudicates the empty-result path (rows survive via the
+    * left join, n_matches = 0). Scale: posting lists are (trigram, id)
+    * rows; candidate verification is id-joined, pattern table broadcasts.
+    */
+  val q210IndexedGrep: QuerySpec = QuerySpec.oracled(
+    "q210_indexed_grep",
+    """WITH pt AS (
+      |  SELECT * FROM (VALUES (1, 'table scan'), (2, 'stream join'),
+      |    (3, 'quantum flux')) AS t(pattern_id, pat))
+      |SELECT pt.pattern_id,
+      |  count(*) FILTER (WHERE contains(d.text, pt.pat)) AS n_matches,
+      |  CAST(coalesce(sum(d.doc_id)
+      |    FILTER (WHERE contains(d.text, pt.pat)), 0) AS BIGINT) AS id_sum
+      |FROM pt CROSS JOIN documents d
+      |GROUP BY pt.pattern_id
+      |ORDER BY pattern_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val patterns = Seq((1, "table scan"), (2, "stream join"),
+      (3, "quantum flux"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // posting lists: distinct trigrams per doc. Sub-3-char docs can't
+    // contain any >= 3-char pattern, so dropping them is sound (and keeps
+    // sequence() ascending — sequence(1, 0) would run DESCENDING)
+    val docTri = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))"))).as("tri"))
+    // pattern trigram table (broadcast) + required-count per pattern
+    val patTri = patterns.flatMap { case (pid, pat) =>
+      pat.sliding(3).toSeq.distinct.map(t => (pid, t))
+    }.toDF("pattern_id", "tri")
+    val patReq = patterns.map { case (pid, pat) =>
+      (pid, pat, pat.sliding(3).toSeq.distinct.size.toLong)
+    }.toDF("pattern_id", "pat", "n_tri")
+    // candidates: docs matching ALL pattern trigrams
+    val cand = docTri.join(broadcast(patTri), "tri")
+      .groupBy("pattern_id", "doc_id")
+      .agg(countDistinct("tri").as("n_hit"))
+      .join(broadcast(patReq), "pattern_id")
+      .filter(col("n_hit") === col("n_tri"))
+    // exact verify on candidates only
+    val matches = cand.join(docs, "doc_id")
+      .filter(expr("contains(text, pat)"))
+      .groupBy("pattern_id")
+      .agg(count(lit(1)).as("n_matches"), sum("doc_id").as("id_sum"))
+    patterns.map(_._1).toDF("pattern_id")
+      .join(matches, Seq("pattern_id"), "left")
+      .select(col("pattern_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      .orderBy("pattern_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1530,5 +1593,5 @@ object TextQueries {
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
       q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
-      q209TemperatureMix)
+      q209TemperatureMix, q210IndexedGrep)
 }
