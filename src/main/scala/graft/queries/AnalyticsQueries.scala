@@ -1854,7 +1854,85 @@ object AnalyticsQueries {
       q159CusumChangepoint, q160LastTouchAttribution, q170TvdDrift,
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
       q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
-      q205LinearAttribution, q206KCore, q207Sssp, q211PassAtK)
+      q205LinearAttribution, q206KCore, q207Sssp, q211PassAtK,
+      q213UShapeAttribution)
+
+  /** Position-based (U-shaped) attribution — 40% first touch, 40% last,
+    * 20% shared by the middles — completing the attribution triple
+    * (q160 last-touch, q205 linear). Exact integer apportionment per
+    * purchase: n=1 → 10000; n=2 → 5000/5000; n≥3 → 4000 at each end,
+    * middles get `2000 DIV (n−2)` each with the second-to-last absorbing
+    * the remainder — credits sum to exactly 10000 for every n (spec'd).
+    * Same join/window shape and 7-day lookback as q205.
+    */
+  lazy val q213UShapeAttribution: QuerySpec = QuerySpec.oracled(
+    "q213_ushape_attribution",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tus
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id AS pid, tus AS pts FROM e
+      |  WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS tid, event_type AS ttype, tus AS tts
+      |  FROM e WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.pid, t.tid, t.ttype, t.tts
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tts < p.pts AND t.tts >= p.pts - 604800000000),
+      |w AS (
+      |  SELECT pid, tid, ttype,
+      |    count(*) OVER (PARTITION BY pid) AS n,
+      |    row_number() OVER (PARTITION BY pid
+      |                       ORDER BY tts, tid) AS rn
+      |  FROM j),
+      |c AS (
+      |  SELECT ttype,
+      |    CASE
+      |      WHEN n = 1 THEN 10000
+      |      WHEN n = 2 THEN 5000
+      |      WHEN rn = 1 OR rn = n THEN 4000
+      |      WHEN rn = n - 1 THEN 2000 - (n - 3) * (2000 // (n - 2))
+      |      ELSE 2000 // (n - 2)
+      |    END AS credit_bp
+      |  FROM w)
+      |SELECT ttype AS event_type, count(*) AS n_touches,
+      |  CAST(sum(credit_bp) AS BIGINT) AS credit_bp_sum
+      |FROM c GROUP BY ttype
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val ev = CoreQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("tus").as("pts"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("tid"),
+        col("event_type").as("ttype"), col("tus").as("tts"))
+    val j = p.join(t,
+      col("user_id") === col("t_user") &&
+        col("tts") < col("pts") &&
+        col("tts") >= col("pts") - lit(604800000000L))
+    val wN = Window.partitionBy("pid")
+    val wR = Window.partitionBy("pid").orderBy(col("tts"), col("tid"))
+    j.withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("credit_bp", expr(
+        """CASE
+          |  WHEN n = 1 THEN 10000L
+          |  WHEN n = 2 THEN 5000L
+          |  WHEN rn = 1 OR rn = n THEN 4000L
+          |  WHEN rn = n - 1 THEN 2000 - (n - 3) * (2000 DIV (n - 2))
+          |  ELSE 2000 DIV (n - 2)
+          |END""".stripMargin))
+      .groupBy("ttype")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit_bp").as("credit_bp_sum"))
+      .select(col("ttype").as("event_type"), col("n_touches"),
+        col("credit_bp_sum"))
+      .orderBy("event_type")
+  }
 
   /** Exact pass@k (k = 3): per user, the probability that at least one of
     * k uniformly drawn attempts (without replacement) succeeds —

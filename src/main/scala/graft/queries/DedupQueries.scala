@@ -521,5 +521,75 @@ object DedupQueries {
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
       q155IncrementalNearDup, q161StreamIncrementalDedup,
-      q172SortedNeighborhood, q177DupSpans, q196DedupAblation)
+      q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
+      q212SplitLeakage)
+
+  /** Cross-split near-duplicate leakage audit: q18's near-dup pairs
+    * (Jaccard ≥ 0.7 on trigram shingles) joined against q92's
+    * hash-derived train/val/test assignment, rolled up per unordered
+    * split pair — the report that tells you whether your eval set is
+    * contaminated by near-copies of training documents (the failure
+    * row-level random splits guarantee on crawled corpora; q188's
+    * source-level split is the fix, this query is the detector).
+    * Same-split rows stay in the matrix so the report is complete and
+    * never empty. Scale: rides the q18 banded pair machinery (ids-only
+    * candidates); the split tag is one broadcast-sized md5 expression per
+    * endpoint; the rollup touches |pairs| rows.
+    */
+  lazy val q212SplitLeakage: QuerySpec = QuerySpec.oracled(
+    "q212_split_leakage",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))
+       |      AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
+       |np AS (
+       |  SELECT id_a, id_b FROM p
+       |  WHERE inter_size * 10 >= union_size * 7),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)),
+       |        1, 15))::BIGINT % 10000 AS bp
+       |    FROM documents)),
+       |tag AS (
+       |  SELECT least(sa.split, sb.split) AS split_lo,
+       |    greatest(sa.split, sb.split) AS split_hi,
+       |    np.id_a, np.id_b
+       |  FROM np JOIN sp sa ON np.id_a = sa.doc_id
+       |  JOIN sp sb ON np.id_b = sb.doc_id)
+       |SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |  CAST(sum(id_a + id_b) AS BIGINT) AS pair_id_sum,
+       |  CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS is_leak
+       |FROM tag GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin) { (spark, dir) =>
+    val pairs = Dedup.minhashNearDupPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 7, thresholdDen = 10)
+      .select("id_a", "id_b")
+    def splitOf(idc: org.apache.spark.sql.Column) = {
+      val bp = conv(substring(md5(concat(lit("split1:"),
+        idc.cast("string"))), 1, 15), 16, 10).cast("long") % 10000
+      when(bp < 8000, "train").when(bp < 9000, "val").otherwise("test")
+    }
+    pairs
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        col("id_a"), col("id_b"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).as("pair_id_sum"))
+      .withColumn("is_leak",
+        when(col("split_lo") =!= col("split_hi"), 1).otherwise(0))
+      .orderBy("split_lo", "split_hi")
+  }
 }

@@ -1864,7 +1864,68 @@ object EventQueries {
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
       q162HllIntersection, q166RollingP90, q168HdrQuantile, q174CmsFreq,
-      q176CmsJoinSize, q181DisorderAudit, q185StreamQuota)
+      q176CmsJoinSize, q181DisorderAudit, q185StreamQuota,
+      q214StreamFullOuter)
+
+  /** Stream-stream FULL OUTER join — completing the streaming join
+    * family (q77 inner, q89 left-outer): unmatched VIEWS emit null-click
+    * rows and unmatched CLICKS emit null-view rows, both watermark-driven
+    * (a row can only be declared unmatched once both watermarks pass its
+    * join horizon — q89's sentinel pair drags them forward). This is the
+    * reconciliation shape: neither side may silently drop. State stays
+    * bounded by the same 30-min range condition. Nullable ids leave as
+    * −1-coalesced BIGINTs so the adjudicated columns are never-null.
+    */
+  lazy val q214StreamFullOuter: QuerySpec = QuerySpec.oracled(
+    "q214_stream_full_outer",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tus
+      |  FROM events),
+      |v AS (SELECT user_id AS vu, event_id AS view_id, tus AS vt FROM e
+      |      WHERE event_type = 'view'),
+      |c AS (SELECT user_id AS cu, event_id AS click_id, tus AS ct FROM e
+      |      WHERE event_type = 'click')
+      |SELECT coalesce(v.vu, c.cu) AS user_id,
+      |  coalesce(v.view_id, -1) AS view_id,
+      |  coalesce(c.click_id, -1) AS click_id,
+      |  coalesce(c.ct - v.vt, -1) AS lag_us
+      |FROM v FULL JOIN c ON v.vu = c.cu
+      |  AND c.ct > v.vt AND c.ct <= v.vt + 1800000000
+      |ORDER BY user_id, view_id, click_id""".stripMargin) { (spark, dir) =>
+    val staged = stageQ89(spark, dir)
+    val schema = spark.read.parquet(s"$staged/00.parquet").schema
+    def side(eventType: String, prefix: String) = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .filter(col("event_type") === eventType)
+      .select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ts_ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("view", "v").join(side("click", "c"),
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+    spark.streams.active.filter(_.name == "q214_mem").foreach(_.stop())
+    drainScoped(spark)(joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("q214_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    spark.table("q214_mem")
+      .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+        coalesce(col("v_id"), lit(-1L)).as("view_id"),
+        coalesce(col("c_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("c_ts")) - unix_micros(col("v_ts")),
+          lit(-1L)).as("lag_us"))
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "view_id", "click_id")
+  }.withSetup((s, d) => { stageQ89(s, d); () })
 
   /** Streaming twin of the batch funnel (q63): per-user custom state via
     * `mapGroupsWithState` ([[graft.streaming.StreamingFunnel]]), adjudicated

@@ -53,6 +53,22 @@ class KCoreShardsSpec extends AnyFunSuite with SparkSpec {
     assert(totals.max - totals.min <= maxDoc)
   }
 
+  test("U-shape attribution credits sum to exactly 10000 per purchase") {
+    // replay the q213 rule for every n in 1..23
+    for (n <- 1 to 23) {
+      val credits: Seq[Long] =
+        if (n == 1) Seq(10000L)
+        else if (n == 2) Seq(5000L, 5000L)
+        else (1 to n).map { rn =>
+          if (rn == 1 || rn == n) 4000L
+          else if (rn == n - 1) 2000L - (n - 3) * (2000L / (n - 2))
+          else 2000L / (n - 2)
+        }
+      assert(credits.sum == 10000L, s"n=$n")
+      assert(credits.forall(_ >= 0), s"n=$n")
+    }
+  }
+
   test("linear attribution credits sum to exactly 10000 per purchase") {
     // replay the q205 arithmetic for every n in 1..23
     for (n <- 1 to 23) {
