@@ -1855,7 +1855,60 @@ object AnalyticsQueries {
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
       q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
       q205LinearAttribution, q206KCore, q207Sssp, q211PassAtK,
-      q213UShapeAttribution)
+      q213UShapeAttribution, q216WilsonLb)
+
+  /** Wilson-score lower-bound ranking (z = 2, ~95.45%): rank user cohorts
+    * by the CONFIDENCE-ADJUSTED click share, not the raw ratio — the
+    * classic fix for "1/1 beats 900/1000" when sorting by small-sample
+    * rates. z = 2 is chosen deliberately: z² = 4 and z²/4 = 1 are exact,
+    * so the whole formula is rational arithmetic around ONE `sqrt` — and
+    * IEEE sqrt is correctly rounded (engine-portable, unlike ln/erf), so
+    * both engines produce the identical double before the ppm floor (the
+    * q209 discipline). The ranking key itself is the floored BIGINT.
+    * Scale: one map-side-combinable cohort aggregate; the ranking window
+    * runs on |cohorts| rows.
+    */
+  lazy val q216WilsonLb: QuerySpec = QuerySpec.oracled(
+    "q216_wilson_lb",
+    """WITH b AS (
+      |  SELECT user_id % 50 AS cohort,
+      |    count(*) FILTER (WHERE event_type IN ('view', 'click')) AS n,
+      |    count(*) FILTER (WHERE event_type = 'click') AS k
+      |  FROM events GROUP BY 1
+      |  HAVING count(*) FILTER (WHERE event_type IN ('view', 'click')) > 0),
+      |w AS (
+      |  SELECT cohort, n, k,
+      |    CAST(floor(
+      |      ((k / CAST(n AS DOUBLE)) + 2.0 / n
+      |        - 2.0 * sqrt(((k / CAST(n AS DOUBLE))
+      |            * (1.0 - (k / CAST(n AS DOUBLE)))) / n
+      |          + 1.0 / (n * n)))
+      |      / (1.0 + 4.0 / n) * 1000000.0 + 0.5) AS BIGINT) AS lb_ppm
+      |  FROM b)
+      |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(n AS BIGINT) AS n,
+      |  CAST(k AS BIGINT) AS k, lb_ppm,
+      |  CAST(row_number() OVER (ORDER BY lb_ppm DESC, cohort)
+      |    AS INTEGER) AS rnk
+      |FROM w ORDER BY rnk""".stripMargin) { (spark, dir) =>
+    val b = CoreQueries.events(spark, dir)
+      .groupBy((col("user_id") % 50).as("cohort"))
+      .agg(
+        count(when(col("event_type").isin("view", "click"), 1)).as("n"),
+        count(when(col("event_type") === "click", 1)).as("k"))
+      .filter(col("n") > 0)
+    val p = col("k") / col("n").cast("double")
+    val lb = (p + lit(2.0) / col("n")
+      - lit(2.0) * sqrt((p * (lit(1.0) - p)) / col("n")
+        + lit(1.0) / (col("n") * col("n")))) / (lit(1.0) + lit(4.0) / col("n"))
+    val wR = Window.partitionBy(lit(1))
+      .orderBy(col("lb_ppm").desc, col("cohort"))
+    b.withColumn("lb_ppm",
+        floor(lb * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(wR))
+      .select(col("cohort").cast("long").as("cohort"),
+        col("n"), col("k"), col("lb_ppm"), col("rnk"))
+      .orderBy("rnk")
+  }
 
   /** Position-based (U-shaped) attribution — 40% first touch, 40% last,
     * 20% shared by the middles — completing the attribution triple

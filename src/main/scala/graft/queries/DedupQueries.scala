@@ -522,7 +522,86 @@ object DedupQueries {
       q57DupClusters, q69ClusterSurvivor, q148Containment,
       q155IncrementalNearDup, q161StreamIncrementalDedup,
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
-      q212SplitLeakage)
+      q212SplitLeakage, q215MinhashCalibration)
+
+  /** MinHash estimator calibration audit: for every pair with exact
+    * Jaccard ≥ 0.5, the 128-lane signature agreement rate
+    * (`matched/128`) against the exact ratio, bucketed by exact-Jaccard
+    * decile with mean and max absolute error — the monitoring artifact
+    * that justifies the sketch's band/threshold parameters in production
+    * (if the 0.5–0.6 bucket shows 80k ppm max error, a 0.7 cut needs
+    * margin). All ppm values are integer floor-divs; the oracle replays
+    * the full lane arithmetic `(A_i·(h mod P) + B_i) mod P` per doc from
+    * the same md5 hash sets, so estimates — not just exacts — are
+    * adjudicated. Scale: signatures are per-doc scalars; only the
+    * candidate pairs (banding at the relaxed 0.5 cut, miss probability
+    * (1−J²)⁶⁴ ≤ 1e-8) carry the two 128-lane arrays through a join.
+    */
+  lazy val q215MinhashCalibration: QuerySpec = QuerySpec.oracled(
+    "q215_minhash_calibration",
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 128), i ->
+       |    list_min(list_transform(h, v ->
+       |      (((1103515245 * i + 12345) % 1000000007) * (v % 1000000007)
+       |       + (69069 * i + 1) % 1000000007) % 1000000007))) AS sig
+       |  FROM hs),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))
+       |      AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
+       |np AS (
+       |  SELECT id_a, id_b, inter_size, union_size FROM p
+       |  WHERE inter_size * 2 >= union_size * 1),
+       |m AS (
+       |  SELECT np.id_a, np.id_b,
+       |    len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))
+       |      AS matched,
+       |    np.inter_size, np.union_size
+       |  FROM np JOIN sig sa ON np.id_a = sa.doc_id
+       |  JOIN sig sb ON np.id_b = sb.doc_id),
+       |er AS (
+       |  SELECT (inter_size * 1000000) // union_size // 100000 AS bucket,
+       |    abs((matched * 1000000) // 128
+       |      - (inter_size * 1000000) // union_size) AS err_ppm
+       |  FROM m)
+       |SELECT CAST(bucket AS INTEGER) AS decile, count(*) AS n_pairs,
+       |  CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+       |  CAST(max(err_ppm) AS BIGINT) AS max_err_ppm
+       |FROM er GROUP BY bucket
+       |ORDER BY decile""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sets = Dedup.withShingleHashSets(docs, "doc_id", "text", 3)
+    val sig = sets.select(col("doc_id"),
+      expr("graft_minhash(hsh, 128)").as("sig"))
+    val pairs = Dedup.minhashNearDupPairs(docs,
+      idCol = "doc_id", textCol = "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 1, thresholdDen = 2)
+      .select("id_a", "id_b", "inter_size", "union_size")
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .withColumn("matched", expr(
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+          "b -> b)) AS BIGINT)"))
+      .withColumn("err_ppm", abs(
+        expr("(matched * 1000000L) DIV 128") -
+          expr("(CAST(inter_size AS BIGINT) * 1000000L) DIV union_size")))
+      .withColumn("decile", expr(
+        "CAST((CAST(inter_size AS BIGINT) * 1000000L) DIV union_size " +
+          "DIV 100000 AS INT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(err_ppm) DIV count(1) AS BIGINT)")
+          .as("mean_err_ppm"),
+        max("err_ppm").as("max_err_ppm"))
+      .orderBy("decile")
+  }
 
   /** Cross-split near-duplicate leakage audit: q18's near-dup pairs
     * (Jaccard ≥ 0.7 on trigram shingles) joined against q92's
