@@ -1865,7 +1865,86 @@ object EventQueries {
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
       q162HllIntersection, q166RollingP90, q168HdrQuantile, q174CmsFreq,
       q176CmsJoinSize, q181DisorderAudit, q185StreamQuota,
-      q214StreamFullOuter)
+      q214StreamFullOuter, q217TimerSessions)
+
+  /** q38's session report rebuilt from RAW transformWithState primitives
+    * ([[graft.streaming.TimerSessions]]): LIST state buffers each user's
+    * events, an event-time TIMER arms at `last + gap`, and sessions emit
+    * from `handleExpiredTimer` only once the WATERMARK proves them closed
+    * — completing the Spark 4 stateful API surface (ValueState q150,
+    * MapState q185, ListState + timers here) with the push-based emission
+    * contract custom close rules need. Adjudicated against the IDENTICAL
+    * batch gap-rule oracle as q38, so native `session_window` and the
+    * hand-built timer machine must agree row-for-row. Same sentinel
+    * staging advances the watermark so every timer fires before the
+    * AvailableNow run ends.
+    */
+  lazy val q217TimerSessions: QuerySpec = QuerySpec.oracled(
+    "q217_timer_sessions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, tus,
+      |    lag(tus) OVER (PARTITION BY user_id
+      |                   ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |g AS (
+      |  SELECT user_id, tus,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id,
+      |  min(tus) AS session_start_us,
+      |  max(tus) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (spark, dir) =>
+    import graft.streaming.TimerSessions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ38(spark, dir)
+    val schema = spark.read.parquet(s"$staged/00.parquet").schema
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      implicit val evEnc = org.apache.spark.sql.Encoders.product[TimerEvent]
+      implicit val outEnc = org.apache.spark.sql.Encoders.product[Session]
+      implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withWatermark("ts_ts", "1 hour")
+        .as[TimerEvent](evEnc)
+        .groupByKey(_.user_id)(keyEnc)
+        .transformWithState(new SessionEmitProcessor(1800000000L),
+          TimeMode.EventTime(), OutputMode.Append(), outEnc)
+      spark.streams.active
+        .filter(_.name == "q217_mem").foreach(_.stop())
+      drainScoped(spark)(out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("q217_mem")
+        .trigger(Trigger.AvailableNow())
+        .start())
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table("q217_mem")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_us")
+  }.withSetup((s, d) => { stageQ38(s, d); () })
 
   /** Stream-stream FULL OUTER join — completing the streaming join
     * family (q77 inner, q89 left-outer): unmatched VIEWS emit null-click
