@@ -454,5 +454,54 @@ object ReaderQueries {
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
       q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution,
-      q163ZOrderPrunedScan)
+      q163ZOrderPrunedScan, q218CompactionRoundtrip)
+
+  private val q218Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage a deliberately fragmented copy of lineitem (64 small files) —
+    * the small-files pathology Compaction exists to fix. Memoized per sf
+    * dir; Bench stages it untimed.
+    */
+  def stageQ218(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q218Staging.getOrStage(dir) {
+      val staged = QuerySpec.stagedPath("q218_frag", dir)
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(64)
+        .write.mode("overwrite").parquet(staged)
+      staged
+    }
+
+  /** Small-file compaction round trip — [[graft.ext.Compaction]]
+    * gate-adjudicated (it was spec-only sizing behavior before this): a
+    * 64-fragment lineitem copy rewrites through `compactTo` (sampled
+    * row-width estimate → rows-per-file cap → one repartition write) and
+    * the compacted output is read back and aggregated against the
+    * ORIGINAL parquet's oracle — row/hash equality proves the rewrite
+    * lossless while CompactionSpec pins the file-sizing contract. The
+    * compaction itself is timed: this row measures the rewrite, which at
+    * 100 TB is the nightly job that keeps scan parallelism healthy
+    * (thousands of KB-files → file-listing and task-startup dominate any
+    * downstream query).
+    */
+  lazy val q218CompactionRoundtrip: QuerySpec = QuerySpec.oracled(
+    "q218_compaction_roundtrip",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    val frag = stageQ218(spark, dir)
+    val out = QuerySpec.stagedPath("q218_out", dir)
+    graft.ext.Compaction.compactTo(
+      spark.read.parquet(frag), out, targetFileBytes = 8L * 1024 * 1024)
+    spark.read.parquet(out)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty_sum"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("price_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }.withSetup((s, d) => { stageQ218(s, d); () })
 }

@@ -439,5 +439,79 @@ object RelationalQueries {
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
       q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
-      q164FrequentPairs, q190BandJoin)
+      q164FrequentPairs, q190BandJoin, q219ItemCf)
+
+  /** Item-item collaborative-filtering similarity ("bought X also bought
+    * Y"): per part, the top-5 co-purchased parts by cosine over basket
+    * co-occurrence — `c_ij / √(c_i·c_j)` with exact BIGINT counts, ONE
+    * correctly-rounded sqrt, and a floored-ppm BIGINT ranking key (the
+    * q216 discipline). Scale follows q164's apriori order: parts below
+    * the support floor are dropped BEFORE the per-basket pair explode
+    * (lossless — c_ij ≥ 3 needs c_i ≥ 3), baskets are small and bounded,
+    * the count table broadcasts back for scoring, and the per-item top-5
+    * is a bounded window. This is the recommendation precompute a
+    * purchase log feeds nightly.
+    */
+  lazy val q219ItemCf: QuerySpec = QuerySpec.oracled(
+    "q219_item_cf",
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+      |  FROM lineitem),
+      |ic AS (SELECT item, count(*) AS ci FROM b GROUP BY item),
+      |pair AS (
+      |  SELECT a.item AS i, c.item AS j, count(*) AS cij
+      |  FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sym AS (
+      |  SELECT i, j, cij FROM pair
+      |  UNION ALL
+      |  SELECT j, i, cij FROM pair),
+      |sc AS (
+      |  SELECT s.i AS item, s.j AS neighbor, s.cij,
+      |    CAST(floor((s.cij * 1000000) / sqrt(ca.ci * cb.ci) + 0.5)
+      |      AS BIGINT) AS sim_ppm
+      |  FROM sym s JOIN ic ca ON s.i = ca.item
+      |  JOIN ic cb ON s.j = cb.item),
+      |r AS (
+      |  SELECT item, neighbor, cij, sim_ppm,
+      |    row_number() OVER (PARTITION BY item
+      |                       ORDER BY sim_ppm DESC, neighbor) AS rnk
+      |  FROM sc)
+      |SELECT item, CAST(rnk AS INTEGER) AS rank, neighbor,
+      |  CAST(cij AS BIGINT) AS n_co, sim_ppm
+      |FROM r WHERE rnk <= 5
+      |ORDER BY item, rank""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("bid"), col("l_partkey").as("item"))
+      .distinct()
+    val ic = b.groupBy("item").agg(count(lit(1)).as("ci"))
+    // apriori prune: items below the support floor can't form a pair
+    val frequent = ic.filter(col("ci") >= 3).select("item")
+    val bf = b.join(broadcast(frequent), "item")
+    val pair = bf.as("a")
+      .join(bf.as("c"),
+        col("a.bid") === col("c.bid") && col("a.item") < col("c.item"))
+      .groupBy(col("a.item").as("i"), col("c.item").as("j"))
+      .agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= 3)
+    val sym = pair.select(col("i"), col("j"), col("cij"))
+      .unionByName(pair.select(col("j").as("i"), col("i").as("j"),
+        col("cij")))
+    val scored = sym
+      .join(broadcast(ic.select(col("item").as("i"), col("ci").as("ca"))),
+        "i")
+      .join(broadcast(ic.select(col("item").as("j"), col("ci").as("cb"))),
+        "j")
+      .withColumn("sim_ppm",
+        floor((col("cij") * lit(1000000)) / sqrt(col("ca") * col("cb"))
+          + lit(0.5)).cast("long"))
+    val w = Window.partitionBy("i")
+      .orderBy(col("sim_ppm").desc, col("j"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("i").as("item"), col("rnk").as("rank"),
+        col("j").as("neighbor"), col("cij").as("n_co"), col("sim_ppm"))
+      .orderBy("item", "rank")
+  }
 }
