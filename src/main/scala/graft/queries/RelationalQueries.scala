@@ -439,7 +439,52 @@ object RelationalQueries {
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
       q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
-      q164FrequentPairs, q190BandJoin, q219ItemCf)
+      q164FrequentPairs, q190BandJoin, q219ItemCf, q221FanoutHistogram)
+
+  /** Join-fanout histogram — the skew diagnosis you run BEFORE choosing a
+    * join strategy: per foreign key, its multiplicity m, bucketed into
+    * log₂ bins computed as `length(bin(m)) − 1` (both engines print the
+    * same binary string — an integer log2 with no libm), with the bin's
+    * key count and worst multiplicity. A heavy tail at high bins is the
+    * signal to salt (q79) or let AQE split (q101); three key columns in
+    * one report. One map-side-combinable count per key column + a
+    * \|distinct keys\|-row rollup.
+    */
+  lazy val q221FanoutHistogram: QuerySpec = QuerySpec.oracled(
+    "q221_fanout_histogram",
+    """WITH m1 AS (
+      |  SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k,
+      |    count(*) AS m FROM lineitem GROUP BY 2),
+      |m2 AS (
+      |  SELECT 'lineitem.l_partkey', l_partkey, count(*)
+      |  FROM lineitem GROUP BY 2),
+      |m3 AS (
+      |  SELECT 'orders.o_custkey', o_custkey, count(*)
+      |  FROM orders GROUP BY 2),
+      |u AS (
+      |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
+      |  UNION ALL SELECT * FROM m3)
+      |SELECT key_col,
+      |  CAST(length(bin(m)) - 1 AS INTEGER) AS log2_bucket,
+      |  count(*) AS n_keys,
+      |  CAST(max(m) AS BIGINT) AS max_m,
+      |  CAST(sum(m) AS BIGINT) AS n_rows
+      |FROM u GROUP BY 1, 2
+      |ORDER BY key_col, log2_bucket""".stripMargin) { (spark, dir) =>
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    def mult(df: org.apache.spark.sql.DataFrame, c: String, label: String) =
+      df.groupBy(col(c).as("k")).agg(count(lit(1)).as("m"))
+        .select(lit(label).as("key_col"), col("k"), col("m"))
+    mult(li, "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(mult(li, "l_partkey", "lineitem.l_partkey"))
+      .unionByName(mult(o, "o_custkey", "orders.o_custkey"))
+      .groupBy(col("key_col"),
+        expr("CAST(length(bin(m)) - 1 AS INT)").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), max("m").as("max_m"),
+        sum("m").as("n_rows"))
+      .orderBy("key_col", "log2_bucket")
+  }
 
   /** Item-item collaborative-filtering similarity ("bought X also bought
     * Y"): per part, the top-5 co-purchased parts by cosine over basket

@@ -492,7 +492,84 @@ object SimilarityQueries {
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
-      q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8)
+      q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
+      q220AnnRecall)
+
+  /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
+    * the exact brute-force top-5 per query, as exact integers — matched
+    * count and `recall_ppm = matched · 200000` — the q215 discipline
+    * applied to the ANN family: the measurement harness that justifies
+    * `numPlanes` in production (single-probe recall is the number
+    * multi-probe q42 exists to raise). `n_approx` < 5 exposes queries
+    * whose bucket was thinner than k. Both pipelines and the intersection
+    * are replayed in the oracle, so the recall NUMBERS are adjudicated,
+    * not sampled.
+    */
+  lazy val q220AnnRecall: QuerySpec = QuerySpec.oracled(
+    "q220_ann_recall",
+    s"""$normCte,
+       |b AS (
+       |  SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket
+       |  FROM nv),
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM nv q JOIN nv c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |exr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM exs),
+       |ext AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= 5),
+       |aps AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM b q JOIN b c
+       |    ON q.bucket = c.bucket AND q.vec_id < 20
+       |    AND c.vec_id <> q.vec_id),
+       |apr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM aps),
+       |apt AS (SELECT query_id, neighbor_id FROM apr WHERE rank <= 5),
+       |m AS (
+       |  SELECT e.query_id, count(*) AS matched
+       |  FROM ext e JOIN apt a ON e.query_id = a.query_id
+       |    AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY 1),
+       |na AS (SELECT query_id, count(*) AS n_approx FROM apt GROUP BY 1),
+       |qq AS (SELECT vec_id AS query_id FROM nv WHERE vec_id < 20)
+       |SELECT qq.query_id,
+       |  CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+       |  CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+       |  CAST(coalesce(m.matched, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM qq LEFT JOIN na ON qq.query_id = na.query_id
+       |LEFT JOIN m ON qq.query_id = m.query_id
+       |ORDER BY qq.query_id""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", k = 5, numPlanes = NumPlanes, dim = Dim)
+      .select("query_id", "neighbor_id")
+    val matched = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("matched"))
+    val nApprox = approx.groupBy("query_id")
+      .agg(count(lit(1)).as("n_approx"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(nApprox, Seq("query_id"), "left")
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        (coalesce(col("matched"), lit(0L)) * 200000).as("recall_ppm"))
+      .orderBy("query_id")
+  }
 
   /** Int8 integer-dot ANN ([[graft.ext.Retrieval.int8TopK]]): corpus and
     * queries quantized per q48's abs-max scheme, candidates scored by the
