@@ -522,7 +522,89 @@ object DedupQueries {
       q57DupClusters, q69ClusterSurvivor, q148Containment,
       q155IncrementalNearDup, q161StreamIncrementalDedup,
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
-      q212SplitLeakage, q215MinhashCalibration)
+      q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets)
+
+  /** Contrastive training triplets from the dedup machinery: per anchor
+    * document, its MOST similar same-block partner (the positive) and its
+    * LEAST similar (the hard negative, still same lang×source — harder
+    * than a random negative by construction), with exact bigram-Jaccard
+    * ppm for both — the (anchor, positive, negative) dataset an embedding
+    * model trains on, extracted deterministically (ties → smallest
+    * partner id) so the whole training set is reproducible and
+    * adjudicated. Scale: q20's blocked+salted pair machinery with the
+    * threshold removed; two bounded per-anchor rank windows pick the
+    * extremes.
+    */
+  lazy val q222ContrastiveTriplets: QuerySpec = QuerySpec.oracled(
+    "q222_contrastive_triplets",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, source, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+      |    AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS s
+      |  FROM tk),
+      |hs2 AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(s,
+      |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+      |  FROM sh
+      |  WHERE len(s) > 0),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.h, b.h)) AS i,
+      |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS u
+      |  FROM hs2 a JOIN hs2 b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |    AND a.doc_id < b.doc_id),
+      |sym AS (
+      |  SELECT id_a AS anchor, id_b AS partner,
+      |    (i * 1000000) // u AS jppm FROM p
+      |  UNION ALL
+      |  SELECT id_b, id_a, (i * 1000000) // u FROM p),
+      |r AS (
+      |  SELECT anchor, partner, jppm,
+      |    row_number() OVER (PARTITION BY anchor
+      |                       ORDER BY jppm DESC, partner) AS rp,
+      |    row_number() OVER (PARTITION BY anchor
+      |                       ORDER BY jppm ASC, partner) AS rng
+      |  FROM sym)
+      |SELECT p.anchor,
+      |  p.partner AS pos_id, CAST(p.jppm AS BIGINT) AS pos_jppm,
+      |  n.partner AS neg_id, CAST(n.jppm AS BIGINT) AS neg_jppm
+      |FROM (SELECT * FROM r WHERE rp = 1) p
+      |JOIN (SELECT * FROM r WHERE rng = 1) n USING (anchor)
+      |ORDER BY anchor""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text",
+      blockCols = Seq("lang", "source"),
+      k = 2, thresholdNum = 0, thresholdDen = 1)
+      .select(col("id_a"), col("id_b"),
+        expr("(CAST(inter_size AS BIGINT) * 1000000) DIV union_size")
+          .as("jppm"))
+    val sym = pairs.select(col("id_a").as("anchor"),
+        col("id_b").as("partner"), col("jppm"))
+      .unionByName(pairs.select(col("id_b").as("anchor"),
+        col("id_a").as("partner"), col("jppm")))
+    val wp = Window.partitionBy("anchor")
+      .orderBy(col("jppm").desc, col("partner"))
+    val wn = Window.partitionBy("anchor")
+      .orderBy(col("jppm").asc, col("partner"))
+    val ranked = sym.withColumn("rp", row_number().over(wp))
+      .withColumn("rng", row_number().over(wn))
+    ranked.filter(col("rp") === 1)
+      .select(col("anchor"), col("partner").as("pos_id"),
+        col("jppm").as("pos_jppm"))
+      .join(ranked.filter(col("rng") === 1)
+        .select(col("anchor"), col("partner").as("neg_id"),
+          col("jppm").as("neg_jppm")), "anchor")
+      .orderBy("anchor")
+  }
 
   /** MinHash estimator calibration audit: for every pair with exact
     * Jaccard ≥ 0.5, the 128-lane signature agreement rate

@@ -1583,6 +1583,54 @@ object TextQueries {
       .orderBy("pattern_id")
   }
 
+  /** Deterministic per-epoch data-loader shuffle: epoch e's order is the
+    * md5('ep:e:doc_id') sort — a reproducible permutation per epoch with
+    * no RNG state to checkpoint (the q49/q92 hash-randomness discipline
+    * applied to epoch shuffling: any worker can recompute any epoch's
+    * order from scratch, which is what makes mid-epoch restart trivial).
+    * `perm_checksum = Σ doc_id·rank` adjudicates each ENTIRE permutation
+    * as one BIGINT; `head3_sum` pins the head. Scale: per epoch one
+    * sampled RangePartitioning sort + `zipWithIndex` (the q120
+    * distributed-rank shape — no single-partition window), and epochs are
+    * independent parallel jobs.
+    */
+  val q223EpochShuffle: QuerySpec = QuerySpec.oracled(
+    "q223_epoch_shuffle",
+    """WITH ep AS (SELECT unnest(range(0, 3)) AS epoch),
+      |r AS (
+      |  SELECT ep.epoch, d.doc_id,
+      |    row_number() OVER (PARTITION BY ep.epoch
+      |      ORDER BY md5('ep:' || ep.epoch::VARCHAR || ':'
+      |        || d.doc_id::VARCHAR), d.doc_id) AS rnk
+      |  FROM documents d CROSS JOIN ep)
+      |SELECT CAST(epoch AS INTEGER) AS epoch, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rnk <= 3 THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS head3_sum,
+      |  CAST(sum(doc_id * rnk) AS BIGINT) AS perm_checksum
+      |FROM r GROUP BY epoch
+      |ORDER BY epoch""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val perEpoch = (0 until 3).map { e =>
+      ids
+        .withColumn("key",
+          md5(concat(lit(s"ep:$e:"), col("doc_id").cast("string"))))
+        .orderBy(col("key"), col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .rdd.zipWithIndex
+        .map { case (id, idx) => (e, id, idx + 1) }
+        .toDF("epoch", "doc_id", "rnk")
+    }
+    perEpoch.reduce(_ unionByName _)
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rnk") <= 3, col("doc_id")).otherwise(0L))
+          .as("head3_sum"),
+        sum(col("doc_id") * col("rnk")).as("perm_checksum"))
+      .orderBy("epoch")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1593,5 +1641,5 @@ object TextQueries {
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
       q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
-      q209TemperatureMix, q210IndexedGrep)
+      q209TemperatureMix, q210IndexedGrep, q223EpochShuffle)
 }
