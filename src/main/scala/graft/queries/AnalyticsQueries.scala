@@ -1855,7 +1855,70 @@ object AnalyticsQueries {
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
       q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
       q205LinearAttribution, q206KCore, q207Sssp, q211PassAtK,
-      q213UShapeAttribution, q216WilsonLb)
+      q213UShapeAttribution, q216WilsonLb, q225RfmSegments)
+
+  /** RFM customer segmentation: recency (days since last order, anchored
+    * to the corpus-max date so the metric is reproducible), frequency
+    * (order count), monetary (lifetime cents) — each scored into
+    * quintiles with `ntile(5)` over a UNIQUE order (metric, custkey), so
+    * tile boundaries are deterministic in both engines; higher tile =
+    * better customer on every axis. Emitted as the (r, f, m) segment
+    * matrix with member counts and key sums — the lifecycle-marketing
+    * precompute. Scale: one per-customer aggregate; the three ntile
+    * windows run over |customers| rows (single-partition at gate scale —
+    * the production form pre-computes boundaries via approx quantiles
+    * and maps tiles map-side, which q74's equidepth binning demonstrates).
+    */
+  lazy val q225RfmSegments: QuerySpec = QuerySpec.oracled(
+    "q225_rfm_segments",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST((epoch_us((SELECT max(o_orderdate) FROM orders))
+      |      - epoch_us(max(o_orderdate))) // 86400000000 AS BIGINT)
+      |      AS rec_days,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT o_custkey,
+      |    ntile(5) OVER (ORDER BY rec_days DESC, o_custkey) AS r_q,
+      |    ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS f_q,
+      |    ntile(5) OVER (ORDER BY cents ASC, o_custkey) AS m_q
+      |  FROM c)
+      |SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+      |  CAST(m_q AS INTEGER) AS m_q,
+      |  count(*) AS n_customers,
+      |  CAST(sum(o_custkey) AS BIGINT) AS key_sum
+      |FROM t GROUP BY 1, 2, 3
+      |ORDER BY r_q, f_q, m_q""".stripMargin) { (spark, dir) =>
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    // corpus-max anchor as a broadcast scalar (o_orderdate arrives NTZ —
+    // with the session pinned UTC the double cast reads the same instant
+    // DuckDB's epoch_us sees, the q28 discipline)
+    val anchor = orders.agg(
+      max(col("o_orderdate").cast("timestamp").cast("long")).as("anchor_s"))
+    val c = orders.groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate").cast("timestamp").cast("long")).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("rec_days",
+        ((col("anchor_s") - col("last_s")) / 86400).cast("long"))
+    val wAll = Window.partitionBy(lit(1))
+    val t = c
+      .withColumn("r_q", ntile(5).over(
+        wAll.orderBy(col("rec_days").desc, col("o_custkey"))))
+      .withColumn("f_q", ntile(5).over(
+        wAll.orderBy(col("freq").asc, col("o_custkey"))))
+      .withColumn("m_q", ntile(5).over(
+        wAll.orderBy(col("cents").asc, col("o_custkey"))))
+    t.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("o_custkey").as("key_sum"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
 
   /** Wilson-score lower-bound ranking (z = 2, ~95.45%): rank user cohorts
     * by the CONFIDENCE-ADJUSTED click share, not the raw ratio — the

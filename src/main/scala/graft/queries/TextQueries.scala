@@ -1631,6 +1631,76 @@ object TextQueries {
       .orderBy("epoch")
   }
 
+  /** Phrase search via a POSITIONAL inverted index: docs where the phrase's
+    * tokens occur ADJACENTLY, found by joining the (doc, token, position)
+    * posting table against itself on `pos₂ = pos₁ + 1` — the scale path
+    * for phrase/proximity queries (q210's trigram index answers substring
+    * containment; position lists answer token adjacency, and extend to
+    * within-k proximity by changing one predicate). Both engines define
+    * the match positionally — this is index-as-semantics, not
+    * index-as-pruning, so the oracle replays the position join itself
+    * (DuckDB's 1-based list indexing over a 0-based range, the q140
+    * idiom). Never-matching third phrase adjudicates the empty path.
+    * Scale: postings are (tok, doc, pos) rows partitioned by token; the
+    * phrase join touches only the phrase's two posting lists.
+    */
+  val q224PhraseIndex: QuerySpec = QuerySpec.oracled(
+    "q224_phrase_index",
+    s"""WITH pt AS (
+       |  SELECT * FROM (VALUES (1, 'table', 'scan'), (2, 'stream', 'join'),
+       |    (3, 'quantum', 'flux')) AS t(phrase_id, tok1, tok2)),
+       |tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, CAST(t.p AS BIGINT) AS pos, toks[t.p + 1] AS tok
+       |  FROM tk, UNNEST(range(len(toks))) AS t(p)),
+       |hit AS (
+       |  SELECT pt.phrase_id, a.doc_id
+       |  FROM pt
+       |  JOIN px a ON a.tok = pt.tok1
+       |  JOIN px b ON b.doc_id = a.doc_id AND b.tok = pt.tok2
+       |    AND b.pos = a.pos + 1),
+       |agg AS (
+       |  SELECT phrase_id, count(*) AS n_occurrences,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
+       |  FROM hit GROUP BY phrase_id)
+       |SELECT pt.phrase_id,
+       |  CAST(coalesce(agg.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(agg.n_occurrences, 0) AS BIGINT) AS n_occurrences,
+       |  CAST(coalesce(agg.id_sum, 0) AS BIGINT) AS id_sum
+       |FROM pt LEFT JOIN agg ON pt.phrase_id = agg.phrase_id
+       |ORDER BY pt.phrase_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val phrases = Seq((1, "table", "scan"), (2, "stream", "join"),
+      (3, "quantum", "flux"))
+    val px = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(graft.ext.Dedup.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val pt = broadcast(phrases.toDF("phrase_id", "tok1", "tok2"))
+    val hits = pt
+      .join(px.as("a"), col("a.tok") === col("tok1"))
+      .join(px.as("b"),
+        col("b.doc_id") === col("a.doc_id") &&
+          col("b.tok") === col("tok2") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("phrase_id"), col("a.doc_id").as("doc_id"))
+    val agg = hits.groupBy("phrase_id")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum_distinct(col("doc_id")).as("id_sum"))
+    phrases.map(_._1).toDF("phrase_id")
+      .join(agg, Seq("phrase_id"), "left")
+      .select(col("phrase_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      .orderBy("phrase_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1641,5 +1711,6 @@ object TextQueries {
       q149FilterFunnel, q169MixtureAllocate, q178InvertedIndex,
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
       q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
-      q209TemperatureMix, q210IndexedGrep, q223EpochShuffle)
+      q209TemperatureMix, q210IndexedGrep, q223EpochShuffle,
+      q224PhraseIndex)
 }
