@@ -1547,34 +1547,11 @@ object TextQueries {
     import spark.implicits._
     val patterns = Seq((1, "table scan"), (2, "stream join"),
       (3, "quantum flux"))
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    // posting lists: distinct trigrams per doc. Sub-3-char docs can't
-    // contain any >= 3-char pattern, so dropping them is sound (and keeps
-    // sequence() ascending — sequence(1, 0) would run DESCENDING)
-    val docTri = docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3))"))).as("tri"))
-    // pattern trigram table (broadcast) + required-count per pattern
-    val patTri = patterns.flatMap { case (pid, pat) =>
-      pat.sliding(3).toSeq.distinct.map(t => (pid, t))
-    }.toDF("pattern_id", "tri")
-    val patReq = patterns.map { case (pid, pat) =>
-      (pid, pat, pat.sliding(3).toSeq.distinct.size.toLong)
-    }.toDF("pattern_id", "pat", "n_tri")
-    // candidates: docs matching ALL pattern trigrams
-    val cand = docTri.join(broadcast(patTri), "tri")
-      .groupBy("pattern_id", "doc_id")
-      .agg(countDistinct("tri").as("n_hit"))
-      .join(broadcast(patReq), "pattern_id")
-      .filter(col("n_hit") === col("n_tri"))
-    // exact verify on candidates only
-    val matches = cand.join(docs, "doc_id")
-      .filter(expr("contains(text, pat)"))
+    val matches = graft.ext.Search.literalMatches(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", patterns = patterns)
       .groupBy("pattern_id")
-      .agg(count(lit(1)).as("n_matches"), sum("doc_id").as("id_sum"))
+      .agg(count(lit(1)).as("n_matches"), sum("id").as("id_sum"))
     patterns.map(_._1).toDF("pattern_id")
       .join(matches, Seq("pattern_id"), "left")
       .select(col("pattern_id"),
@@ -1675,23 +1652,13 @@ object TextQueries {
     import spark.implicits._
     val phrases = Seq((1, "table", "scan"), (2, "stream", "join"),
       (3, "quantum", "flux"))
-    val px = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"),
-        posexplode(graft.ext.Dedup.tokens(col("text")))
-          .as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val pt = broadcast(phrases.toDF("phrase_id", "tok1", "tok2"))
-    val hits = pt
-      .join(px.as("a"), col("a.tok") === col("tok1"))
-      .join(px.as("b"),
-        col("b.doc_id") === col("a.doc_id") &&
-          col("b.tok") === col("tok2") &&
-          col("b.pos") === col("a.pos") + 1)
-      .select(col("phrase_id"), col("a.doc_id").as("doc_id"))
+    val hits = graft.ext.Search.phraseMatches(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", phrases = phrases)
     val agg = hits.groupBy("phrase_id")
-      .agg(countDistinct("doc_id").as("n_docs"),
+      .agg(countDistinct("id").as("n_docs"),
         count(lit(1)).as("n_occurrences"),
-        sum_distinct(col("doc_id")).as("id_sum"))
+        sum_distinct(col("id")).as("id_sum"))
     phrases.map(_._1).toDF("phrase_id")
       .join(agg, Seq("phrase_id"), "left")
       .select(col("phrase_id"),
