@@ -1855,7 +1855,67 @@ object AnalyticsQueries {
       q171MannWhitney, q173KsTest, q184ChiSquared, q186Communities,
       q189Assortativity, q192TrendDetect, q195HazardTable, q200Hits,
       q205LinearAttribution, q206KCore, q207Sssp, q211PassAtK,
-      q213UShapeAttribution, q216WilsonLb, q225RfmSegments)
+      q213UShapeAttribution, q216WilsonLb, q225RfmSegments,
+      q227ForecastEval)
+
+  /** Forecast-eval baseline comparison (the MASE ingredient): per event
+    * type, the 1-day-lag naive forecast against the 7-day-lag seasonal
+    * naive over the daily count series — absolute-error SUMS as exact
+    * BIGINTs (counts are integers, so MAE numerators are too), the
+    * seasonal/naive ratio as one floor-div ppm, and the winner decided by
+    * integer comparison. Missing days are handled by JOINING on day−k
+    * (inner semantics, identical in both engines) rather than a
+    * row-offset `lag` that silently spans gaps — the correctness trap in
+    * time-series eval on sparse series. One (type, day) map-side
+    * aggregate; everything after runs on |types|×|days| rows.
+    */
+  lazy val q227ForecastEval: QuerySpec = QuerySpec.oracled(
+    "q227_forecast_eval",
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d.event_type, d.day, d.c, p1.c AS c1, p7.c AS c7
+      |  FROM d
+      |  JOIN d p1 ON p1.event_type = d.event_type AND p1.day = d.day - 1
+      |  JOIN d p7 ON p7.event_type = d.event_type AND p7.day = d.day - 7)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(sum(abs(c - c1)) AS BIGINT) AS mae1_sum,
+      |  CAST(sum(abs(c - c7)) AS BIGINT) AS mae7_sum,
+      |  CAST(CASE WHEN sum(abs(c - c1)) > 0
+      |    THEN (sum(abs(c - c7)) * 1000000) // sum(abs(c - c1))
+      |    ELSE -1 END AS BIGINT) AS mase_ppm,
+      |  CAST(CASE WHEN sum(abs(c - c7)) < sum(abs(c - c1))
+      |    THEN 1 ELSE 0 END AS INTEGER) AS seasonal_wins
+      |FROM j GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val d = CoreQueries.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val p1 = d.select(col("event_type").as("et1"),
+      col("day").as("d1"), col("c").as("c1"))
+    val p7 = d.select(col("event_type").as("et7"),
+      col("day").as("d7"), col("c").as("c7"))
+    d.join(p1, col("et1") === col("event_type") &&
+        col("d1") === col("day") - 1)
+      .join(p7, col("et7") === col("event_type") &&
+        col("d7") === col("day") - 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c") - col("c1"))).as("mae1_sum"),
+        sum(abs(col("c") - col("c7"))).as("mae7_sum"))
+      .withColumn("mase_ppm",
+        when(col("mae1_sum") > 0,
+          expr("(mae7_sum * 1000000) DIV mae1_sum"))
+          .otherwise(lit(-1L)))
+      .withColumn("seasonal_wins",
+        when(col("mae7_sum") < col("mae1_sum"), 1).otherwise(0))
+      .select(col("event_type"), col("n_days"), col("mae1_sum"),
+        col("mae7_sum"), col("mase_ppm"), col("seasonal_wins"))
+      .orderBy("event_type")
+  }
 
   /** RFM customer segmentation: recency (days since last order, anchored
     * to the corpus-max date so the metric is reproducible), frequency

@@ -439,7 +439,71 @@ object RelationalQueries {
   val all: Seq[QuerySpec] =
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
       q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
-      q164FrequentPairs, q190BandJoin, q219ItemCf, q221FanoutHistogram)
+      q164FrequentPairs, q190BandJoin, q219ItemCf, q221FanoutHistogram,
+      q226SpatialJoin)
+
+  /** 2D spatial radius join — q190's band-join discipline lifted to the
+    * plane: points bucket into r-sized grid cells, the right side
+    * explodes to its 3×3 neighborhood (fixed 9× fan-out), candidates meet
+    * on an exact cell equi-join, and the L2² ≤ r² verify is pure BIGINT
+    * (squared distances need no sqrt, and the md5-derived micro-unit
+    * coordinates are engine-identical). Each qualifying pair matches
+    * EXACTLY once (only one exploded neighbor of b coincides with a's
+    * cell), so no dedup pass. This is the geohash/grid shape every
+    * spatial near-join at scale reduces to; a cartesian would be n²
+    * distance checks, the grid makes it Σ per-cell-pair products. Cells
+    * partition the one shuffle; hot cells ride AQE like any equi-join.
+    */
+  lazy val q226SpatialJoin: QuerySpec = QuerySpec.oracled(
+    "q226_spatial_join",
+    """WITH pts AS (
+      |  SELECT c_custkey AS id,
+      |    ('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 1000000 AS x,
+      |    ('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 1000000 AS y
+      |  FROM customer),
+      |a AS (SELECT id, x, y, x // 10000 AS cx, y // 10000 AS cy FROM pts),
+      |b AS (
+      |  SELECT p.id, p.x, p.y,
+      |    p.x // 10000 + d.dx AS cx, p.y // 10000 + d.dy AS cy
+      |  FROM pts p CROSS JOIN (
+      |    SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+      |      (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) AS t(dx, dy)) d),
+      |pair AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      |  FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2
+      |FROM pair WHERE dist2 <= 100000000
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val r = 10000L
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("c_custkey").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val pts = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        h("px:").as("x"), h("py:").as("y"))
+    val a = pts.select(col("id"), col("x"), col("y"),
+      (col("x") / r).cast("long").as("cx"),
+      (col("y") / r).cast("long").as("cy"))
+    val nb = broadcast((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield (dx, dy)).toDF("dx", "dy"))
+    val b = pts.crossJoin(nb)
+      .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+        ((col("x") / r).cast("long") + col("dx")).as("cx"),
+        ((col("y") / r).cast("long") + col("dy")).as("cy"))
+    a.join(b,
+        a("cx") === b("cx") && a("cy") === b("cy") &&
+          a("id") < b("id_b"))
+      .withColumn("dist2",
+        (col("x") - col("xb")) * (col("x") - col("xb")) +
+          (col("y") - col("yb")) * (col("y") - col("yb")))
+      .filter(col("dist2") <= r * r)
+      .select(col("id").as("id_a"), col("id_b"), col("dist2"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Join-fanout histogram — the skew diagnosis you run BEFORE choosing a
     * join strategy: per foreign key, its multiplicity m, bucketed into
