@@ -159,7 +159,8 @@ object VectorExpressions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))),
     "graft_nfc" -> (exprs => NfcNormalizeExpr(exprs.head)),
-    "graft_strip_accents" -> (exprs => StripAccentsExpr(exprs.head)))
+    "graft_strip_accents" -> (exprs => StripAccentsExpr(exprs.head)),
+    "graft_hilbert" -> (exprs => HilbertIndexExpr(exprs(0), exprs(1))))
 
   /** Idempotently register the native expressions in the session's
     * function registry (no-op — and no re-registration warning — when a

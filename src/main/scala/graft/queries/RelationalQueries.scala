@@ -440,7 +440,91 @@ object RelationalQueries {
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
       q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
       q164FrequentPairs, q190BandJoin, q219ItemCf, q221FanoutHistogram,
-      q226SpatialJoin)
+      q226SpatialJoin, q228HilbertLayout)
+
+  private def hilbertLevels: String =
+    (15 to 0 by -1).map(k => 1L << k).mkString("[", ", ", "]")
+
+  /** The q228 oracle's Hilbert fold: one HUGEINT accumulator
+    * `d·2³⁴ + x·2¹⁷ + y` folded over the 16 levels — DuckDB 1.0's
+    * `list_reduce` mis-evaluates STRUCT accumulators (field aliasing),
+    * so the state is packed into a single integer; the walk itself is
+    * the normalized (always-non-negative) variant, which
+    * HilbertSpec proves ≡ the signed textbook walk, and division/modulo
+    * replace the bit ops so HUGEINT arithmetic suffices.
+    */
+  private def hilbertFoldSql: String = {
+    val x = "(acc // 131072 % 131072)" // 2^17
+    val y = "(acc % 131072)"
+    val d = "(acc // 17179869184)" // 2^34
+    val rx = s"(($x // s) % 2)"
+    val ry = s"(($y // s) % 2)"
+    s"""CAST(list_reduce(
+       |  list_prepend(
+       |    CAST(x AS HUGEINT) * 131072 + y,
+       |    list_transform($hilbertLevels, s -> CAST(s AS HUGEINT))),
+       |  (acc, s) -> (
+       |    ($d + s * s * CASE
+       |        WHEN $rx = 1 AND $ry = 1 THEN 2
+       |        WHEN $rx = 1 THEN 3
+       |        WHEN $ry = 1 THEN 1
+       |        ELSE 0 END) * 17179869184
+       |    + CASE WHEN $ry = 1 THEN $x % s
+       |        WHEN $rx = 1 THEN s - 1 - $y % s
+       |        ELSE $y % s END * 131072
+       |    + CASE WHEN $ry = 1 THEN $y % s
+       |        WHEN $rx = 1 THEN s - 1 - $x % s
+       |        ELSE $x % s END
+       |  )) // 17179869184 AS BIGINT)""".stripMargin
+  }
+
+  /** Hilbert-curve layout key ([[graft.functions.HilbertIndexExpr]],
+    * native codegen) beside the z-order family (q76/q163): the
+    * CONTINUOUS space-filling curve — no Z-diagonal jumps, so an
+    * axis-aligned range scan touches fewer, longer index runs (why
+    * production table formats offer hilbert-clustering beside
+    * z-ordering). The walk is pure integer arithmetic, so the oracle
+    * replays all 16 levels as a `list_reduce` fold carrying (x, y, d) —
+    * the index VALUES are adjudicated bit-for-bit, not spot-checked.
+    * Emitted as the top-8-bit curve-bucket profile with per-bucket
+    * bounding boxes: bounded bboxes are the locality evidence (a
+    * Z-bucket's box can span the whole plane across a diagonal jump).
+    */
+  lazy val q228HilbertLayout: QuerySpec = QuerySpec.oracled(
+    "q228_hilbert_layout",
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS id,
+       |    ('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 65536 AS x,
+       |    ('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 65536 AS y
+       |  FROM customer),
+       |h AS (
+       |  SELECT id, x, y,
+       |    $hilbertFoldSql AS hd
+       |  FROM pts)
+       |SELECT CAST(hd // 16777216 AS INTEGER) AS bucket,
+       |  count(*) AS n_points,
+       |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+       |  CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM h GROUP BY 1
+       |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    graft.functions.VectorExpressions.register(spark)
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("c_custkey").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 65536L
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        h("px:").as("x"), h("py:").as("y"))
+      .withColumn("hd", expr("graft_hilbert(x, y)"))
+      .groupBy(expr("CAST(hd DIV 16777216 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n_points"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"),
+        sum("id").as("id_sum"))
+      .orderBy("bucket")
+  }
 
   /** 2D spatial radius join — q190's band-join discipline lifted to the
     * plane: points bucket into r-sized grid cells, the right side
