@@ -76,4 +76,27 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** [[writeZOrdered]]'s Hilbert twin: cluster on the CONTINUOUS curve
+    * ([[graft.functions.HilbertIndexExpr]], 16-bit domain — callers
+    * scale their dimensions up to it). Each output file covers a
+    * contiguous curve range; because the Hilbert curve never takes the
+    * Z-curve's diagonal jumps, a file's (x, y) bounding box is tighter
+    * at quadrant boundaries — fewer files intersect an axis-aligned box.
+    */
+  def writeHilbertOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int): Unit = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.withColumn("__h",
+        org.apache.spark.sql.functions.expr(
+          s"graft_hilbert(CAST(`$xCol` AS BIGINT), CAST(`$yCol` AS BIGINT))"))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -454,7 +454,60 @@ object ReaderQueries {
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
       q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution,
-      q163ZOrderPrunedScan, q218CompactionRoundtrip)
+      q163ZOrderPrunedScan, q218CompactionRoundtrip, q229HilbertScan)
+
+  private val q229Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the events table clustered on the HILBERT curve of
+    * (user bucket, day bucket), both scaled to the expression's 16-bit
+    * domain (×256) so curve steps align with bucket boundaries. Memoized
+    * per sf dir; Bench stages untimed via the setup hook.
+    */
+  def stageQ229(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    q229Staging.getOrStage(dir) {
+      val path = QuerySpec.stagedPath("q229_hilbert", dir)
+      val e = CoreQueries.events(spark, dir)
+        .select(col("event_type"), col("value"),
+          (col("user_id") % 256).as("x"),
+          (expr("CAST((ts div 1000) div 86400000000 AS BIGINT)") % 256)
+            .as("y"))
+      graft.ext.ZOrder.writeHilbertOrdered(
+        e.withColumn("hx", col("x") * 256)
+          .withColumn("hy", col("y") * 256),
+        path, "hx", "hy", numFiles = 24)
+      path
+    }
+
+  /** 2-D box scan THROUGH the Hilbert-clustered layout — q163's read with
+    * the curve swapped ([[graft.ext.ZOrder.writeHilbertOrdered]]): the
+    * same class of box predicate reaches the parquet scan pushed, and the
+    * continuous curve keeps every file's (x, y) bbox tight even at
+    * quadrant boundaries where the Z-layout's diagonal jump widens a
+    * file's box to half the plane (HilbertSpec pins that property on the
+    * curve itself). The oracle recomputes from the RAW events table, so
+    * the clustered rewrite is also proven lossless. The scan drops the
+    * staged helper columns, reading only what the box needs.
+    */
+  lazy val q229HilbertScan: QuerySpec = QuerySpec.oracled(
+    "q229_hilbert_scan",
+    """WITH e AS (
+      |  SELECT event_type, value, user_id % 256 AS x,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 256 AS y
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM e
+      |WHERE x BETWEEN 4 AND 11 AND y BETWEEN 24 AND 39
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val staged = stageQ229(spark, dir)
+    spark.read.parquet(staged)
+      .filter(col("x").between(4, 11) && col("y").between(24, 39))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy("event_type")
+  }.withSetup((s, d) => { stageQ229(s, d); () })
 
   private val q218Staging = new QuerySpec.StagingCache[String]
 
