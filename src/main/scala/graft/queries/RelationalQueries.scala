@@ -440,7 +440,120 @@ object RelationalQueries {
     Seq(q71StarJoin, q74EquidepthBins, q76ZOrder, q79SaltedJoin,
       q90IntervalJoin, q96BloomJoin, q101AdaptiveSkewJoin, q120GlobalSort,
       q164FrequentPairs, q190BandJoin, q219ItemCf, q221FanoutHistogram,
-      q226SpatialJoin, q228HilbertLayout)
+      q226SpatialJoin, q228HilbertLayout, q230RecHoldout)
+
+  /** Leave-one-out recommendation evaluation — the measurement harness
+    * for the q219 CF family (the q220/q215 audit discipline): each
+    * customer's LAST order (by date, ties to the higher key) is held
+    * out, item co-occurrence trains on the earlier orders only (no
+    * temporal leakage — co-counts never see the evaluation order),
+    * each customer is recommended the top-5 co-occurring items scored
+    * by Σ co-counts over their train items (exact BIGINT, already-bought
+    * items excluded), and a customer scores a hit if ANY held-out item
+    * lands in their top-5. One adjudicated summary row: eval population,
+    * candidate coverage, hits, hit ppm — the honest number a
+    * recommendation precompute ships with.
+    */
+  lazy val q230RecHoldout: QuerySpec = QuerySpec.oracled(
+    "q230_rec_holdout",
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT o_orderkey AS oid, o_custkey AS cust,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n_ord
+      |  FROM orders),
+      |held AS (SELECT cust, oid FROM ranked WHERE rn = 1 AND n_ord >= 2),
+      |train AS (SELECT cust, oid FROM ranked WHERE rn > 1),
+      |tb AS (
+      |  SELECT t.cust, b.item FROM train t JOIN b ON b.oid = t.oid
+      |  GROUP BY 1, 2),
+      |tob AS (
+      |  SELECT b.oid, b.item FROM b
+      |  JOIN (SELECT DISTINCT oid FROM train) tr ON tr.oid = b.oid),
+      |pair AS (
+      |  SELECT a.item AS i, c.item AS j, count(*) AS cij
+      |  FROM tob a JOIN tob c ON a.oid = c.oid AND a.item <> c.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |score AS (
+      |  SELECT tb.cust, p.j AS cand, CAST(sum(p.cij) AS BIGINT) AS s
+      |  FROM tb JOIN pair p ON p.i = tb.item
+      |  GROUP BY 1, 2),
+      |scorex AS (
+      |  SELECT s.cust, s.cand, s.s FROM score s
+      |  LEFT JOIN tb ON tb.cust = s.cust AND tb.item = s.cand
+      |  WHERE tb.item IS NULL),
+      |top5 AS (
+      |  SELECT cust, cand FROM (
+      |    SELECT cust, cand,
+      |      row_number() OVER (PARTITION BY cust
+      |                         ORDER BY s DESC, cand) AS rk
+      |    FROM scorex) WHERE rk <= 5),
+      |hi AS (SELECT h.cust, b.item FROM held h JOIN b ON b.oid = h.oid),
+      |hit AS (
+      |  SELECT hi.cust,
+      |    max(CASE WHEN t.cand IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      |  FROM hi LEFT JOIN top5 t
+      |    ON t.cust = hi.cust AND t.cand = hi.item
+      |  GROUP BY hi.cust)
+      |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST((SELECT count(DISTINCT cust) FROM top5) AS BIGINT)
+      |    AS n_with_candidates,
+      |  CAST(sum(hit) AS BIGINT) AS n_hits,
+      |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS hit_ppm
+      |FROM hit""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val wC = Window.partitionBy("cust")
+    val ranked = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("oid"), col("o_custkey").as("cust"),
+        col("o_orderdate").as("d"))
+      .withColumn("rn", row_number().over(
+        wC.orderBy(col("d").desc, col("oid").desc)))
+      .withColumn("n_ord", count(lit(1)).over(wC))
+    val held = ranked.filter(col("rn") === 1 && col("n_ord") >= 2)
+      .select("cust", "oid")
+    val train = ranked.filter(col("rn") > 1).select("cust", "oid")
+    val tb = train.join(b, "oid").select("cust", "item").distinct()
+    val tob = b.join(train.select("oid").distinct(), "oid")
+    val pair = tob.as("a")
+      .join(tob.as("c"),
+        col("a.oid") === col("c.oid") && col("a.item") =!= col("c.item"))
+      .groupBy(col("a.item").as("i"), col("c.item").as("j"))
+      .agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= 2)
+    val score = tb.join(pair, col("item") === col("i"))
+      .groupBy(col("cust"), col("j").as("cand"))
+      .agg(sum("cij").as("s"))
+    val scorex = score.join(
+        tb.select(col("cust").as("tc"), col("item").as("ti")),
+        col("tc") === col("cust") && col("ti") === col("cand"),
+        "left_anti")
+    val top5 = scorex
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cust").orderBy(col("s").desc, col("cand"))))
+      .filter(col("rk") <= 5)
+      .select("cust", "cand")
+    val hi = held.join(b, "oid").select("cust", "item")
+    val hit = hi.join(
+        top5.select(col("cust").as("hc"), col("cand")),
+        col("hc") === col("cust") && col("cand") === col("item"), "left")
+      .groupBy("cust")
+      .agg(max(when(col("cand").isNotNull, 1).otherwise(0)).as("hit"))
+    val nCand = top5.select("cust").distinct().count()
+    hit.agg(
+      count(lit(1)).as("n_eval"),
+      sum("hit").as("n_hits"))
+      .select(col("n_eval"),
+        lit(nCand).as("n_with_candidates"),
+        col("n_hits"),
+        expr("(n_hits * 1000000) DIV n_eval").as("hit_ppm"))
+      .select("n_eval", "n_with_candidates", "n_hits", "hit_ppm")
+  }
 
   private def hilbertLevels: String =
     (15 to 0 by -1).map(k => 1L << k).mkString("[", ", ", "]")
