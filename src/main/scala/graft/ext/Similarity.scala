@@ -190,6 +190,64 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Label-error audit via kNN agreement (the confident-learning signal:
+    * a row whose nearest neighbors vote for a different class is a likely
+    * labeling error). Neighbors come from the hyperplane-LSH bucket — the
+    * all-vs-all form stays a bucket equi-SELF-join (Σ|bucket|² pairs,
+    * never n², AQE-splittable), because unlike [[lshTopK]] the query side
+    * here IS the corpus and cannot be broadcast. Within a bucket the top-k
+    * by exact cosine votes; majority ties break on the smaller label, so
+    * the verdict is deterministic. Rows whose bucket holds no other vector
+    * get `n_neigh = 0` and a NULL verdict rather than a fake agreement.
+    */
+  def labelAudit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5,
+      numPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    graft.functions.HyperplaneExpressions.register(emb.sparkSession)
+    val b = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).as("v"),
+      selfNormFast(vecCol).as("n"),
+      hyperplaneBucket(vecCol, numPlanes, dim).as("bucket"))
+    val q = b.select(col("vec_id").as("query_id"), col("v").as("v_q"),
+      col("n").as("n_q"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("v").as("v_c"), col("n").as("n_c"),
+      col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ranked = q.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "n_label")
+    val nn = ranked.groupBy("query_id")
+      .agg(count(lit(1)).as("n_neigh"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val top = ranked.groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("n_label").as("top_label"),
+        col("votes").as("top_votes"))
+    b.select(col("vec_id"), col("label"))
+      .join(nn.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"), "left")
+      .join(top.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_neigh"), lit(0L)).as("n_neigh"),
+        col("top_label"), col("top_votes"),
+        (col("top_label") === col("label")).as("agree"))
+  }
+
   /** Symmetric per-vector int8 quantization (the storage/bandwidth path for
     * embedding tables: 4× smaller than float32, standard for ANN serving):
     * `q[i] = floor(v[i] * 127 / max|v| + 0.5)`, scale carried per row for

@@ -327,4 +327,75 @@ object TextStats {
       .groupBy(groupCol, "bucket")
       .agg(count(lit(1)).as("n_terms"),
         countDistinct("tok").as("n_uniq"))
+
+  /** Per-document unigram surprisal in INTEGER bits: each token contributes
+    * `floor(log2(N div c))` where `c` is its corpus frequency and `N` the
+    * total token count — computed as `length(bin(N div c)) - 1`, pure
+    * integer arithmetic, so the score is bit-identical in any engine (no
+    * floating log). High average surprisal = rare/unusual vocabulary
+    * (possible garbage or mis-langed text); low = repetitive boilerplate —
+    * the KenLM-perplexity quality-filter signal, integerized.
+    *
+    * Shape at 100 TB: one corpus scan builds the vocab counts (the only
+    * corpus-sized shuffle), the per-token scoring join is a plain (tok)
+    * equi-join AQE can split, and the per-doc rollup partially aggregates
+    * map-side. The total-count `N` rides a 1-row broadcast.
+    */
+  def surprisalBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokensCol(textCol)).as("tok"))
+    val vc = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum("c").as("n"))
+    tok
+      .join(vc, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (length(bin(expr("n div c"))) - 1).cast("long").as("bits"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        sum("bits").as("surprisal_bits"))
+      .withColumn("avg_millibits",
+        expr("surprisal_bits * 1000 div n_toks"))
+  }
+
+  /** English stopwords for the linear quality classifier's density
+    * feature — fixed, tiny, and replayed literally by the oracle. */
+  val ClassifierStopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "is", "a", "for", "on", "with")
+
+  /** A fixed linear quality classifier evaluated as pure integer
+    * arithmetic — the fastText-style "keep/drop" filter of a training-data
+    * pipeline, with hand-set weights instead of learned ones so every
+    * decision is deterministic and oracle-replayable. Features: token count
+    * (capped), stopword density, digit density, uppercase density (densities
+    * in basis points via integer division). The margin is in micro-units;
+    * `keep = margin > 0`. A learned linear model drops in by swapping the
+    * weight constants — the evaluation plan (narrow projection, zero
+    * shuffles) is the part that matters at 100 TB.
+    */
+  def classifierMargin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = ClassifierStopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(col(idCol), col(textCol).as("__t"),
+        tokensCol(textCol).as("__toks"))
+      .select(col(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_toks"),
+        expr(s"CAST(size(filter(__toks, x -> x IN ($stops))) AS BIGINT)")
+          .as("n_stop"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        (length(col("__t")) -
+          length(regexp_replace(col("__t"), "[A-Z]", "")))
+          .cast("long").as("n_upper"))
+      .withColumn("stop_bp", expr("n_stop * 10000 div greatest(n_toks, 1)"))
+      .withColumn("digit_bp", expr("n_digit * 10000 div greatest(n_chars, 1)"))
+      .withColumn("upper_bp", expr("n_upper * 10000 div greatest(n_chars, 1)"))
+      .withColumn("margin",
+        expr("-1500000 + 900 * least(n_toks, 512) + 400 * stop_bp " +
+          "- 300 * digit_bp - 150 * upper_bp"))
+      .withColumn("keep", col("margin") > 0)
+  }
 }
+

@@ -488,12 +488,68 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN label-agreement audit ([[graft.ext.Similarity.labelAudit]]): each
+    * vector's LSH-bucket top-5 neighbors vote on its class; disagreement
+    * flags likely labeling errors (the confident-learning signal for
+    * training-data QA). The all-vs-all candidate set stays a bucket
+    * equi-self-join — Σ|bucket|² pairs, never n² — and every verdict
+    * (ranking, majority, ties) is deterministic, so the oracle replays the
+    * full audit. Thin buckets yield `n_neigh = 0` with NULL verdicts.
+    */
+  val q234LabelAudit: QuerySpec = QuerySpec.oracled(
+    "q234_label_audit",
+    s"""WITH nv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, label, embedding, nrm, ${bucketSql("embedding")}
+       |    AS bucket
+       |  FROM nv),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.label AS n_label,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM b q JOIN b c
+       |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, n_label,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc),
+       |tk AS (SELECT query_id, neighbor_id, n_label FROM rk WHERE rank <= 5),
+       |nn AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_neigh
+       |  FROM tk GROUP BY 1),
+       |vt AS (
+       |  SELECT query_id, n_label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM tk GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT query_id, n_label AS top_label, votes AS top_votes FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY votes DESC, n_label) AS vr
+       |    FROM vt) WHERE vr = 1)
+       |SELECT b.vec_id, b.label,
+       |  CAST(coalesce(nn.n_neigh, 0) AS BIGINT) AS n_neigh,
+       |  tp.top_label, tp.top_votes, (tp.top_label = b.label) AS agree
+       |FROM b
+       |LEFT JOIN nn ON b.vec_id = nn.query_id
+       |LEFT JOIN tp ON b.vec_id = tp.query_id
+       |ORDER BY b.vec_id""".stripMargin) { (spark, dir) =>
+    Similarity.labelAudit(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+      k = 5, numPlanes = NumPlanes, dim = Dim)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
-      q220AnnRecall)
+      q220AnnRecall, q234LabelAudit)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

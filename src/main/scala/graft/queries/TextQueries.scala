@@ -1668,6 +1668,119 @@ object TextQueries {
       .orderBy("phrase_id")
   }
 
+  /** One BPE merge iteration as oracle CTEs: pair counts from `srcCte`,
+    * deterministic best pair, fold-applied merge — mirrors
+    * [[graft.ext.Bpe.trainMerges]] exactly (same tie-breaks, same
+    * leftmost-greedy string fold).
+    */
+  private def bpeIterSql(src: String, p: String, b: String, out: String): String =
+    s"""$p AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(ts, ' ') AS t, freq FROM $src),
+       |    UNNEST(range(1, len(t))) AS u(i)
+       |  GROUP BY 1, 2),
+       |$b AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
+       |$out AS (SELECT list_reduce(list_prepend('', string_split(ts, ' ')),
+       |    (acc, x) -> CASE
+       |      WHEN acc <> '' AND (acc = $b.a OR ends_with(acc, ' ' || $b.a))
+       |        AND x = $b.b THEN acc || x
+       |      WHEN acc = '' THEN x
+       |      ELSE acc || ' ' || x END) AS ts, freq
+       |  FROM $src CROSS JOIN $b)""".stripMargin
+
+  /** BPE merge-rule induction ([[graft.ext.Bpe.trainMerges]]): the first 3
+    * merges learned from the corpus word-frequency dictionary, every
+    * decision deterministic (ties on pair lexicographic order) so the
+    * oracle replays TRAINING itself — pair counting, best-pair selection,
+    * and leftmost-greedy merge application — as chained CTEs. The corpus
+    * is scanned once to build the word dictionary; all iterations run over
+    * that vocabulary-sized table, which is what makes tokenizer training
+    * tractable at 100 TB.
+    */
+  val q231BpeMerges: QuerySpec = QuerySpec.oracled(
+    "q231_bpe_merges",
+    s"""WITH tok AS (
+       |  SELECT unnest($toksSql) AS w FROM documents),
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok
+       |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+       |s0 AS (
+       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ts, freq
+       |  FROM wf),
+       |${bpeIterSql("s0", "p1", "b1", "s1")},
+       |${bpeIterSql("s1", "p2", "b2", "s2")},
+       |${bpeIterSql("s2", "p3", "b3", "s3")}
+       |SELECT 1 AS merge_rank, a AS left_tok, b AS right_tok,
+       |  cnt AS pair_count FROM b1
+       |UNION ALL SELECT 2, a, b, cnt FROM b2
+       |UNION ALL SELECT 3, a, b, cnt FROM b3
+       |ORDER BY merge_rank""".stripMargin) { (spark, dir) =>
+    graft.ext.Bpe.trainMerges(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", numMerges = 3)
+      .orderBy("merge_rank")
+  }
+
+  /** Integer unigram surprisal ([[graft.ext.TextStats.surprisalBits]]):
+    * per-token `floor(log2(N div c))` via `length(bin(N div c)) - 1` — a
+    * perplexity-style quality signal with NO floating log anywhere, so both
+    * engines agree bit-for-bit.
+    */
+  val q232SurprisalBits: QuerySpec = QuerySpec.oracled(
+    "q232_surprisal_bits",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(tot.n // vc.c)) - 1 AS BIGINT) AS bits
+       |  FROM tok t JOIN vc ON t.tok = vc.tok CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+       |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.ext.TextStats.surprisalBits(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-weight linear quality classifier
+    * ([[graft.ext.TextStats.classifierMargin]]): integer margin from capped
+    * token count + stopword/digit/uppercase densities in basis points —
+    * the fastText-style keep/drop filter as a zero-shuffle projection.
+    */
+  val q233ClassifierMargin: QuerySpec = QuerySpec.oracled(
+    "q233_classifier_margin",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter($toksSql, x -> list_contains(
+       |      ${TextStats.ClassifierStopwords.map(s => s"'$s'").mkString("[", ", ", "]")},
+       |      x))) AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digit,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       |      AS BIGINT) AS n_upper
+       |  FROM documents),
+       |bp AS (
+       |  SELECT *, n_stop * 10000 // greatest(n_toks, 1) AS stop_bp,
+       |    n_digit * 10000 // greatest(n_chars, 1) AS digit_bp,
+       |    n_upper * 10000 // greatest(n_chars, 1) AS upper_bp
+       |  FROM f)
+       |SELECT doc_id, n_chars, n_toks, n_stop, n_digit, n_upper,
+       |  stop_bp, digit_bp, upper_bp,
+       |  -1500000 + 900 * least(n_toks, 512) + 400 * stop_bp
+       |    - 300 * digit_bp - 150 * upper_bp AS margin,
+       |  (-1500000 + 900 * least(n_toks, 512) + 400 * stop_bp
+       |    - 300 * digit_bp - 150 * upper_bp) > 0 AS keep
+       |FROM bp
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.ext.TextStats.classifierMargin(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1679,5 +1792,6 @@ object TextQueries {
       q182KappaAgreement, q188GroupSplit, q191DatasetCard,
       q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
       q209TemperatureMix, q210IndexedGrep, q223EpochShuffle,
-      q224PhraseIndex)
+      q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
+      q233ClassifierMargin)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ext.Bpe
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Bpe.trainMerges]]: hand-computed merge rules on a planted corpus,
+  * leftmost-greedy application semantics, and deterministic tie-breaks.
+  */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("learns hand-computed merges with deterministic tie-breaks") {
+    // corpus: "abab" x3, "abc" x2, "cc" x1 (words, space-separated)
+    // init: a b a b / a b c / c c
+    // pair counts: (a,b)=2*3+1*2=8, (b,a)=1*3=3, (b,c)=2, (c,c)=1
+    // merge 1 = (a,b) cnt 8 → ab ab / ab c / c c
+    // counts: (ab,ab)=3, (ab,c)=2, (c,c)=1 → merge 2 = (ab,ab) cnt 3
+    // → abab / ab c / c c → counts: (ab,c)=2, (c,c)=1 → merge 3 = (ab,c)
+    val docs = Seq(
+      "abab abab abab abc abc cc").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", numMerges = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect.toSeq
+    assert(got == Seq(
+      (1, "a", "b", 8L),
+      (2, "ab", "ab", 3L),
+      (3, "ab", "c", 2L)))
+  }
+
+  test("merge application is leftmost non-overlapping greedy") {
+    // word "aaa" x5, "ab" x1: merge 1 is (a,a) cnt 10 (two per "aaa").
+    // Greedy leftmost: a a a → (aa) a, NOT a (aa) — so merge 2 counts
+    // (aa,a)=5 and (a,b)=1, picking (aa,a).
+    val docs = Seq("aaa aaa aaa aaa aaa ab").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", numMerges = 2)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect.toSeq
+    assert(got == Seq(
+      (1, "a", "a", 10L),
+      (2, "aa", "a", 5L)))
+  }
+
+  test("non-alphabetic words are excluded from the dictionary") {
+    val docs = Seq("ab ab 123 ab7 A-B !!").toDF("text")
+    // only "ab" (x2) survives the [a-z]+ filter ("a-b" lowercased has '-')
+    val got = Bpe.trainMerges(docs, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].collect.toSeq
+    assert(got == Seq((1, "a", "b", 2L)))
+  }
+
+  test("wordFreq lowercases and counts corpus-wide") {
+    val docs = Seq("The the", "THE cat").toDF("text")
+    val wf = Bpe.wordFreq(docs, "text")
+      .as[(String, Long)].collect.toMap
+    assert(wf == Map("the" -> 3L, "cat" -> 1L))
+  }
+}
