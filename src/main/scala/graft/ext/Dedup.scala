@@ -554,4 +554,54 @@ object Dedup {
       .select(col(idCol), col("n_windows"), col("n_dup"),
         expr("n_dup * 1000000 DIV n_windows").as("dup_ppm"))
   }
+
+  /** Jaccard threshold-sensitivity curve — the audit a practitioner runs
+    * BEFORE picking a dedup threshold: for each candidate threshold
+    * (percent), how many pairs qualify and how many documents they touch.
+    * One pair computation feeds every threshold row: candidates are all
+    * pairs sharing ≥ 1 shingle (exactly the pairs any threshold > 0 can
+    * qualify — a pair with an empty intersection never passes), built from
+    * the exploded-hash equi-self-join and verified with the exact integer
+    * overlap counts, then bucketed by `inter·100 ≥ union·pct` per ladder
+    * step. Shape at scale: the candidate join is the q18/q20 exploded-hash
+    * discipline (ids-only rows, AQE-splittable; a boilerplate-heavy corpus
+    * routes through [[saltedSelfJoin]] first), and the curve itself is one
+    * tiny rollup over |pairs| rows per threshold.
+    */
+  def jaccardThresholdCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      thresholdsPct: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
+    require(thresholdsPct.nonEmpty && thresholdsPct.forall(t => t > 0 && t <= 100),
+      s"thresholdsPct must be in (0, 100], got $thresholdsPct")
+    val hs = withShingleHashSets(docs, idCol, textCol, k)
+    val rows = shingleHashes(hs)
+    val candidates = rows.select(col("doc_id").as("id_a"), col("h"))
+      .join(rows.select(col("doc_id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val scored = withOverlapExploded(candidates, hs)
+    val ladder = thresholdsPct.map(t => s"($t)").mkString(", ")
+    val qual = scored
+      .crossJoin(
+        broadcast(docs.sparkSession.sql(
+          s"SELECT * FROM VALUES $ladder AS t(threshold_pct)")))
+      .filter(col("inter_size") * 100 >= col("union_size") * col("threshold_pct"))
+      .select(col("threshold_pct").cast("long").as("threshold_pct"),
+        col("id_a"), col("id_b"))
+    val pairCounts = qual.groupBy("threshold_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+    // touched-doc counts via endpoint explode + two-phase distinct — no
+    // whole-pair-set array ever materializes on one row
+    val docCounts = qual
+      .select(col("threshold_pct"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("threshold_pct")
+      .agg(countDistinct("id").as("n_docs"))
+    pairCounts.join(docCounts, "threshold_pct")
+      .orderBy("threshold_pct")
+  }
 }

@@ -373,12 +373,14 @@ object TextStats {
     * weight constants — the evaluation plan (narrow projection, zero
     * shuffles) is the part that matters at 100 TB.
     */
-  def classifierMargin(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def classifierMargin(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val stops = ClassifierStopwords.map(s => s"'$s'").mkString(", ")
+    val carried = keepCols.map(col)
     docs
-      .select(col(idCol), col(textCol).as("__t"),
-        tokensCol(textCol).as("__toks"))
-      .select(col(idCol),
+      .select(col(idCol) +: carried :+ col(textCol).as("__t")
+        :+ tokensCol(textCol).as("__toks"): _*)
+      .select((col(idCol) +: carried) ++ Seq(
         length(col("__t")).cast("long").as("n_chars"),
         size(col("__toks")).cast("long").as("n_toks"),
         expr(s"CAST(size(filter(__toks, x -> x IN ($stops))) AS BIGINT)")
@@ -388,12 +390,12 @@ object TextStats {
           .cast("long").as("n_digit"),
         (length(col("__t")) -
           length(regexp_replace(col("__t"), "[A-Z]", "")))
-          .cast("long").as("n_upper"))
+          .cast("long").as("n_upper")): _*)
       .withColumn("stop_bp", expr("n_stop * 10000 div greatest(n_toks, 1)"))
       .withColumn("digit_bp", expr("n_digit * 10000 div greatest(n_chars, 1)"))
       .withColumn("upper_bp", expr("n_upper * 10000 div greatest(n_chars, 1)"))
       .withColumn("margin",
-        expr("-1500000 + 900 * least(n_toks, 512) + 400 * stop_bp " +
+        expr("-100000 + 900 * least(n_toks, 512) + 400 * stop_bp " +
           "- 300 * digit_bp - 150 * upper_bp"))
       .withColumn("keep", col("margin") > 0)
   }

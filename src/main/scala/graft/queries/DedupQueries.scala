@@ -517,12 +517,51 @@ object DedupQueries {
       .orderBy("lang")
   }.withSetup((s, d) => { stagePairs(s, d); () })
 
+  /** Threshold-sensitivity curve ([[graft.ext.Dedup.jaccardThresholdCurve]]):
+    * qualifying-pair and touched-doc counts at a ladder of Jaccard
+    * thresholds, from ONE exploded-hash pair computation — the audit that
+    * justifies a dedup threshold before a corpus-wide run (pair the curve
+    * with q196's post-hoc retention report). The oracle replays the exact
+    * all-pairs Jaccard ladder; thresholds whose qualifying set is empty
+    * emit no row in either engine.
+    */
+  val q236ThresholdCurve: QuerySpec = QuerySpec.oracled(
+    "q236_threshold_curve",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
+       |t(threshold_pct) AS (VALUES (50), (60), (70), (80), (90)),
+       |q AS (
+       |  SELECT CAST(t.threshold_pct AS BIGINT) AS threshold_pct, id_a, id_b
+       |  FROM p CROSS JOIN t
+       |  WHERE inter_size * 100 >= union_size * t.threshold_pct),
+       |pc AS (
+       |  SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM q GROUP BY 1),
+       |dc AS (
+       |  SELECT threshold_pct, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+       |  FROM (SELECT threshold_pct, unnest([id_a, id_b]) AS id FROM q)
+       |  GROUP BY 1)
+       |SELECT pc.threshold_pct, n_pairs, n_docs
+       |FROM pc JOIN dc USING (threshold_pct)
+       |ORDER BY threshold_pct""".stripMargin) { (spark, dir) =>
+    Dedup.jaccardThresholdCurve(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", k = 3,
+      thresholdsPct = Seq(50, 60, 70, 80, 90))
+      .orderBy("threshold_pct")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
       q155IncrementalNearDup, q161StreamIncrementalDedup,
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
-      q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets)
+      q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
+      q236ThresholdCurve)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

@@ -468,6 +468,61 @@ object EventQueries {
     spark.table("q54_mem").orderBy("content_key")
   }.withSetup((s, d) => { stageQ43(s, d); () })
 
+  /** Streaming quality gate: the q233 linear classifier applied to a
+    * DOCUMENT stream — stateless per-row scoring (the filter stays a
+    * narrow projection even as a stream) feeding one running per-lang
+    * aggregate (keep/drop counts + margin sum), complete-mode. The gate a
+    * continuously-ingesting corpus runs at the door; adjudicated stream ≡
+    * batch against the identical aggregate computed from the full table.
+    */
+  val q237StreamQualityGate: QuerySpec = QuerySpec.oracled(
+    "q237_stream_quality_gate",
+    s"""WITH f AS (
+       |  SELECT lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+       |      '\\s+'), x -> list_contains(
+       |      ${graft.ext.TextStats.ClassifierStopwords
+            .map(s => s"'$s'").mkString("[", ", ", "]")}, x)))
+       |      AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digit,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       |      AS BIGINT) AS n_upper
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang,
+       |    -100000 + 900 * least(n_toks, 512)
+       |      + 400 * (n_stop * 10000 // greatest(n_toks, 1))
+       |      - 300 * (n_digit * 10000 // greatest(n_chars, 1))
+       |      - 150 * (n_upper * 10000 // greatest(n_chars, 1)) AS margin
+       |  FROM f)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (margin > 0) AS BIGINT) AS n_keep,
+       |  CAST(sum(margin) AS BIGINT) AS margin_sum
+       |FROM m GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val staged = stageQ43(spark, dir)
+    val schema = spark.read.parquet(s"$staged/documents.parquet").schema
+    val scored = graft.ext.TextStats.classifierMargin(
+      spark.readStream.schema(schema).parquet(staged),
+      idCol = "doc_id", textCol = "text", keepCols = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum("margin").as("margin_sum"))
+    spark.streams.active.filter(_.name == "q237_mem").foreach(_.stop())
+    drainScoped(spark)(scored.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q237_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    spark.table("q237_mem").orderBy("lang")
+  }.withSetup((s, d) => { stageQ43(s, d); () })
+
   private val q43Staging = new QuerySpec.StagingCache[String]
 
   /** Stage documents.parquet into a directory for the file-source stream. */
@@ -1858,6 +1913,7 @@ object EventQueries {
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
+      q237StreamQualityGate,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

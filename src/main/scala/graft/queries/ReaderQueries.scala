@@ -267,6 +267,38 @@ object ReaderQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Singer read through the DataSource V2 connector
+    * ([[graft.sources.SingerSource]]): documents export through the real
+    * sink, then read back with `spark.read.format("graft-singer")` — a
+    * first-class partitioned scan with SCHEMA-message schema inference and
+    * pushed column pruning (SingerSourceSpec pins the plan evidence) —
+    * and the aggregate must equal the parquet original. Distinct from
+    * q105, which parses the message file through text + `from_json`; this
+    * row adjudicates the CONNECTOR path a user actually mounts.
+    */
+  val q238SingerSource: QuerySpec = QuerySpec.oracled(
+    "q238_singer_source",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Export, ExportOptions}
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    val out = QuerySpec.stagedPath("q238_singer_src", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Export.toExport(src, "documents_rt", out,
+      ExportOptions(exportFormat = Some("singer"),
+        keys = Seq("doc_id")),
+      conf = graft.conf.GluestickConf(Map.empty))
+    spark.read.format("graft-singer").load(s"$out/data.singer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars_sum"))
+      .orderBy("lang")
+  }
+
   /** JSON array sink round trip — S8 gate-adjudicated, completing the
     * sink family (q103 CSV, q104 JSONL, q105 Singer): the pretty-printed
     * single-file JS array (the reference's `JSON.stringify(…, null, 2)`
@@ -454,7 +486,8 @@ object ReaderQueries {
     Seq(q16ReaderParquet, q17ReaderCsv, q81ReaderJsonl, q82ReaderOrc,
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
       q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution,
-      q163ZOrderPrunedScan, q218CompactionRoundtrip, q229HilbertScan)
+      q163ZOrderPrunedScan, q218CompactionRoundtrip, q229HilbertScan,
+      q238SingerSource)
 
   private val q229Staging = new QuerySpec.StagingCache[String]
 

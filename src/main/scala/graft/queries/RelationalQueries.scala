@@ -544,15 +544,20 @@ object RelationalQueries {
         col("hc") === col("cust") && col("cand") === col("item"), "left")
       .groupBy("cust")
       .agg(max(when(col("cand").isNotNull, 1).otherwise(0)).as("hit"))
-    val nCand = top5.select("cust").distinct().count()
+    // one action: the candidate-coverage count rides the same job as the
+    // hit rollup (a separate .count() would execute the whole CF DAG
+    // twice; within one plan the duplicated top5 subtree is eligible for
+    // exchange reuse instead)
+    val nCand = top5.agg(
+      countDistinct("cust").as("n_with_candidates"))
     hit.agg(
       count(lit(1)).as("n_eval"),
       sum("hit").as("n_hits"))
+      .crossJoin(broadcast(nCand))
       .select(col("n_eval"),
-        lit(nCand).as("n_with_candidates"),
+        col("n_with_candidates"),
         col("n_hits"),
         expr("(n_hits * 1000000) DIV n_eval").as("hit_ppm"))
-      .select("n_eval", "n_with_candidates", "n_hits", "hit_ppm")
   }
 
   private def hilbertLevels: String =

@@ -1770,15 +1770,100 @@ object TextQueries {
        |  FROM f)
        |SELECT doc_id, n_chars, n_toks, n_stop, n_digit, n_upper,
        |  stop_bp, digit_bp, upper_bp,
-       |  -1500000 + 900 * least(n_toks, 512) + 400 * stop_bp
+       |  -100000 + 900 * least(n_toks, 512) + 400 * stop_bp
        |    - 300 * digit_bp - 150 * upper_bp AS margin,
-       |  (-1500000 + 900 * least(n_toks, 512) + 400 * stop_bp
+       |  (-100000 + 900 * least(n_toks, 512) + 400 * stop_bp
        |    - 300 * digit_bp - 150 * upper_bp) > 0 AS keep
        |FROM bp
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     graft.ext.TextStats.classifierMargin(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
       .orderBy("doc_id")
+  }
+
+  /** End-to-end curation pipeline — the three new scoring operators
+    * COMPOSED in the order a real training-data build runs them:
+    * (1) quality gate ([[graft.ext.TextStats.classifierMargin]], keep
+    * only margin > 0), (2) exact dedup on md5(text) keeping the lowest
+    * doc_id, (3) integer surprisal over the SURVIVING corpus (vocab
+    * counts see only curated text — order matters and the oracle replays
+    * it), banded low/mid/high. One adjudicated report row per
+    * (lang, band): doc count, token total, id checksum. Every stage is
+    * the already-audited scale shape (zero-shuffle gate, one hash
+    * aggregate, the q232 join) — composition adds no new shuffle class.
+    */
+  val q235CurationPipeline: QuerySpec = QuerySpec.oracled(
+    "q235_curation_pipeline",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter($toksSql, x -> list_contains(
+       |      ${TextStats.ClassifierStopwords.map(s => s"'$s'").mkString("[", ", ", "]")},
+       |      x))) AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digit,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       |      AS BIGINT) AS n_upper
+       |  FROM documents),
+       |kp AS (
+       |  SELECT doc_id FROM f
+       |  WHERE -100000 + 900 * least(n_toks, 512)
+       |    + 400 * (n_stop * 10000 // greatest(n_toks, 1))
+       |    - 300 * (n_digit * 10000 // greatest(n_chars, 1))
+       |    - 150 * (n_upper * 10000 // greatest(n_chars, 1)) > 0),
+       |k AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN kp ON d.doc_id = kp.doc_id),
+       |sv AS (
+       |  SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text)),
+       |c AS (SELECT k.* FROM k JOIN sv ON k.doc_id = sv.doc_id),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+       |    '\\s+')) AS tok FROM c),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(tot.n // vc.c)) - 1 AS BIGINT) AS bits
+       |  FROM tok t JOIN vc ON t.tok = vc.tok CROSS JOIN tot),
+       |d2 AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |  FROM sc GROUP BY doc_id),
+       |rep AS (
+       |  SELECT c.lang,
+       |    CASE WHEN d2.avg_millibits < 4050 THEN 'low'
+       |         WHEN d2.avg_millibits < 4250 THEN 'mid'
+       |         ELSE 'high' END AS band,
+       |    c.doc_id, d2.n_toks
+       |  FROM c JOIN d2 ON c.doc_id = d2.doc_id)
+       |SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_toks,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM rep GROUP BY lang, band
+       |ORDER BY lang, band""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = TextStats.classifierMargin(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val k = docs.join(kept, "doc_id")
+    val surv = k.groupBy(md5(col("text")).as("__h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val curated = k.join(surv, "doc_id")
+    val sb = TextStats.surprisalBits(curated, "doc_id", "text")
+      .select(col("doc_id"), col("n_toks"), col("avg_millibits"))
+    curated.select(col("doc_id"), col("lang"))
+      .join(sb, "doc_id")
+      .withColumn("band",
+        when(col("avg_millibits") < 4050, "low")
+          .when(col("avg_millibits") < 4250, "mid")
+          .otherwise("high"))
+      .groupBy("lang", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_toks"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "band")
   }
 
   val all: Seq[QuerySpec] =
@@ -1793,5 +1878,5 @@ object TextQueries {
       q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
       q209TemperatureMix, q210IndexedGrep, q223EpochShuffle,
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
-      q233ClassifierMargin)
+      q233ClassifierMargin, q235CurationPipeline)
 }

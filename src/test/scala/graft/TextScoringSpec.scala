@@ -49,7 +49,7 @@ class TextScoringSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long, Long)].head
     val (nToks, stopBp, digitBp, upperBp, margin) = r
     assert(margin ==
-      -1500000L + 900L * math.min(nToks, 512L) + 400L * stopBp -
+      -100000L + 900L * math.min(nToks, 512L) + 400L * stopBp -
         300L * digitBp - 150L * upperBp)
   }
 
