@@ -86,16 +86,29 @@ object Bpe {
 
   /** The first `numMerges` BPE merge rules learned from `docs(textCol)`:
     * one row per rule — (merge_rank, left_tok, right_tok, pair_count).
+    *
+    * Each iteration's state (the vocabulary-sized dictionary) and chosen
+    * pair are persisted so the single collecting action computes every
+    * stage once — without this, rank k's branch would re-derive the
+    * corpus scan and all k−1 prior iterations (quadratic recomputation).
+    *
+    * If the dictionary merges to exhaustion before `numMerges` (no
+    * adjacent pair left anywhere), the remaining ranks have no best pair
+    * and are simply ABSENT from the output — the row count is
+    * `min(numMerges, merges available)`, never padded.
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    import org.apache.spark.storage.StorageLevel
     // initial state: each character is a token (separator-joined)
     var state = wordFreq(docs, textCol)
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + Sep)).as("ts"),
         col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rules = (1 to numMerges).map { rank =>
-      val (best, next) = step(state)
-      state = next
+      val (best0, next) = step(state)
+      val best = best0.persist(StorageLevel.MEMORY_AND_DISK)
+      state = next.persist(StorageLevel.MEMORY_AND_DISK)
       best.select(
         lit(rank).as("merge_rank"),
         col("a").as("left_tok"),

@@ -576,6 +576,9 @@ object Dedup {
       thresholdsPct: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
     require(thresholdsPct.nonEmpty && thresholdsPct.forall(t => t > 0 && t <= 100),
       s"thresholdsPct must be in (0, 100], got $thresholdsPct")
+    require(thresholdsPct.distinct.size == thresholdsPct.size,
+      s"thresholdsPct must be distinct (a duplicate ladder step would " +
+        s"double-count n_pairs), got $thresholdsPct")
     val hs = withShingleHashSets(docs, idCol, textCol, k)
     val rows = shingleHashes(hs)
     val candidates = rows.select(col("doc_id").as("id_a"), col("h"))

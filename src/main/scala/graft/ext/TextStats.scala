@@ -363,6 +363,51 @@ object TextStats {
   val ClassifierStopwords: Seq[String] =
     Seq("the", "of", "and", "to", "in", "is", "a", "for", "on", "with")
 
+  /** The classifier's weights — THE single source for the Scala expr and
+    * every SQL oracle (built via [[classifierMarginSqlExpr]]), so a weight
+    * change cannot desync them: (intercept, wToks, wStop, wDigit, wUpper),
+    * margin = intercept + wToks·min(n_toks, 512) + wStop·stop_bp −
+    * wDigit·digit_bp − wUpper·upper_bp.
+    */
+  val ClassifierWeights: (Long, Long, Long, Long, Long) =
+    (-100000L, 900L, 400L, 300L, 150L)
+
+  /** The margin formula over columns named n_toks/stop_bp/digit_bp/
+    * upper_bp — identical text works in Spark SQL and DuckDB. */
+  def classifierMarginSqlExpr: String = {
+    val (c, wt, ws, wd, wu) = ClassifierWeights
+    s"$c + $wt * least(n_toks, 512) + $ws * stop_bp " +
+      s"- $wd * digit_bp - $wu * upper_bp"
+  }
+
+  /** DuckDB CTE computing the classifier's raw counting features from
+    * `documents(text)` with an id column — shared by every oracle that
+    * replays the classifier (q233/q235/q237), interpolated from the same
+    * constants the Spark side uses.
+    */
+  def classifierFeatureSql(idCol: String): String = {
+    val stops = ClassifierStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT $idCol,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+       |      '\\s+'), x -> list_contains($stops, x))) AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digit,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       |      AS BIGINT) AS n_upper
+       |  FROM documents""".stripMargin
+  }
+
+  /** The basis-point density selects over a [[classifierFeatureSql]] CTE
+    * named `f` — `SELECT *, ... FROM f`. */
+  def classifierBpSql: String =
+    """SELECT *, n_stop * 10000 // greatest(n_toks, 1) AS stop_bp,
+      |    n_digit * 10000 // greatest(n_chars, 1) AS digit_bp,
+      |    n_upper * 10000 // greatest(n_chars, 1) AS upper_bp
+      |  FROM f""".stripMargin
+
   /** A fixed linear quality classifier evaluated as pure integer
     * arithmetic — the fastText-style "keep/drop" filter of a training-data
     * pipeline, with hand-set weights instead of learned ones so every
@@ -394,9 +439,7 @@ object TextStats {
       .withColumn("stop_bp", expr("n_stop * 10000 div greatest(n_toks, 1)"))
       .withColumn("digit_bp", expr("n_digit * 10000 div greatest(n_chars, 1)"))
       .withColumn("upper_bp", expr("n_upper * 10000 div greatest(n_chars, 1)"))
-      .withColumn("margin",
-        expr("-100000 + 900 * least(n_toks, 512) + 400 * stop_bp " +
-          "- 300 * digit_bp - 150 * upper_bp"))
+      .withColumn("margin", expr(classifierMarginSqlExpr))
       .withColumn("keep", col("margin") > 0)
   }
 }

@@ -478,27 +478,13 @@ object EventQueries {
   val q237StreamQualityGate: QuerySpec = QuerySpec.oracled(
     "q237_stream_quality_gate",
     s"""WITH f AS (
-       |  SELECT lang,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
-       |      AS BIGINT) AS n_toks,
-       |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
-       |      '\\s+'), x -> list_contains(
-       |      ${graft.ext.TextStats.ClassifierStopwords
-            .map(s => s"'$s'").mkString("[", ", ", "]")}, x)))
-       |      AS BIGINT) AS n_stop,
-       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-       |      AS BIGINT) AS n_digit,
-       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
-       |      AS BIGINT) AS n_upper
-       |  FROM documents),
+       |  ${graft.ext.TextStats.classifierFeatureSql("lang")}),
+       |bp AS (
+       |  ${graft.ext.TextStats.classifierBpSql}),
        |m AS (
        |  SELECT lang,
-       |    -100000 + 900 * least(n_toks, 512)
-       |      + 400 * (n_stop * 10000 // greatest(n_toks, 1))
-       |      - 300 * (n_digit * 10000 // greatest(n_chars, 1))
-       |      - 150 * (n_upper * 10000 // greatest(n_chars, 1)) AS margin
-       |  FROM f)
+       |    ${graft.ext.TextStats.classifierMarginSqlExpr} AS margin
+       |  FROM bp)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(*) FILTER (margin > 0) AS BIGINT) AS n_keep,
        |  CAST(sum(margin) AS BIGINT) AS margin_sum

@@ -1752,28 +1752,13 @@ object TextQueries {
   val q233ClassifierMargin: QuerySpec = QuerySpec.oracled(
     "q233_classifier_margin",
     s"""WITH f AS (
-       |  SELECT doc_id,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
-       |    CAST(len(list_filter($toksSql, x -> list_contains(
-       |      ${TextStats.ClassifierStopwords.map(s => s"'$s'").mkString("[", ", ", "]")},
-       |      x))) AS BIGINT) AS n_stop,
-       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-       |      AS BIGINT) AS n_digit,
-       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
-       |      AS BIGINT) AS n_upper
-       |  FROM documents),
+       |  ${TextStats.classifierFeatureSql("doc_id")}),
        |bp AS (
-       |  SELECT *, n_stop * 10000 // greatest(n_toks, 1) AS stop_bp,
-       |    n_digit * 10000 // greatest(n_chars, 1) AS digit_bp,
-       |    n_upper * 10000 // greatest(n_chars, 1) AS upper_bp
-       |  FROM f)
+       |  ${TextStats.classifierBpSql})
        |SELECT doc_id, n_chars, n_toks, n_stop, n_digit, n_upper,
        |  stop_bp, digit_bp, upper_bp,
-       |  -100000 + 900 * least(n_toks, 512) + 400 * stop_bp
-       |    - 300 * digit_bp - 150 * upper_bp AS margin,
-       |  (-100000 + 900 * least(n_toks, 512) + 400 * stop_bp
-       |    - 300 * digit_bp - 150 * upper_bp) > 0 AS keep
+       |  ${TextStats.classifierMarginSqlExpr} AS margin,
+       |  (${TextStats.classifierMarginSqlExpr}) > 0 AS keep
        |FROM bp
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     graft.ext.TextStats.classifierMargin(
@@ -1795,23 +1780,12 @@ object TextQueries {
   val q235CurationPipeline: QuerySpec = QuerySpec.oracled(
     "q235_curation_pipeline",
     s"""WITH f AS (
-       |  SELECT doc_id,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
-       |    CAST(len(list_filter($toksSql, x -> list_contains(
-       |      ${TextStats.ClassifierStopwords.map(s => s"'$s'").mkString("[", ", ", "]")},
-       |      x))) AS BIGINT) AS n_stop,
-       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-       |      AS BIGINT) AS n_digit,
-       |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
-       |      AS BIGINT) AS n_upper
-       |  FROM documents),
+       |  ${TextStats.classifierFeatureSql("doc_id")}),
+       |bp AS (
+       |  ${TextStats.classifierBpSql}),
        |kp AS (
-       |  SELECT doc_id FROM f
-       |  WHERE -100000 + 900 * least(n_toks, 512)
-       |    + 400 * (n_stop * 10000 // greatest(n_toks, 1))
-       |    - 300 * (n_digit * 10000 // greatest(n_chars, 1))
-       |    - 150 * (n_upper * 10000 // greatest(n_chars, 1)) > 0),
+       |  SELECT doc_id FROM bp
+       |  WHERE (${TextStats.classifierMarginSqlExpr}) > 0),
        |k AS (
        |  SELECT d.doc_id, d.lang, d.text
        |  FROM documents d JOIN kp ON d.doc_id = kp.doc_id),

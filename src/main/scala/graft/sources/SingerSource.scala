@@ -5,8 +5,9 @@ import graft.catalog.CatalogSchema
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -19,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
-import java.time.OffsetDateTime
+import java.time.{LocalDateTime, OffsetDateTime, ZoneOffset}
 import scala.collection.JavaConverters._
 
 /** DataSource V2 batch connector for the Singer message format — the tap
@@ -36,18 +37,23 @@ import scala.collection.JavaConverters._
   *   - one `InputPartition` per file, so a directory of per-day Singer
   *     exports scans in parallel across executors exactly like any
   *     file-based source (files sort lexicographically for deterministic
-  *     planning);
+  *     planning); multi-path `load(dir1, dir2)` is honored via the
+  *     `paths` option;
   *   - column pruning pushes down ([[SingerScanBuilder.pruneColumns]]):
   *     the per-partition reader materializes ONLY the pruned fields from
   *     each RECORD — a `select(two columns)` never builds the wide row;
+  *   - the session's Hadoop configuration rides to the executors as a
+  *     serialized key/value map, so `spark.hadoop.*` settings (object
+  *     store credentials, filesystem impls) work exactly as they do for
+  *     the built-in file sources;
   *   - non-RECORD messages (SCHEMA, STATE) are skipped in the reader, so
   *     interleaved multi-message files stream through without a
   *     pre-filter pass.
   *
-  * Registered as `graft-singer` via DataSourceRegister (META-INF service
-  * entry). Values parse from the RECORD JSON with the null-safe mapping
-  * the sink wrote (ISO-8601 timestamps → micros; nested objects/arrays
-  * recurse).
+  * User-supplied schemas (`supportsExternalMetadata`) are validated at
+  * table creation: unsupported Catalyst types fail fast there instead of
+  * corrupting rows at scan time. Registered as `graft-singer` via
+  * DataSourceRegister (META-INF service entry).
   */
 class SingerSource extends TableProvider with DataSourceRegister {
 
@@ -56,38 +62,90 @@ class SingerSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-singer: path is required"))
-    SingerSource.schemaFromFirstSchemaMessage(path)
+    val paths = SingerSource.resolvePaths(options.asCaseSensitiveMap())
+    SingerSource.schemaFromFirstSchemaMessage(paths,
+      SingerSource.driverHadoopConf())
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new SingerTable(properties.get("path"), schema)
+      properties: java.util.Map[String, String]): Table = {
+    SingerSource.validateSchema(schema)
+    new SingerTable(SingerSource.resolvePaths(properties), schema)
+  }
 }
 
 object SingerSource {
 
   private[sources] val mapper = new ObjectMapper()
 
-  /** All regular files under `path` (or `path` itself), lexicographic. */
-  private[sources] def listFiles(path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val st = fs.getFileStatus(p)
-    val files =
-      if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-      else Seq(p)
-    files.map(_.toString).sorted
+  /** The `path` / `paths` (JSON array) options, failing fast if absent. */
+  private[sources] def resolvePaths(
+      props: java.util.Map[String, String]): Seq[String] = {
+    val multi = Option(props.get("paths")).map { json =>
+      mapper.readTree(json).elements.asScala.map(_.asText).toSeq
+    }
+    val single = Option(props.get("path")).toSeq
+    val all = multi.getOrElse(Nil) ++ single
+    if (all.isEmpty)
+      throw new IllegalArgumentException(
+        "graft-singer: a path is required — use .load(<path>) or option(\"path\", ...)")
+    all
   }
 
+  /** The session's Hadoop conf (driver side) — carries `spark.hadoop.*`. */
+  private[sources] def driverHadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** Flatten a Configuration to a serializable map (includes defaults). */
+  private[sources] def confToMap(conf: Configuration): Map[String, String] =
+    conf.iterator.asScala.map(e => e.getKey -> e.getValue).toMap
+
+  private[sources] def confFromMap(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Supported Catalyst leaf types; fail fast on anything else. */
+  private[sources] def validateSchema(schema: StructType): Unit = {
+    def check(dt: DataType, path: String): Unit = dt match {
+      case LongType | IntegerType | DoubleType | BooleanType | StringType |
+          TimestampType => ()
+      case st: StructType =>
+        st.fields.foreach(f => check(f.dataType, s"$path.${f.name}"))
+      case ArrayType(et, _) => check(et, s"$path[]")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-singer: unsupported type ${other.simpleString} at $path " +
+            "(supported: long, int, double, boolean, string, timestamp, " +
+            "struct, array)")
+    }
+    schema.fields.foreach(f => check(f.dataType, f.name))
+  }
+
+  /** All regular files under each path (or the path itself), lexicographic
+    * across the whole set for deterministic planning.
+    */
+  private[sources] def listFiles(
+      paths: Seq[String], conf: Configuration): Seq[String] =
+    paths.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+      else Seq(p.toString)
+    }.sorted
+
   /** Driver-side schema inference: first SCHEMA message of the first file. */
-  def schemaFromFirstSchemaMessage(path: String): StructType = {
-    val first = listFiles(path).headOption.getOrElse(
-      throw new IllegalArgumentException(s"graft-singer: no files at $path"))
-    val in = openLines(first)
+  def schemaFromFirstSchemaMessage(
+      paths: Seq[String], conf: Configuration): StructType = {
+    val first = listFiles(paths, conf).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-singer: no files at ${paths.mkString(", ")}"))
+    val in = openLines(first, conf)
     try {
       Iterator.continually(in.readLine()).takeWhile(_ != null)
         .map(mapper.readTree)
@@ -104,14 +162,31 @@ object SingerSource {
     } finally in.close()
   }
 
-  private[sources] def openLines(path: String): BufferedReader = {
+  private[sources] def openLines(
+      path: String, conf: Configuration): BufferedReader = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     new BufferedReader(
       new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
   }
 
-  /** JSON node → Catalyst value for `dt`; absent/null → null. */
+  /** ISO-8601 → epoch micros; zone-less timestamps (common in third-party
+    * taps) read as UTC rather than crashing the scan.
+    */
+  private[sources] def parseTimestampMicros(text: String): Long = {
+    val odt =
+      try OffsetDateTime.parse(text)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          LocalDateTime.parse(text).atOffset(ZoneOffset.UTC)
+      }
+    odt.toEpochSecond * 1000000L + odt.getNano / 1000L
+  }
+
+  /** JSON node → Catalyst value for `dt`; absent/null → null. Unhandled
+    * types are unreachable: [[validateSchema]] rejects them at table
+    * creation.
+    */
   private[sources] def convert(node: JsonNode, dt: DataType): Any = {
     if (node == null || node.isNull || node.isMissingNode) null
     else dt match {
@@ -122,25 +197,24 @@ object SingerSource {
       case StringType =>
         UTF8String.fromString(
           if (node.isTextual) node.asText else node.toString)
-      case TimestampType =>
-        val odt = OffsetDateTime.parse(node.asText)
-        odt.toEpochSecond * 1000000L + odt.getNano / 1000L
+      case TimestampType => parseTimestampMicros(node.asText)
       case st: StructType =>
         InternalRow.fromSeq(st.fields.toSeq.map(f =>
           convert(node.get(f.name), f.dataType)))
       case ArrayType(et, _) =>
         new GenericArrayData(
           node.elements.asScala.toSeq.map(convert(_, et)))
-      case _ =>
-        UTF8String.fromString(node.toString)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-singer: unsupported type ${other.simpleString}")
     }
   }
 }
 
-private[sources] class SingerTable(path: String, tableSchema: StructType)
+private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
     extends Table with SupportsRead {
 
-  override def name(): String = s"graft-singer:$path"
+  override def name(): String = s"graft-singer:${paths.mkString(",")}"
 
   override def schema(): StructType = tableSchema
 
@@ -148,10 +222,10 @@ private[sources] class SingerTable(path: String, tableSchema: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SingerScanBuilder(path, tableSchema)
+    new SingerScanBuilder(paths, tableSchema)
 }
 
-private[sources] class SingerScanBuilder(path: String, full: StructType)
+private[sources] class SingerScanBuilder(paths: Seq[String], full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -162,45 +236,52 @@ private[sources] class SingerScanBuilder(path: String, full: StructType)
     required = StructType(full.fields.filter(f => want.contains(f.name)))
   }
 
-  override def build(): Scan = new SingerScan(path, required)
+  override def build(): Scan =
+    new SingerScan(paths, required,
+      SingerSource.confToMap(SingerSource.driverHadoopConf()))
 }
 
-private[sources] class SingerScan(path: String, required: StructType)
+private[sources] class SingerScan(
+    paths: Seq[String], required: StructType, confMap: Map[String, String])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-singer $path ReadSchema: ${required.simpleString}"
+    s"graft-singer ${paths.mkString(",")} " +
+      s"ReadSchema: ${required.simpleString}"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    SingerSource.listFiles(path).map(SingerInputPartition).toArray
+    SingerSource.listFiles(paths, SingerSource.confFromMap(confMap))
+      .map(SingerInputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(required)
+    new SingerReaderFactory(required, confMap)
 }
 
 private[sources] final case class SingerInputPartition(file: String)
     extends InputPartition
 
-private[sources] class SingerReaderFactory(required: StructType)
+private[sources] class SingerReaderFactory(
+    required: StructType, confMap: Map[String, String])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SingerPartitionReader(
-      p.asInstanceOf[SingerInputPartition].file, required)
+      p.asInstanceOf[SingerInputPartition].file, required, confMap)
 }
 
 /** Streams one file, yielding an InternalRow per RECORD message with only
   * the pruned fields materialized.
   */
 private[sources] class SingerPartitionReader(
-    file: String, required: StructType)
+    file: String, required: StructType, confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
-  private val in = SingerSource.openLines(file)
+  private val in =
+    SingerSource.openLines(file, SingerSource.confFromMap(confMap))
   private var row: InternalRow = _
 
   override def next(): Boolean = {

@@ -51,6 +51,14 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1, "a", "b", 2L)))
   }
 
+  test("exhausted dictionaries yield fewer rows, never padding") {
+    // "ab" fully merges after one rule; ranks 2-3 have no pair to count
+    val docs = Seq("ab ab ab").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect.toSeq
+    assert(got == Seq((1, "a", "b", 3L)))
+  }
+
   test("wordFreq lowercases and counts corpus-wide") {
     val docs = Seq("The the", "THE cat").toDF("text")
     val wf = Bpe.wordFreq(docs, "text")

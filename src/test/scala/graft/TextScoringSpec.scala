@@ -48,9 +48,10 @@ class TextScoringSpec extends AnyFunSuite with SparkSpec {
       .select("n_toks", "stop_bp", "digit_bp", "upper_bp", "margin")
       .as[(Long, Long, Long, Long, Long)].head
     val (nToks, stopBp, digitBp, upperBp, margin) = r
+    val (c, wt, ws, wd, wu) = TextStats.ClassifierWeights
     assert(margin ==
-      -100000L + 900L * math.min(nToks, 512L) + 400L * stopBp -
-        300L * digitBp - 150L * upperBp)
+      c + wt * math.min(nToks, 512L) + ws * stopBp -
+        wd * digitBp - wu * upperBp)
   }
 
   test("labelAudit flags a planted mislabel inside a tight cluster") {
