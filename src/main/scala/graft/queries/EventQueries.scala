@@ -468,6 +468,55 @@ object EventQueries {
     spark.table("q54_mem").orderBy("content_key")
   }.withSetup((s, d) => { stageQ43(s, d); () })
 
+  private val q239Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the documents table through the real Singer sink once per sf
+    * dir — the export the connector then streams. */
+  private def stageQ239(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q239Staging.getOrStage(dir) {
+      import graft.operators.{Export, ExportOptions}
+      val out = QuerySpec.stagedPath("q239_singer_stream", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      Export.toExport(
+        spark.read.parquet(s"$dir/documents.parquet"), "documents_rt", out,
+        ExportOptions(exportFormat = Some("singer"), keys = Seq("doc_id")),
+        conf = graft.conf.GluestickConf(Map.empty))
+      out
+    }
+
+  /** The Singer DSv2 connector driven as a STREAM
+    * ([[graft.sources.SingerSource]] micro-batch path): the staged export
+    * directory reads through `spark.readStream.format("graft-singer")`,
+    * one micro-batch per file backlog, into a running per-lang aggregate
+    * — the tap-to-table ingestion loop as a structured stream, stream ≡
+    * batch adjudicated against the parquet original. SingerSourceSpec
+    * pins the incremental contract (a restart consumes only new files).
+    */
+  val q239SingerStream: QuerySpec = QuerySpec.oracled(
+    "q239_singer_stream",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val staged = stageQ239(spark, dir)
+    val agg = spark.readStream.format("graft-singer")
+      .load(s"$staged/data.singer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars_sum"))
+    spark.streams.active.filter(_.name == "q239_mem").foreach(_.stop())
+    drainScoped(spark)(agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q239_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    spark.table("q239_mem").orderBy("lang")
+  }.withSetup((s, d) => { stageQ239(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -1899,7 +1948,7 @@ object EventQueries {
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
-      q237StreamQualityGate,
+      q237StreamQualityGate, q239SingerStream,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -219,7 +220,8 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SingerScanBuilder(paths, tableSchema)
@@ -259,6 +261,56 @@ private[sources] class SingerScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SingerReaderFactory(required, confMap)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SingerMicroBatchStream(paths, required, confMap)
+}
+
+/** Offset = how many files of the lexicographically-sorted listing have
+  * been consumed. */
+private[sources] final case class SingerOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
+}
+
+/** Micro-batch stream over a growing directory of Singer export files.
+  *
+  * Contract: export files must arrive with lexicographically INCREASING
+  * names (the dated-export convention, e.g. `2024-06-01T12-00.singer`) —
+  * the offset is a prefix length of the sorted listing, so a file sorting
+  * before an already-committed prefix would be invisible. This is the
+  * tradeoff that keeps the offset O(1) (an integer) instead of a
+  * seen-file log; Spark's own FileStreamSource chooses the log, and a
+  * production hardening of this source would too. Each micro-batch plans
+  * one InputPartition per NEW file — the same parallel, pruned reader as
+  * the batch path.
+  */
+private[sources] class SingerMicroBatchStream(
+    paths: Seq[String], required: StructType, confMap: Map[String, String])
+    extends MicroBatchStream {
+
+  private def files: Seq[String] =
+    SingerSource.listFiles(paths, SingerSource.confFromMap(confMap))
+
+  override def initialOffset(): Offset = SingerOffset(0)
+
+  override def latestOffset(): Offset = SingerOffset(files.size)
+
+  override def deserializeOffset(json: String): Offset =
+    SingerOffset(json.trim.toInt)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SingerOffset].fileCount
+    val e = end.asInstanceOf[SingerOffset].fileCount
+    files.slice(s, e).map(SingerInputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SingerReaderFactory(required, confMap)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class SingerInputPartition(file: String)

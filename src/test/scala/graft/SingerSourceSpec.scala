@@ -69,6 +69,46 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.as[Long].collect.toSet == Set(1L, 2L))
   }
 
+  test("streams a directory of singer files, restart reads only new files") {
+    val dir = tmpDir("singer_stream")
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    def addFile(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = tmpDir("singer_stage")
+      writeSinger(tmp, rows)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$tmp/data.singer"),
+        java.nio.file.Paths.get(s"$src/$name"))
+      ()
+    }
+    addFile("a.singer", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    // file sink (append-only) so the checkpoint is recoverable — the
+    // cumulative output proves each restart consumed ONLY new files
+    // (a re-read would duplicate rows)
+    def drain(): Seq[(Long, String, Double)] = {
+      val q = spark.readStream.format("graft-singer").load(src)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out").orderBy("id")
+        .as[(Long, String, Double)].collect.toSeq
+    }
+
+    assert(drain() == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // a later-sorting file arrives; restart from the same checkpoint must
+    // consume ONLY it (duplicates of ids 1-2 would appear otherwise)
+    addFile("b.singer", Seq((3L, "c", 3.0)))
+    assert(drain() == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // nothing new: restart appends nothing
+    assert(drain() == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
   test("skips SCHEMA and STATE messages interleaved with records") {
     val dir = tmpDir("singer_skip")
     writeSinger(dir, Seq((7L, "x", 9.0)))
