@@ -581,12 +581,28 @@ object Dedup {
         s"double-count n_pairs), got $thresholdsPct")
     val hs = withShingleHashSets(docs, idCol, textCol, k)
     val rows = shingleHashes(hs)
-    val candidates = rows.select(col("doc_id").as("id_a"), col("h"))
+    // intersection sizes straight off the h equi-join aggregation — NOT
+    // the q18 candidates-then-overlap two-step: with candidates = ALL
+    // co-shingle pairs, re-attaching each pair's full shingle list would
+    // explode |pairs| × |shingles per doc| rows; here the join output IS
+    // the counting input (one shuffle, map-side combinable)
+    val inter = rows.select(col("doc_id").as("id_a"), col("h"))
       .join(rows.select(col("doc_id").as("id_b"), col("h")), "h")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val scored = withOverlapExploded(candidates, hs)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter_size"))
+    val sizes = hs.select(col("doc_id"), size(col("hsh")).cast("long").as("__sz"))
+    // prune at the LOWEST ladder step before the ×|ladder| explode — a
+    // pair that misses the loosest threshold can't appear on any row
+    val minPct = thresholdsPct.min
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("__sz").as("__sz_a")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("__sz").as("__sz_b")),
+        "id_b")
+      .withColumn("union_size",
+        col("__sz_a") + col("__sz_b") - col("inter_size"))
+      .filter(col("inter_size") * 100 >= col("union_size") * minPct)
     val ladder = thresholdsPct.map(t => s"($t)").mkString(", ")
     val qual = scored
       .crossJoin(

@@ -714,6 +714,72 @@ object EventQueries {
       .orderBy("window_start_us", "category")
   }.withSetup((s, d) => { stageQ30(s, d); () })
 
+  /** Streaming enrichment against a VERSIONED (SCD2) dimension — the
+    * correctness trap q84's plain stream-static equi-join cannot express:
+    * when a dimension attribute changes mid-stream, each event must join
+    * the version VALID AT ITS EVENT TIME, not the current one. The static
+    * side carries `[valid_from, valid_to)` interval columns (the
+    * [[graft.ext.Scd2.history]] layout) and the stream joins on key AND
+    * the event-time range predicate — stateless per-row against the
+    * broadcast dimension, so it scales exactly like q84 (no stream state
+    * beyond the aggregate). Versions split at 2024-01-16; the oracle
+    * replays the identical interval join batch-side.
+    */
+  val q240StreamScd2Enrich: QuerySpec = QuerySpec.oracled(
+    "q240_stream_scd2_enrich",
+    """WITH dim AS (
+      |  SELECT * FROM (VALUES
+      |    ('view', 'view_v1', 1704067200000000, 1705363200000000),
+      |    ('view', 'view_v2', 1705363200000000, 1706745600000000),
+      |    ('click', 'click_v1', 1704067200000000, 1705363200000000),
+      |    ('click', 'click_v2', 1705363200000000, 1706745600000000),
+      |    ('purchase', 'purchase_v1', 1704067200000000, 1705363200000000),
+      |    ('purchase', 'purchase_v2', 1705363200000000, 1706745600000000),
+      |    ('signup', 'signup_v1', 1704067200000000, 1705363200000000),
+      |    ('signup', 'signup_v2', 1705363200000000, 1706745600000000),
+      |    ('error', 'error_v1', 1704067200000000, 1705363200000000),
+      |    ('error', 'error_v2', 1705363200000000, 1706745600000000))
+      |    AS t(event_type, tier, valid_from_us, valid_to_us))
+      |SELECT dim.tier, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+      |    AS val_cents
+      |FROM events e
+      |JOIN dim ON e.event_type = dim.event_type
+      |  AND epoch_us(e.ts) >= dim.valid_from_us
+      |  AND epoch_us(e.ts) < dim.valid_to_us
+      |GROUP BY dim.tier
+      |ORDER BY dim.tier""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageQ30(spark, dir)
+    val schema = spark.read.parquet(s"$staged/events.parquet").schema
+    val split = 1705363200000000L // 2024-01-16T00:00:00Z
+    val lo = 1704067200000000L
+    val hi = 1706745600000000L
+    val dim = Seq("view", "click", "purchase", "signup", "error")
+      .flatMap(t => Seq((t, s"${t}_v1", lo, split), (t, s"${t}_v2", split, hi)))
+      .toDF("dim_event_type", "tier", "valid_from_us", "valid_to_us")
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .join(broadcast(dim),
+        col("event_type") === col("dim_event_type") &&
+          col("ts_us") >= col("valid_from_us") &&
+          col("ts_us") < col("valid_to_us"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("val_cents"))
+    spark.streams.active.filter(_.name == "q240_mem").foreach(_.stop())
+    drainScoped(spark)(stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q240_mem")
+      .trigger(Trigger.AvailableNow())
+      .start())
+    spark.table("q240_mem").orderBy("tier")
+  }.withSetup((s, d) => { stageQ30(s, d); () })
+
   private val q89Staging = new QuerySpec.StagingCache[String]
 
   /** Stage the q89 two-file stream: real events first, then a far-future
@@ -1948,7 +2014,7 @@ object EventQueries {
     Seq(q28AsofJoin, q29Sessionize, q30StreamingWindow, q38SessionWindow,
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
-      q237StreamQualityGate, q239SingerStream,
+      q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

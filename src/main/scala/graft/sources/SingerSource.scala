@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -228,9 +228,11 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
 }
 
 private[sources] class SingerScanBuilder(paths: Seq[String], full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declaration order of the full schema for deterministic layout
@@ -238,20 +240,104 @@ private[sources] class SingerScanBuilder(paths: Seq[String], full: StructType)
     required = StructType(full.fields.filter(f => want.contains(f.name)))
   }
 
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) =
+      filters.partition(SingerFilters.isSupported(full, _))
+    pushed = supported
+    // pushed filters are evaluated exactly (not best-effort) in the
+    // reader, so Spark need not re-apply them — but returning them as
+    // residuals anyway would also be correct; we keep them pushed-only
+    // for the pruning win to show in the plan
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new SingerScan(paths, required,
+    new SingerScan(paths, required, pushed,
       SingerSource.confToMap(SingerSource.driverHadoopConf()))
 }
 
+/** The comparison subset the reader can evaluate on a raw RECORD before
+  * materializing the row: top-level field vs literal, where the field's
+  * type is a primitive the source supports. Skipping a record at the
+  * JSON-node stage avoids building the InternalRow entirely — the
+  * pre-shuffle pruning win for selective ingestion queries.
+  */
+private[sources] object SingerFilters {
+
+  private def comparable(full: StructType, attr: String, v: Any): Boolean = {
+    // both the column type AND the literal's runtime type must be in the
+    // evaluable set — a mismatched literal must stay a Spark-side filter,
+    // not silently drop rows in the reader
+    val colOk = full.fields.find(_.name == attr).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType | StringType | BooleanType =>
+        true
+      case _ => false
+    })
+    val litOk = v match {
+      case _: Long | _: Int | _: Double | _: String | _: Boolean => true
+      case _ => false
+    }
+    colOk && litOk
+  }
+
+  def isSupported(full: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => comparable(full, a, v)
+    case GreaterThan(a, v)        => comparable(full, a, v)
+    case GreaterThanOrEqual(a, v) => comparable(full, a, v)
+    case LessThan(a, v)           => comparable(full, a, v)
+    case LessThanOrEqual(a, v)    => comparable(full, a, v)
+    case IsNotNull(a)             => full.fieldNames.contains(a)
+    case IsNull(a)                => full.fieldNames.contains(a)
+    case _                        => false
+  }
+
+  /** Evaluate one filter against the raw record node. Nulls never satisfy
+    * a comparison (SQL semantics).
+    */
+  def eval(rec: JsonNode, f: Filter): Boolean = {
+    def node(a: String): JsonNode = rec.get(a)
+    def isNull(a: String): Boolean = {
+      val n = node(a)
+      n == null || n.isNull || n.isMissingNode
+    }
+    def cmp(a: String, v: Any): Option[Int] = {
+      val n = node(a)
+      if (n == null || n.isNull || n.isMissingNode) None
+      else v match {
+        case x: Long    => if (n.isNumber) Some(java.lang.Long.compare(n.asLong, x)) else None
+        case x: Int     => if (n.isNumber) Some(java.lang.Long.compare(n.asLong, x.toLong)) else None
+        case x: Double  => if (n.isNumber) Some(java.lang.Double.compare(n.asDouble, x)) else None
+        case x: String  => if (n.isTextual) Some(n.asText.compareTo(x)) else None
+        case x: Boolean => if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, x)) else None
+        case _          => None
+      }
+    }
+    f match {
+      case EqualTo(a, v)            => cmp(a, v).contains(0)
+      case GreaterThan(a, v)        => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v)           => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(a, v).exists(_ <= 0)
+      case IsNotNull(a)             => !isNull(a)
+      case IsNull(a)                => isNull(a)
+      case _                        => true
+    }
+  }
+}
+
 private[sources] class SingerScan(
-    paths: Seq[String], required: StructType, confMap: Map[String, String])
+    paths: Seq[String], required: StructType, filters: Array[Filter],
+    confMap: Map[String, String])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-singer ${paths.mkString(",")} " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
 
   override def toBatch: Batch = this
 
@@ -260,10 +346,10 @@ private[sources] class SingerScan(
       .map(SingerInputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(required, confMap)
+    new SingerReaderFactory(required, filters, confMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SingerMicroBatchStream(paths, required, confMap)
+    new SingerMicroBatchStream(paths, required, filters, confMap)
 }
 
 /** Offset = how many files of the lexicographically-sorted listing have
@@ -285,7 +371,8 @@ private[sources] final case class SingerOffset(fileCount: Int) extends Offset {
   * the batch path.
   */
 private[sources] class SingerMicroBatchStream(
-    paths: Seq[String], required: StructType, confMap: Map[String, String])
+    paths: Seq[String], required: StructType, filters: Array[Filter],
+    confMap: Map[String, String])
     extends MicroBatchStream {
 
   private def files: Seq[String] =
@@ -306,7 +393,7 @@ private[sources] class SingerMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(required, confMap)
+    new SingerReaderFactory(required, filters, confMap)
 
   override def commit(end: Offset): Unit = ()
 
@@ -317,19 +404,21 @@ private[sources] final case class SingerInputPartition(file: String)
     extends InputPartition
 
 private[sources] class SingerReaderFactory(
-    required: StructType, confMap: Map[String, String])
+    required: StructType, filters: Array[Filter],
+    confMap: Map[String, String])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SingerPartitionReader(
-      p.asInstanceOf[SingerInputPartition].file, required, confMap)
+      p.asInstanceOf[SingerInputPartition].file, required, filters, confMap)
 }
 
 /** Streams one file, yielding an InternalRow per RECORD message with only
   * the pruned fields materialized.
   */
 private[sources] class SingerPartitionReader(
-    file: String, required: StructType, confMap: Map[String, String])
+    file: String, required: StructType, filters: Array[Filter],
+    confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val in =
@@ -343,9 +432,12 @@ private[sources] class SingerPartitionReader(
         val n = SingerSource.mapper.readTree(line)
         if (n.path("type").asText == "RECORD") {
           val rec = n.path("record")
-          row = InternalRow.fromSeq(required.fields.toSeq.map(f =>
-            SingerSource.convert(rec.get(f.name), f.dataType)))
-          return true
+          // pushed filters run on the raw node BEFORE row materialization
+          if (filters.forall(SingerFilters.eval(rec, _))) {
+            row = InternalRow.fromSeq(required.fields.toSeq.map(f =>
+              SingerSource.convert(rec.get(f.name), f.dataType)))
+            return true
+          }
         }
       }
       line = in.readLine()

@@ -69,6 +69,22 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.as[Long].collect.toSet == Set(1L, 2L))
   }
 
+  test("filter pushdown reaches the scan and prunes records exactly") {
+    val dir = tmpDir("singer_filter")
+    writeSinger(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val f = spark.read.format("graft-singer").load(s"$dir/data.singer")
+      .filter(col("id") >= 2L && col("name") === "b")
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(id,2)"),
+      s"filters should push into the scan:\n$plan")
+    assert(f.select("id").as[Long].collect.toSeq == Seq(2L))
+    // null semantics: a comparison never matches a missing field
+    val none = spark.read.format("graft-singer").load(s"$dir/data.singer")
+      .filter(col("score") > 100.0)
+    assert(none.count() == 0L)
+  }
+
   test("streams a directory of singer files, restart reads only new files") {
     val dir = tmpDir("singer_stream")
     val src = s"$dir/src"
