@@ -48,6 +48,25 @@ object Bpe {
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
 
+  /** The leftmost-greedy merge fold over a token string `ts`, merging the
+    * pair in columns `__ma`/`__mb` — a NULL `__ma` (no rule, e.g. merges
+    * exhausted) makes the fold the identity re-join, so LEFT-joined rule
+    * rows apply safely.
+    */
+  private def mergeFold: Column =
+    aggregate(
+      split(col("ts"), Sep),
+      lit(""),
+      (acc: Column, x: Column) =>
+        when(
+          col("__ma").isNotNull && acc =!= "" &&
+            (acc === col("__ma") ||
+              acc.endsWith(concat(lit(Sep), col("__ma")))) &&
+            x === col("__mb"),
+          concat(acc, x))
+          .when(acc === "", x)
+          .otherwise(concat(acc, lit(Sep), x)))
+
   /** One merge iteration: (best-pair 1-row DF with a/b/cnt, next state). */
   private def step(state: DataFrame): (DataFrame, DataFrame) = {
     val t = split(col("ts"), Sep)
@@ -67,21 +86,29 @@ object Bpe {
       .limit(1)
     val merged = state
       .crossJoin(broadcast(best.select(col("a").as("__ma"), col("b").as("__mb"))))
-      .select(
-        aggregate(
-          split(col("ts"), Sep),
-          lit(""),
-          (acc: Column, x: Column) =>
-            when(
-              acc =!= "" &&
-                (acc === col("__ma") ||
-                  acc.endsWith(concat(lit(Sep), col("__ma")))) &&
-                x === col("__mb"),
-              concat(acc, x))
-              .when(acc === "", x)
-              .otherwise(concat(acc, lit(Sep), x))).as("ts"),
-        col("freq"))
+      .select(mergeFold.as("ts"), col("freq"))
     (best, merged)
+  }
+
+  /** Tokenize `words` (column `w`, distinct alphabetic words) with learned
+    * merge `rules` ([[trainMerges]] output), applied in rank order — the
+    * APPLY side of BPE. Rules join LEFT (on true), so an exhausted rank
+    * (absent row) is the identity pass instead of emptying the
+    * vocabulary. Runs entirely on the vocabulary-sized word list; callers
+    * join the result back to corpus tokens.
+    */
+  def applyMerges(
+      words: DataFrame, rules: DataFrame, numMerges: Int): DataFrame = {
+    var cur = words.select(col("w"),
+      rtrim(regexp_replace(col("w"), "(.)", "$1" + Sep)).as("ts"))
+    (1 to numMerges).foreach { rank =>
+      val r = broadcast(rules
+        .filter(col("merge_rank") === rank)
+        .select(col("left_tok").as("__ma"), col("right_tok").as("__mb")))
+      cur = cur.join(r, lit(true), "left")
+        .select(col("w"), mergeFold.as("ts"))
+    }
+    cur
   }
 
   /** The first `numMerges` BPE merge rules learned from `docs(textCol)`:

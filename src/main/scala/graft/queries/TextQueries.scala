@@ -1719,6 +1719,120 @@ object TextQueries {
       .orderBy("merge_rank")
   }
 
+  /** One LEFT-joined merge application over a word-tokenization CTE —
+    * mirrors [[graft.ext.Bpe.applyMerges]]: a NULL rule (exhausted rank)
+    * is the identity re-join, never an emptying cross join.
+    */
+  private def bpeApplySql(src: String, b: String, out: String): String =
+    s"""$out AS (SELECT w, list_reduce(list_prepend('', string_split(ts, ' ')),
+       |    (acc, x) -> CASE
+       |      WHEN $b.a IS NOT NULL AND acc <> ''
+       |        AND (acc = $b.a OR ends_with(acc, ' ' || $b.a))
+       |        AND x = $b.b THEN acc || x
+       |      WHEN acc = '' THEN x
+       |      ELSE acc || ' ' || x END) AS ts
+       |  FROM $src LEFT JOIN $b ON TRUE)""".stripMargin
+
+  /** BPE merge APPLICATION ([[graft.ext.Bpe.applyMerges]]) — the other
+    * half of q231's training: the 3 learned rules tokenize the corpus,
+    * and the per-document subword accounting (words, subwords, subwords
+    * per word in ppm) is the compression measurement a tokenizer choice
+    * is judged by. The rules replay from the training CTEs, application
+    * runs once per DISTINCT word (vocabulary-sized, the property that
+    * makes corpus-wide tokenization cheap), and the per-doc rollup is a
+    * (w) equi-join + map-side-combinable aggregate — the q232 shape.
+    */
+  val q241BpeApply: QuerySpec = QuerySpec.oracled(
+    "q241_bpe_apply",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |aw AS (SELECT doc_id, w FROM tok WHERE regexp_full_match(w, '[a-z]+')),
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM aw GROUP BY w),
+       |s0 AS (
+       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ts, freq
+       |  FROM wf),
+       |${bpeIterSql("s0", "p1", "b1", "s1")},
+       |${bpeIterSql("s1", "p2", "b2", "s2")},
+       |${bpeIterSql("s2", "p3", "b3", "s3")},
+       |v0 AS (
+       |  SELECT w, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ts
+       |  FROM (SELECT DISTINCT w FROM aw)),
+       |${bpeApplySql("v0", "b1", "v1")},
+       |${bpeApplySql("v1", "b2", "v2")},
+       |${bpeApplySql("v2", "b3", "v3")},
+       |vn AS (
+       |  SELECT w, CAST(len(string_split(ts, ' ')) AS BIGINT) AS n_sub
+       |  FROM v3)
+       |SELECT aw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(vn.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(vn.n_sub) * 1000000 // count(*) AS BIGINT)
+       |    AS sub_per_word_ppm
+       |FROM aw JOIN vn USING (w)
+       |GROUP BY aw.doc_id
+       |ORDER BY aw.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rules = graft.ext.Bpe.trainMerges(docs, "text", numMerges = 3)
+    val aw = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val vn = graft.ext.Bpe.applyMerges(
+        aw.select("w").distinct(), rules, numMerges = 3)
+      .select(col("w"),
+        size(split(col("ts"), " ")).cast("long").as("n_sub"))
+    aw.join(vn, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("sub_per_word_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary growth curve (the Heaps'-law saturation audit: is more
+    * data still adding new tokens, or has the corpus's vocabulary
+    * plateaued?): each token's FIRST-SEEN document (min doc_id) is one
+    * map-side-combinable aggregate, and the cumulative vocabulary at each
+    * decile boundary of the doc_id range is a tiny broadcast-ladder
+    * rollup over |vocab| rows — no per-prefix recount, which is what
+    * makes the curve computable in one corpus pass at 100 TB. Boundaries
+    * derive from max(doc_id) so the query is closed over its input.
+    */
+  val q242VocabGrowth: QuerySpec = QuerySpec.oracled(
+    "q242_vocab_growth",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |fs AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+       |mx AS (SELECT max(doc_id) AS m FROM documents),
+       |dec AS (SELECT unnest(range(1, 11)) AS decile),
+       |bound AS (
+       |  SELECT decile, (mx.m + 1) * decile // 10 - 1 AS b
+       |  FROM dec CROSS JOIN mx)
+       |SELECT CAST(bound.decile AS BIGINT) AS decile,
+       |  CAST(bound.b AS BIGINT) AS max_doc_id,
+       |  CAST(count(*) FILTER (fs.first_doc <= bound.b) AS BIGINT)
+       |    AS vocab_cum
+       |FROM bound CROSS JOIN fs
+       |GROUP BY bound.decile, bound.b
+       |ORDER BY decile""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fs = docs
+      .select(col("doc_id"), explode(TextStats.tokensCol("text")).as("tok"))
+      .groupBy("tok")
+      .agg(min("doc_id").as("first_doc"))
+    val bound = docs.agg(max("doc_id").as("m"))
+      .crossJoin(spark.range(1, 11).toDF("decile"))
+      .select(col("decile"),
+        expr("(m + 1) * decile div 10 - 1").as("b"))
+    fs.crossJoin(broadcast(bound))
+      .groupBy("decile", "b")
+      .agg(sum(when(col("first_doc") <= col("b"), 1L).otherwise(0L))
+        .as("vocab_cum"))
+      .select(col("decile"), col("b").as("max_doc_id"), col("vocab_cum"))
+      .orderBy("decile")
+  }
+
   /** Integer unigram surprisal ([[graft.ext.TextStats.surprisalBits]]):
     * per-token `floor(log2(N div c))` via `length(bin(N div c)) - 1` — a
     * perplexity-style quality signal with NO floating log anywhere, so both
@@ -1852,5 +1966,6 @@ object TextQueries {
       q193SourceOverlap, q194NgramNovelty, q204BalancedShards,
       q209TemperatureMix, q210IndexedGrep, q223EpochShuffle,
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
-      q233ClassifierMargin, q235CurationPipeline)
+      q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
+      q242VocabGrowth)
 }

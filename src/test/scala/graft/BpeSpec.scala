@@ -51,6 +51,28 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1, "a", "b", 2L)))
   }
 
+  test("applyMerges tokenizes with the learned rules in rank order") {
+    val docs = Seq("abab abab abab abc abc cc").toDF("text")
+    val rules = Bpe.trainMerges(docs, "text", numMerges = 3)
+    // rules: (a,b) → (ab,ab) → (ab,c)
+    val words = Seq("abab", "abc", "cc", "ba").toDF("w")
+    val got = Bpe.applyMerges(words, rules, numMerges = 3)
+      .as[(String, String)].collect.toMap
+    assert(got == Map(
+      "abab" -> "abab", // ab ab → abab
+      "abc" -> "abc", // ab c → abc
+      "cc" -> "c c", // no rule applies
+      "ba" -> "b a")) // order matters: (a,b) does not merge "b a"
+  }
+
+  test("applyMerges is the identity for exhausted ranks") {
+    val docs = Seq("ab ab ab").toDF("text")
+    val rules = Bpe.trainMerges(docs, "text", numMerges = 3) // only rank 1
+    val got = Bpe.applyMerges(Seq("ab", "ba").toDF("w"), rules, numMerges = 3)
+      .as[(String, String)].collect.toMap
+    assert(got == Map("ab" -> "ab", "ba" -> "b a"))
+  }
+
   test("exhausted dictionaries yield fewer rows, never padding") {
     // "ab" fully merges after one rule; ranks 2-3 have no pair to count
     val docs = Seq("ab ab ab").toDF("text")
