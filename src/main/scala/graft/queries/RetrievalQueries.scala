@@ -239,6 +239,118 @@ object RetrievalQueries {
       .orderBy("query_id")
   }
 
+  /** MRR + precision@10 evaluation of the q198 BM25 ranking against a
+    * DETERMINISTIC relevance oracle — relevant(q, d) ⟺ d contains EVERY
+    * term of q (AND-containment, replayable in SQL, no human labels).
+    * Completes the eval-metric family (recall@k q220, pass@k q211, RBO
+    * q203) for the lexical leg: `mrr_ppm = 1e6 div first_rank` and
+    * `prec10_ppm = hits·1e5` are exact integers, and queries with no
+    * relevant doc in the top-10 report 0, not an absent row. Scale: the
+    * relevance join prunes against the broadcast term list exactly like
+    * the ranking it audits.
+    */
+  val q243MrrEval: QuerySpec = QuerySpec.oracled(
+    "q243_mrr_eval",
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |qt AS (SELECT * FROM $queryTermsSql),
+       |tc AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |nq AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS nt FROM qt
+       |  GROUP BY 1),
+       |relc AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(count(DISTINCT t.term) AS BIGINT) AS m
+       |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2),
+       |rel AS (
+       |  SELECT relc.query_id, relc.doc_id
+       |  FROM relc JOIN nq USING (query_id) WHERE relc.m = nq.nt),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk
+       |  WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS total FROM dl),
+       |tf AS (
+       |  SELECT q.query_id, q.term, t.doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tc
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (
+       |  SELECT f.query_id, f.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + ((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+       |      ((f.c * ${K1 + 1}) / (f.c + $K1 * (${1 - B} +
+       |        $B * (l.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cmicro
+       |  FROM tf f JOIN df d ON f.term = d.term
+       |  JOIN dl l ON f.doc_id = l.doc_id
+       |  CROSS JOIN st s),
+       |sm AS (
+       |  SELECT query_id, doc_id, CAST(sum(cmicro) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM sm),
+       |hit AS (
+       |  SELECT r.query_id, r.rnk FROM r
+       |  JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+       |  WHERE r.rnk <= 10),
+       |agg AS (
+       |  SELECT query_id, min(rnk) AS first_rank,
+       |    CAST(count(*) AS BIGINT) AS n_top
+       |  FROM hit GROUP BY 1),
+       |tot AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_total
+       |  FROM rel GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(coalesce(tot.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+       |  CAST(coalesce(agg.n_top, 0) AS BIGINT) AS n_rel_top10,
+       |  CAST(coalesce(1000000 // agg.first_rank, 0) AS BIGINT) AS mrr_ppm,
+       |  CAST(coalesce(agg.n_top, 0) * 100000 AS BIGINT) AS prec10_ppm
+       |FROM (SELECT DISTINCT query_id FROM qt) q
+       |LEFT JOIN agg USING (query_id)
+       |LEFT JOIN tot USING (query_id)
+       |ORDER BY q.query_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qt = QueryTerms.toDF("query_id", "term")
+    val topk = Retrieval.bm25TopK(
+      docs = docs, queryTerms = qt,
+      idCol = "doc_id", textCol = "text", k = 10, k1 = K1, b = B)
+    // inline tokenization identical to the oracle's toksSql
+    val tc2 = docs.select(col("doc_id"),
+      explode(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"))
+        .as("term"))
+    val nq = qt.groupBy("query_id").agg(count(lit(1)).as("nt"))
+    val rel = tc2.join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct("term").as("m"))
+      .join(broadcast(nq), "query_id")
+      .filter(col("m") === col("nt"))
+      .select("query_id", "doc_id")
+    val hit = topk.join(rel, Seq("query_id", "doc_id"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank")
+    val agg0 = hit.groupBy("query_id")
+      .agg(min("rank").as("first_rank"), count(lit(1)).as("n_top"))
+    val tot = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel_total"))
+    qt.select("query_id").distinct()
+      .join(agg0, Seq("query_id"), "left")
+      .join(tot, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        coalesce(col("n_top"), lit(0L)).as("n_rel_top10"),
+        coalesce(expr("1000000 div first_rank"), lit(0L)).as("mrr_ppm"),
+        (coalesce(col("n_top"), lit(0L)) * 100000).as("prec10_ppm"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement)
+    Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement, q243MrrEval)
 }
