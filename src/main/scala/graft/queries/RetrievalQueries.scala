@@ -321,11 +321,9 @@ object RetrievalQueries {
     val topk = Retrieval.bm25TopK(
       docs = docs, queryTerms = qt,
       idCol = "doc_id", textCol = "text", k = 10, k1 = K1, b = B)
-    // inline tokenization identical to the oracle's toksSql
+    // same tokenizer as the ranking it audits (and q199/q203)
     val tc2 = docs.select(col("doc_id"),
-      explode(expr(
-        "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"))
-        .as("term"))
+      explode(Dedup.tokens(col("text"))).as("term"))
     val nq = qt.groupBy("query_id").agg(count(lit(1)).as("nt"))
     val rel = tc2.join(broadcast(qt), "term")
       .groupBy("query_id", "doc_id")

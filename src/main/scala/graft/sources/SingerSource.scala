@@ -254,7 +254,7 @@ private[sources] class SingerScanBuilder(paths: Seq[String], full: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SingerScan(paths, required, pushed,
+    new SingerScan(paths, full, required, pushed,
       SingerSource.confToMap(SingerSource.driverHadoopConf()))
 }
 
@@ -293,26 +293,35 @@ private[sources] object SingerFilters {
     case _                        => false
   }
 
-  /** Evaluate one filter against the raw record node. Nulls never satisfy
-    * a comparison (SQL semantics).
+  /** Evaluate one filter against the record by CONVERTING the field with
+    * the same [[SingerSource.convert]] the row materializer uses — pushed
+    * filters are not re-applied by Spark, so the evaluation must agree
+    * with materialization exactly: a type-mismatched primitive converts
+    * to null and never satisfies a comparison (and DOES satisfy IsNull),
+    * string columns compare on the coerced text, and doubles use Spark's
+    * `-0.0 == 0.0` / NaN-orderable semantics.
     */
-  def eval(rec: JsonNode, f: Filter): Boolean = {
-    def node(a: String): JsonNode = rec.get(a)
-    def isNull(a: String): Boolean = {
-      val n = node(a)
-      n == null || n.isNull || n.isMissingNode
-    }
-    def cmp(a: String, v: Any): Option[Int] = {
-      val n = node(a)
-      if (n == null || n.isNull || n.isMissingNode) None
-      else v match {
-        case x: Long    => if (n.isNumber) Some(java.lang.Long.compare(n.asLong, x)) else None
-        case x: Int     => if (n.isNumber) Some(java.lang.Long.compare(n.asLong, x.toLong)) else None
-        case x: Double  => if (n.isNumber) Some(java.lang.Double.compare(n.asDouble, x)) else None
-        case x: String  => if (n.isTextual) Some(n.asText.compareTo(x)) else None
-        case x: Boolean => if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, x)) else None
-        case _          => None
-      }
+  def eval(rec: JsonNode, full: StructType, f: Filter): Boolean = {
+    def value(a: String): Any =
+      SingerSource.convert(rec.get(a), full(a).dataType)
+    def cmp(a: String, v: Any): Option[Int] = (value(a), v) match {
+      case (null, _) => None
+      case (x: java.lang.Long, y: Long) =>
+        Some(java.lang.Long.compare(x, y))
+      case (x: java.lang.Long, y: Int) =>
+        Some(java.lang.Long.compare(x, y.toLong))
+      case (x: java.lang.Integer, y: Int) =>
+        Some(java.lang.Integer.compare(x, y))
+      case (x: java.lang.Integer, y: Long) =>
+        Some(java.lang.Long.compare(x.toLong, y))
+      case (x: java.lang.Double, y: Double) =>
+        // primitive == first: -0.0 equals 0.0 (Spark normalization);
+        // Double.compare then orders NaN largest, matching Spark
+        Some(if (x.doubleValue == y) 0 else java.lang.Double.compare(x, y))
+      case (x: UTF8String, y: String) => Some(x.toString.compareTo(y))
+      case (x: java.lang.Boolean, y: Boolean) =>
+        Some(java.lang.Boolean.compare(x, y))
+      case _ => None
     }
     f match {
       case EqualTo(a, v)            => cmp(a, v).contains(0)
@@ -320,16 +329,16 @@ private[sources] object SingerFilters {
       case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
       case LessThan(a, v)           => cmp(a, v).exists(_ < 0)
       case LessThanOrEqual(a, v)    => cmp(a, v).exists(_ <= 0)
-      case IsNotNull(a)             => !isNull(a)
-      case IsNull(a)                => isNull(a)
+      case IsNotNull(a)             => value(a) != null
+      case IsNull(a)                => value(a) == null
       case _                        => true
     }
   }
 }
 
 private[sources] class SingerScan(
-    paths: Seq[String], required: StructType, filters: Array[Filter],
-    confMap: Map[String, String])
+    paths: Seq[String], full: StructType, required: StructType,
+    filters: Array[Filter], confMap: Map[String, String])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -346,10 +355,10 @@ private[sources] class SingerScan(
       .map(SingerInputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(required, filters, confMap)
+    new SingerReaderFactory(full, required, filters, confMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SingerMicroBatchStream(paths, required, filters, confMap)
+    new SingerMicroBatchStream(paths, full, required, filters, confMap)
 }
 
 /** Offset = how many files of the lexicographically-sorted listing have
@@ -371,16 +380,25 @@ private[sources] final case class SingerOffset(fileCount: Int) extends Offset {
   * the batch path.
   */
 private[sources] class SingerMicroBatchStream(
-    paths: Seq[String], required: StructType, filters: Array[Filter],
-    confMap: Map[String, String])
+    paths: Seq[String], full: StructType, required: StructType,
+    filters: Array[Filter], confMap: Map[String, String])
     extends MicroBatchStream {
 
-  private def files: Seq[String] =
+  // one listing snapshot per trigger: latestOffset() refreshes it and
+  // planInputPartitions() slices the SAME snapshot, so a batch never
+  // mixes two inconsistent listings (and an object-store dir is listed
+  // once per trigger, not twice)
+  @volatile private var snapshot: Seq[String] = Nil
+
+  private def listNow(): Seq[String] =
     SingerSource.listFiles(paths, SingerSource.confFromMap(confMap))
 
   override def initialOffset(): Offset = SingerOffset(0)
 
-  override def latestOffset(): Offset = SingerOffset(files.size)
+  override def latestOffset(): Offset = {
+    snapshot = listNow()
+    SingerOffset(snapshot.size)
+  }
 
   override def deserializeOffset(json: String): Offset =
     SingerOffset(json.trim.toInt)
@@ -389,11 +407,14 @@ private[sources] class SingerMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SingerOffset].fileCount
     val e = end.asInstanceOf[SingerOffset].fileCount
-    files.slice(s, e).map(SingerInputPartition).toArray
+    // restart path: offsets can arrive from the checkpoint before any
+    // latestOffset() call of this incarnation
+    if (snapshot.size < e) snapshot = listNow()
+    snapshot.slice(s, e).map(SingerInputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(required, filters, confMap)
+    new SingerReaderFactory(full, required, filters, confMap)
 
   override def commit(end: Offset): Unit = ()
 
@@ -404,21 +425,22 @@ private[sources] final case class SingerInputPartition(file: String)
     extends InputPartition
 
 private[sources] class SingerReaderFactory(
-    required: StructType, filters: Array[Filter],
+    full: StructType, required: StructType, filters: Array[Filter],
     confMap: Map[String, String])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SingerPartitionReader(
-      p.asInstanceOf[SingerInputPartition].file, required, filters, confMap)
+      p.asInstanceOf[SingerInputPartition].file, full, required, filters,
+      confMap)
 }
 
 /** Streams one file, yielding an InternalRow per RECORD message with only
   * the pruned fields materialized.
   */
 private[sources] class SingerPartitionReader(
-    file: String, required: StructType, filters: Array[Filter],
-    confMap: Map[String, String])
+    file: String, full: StructType, required: StructType,
+    filters: Array[Filter], confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val in =
@@ -433,7 +455,7 @@ private[sources] class SingerPartitionReader(
         if (n.path("type").asText == "RECORD") {
           val rec = n.path("record")
           // pushed filters run on the raw node BEFORE row materialization
-          if (filters.forall(SingerFilters.eval(rec, _))) {
+          if (filters.forall(SingerFilters.eval(rec, full, _))) {
             row = InternalRow.fromSeq(required.fields.toSeq.map(f =>
               SingerSource.convert(rec.get(f.name), f.dataType)))
             return true

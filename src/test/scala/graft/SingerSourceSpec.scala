@@ -85,6 +85,27 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("pushed filters agree with materialization on coerced/mismatched values") {
+    // hand-written stream: name holds a NUMBER (coerces to "5" under the
+    // string schema) and one id holds TEXT (materializes null under long)
+    val dir = tmpDir("singer_semantics")
+    val f = s"$dir/data.singer"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), java.util.Arrays.asList(
+      """{"type":"SCHEMA","stream":"t","schema":{"properties":""" +
+        """{"id":{"type":["integer","null"]},"name":{"type":["string","null"]}}},""" +
+        """"key_properties":["id"]}""",
+      """{"type":"RECORD","stream":"t","record":{"id":1,"name":5}}""",
+      """{"type":"RECORD","stream":"t","record":{"id":"abc","name":"x"}}"""))
+    val df = spark.read.format("graft-singer").load(f)
+    // string comparison sees the COERCED text, like the materialized row
+    assert(df.filter(col("name") === "5").count() == 1L)
+    // a type-mismatched primitive IS null — for IsNull and IsNotNull both
+    assert(df.filter(col("id").isNull).count() == 1L)
+    assert(df.filter(col("id").isNotNull).count() == 1L)
+    assert(df.filter(col("id").isNotNull).select("name")
+      .as[String].collect.toSeq == Seq("5"))
+  }
+
   test("streams a directory of singer files, restart reads only new files") {
     val dir = tmpDir("singer_stream")
     val src = s"$dir/src"
