@@ -299,6 +299,37 @@ object ReaderQueries {
       .orderBy("lang")
   }
 
+  /** Filter + projection THROUGH the Singer connector's pushdown paths —
+    * gate-adjudicated (SingerSourceSpec pins the plan evidence; this row
+    * pins the values): the predicate evaluates on raw records in the
+    * reader (rows never materialize), the projection prunes fields, and
+    * the filtered aggregate must equal the parquet original under the
+    * same predicate.
+    */
+  val q244SingerPushdown: QuerySpec = QuerySpec.oracled(
+    "q244_singer_pushdown",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |WHERE n_chars >= 300 AND lang <> 'zh'
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Export, ExportOptions}
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    val out = QuerySpec.stagedPath("q244_singer_pd", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Export.toExport(src, "documents_pd", out,
+      ExportOptions(exportFormat = Some("singer"),
+        keys = Seq("doc_id")),
+      conf = graft.conf.GluestickConf(Map.empty))
+    spark.read.format("graft-singer").load(s"$out/data.singer")
+      .filter(col("n_chars") >= 300L && col("lang") =!= "zh")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** JSON array sink round trip — S8 gate-adjudicated, completing the
     * sink family (q103 CSV, q104 JSONL, q105 Singer): the pretty-printed
     * single-file JS array (the reference's `JSON.stringify(…, null, 2)`
@@ -487,7 +518,7 @@ object ReaderQueries {
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
       q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution,
       q163ZOrderPrunedScan, q218CompactionRoundtrip, q229HilbertScan,
-      q238SingerSource)
+      q238SingerSource, q244SingerPushdown)
 
   private val q229Staging = new QuerySpec.StagingCache[String]
 

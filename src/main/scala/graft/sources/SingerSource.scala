@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import java.util.OptionalLong
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -339,9 +340,26 @@ private[sources] object SingerFilters {
 private[sources] class SingerScan(
     paths: Seq[String], full: StructType, required: StructType,
     filters: Array[Filter], confMap: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Total byte size of the listed files — the signal Catalyst's
+    * broadcast-threshold and AQE decisions need; without it a DSv2 scan
+    * defaults to "unknown/huge" and a small Singer dimension never
+    * broadcasts. Row count stays empty (counting would read the files).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val conf = SingerSource.confFromMap(confMap)
+      SingerSource.listFiles(paths, conf).map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
 
   override def description(): String =
     s"graft-singer ${paths.mkString(",")} " +

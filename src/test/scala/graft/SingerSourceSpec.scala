@@ -146,6 +146,21 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(drain() == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
   }
 
+  test("scan reports file-size statistics to the optimizer") {
+    val dir = tmpDir("singer_stats")
+    writeSinger(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val fileBytes = new java.io.File(s"$dir/data.singer").length()
+    assert(fileBytes > 0)
+    val df = spark.read.format("graft-singer").load(s"$dir/data.singer")
+    val stats = df.queryExecution.optimizedPlan.stats
+    // plan-level sizeInBytes derives from the scan's reported statistic
+    // (possibly scaled by column pruning) — it must be finite and of the
+    // file's order of magnitude, not the unknown-source default
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes <= BigInt(fileBytes) * 16,
+      s"sizeInBytes=${stats.sizeInBytes} fileBytes=$fileBytes")
+  }
+
   test("skips SCHEMA and STATE messages interleaved with records") {
     val dir = tmpDir("singer_skip")
     writeSinger(dir, Seq((7L, "x", 9.0)))
