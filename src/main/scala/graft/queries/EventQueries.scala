@@ -517,6 +517,79 @@ object EventQueries {
     spark.table("q239_mem").orderBy("lang")
   }.withSetup((s, d) => { stageQ239(s, d); () })
 
+  private val q245Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q245 backlog: file a = the full documents export, file b =
+    * a correction batch (doc_id < 100 with n_chars + 1000) — keep-last
+    * must land on b's values. Lexicographic names give the connector's
+    * offset contract the right order. Memoized per sf dir.
+    */
+  private def stageQ245(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q245Staging.getOrStage(dir) {
+      import graft.operators.{Export, ExportOptions}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = QuerySpec.stagedPath("q245_singer_backlog", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      def export(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = QuerySpec.stagedPath(s"q245_tmp_$name", dir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        Export.toExport(df, "documents_rt", tmp,
+          ExportOptions(exportFormat = Some("singer"), keys = Seq("doc_id")),
+          conf = graft.conf.GluestickConf(Map.empty))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$tmp/data.singer"),
+          java.nio.file.Paths.get(s"$out/$name"))
+        ()
+      }
+      export(docs, "a.singer")
+      export(
+        docs.filter(col("doc_id") < 100)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        "b.singer")
+      out
+    }
+
+  /** The full ingestion loop end-to-end: the Singer DSv2 STREAM (admission
+    * control `maxFilesPerTrigger = 1`, so the correction file lands in its
+    * own later micro-batch) folds into the keep-last snapshot upsert
+    * ([[graft.streaming.StreamingSnapshot]]) — tap to versioned table,
+    * exactly the reference's sync loop recomposed from this repo's own
+    * parts. The correction batch overwrites doc_id < 100, so the
+    * adjudicated per-lang aggregate proves batch ORDER mattered (a
+    * single-batch read would be keep-ambiguous; admission control is what
+    * makes the fold deterministic).
+    */
+  val q245SingerSnapshotIngest: QuerySpec = QuerySpec.oracled(
+    "q245_singer_snapshot_ingest",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN doc_id < 100 THEN n_chars + 1000
+      |            ELSE n_chars END) AS BIGINT) AS chars_sum,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Snapshot, SnapshotOptions}
+    val staged = stageQ245(spark, dir)
+    val snapDir = QuerySpec.stagedPath("q245_snap", dir)
+    val ckpt = QuerySpec.stagedPath("q245_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snapDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val stream = spark.readStream.format("graft-singer")
+      .option("maxFilesPerTrigger", "1")
+      .load(staged)
+    graft.streaming.StreamingSnapshot.start(
+      spark, stream, "docs", snapDir,
+      SnapshotOptions(pk = Seq("doc_id")), ckpt)
+      .awaitTermination()
+    Snapshot.readSnapshots(spark, "docs", snapDir).get
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("chars_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }.withSetup((s, d) => { stageQ245(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -2015,6 +2088,7 @@ object EventQueries {
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
+      q245SingerSnapshotIngest,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import java.util.OptionalLong
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -225,10 +225,13 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SingerScanBuilder(paths, tableSchema)
+    new SingerScanBuilder(paths, tableSchema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-private[sources] class SingerScanBuilder(paths: Seq[String], full: StructType)
+private[sources] class SingerScanBuilder(
+    paths: Seq[String], full: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -256,7 +259,8 @@ private[sources] class SingerScanBuilder(paths: Seq[String], full: StructType)
 
   override def build(): Scan =
     new SingerScan(paths, full, required, pushed,
-      SingerSource.confToMap(SingerSource.driverHadoopConf()))
+      SingerSource.confToMap(SingerSource.driverHadoopConf()),
+      maxFilesPerTrigger)
 }
 
 /** The comparison subset the reader can evaluate on a raw RECORD before
@@ -339,7 +343,8 @@ private[sources] object SingerFilters {
 
 private[sources] class SingerScan(
     paths: Seq[String], full: StructType, required: StructType,
-    filters: Array[Filter], confMap: Map[String, String])
+    filters: Array[Filter], confMap: Map[String, String],
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -376,7 +381,8 @@ private[sources] class SingerScan(
     new SingerReaderFactory(full, required, filters, confMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SingerMicroBatchStream(paths, full, required, filters, confMap)
+    new SingerMicroBatchStream(paths, full, required, filters, confMap,
+      maxFilesPerTrigger)
 }
 
 /** Offset = how many files of the lexicographically-sorted listing have
@@ -399,8 +405,10 @@ private[sources] final case class SingerOffset(fileCount: Int) extends Offset {
   */
 private[sources] class SingerMicroBatchStream(
     paths: Seq[String], full: StructType, required: StructType,
-    filters: Array[Filter], confMap: Map[String, String])
-    extends MicroBatchStream {
+    filters: Array[Filter], confMap: Map[String, String],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   // one listing snapshot per trigger: latestOffset() refreshes it and
   // planInputPartitions() slices the SAME snapshot, so a batch never
@@ -408,14 +416,46 @@ private[sources] class SingerMicroBatchStream(
   // once per trigger, not twice)
   @volatile private var snapshot: Seq[String] = Nil
 
+  // AvailableNow: the end offset is pinned at stream start so the wrapped
+  // run drains exactly the backlog that existed then, in maxFiles chunks
+  @volatile private var availableNowTarget: Option[Int] = None
+
   private def listNow(): Seq[String] =
     SingerSource.listFiles(paths, SingerSource.confFromMap(confMap))
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    snapshot = listNow()
+    availableNowTarget = Some(snapshot.size)
+  }
 
   override def initialOffset(): Offset = SingerOffset(0)
 
   override def latestOffset(): Offset = {
     snapshot = listNow()
     SingerOffset(snapshot.size)
+  }
+
+  /** Admission control: `maxFilesPerTrigger` bounds each micro-batch to N
+    * new files — the backlog-chunking knob the file sources offer, so a
+    * month of export files replays as ordered batches instead of one
+    * giant batch (and keep-last downstream semantics see files in order).
+    * AvailableNow wraps this and keeps triggering until caught up.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+      ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val bound = availableNowTarget.getOrElse {
+      snapshot = listNow()
+      snapshot.size
+    }
+    val s0 = start.asInstanceOf[SingerOffset].fileCount
+    val cap = limit match {
+      case m: ReadMaxFiles => math.min(s0 + m.maxFiles, bound)
+      case _ => bound
+    }
+    SingerOffset(cap)
   }
 
   override def deserializeOffset(json: String): Offset =

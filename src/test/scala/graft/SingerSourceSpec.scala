@@ -161,6 +161,37 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
       s"sizeInBytes=${stats.sizeInBytes} fileBytes=$fileBytes")
   }
 
+  test("maxFilesPerTrigger chunks the backlog into ordered batches") {
+    val dir = tmpDir("singer_admission")
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    def addFile(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = tmpDir("singer_adm_stage")
+      writeSinger(tmp, rows)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$tmp/data.singer"),
+        java.nio.file.Paths.get(s"$src/$name"))
+      ()
+    }
+    addFile("a.singer", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    addFile("b.singer", Seq((3L, "c", 3.0)))
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft-singer")
+      .option("maxFilesPerTrigger", "1")
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.select("id").as[Long].collect.toSeq.sorted
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.toSeq == Seq(Seq(1L, 2L), Seq(3L)),
+      s"one file per ordered batch, got $batches")
+  }
+
   test("skips SCHEMA and STATE messages interleaved with records") {
     val dir = tmpDir("singer_skip")
     writeSinger(dir, Seq((7L, "x", 9.0)))
