@@ -330,6 +330,33 @@ object ReaderQueries {
       .orderBy("lang")
   }
 
+  /** DSv2 WRITE → DSv2 READ round trip: documents written with
+    * `df.write.format("graft-singer")` (per-partition files, temp-and-
+    * rename commit) and read back through the same connector, aggregate-
+    * matched against the parquet original — both V2 paths adjudicated in
+    * one row. Overwrite mode keeps the staged dir idempotent across
+    * invocations.
+    */
+  val q246SingerDsv2Roundtrip: QuerySpec = QuerySpec.oracled(
+    "q246_singer_dsv2_roundtrip",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    val out = QuerySpec.stagedPath("q246_dsv2_rt", dir)
+    src.write.format("graft-singer").mode("overwrite")
+      .option("stream", "documents_rt")
+      .save(out)
+    spark.read.format("graft-singer").load(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars_sum"))
+      .orderBy("source")
+  }
+
   /** JSON array sink round trip — S8 gate-adjudicated, completing the
     * sink family (q103 CSV, q104 JSONL, q105 Singer): the pretty-printed
     * single-file JS array (the reference's `JSON.stringify(…, null, 2)`
@@ -518,7 +545,7 @@ object ReaderQueries {
       q103CsvRoundtrip, q104JsonlRoundtrip, q105SingerRoundtrip,
       q106JsonArrayRoundtrip, q113PartitionPrune, q119SchemaEvolution,
       q163ZOrderPrunedScan, q218CompactionRoundtrip, q229HilbertScan,
-      q238SingerSource, q244SingerPushdown)
+      q238SingerSource, q244SingerPushdown, q246SingerDsv2Roundtrip)
 
   private val q229Staging = new QuerySpec.StagingCache[String]
 

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import java.util.OptionalLong
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -65,8 +66,15 @@ class SingerSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = SingerSource.resolvePaths(options.asCaseSensitiveMap())
-    SingerSource.schemaFromFirstSchemaMessage(paths,
-      SingerSource.driverHadoopConf())
+    val conf = SingerSource.driverHadoopConf()
+    val files =
+      try SingerSource.listFiles(paths, conf)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    // an empty/missing target reads as an empty relation — and accepts a
+    // write, whose schema comes from the query (LogicalWriteInfo), so
+    // df.write.format("graft-singer").save(<new dir>) just works
+    if (files.isEmpty) new StructType()
+    else SingerSource.schemaFromFirstSchemaMessage(paths, conf)
   }
 
   override def getTable(
@@ -214,7 +222,8 @@ object SingerSource {
 }
 
 private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-singer:${paths.mkString(",")}"
 
@@ -222,7 +231,21 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = {
+        SingerSource.validateSchema(info.schema())
+        val stream = info.options().getOrDefault("stream", "stream")
+        val bw = new SingerBatchWrite(paths.head, info.schema(), stream,
+          doTruncate, SingerSource.confToMap(SingerSource.driverHadoopConf()))
+        new Write { override def toBatch: BatchWrite = bw }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SingerScanBuilder(paths, tableSchema,
@@ -528,4 +551,167 @@ private[sources] class SingerPartitionReader(
   override def get(): InternalRow = row
 
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------------
+// Write path: df.write.format("graft-singer").mode("append"|"overwrite")
+// ---------------------------------------------------------------------------
+
+/** Per-partition files with a temp-and-rename commit: each task writes
+  * `_tmp-<writeId>/part-<partition>-<task>.singer` (SCHEMA line + RECORD
+  * lines, created lazily on the first row so empty partitions leave no
+  * file), `commit` moves every temp file into the target directory in one
+  * pass (after clearing existing `.singer` files when overwriting), and
+  * `abort` deletes the temp dir — a crashed job never leaves torn output
+  * visible. The written files read straight back through [[SingerSource]]
+  * (each file carries its own SCHEMA message; the reader infers from the
+  * first file).
+  */
+private[sources] class SingerBatchWrite(
+    path: String, schema: StructType, stream: String, truncate: Boolean,
+    confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID.toString
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new SingerWriterFactory(s"$path/_tmp-$writeId", schema, stream, confMap)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val conf = SingerSource.confFromMap(confMap)
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target)
+    if (truncate) {
+      fs.listStatus(target).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".singer"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    messages.foreach {
+      case SingerCommitMessage(Some(tmp)) =>
+        val src = new Path(tmp)
+        fs.rename(src, new Path(target, src.getName))
+      case _ => ()
+    }
+    fs.delete(new Path(s"$path/_tmp-$writeId"), true)
+    ()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val conf = SingerSource.confFromMap(confMap)
+    val tmp = new Path(s"$path/_tmp-$writeId")
+    tmp.getFileSystem(conf).delete(tmp, true)
+    ()
+  }
+}
+
+private[sources] final case class SingerCommitMessage(file: Option[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class SingerWriterFactory(
+    tmpDir: String, schema: StructType, stream: String,
+    confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SingerDataWriter(
+      s"$tmpDir/part-$partitionId-$taskId.singer", schema, stream, confMap)
+}
+
+/** Serializes rows as Singer RECORD messages; the SCHEMA line (built with
+  * the sink's own [[graft.singer.SingerSchema.headerMap]] mapping, so the
+  * write and read type systems agree) leads the file.
+  */
+private[sources] class SingerDataWriter(
+    file: String, schema: StructType, stream: String,
+    confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val IsoFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private var out: java.io.BufferedWriter = _
+
+  private def ensureOpen(): Unit = if (out == null) {
+    val p = new Path(file)
+    val fs = p.getFileSystem(SingerSource.confFromMap(confMap))
+    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), StandardCharsets.UTF_8))
+    out.write(graft.singer.SingerSink.schemaLine(
+      stream, graft.singer.SingerSchema.headerMap(schema, allowObjects = true),
+      Nil))
+    out.newLine()
+  }
+
+  private def jsonValue(
+      v: Any, dt: DataType): com.fasterxml.jackson.databind.JsonNode = {
+    val F = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    if (v == null) F.nullNode()
+    else dt match {
+      case LongType      => F.numberNode(v.asInstanceOf[Long])
+      case IntegerType   => F.numberNode(v.asInstanceOf[Int])
+      case DoubleType    => F.numberNode(v.asInstanceOf[Double])
+      case BooleanType   => F.booleanNode(v.asInstanceOf[Boolean])
+      case StringType    => F.textNode(v.toString)
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        F.textNode(IsoFmt.format(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)))
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        val o = F.objectNode()
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          o.set[com.fasterxml.jackson.databind.JsonNode](f.name,
+            jsonValue(if (row.isNullAt(i)) null
+              else row.get(i, f.dataType), f.dataType))
+        }
+        o
+      case ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val a = F.arrayNode()
+        (0 until arr.numElements).foreach { i =>
+          a.add(jsonValue(if (arr.isNullAt(i)) null
+            else arr.get(i, et), et))
+        }
+        a
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-singer write: unsupported type ${other.simpleString}")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val F = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val rec = F.objectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      rec.set[com.fasterxml.jackson.databind.JsonNode](f.name,
+        jsonValue(if (row.isNullAt(i)) null
+          else row.get(i, f.dataType), f.dataType))
+    }
+    val o = F.objectNode()
+    o.put("type", "RECORD")
+    o.put("stream", stream)
+    o.set[com.fasterxml.jackson.databind.JsonNode]("record", rec)
+    out.write(SingerSource.mapper.writeValueAsString(o))
+    out.newLine()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    SingerCommitMessage(if (out != null) Some(file) else None)
+  }
+
+  override def abort(): Unit = if (out != null) out.close()
+
+  override def close(): Unit = ()
 }

@@ -192,6 +192,44 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
       s"one file per ordered batch, got $batches")
   }
 
+  test("DSv2 write path round-trips through the DSv2 read path") {
+    val dir = tmpDir("singer_write")
+    val rows = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c", 0.0))
+    rows.toDF("id", "name", "score")
+      .repartition(2)
+      .write.format("graft-singer").mode("append")
+      .option("stream", "t")
+      .save(s"$dir/out")
+    // per-partition files, each with its own SCHEMA line
+    val files = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.endsWith(".singer"))
+    assert(files.length == 2, s"one file per partition: ${files.toSeq}")
+    val got = spark.read.format("graft-singer").load(s"$dir/out")
+      .orderBy("id").as[(Long, String, Double)].collect.toSeq
+    assert(got == rows)
+    // append adds rows; overwrite replaces them
+    Seq((4L, "d", 4.0)).toDF("id", "name", "score")
+      .coalesce(1)
+      .write.format("graft-singer").mode("append").save(s"$dir/out")
+    assert(spark.read.format("graft-singer").load(s"$dir/out").count() == 4L)
+    Seq((9L, "z", 9.0)).toDF("id", "name", "score")
+      .coalesce(1)
+      .write.format("graft-singer").mode("overwrite").save(s"$dir/out")
+    assert(spark.read.format("graft-singer").load(s"$dir/out")
+      .as[(Long, String, Double)].collect.toSeq == Seq((9L, "z", 9.0)))
+  }
+
+  test("DSv2 write serializes timestamps the reader parses back") {
+    val dir = tmpDir("singer_write_ts")
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T12:34:56.789012Z"))
+    Seq((1L, ts)).toDF("id", "ts")
+      .write.format("graft-singer").mode("append").save(s"$dir/out")
+    val got = spark.read.format("graft-singer").load(s"$dir/out")
+      .as[(Long, java.sql.Timestamp)].head
+    assert(got == ((1L, ts)))
+  }
+
   test("skips SCHEMA and STATE messages interleaved with records") {
     val dir = tmpDir("singer_skip")
     writeSinger(dir, Seq((7L, "x", 9.0)))
