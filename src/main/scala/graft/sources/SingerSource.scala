@@ -70,11 +70,13 @@ class SingerSource extends TableProvider with DataSourceRegister {
     val files =
       try SingerSource.listFiles(paths, conf)
       catch { case _: java.io.FileNotFoundException => Nil }
-    // an empty/missing target reads as an empty relation — and accepts a
-    // write, whose schema comes from the query (LogicalWriteInfo), so
-    // df.write.format("graft-singer").save(<new dir>) just works
+    // an empty/missing target infers an EMPTY schema so that
+    // df.write.format("graft-singer").save(<new dir>) works (the write's
+    // schema comes from the query); READS of an empty schema fail fast at
+    // scan build ([[SingerScanBuilder.build]]) — a stream started on a
+    // still-empty export dir must error, not silently drop every record
     if (files.isEmpty) new StructType()
-    else SingerSource.schemaFromFirstSchemaMessage(paths, conf)
+    else SingerSource.schemaFromFiles(files, conf)
   }
 
   override def getTable(
@@ -151,10 +153,13 @@ object SingerSource {
 
   /** Driver-side schema inference: first SCHEMA message of the first file. */
   def schemaFromFirstSchemaMessage(
-      paths: Seq[String], conf: Configuration): StructType = {
-    val first = listFiles(paths, conf).headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-singer: no files at ${paths.mkString(", ")}"))
+      paths: Seq[String], conf: Configuration): StructType =
+    schemaFromFiles(listFiles(paths, conf), conf)
+
+  private[sources] def schemaFromFiles(
+      files: Seq[String], conf: Configuration): StructType = {
+    val first = files.headOption.getOrElse(
+      throw new IllegalArgumentException("graft-singer: no files to infer from"))
     val in = openLines(first, conf)
     try {
       Iterator.continually(in.readLine()).takeWhile(_ != null)
@@ -202,7 +207,17 @@ object SingerSource {
     else dt match {
       case LongType    => if (node.isNumber) node.asLong else null
       case IntegerType => if (node.isNumber) node.asInt else null
-      case DoubleType  => if (node.isNumber) node.asDouble else null
+      case DoubleType =>
+        if (node.isNumber) node.asDouble
+        else if (node.isTextual) node.asText match {
+          // Jackson serializes non-finite doubles as these strings —
+          // parse them back so the write→read round trip is lossless
+          case "NaN" => Double.NaN
+          case "Infinity" => Double.PositiveInfinity
+          case "-Infinity" => Double.NegativeInfinity
+          case _ => null
+        }
+        else null
       case BooleanType => if (node.isBoolean) node.asBoolean else null
       case StringType =>
         UTF8String.fromString(
@@ -249,7 +264,19 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SingerScanBuilder(paths, tableSchema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map { v =>
+        val n =
+          try v.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft-singer: maxFilesPerTrigger must be a positive " +
+                  s"integer, got '$v'")
+          }
+        require(n > 0,
+          s"graft-singer: maxFilesPerTrigger must be positive, got $n")
+        n
+      })
 }
 
 private[sources] class SingerScanBuilder(
@@ -280,10 +307,16 @@ private[sources] class SingerScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    if (full.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft-singer: cannot read ${paths.mkString(", ")} — no files " +
+          "found to infer a schema from (supply .schema(...) to read a " +
+          "target that will be populated later)")
     new SingerScan(paths, full, required, pushed,
       SingerSource.confToMap(SingerSource.driverHadoopConf()),
       maxFilesPerTrigger)
+  }
 }
 
 /** The comparison subset the reader can evaluate on a raw RECORD before
@@ -577,7 +610,8 @@ private[sources] class SingerBatchWrite(
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new SingerWriterFactory(s"$path/_tmp-$writeId", schema, stream, confMap)
+    new SingerWriterFactory(s"$path/_tmp-$writeId", writeId, schema, stream,
+      confMap)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -586,17 +620,27 @@ private[sources] class SingerBatchWrite(
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     fs.mkdirs(target)
-    if (truncate) {
-      fs.listStatus(target).filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".singer"))
-        .foreach(st => fs.delete(st.getPath, false))
-    }
+    // overwrite: capture the victims now, delete them only AFTER every
+    // rename has succeeded — a crash mid-commit leaves old+new visible
+    // (benign for at-least-once), never an empty directory
+    val oldFiles =
+      if (truncate)
+        fs.listStatus(target).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".singer"))
+          .map(_.getPath).toSeq
+      else Nil
     messages.foreach {
       case SingerCommitMessage(Some(tmp)) =>
         val src = new Path(tmp)
-        fs.rename(src, new Path(target, src.getName))
+        val dst = new Path(target, src.getName)
+        // file names embed writeId, so dst cannot collide with another
+        // job's output; a false rename is therefore a real failure
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"graft-singer: commit rename failed: $src -> $dst")
       case _ => ()
     }
+    oldFiles.foreach(fs.delete(_, false))
     fs.delete(new Path(s"$path/_tmp-$writeId"), true)
     ()
   }
@@ -615,19 +659,28 @@ private[sources] final case class SingerCommitMessage(file: Option[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class SingerWriterFactory(
-    tmpDir: String, schema: StructType, stream: String,
+    tmpDir: String, writeId: String, schema: StructType, stream: String,
     confMap: Map[String, String])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SingerDataWriter(
-      s"$tmpDir/part-$partitionId-$taskId.singer", schema, stream, confMap)
+      // writeId in the FINAL name: partition/task ids are only unique
+      // within one application — appends from separate jobs must not
+      // collide on part-0-0
+      s"$tmpDir/part-$partitionId-$taskId-$writeId.singer", schema, stream,
+      confMap)
 }
 
 /** Serializes rows as Singer RECORD messages; the SCHEMA line (built with
   * the sink's own [[graft.singer.SingerSchema.headerMap]] mapping, so the
   * write and read type systems agree) leads the file.
+  *
+  * Type-widening caveat: Singer's JSON schema has ONE integer type, so an
+  * IntegerType column writes as `integer` and reads back as LongType
+  * (likewise Float→Double, Date→Timestamp) — values round-trip exactly,
+  * declared widths do not. Schema-sensitive callers should cast on read.
   */
 private[sources] class SingerDataWriter(
     file: String, schema: StructType, stream: String,
@@ -688,14 +741,19 @@ private[sources] class SingerDataWriter(
     }
   }
 
+  private val fields = schema.fields
+
   override def write(row: InternalRow): Unit = {
     ensureOpen()
     val F = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
     val rec = F.objectNode()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
       rec.set[com.fasterxml.jackson.databind.JsonNode](f.name,
         jsonValue(if (row.isNullAt(i)) null
           else row.get(i, f.dataType), f.dataType))
+      i += 1
     }
     val o = F.objectNode()
     o.put("type", "RECORD")

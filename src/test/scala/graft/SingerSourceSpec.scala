@@ -230,6 +230,43 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(got == ((1L, ts)))
   }
 
+  test("non-finite doubles survive the write-read round trip") {
+    val dir = tmpDir("singer_nan")
+    val rows = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 1.5))
+    rows.toDF("id", "score")
+      .write.format("graft-singer").mode("append").save(s"$dir/out")
+    val got = spark.read.format("graft-singer").load(s"$dir/out")
+      .orderBy("id").as[(Long, Double)].collect.toSeq
+    assert(got(0)._2.isNaN && got(1)._2.isPosInfinity &&
+      got(2)._2.isNegInfinity && got(3)._2 == 1.5, s"got $got")
+  }
+
+  test("reading an empty directory fails fast instead of dropping data") {
+    val dir = tmpDir("singer_empty")
+    val e = intercept[Exception] {
+      spark.read.format("graft-singer").load(dir).count()
+    }
+    assert(e.getMessage.contains("no files"), e.getMessage)
+  }
+
+  test("maxFilesPerTrigger rejects non-positive and non-numeric values") {
+    val dir = tmpDir("singer_badopt")
+    writeSinger(dir, Seq((1L, "a", 1.0)))
+    for (bad <- Seq("0", "-2", "one")) {
+      // the option is validated when the scan builder is created, i.e. at
+      // first planning — count() forces it on the batch path
+      val e = intercept[Exception] {
+        spark.read.format("graft-singer")
+          .option("maxFilesPerTrigger", bad)
+          .load(s"$dir/data.singer")
+          .count()
+      }
+      assert(e.getMessage.contains("maxFilesPerTrigger"),
+        s"'$bad': ${e.getMessage}")
+    }
+  }
+
   test("skips SCHEMA and STATE messages interleaved with records") {
     val dir = tmpDir("singer_skip")
     writeSinger(dir, Seq((7L, "x", 9.0)))
