@@ -65,8 +65,12 @@ object Bench {
       shuffleBytes.get()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // correctness-only twins (scale-forbidden shapes kept solely as
+    // oracles) are excluded from timing but reported, so the omission is
+    // auditable rather than silent
+    val exempt = SparkEntry.specs.filter(_.benchExempt).map(_.name)
     val results = SparkEntry.specs
-      .filter(spec => only.forall(_.contains(spec.name)))
+      .filter(spec => only.forall(_.contains(spec.name)) && !spec.benchExempt)
       .map { spec =>
       spec.setup.foreach { s =>
         try s(spark, sfDir)
@@ -102,7 +106,8 @@ object Bench {
       "\"" + k + "\":" + JsonEscape(v.take(200))
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val exemptJson = exempt.map(JsonEscape(_)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"bench_exempt":$exemptJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *      non-overlapping greedy application, BPE's exact rule.
   *
   * Every decision is deterministic (ties break on pair lexicographic order),
-  * so a SQL oracle can replay training exactly. The driver never sees data:
-  * the chosen pair stays a 1-row broadcast DataFrame cross-joined into the
-  * fold, not a collect.
+  * so a SQL oracle can replay training exactly. The driver sees only the
+  * learned rules themselves (one 3-column row per rank — the same
+  * driver-sized artifact [[applyMerges]] broadcasts); corpus- and
+  * vocabulary-scale data never leaves the executors.
   *
   * Reference scope: gluestick has no tokenizer induction
   * (/root/reference/src/etl-utils.ts stops at string cleanup); this is part
@@ -49,28 +50,29 @@ object Bpe {
       .agg(count(lit(1)).as("freq"))
 
   /** The leftmost-greedy merge fold over a token string `ts`, merging the
-    * pair in columns `__ma`/`__mb` — a NULL `__ma` (no rule, e.g. merges
-    * exhausted) makes the fold the identity re-join, so LEFT-joined rule
-    * rows apply safely.
+    * pair `(ma, mb)` — a NULL `ma` (no rule, e.g. merges exhausted) makes
+    * the fold the identity re-join, so LEFT-joined rule rows apply safely.
     */
-  private def mergeFold: Column =
+  private def mergeFold(ma: Column, mb: Column): Column =
     aggregate(
       split(col("ts"), Sep),
       lit(""),
       (acc: Column, x: Column) =>
         when(
-          col("__ma").isNotNull && acc =!= "" &&
-            (acc === col("__ma") ||
-              acc.endsWith(concat(lit(Sep), col("__ma")))) &&
-            x === col("__mb"),
+          ma.isNotNull && acc =!= "" &&
+            (acc === ma || acc.endsWith(concat(lit(Sep), ma))) &&
+            x === mb,
           concat(acc, x))
           .when(acc === "", x)
           .otherwise(concat(acc, lit(Sep), x)))
 
-  /** One merge iteration: (best-pair 1-row DF with a/b/cnt, next state). */
-  private def step(state: DataFrame): (DataFrame, DataFrame) = {
+  /** The best (most frequent, ties lexicographic) adjacent pair of the
+    * current dictionary state — a 1-row DF (a, b, cnt), empty when merged
+    * to exhaustion. TakeOrdered (orderBy+limit 1), no global sort.
+    */
+  private def bestPair(state: DataFrame): DataFrame = {
     val t = split(col("ts"), Sep)
-    val pairs = state
+    state
       .select(
         col("freq"),
         explode(
@@ -79,15 +81,10 @@ object Bpe {
             slice(t, lit(2), size(t) - 1),
             (a: Column, b: Column) => struct(a.as("a"), b.as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
-    val best = pairs
       .groupBy("a", "b")
       .agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("a"), col("b"))
       .limit(1)
-    val merged = state
-      .crossJoin(broadcast(best.select(col("a").as("__ma"), col("b").as("__mb"))))
-      .select(mergeFold.as("ts"), col("freq"))
-    (best, merged)
   }
 
   /** Tokenize `words` (column `w`, distinct alphabetic words) with learned
@@ -106,7 +103,7 @@ object Bpe {
         .filter(col("merge_rank") === rank)
         .select(col("left_tok").as("__ma"), col("right_tok").as("__mb")))
       cur = cur.join(r, lit(true), "left")
-        .select(col("w"), mergeFold.as("ts"))
+        .select(col("w"), mergeFold(col("__ma"), col("__mb")).as("ts"))
     }
     cur
   }
@@ -114,10 +111,16 @@ object Bpe {
   /** The first `numMerges` BPE merge rules learned from `docs(textCol)`:
     * one row per rule — (merge_rank, left_tok, right_tok, pair_count).
     *
-    * Each iteration's state (the vocabulary-sized dictionary) and chosen
-    * pair are persisted so the single collecting action computes every
-    * stage once — without this, rank k's branch would re-derive the
-    * corpus scan and all k−1 prior iterations (quadratic recomputation).
+    * Training iterates eagerly: each rank collects its ONE winning pair
+    * (the rules are a driver-sized artifact by definition — [[applyMerges]]
+    * broadcasts them right back), folds it into the next dictionary state
+    * as literals, materializes that state, and unpersists the superseded
+    * one. Cache usage is therefore bounded at ONE vocabulary-sized
+    * DataFrame regardless of `numMerges` — the lazy single-action form
+    * this replaced pinned every rank's state + best for the session
+    * lifetime, which is unbounded at real vocabulary sizes (thousands of
+    * merges). The corpus is still scanned exactly once (rank 1's
+    * word-frequency build); every later rank reads the cached dictionary.
     *
     * If the dictionary merges to exhaustion before `numMerges` (no
     * adjacent pair left anywhere), the remaining ranks have no best pair
@@ -132,16 +135,31 @@ object Bpe {
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + Sep)).as("ts"),
         col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val rules = (1 to numMerges).map { rank =>
-      val (best0, next) = step(state)
-      val best = best0.persist(StorageLevel.MEMORY_AND_DISK)
-      state = next.persist(StorageLevel.MEMORY_AND_DISK)
-      best.select(
-        lit(rank).as("merge_rank"),
-        col("a").as("left_tok"),
-        col("b").as("right_tok"),
-        col("cnt").as("pair_count"))
-    }
-    rules.reduce(_.union(_))
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    try {
+      while (rank <= numMerges && !exhausted) {
+        val best = bestPair(state).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          rules += ((rank, a, b, cnt))
+          if (rank < numMerges) {
+            val next = state
+              .select(mergeFold(lit(a), lit(b)).as("ts"), col("freq"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize BEFORE dropping the parent cache
+            state.unpersist()
+            state = next
+          }
+          rank += 1
+        }
+      }
+    } finally state.unpersist()
+    docs.sparkSession
+      .createDataFrame(rules.result())
+      .toDF("merge_rank", "left_tok", "right_tok", "pair_count")
   }
 }

@@ -21,7 +21,13 @@ final case class SnapshotOptions(
       * repartitioned by PK so successive merges shuffle consistently;
       * single-file mode is reference parity for small state.
       */
-    directoryLayout: Boolean = false)
+    directoryLayout: Boolean = false,
+    /** Further scale path: persist the snapshot as a BUCKETED external
+      * table on the PK ([[BucketedSnapshot]]) so repeated merges never
+      * re-shuffle the snapshot side — only the incoming delta crosses
+      * the wire. Overrides `directoryLayout`/`useCsv`.
+      */
+    bucketBy: Option[Int] = None)
 
 /** Incremental snapshot maintenance (M1-M3,
   * ref: src/etl-utils.ts:221-355): merge the new batch over the stored
@@ -135,6 +141,11 @@ object Snapshot {
       stream: String,
       snapshotDir: String,
       opts: SnapshotOptions = SnapshotOptions()): Option[DataFrame] = {
+    opts.bucketBy.foreach { buckets =>
+      require(!opts.useCsv, "bucketed snapshots are parquet-only")
+      return snapshotRecordsBucketed(spark, streamData, stream, snapshotDir,
+        opts, buckets)
+    }
     val snapshot = readSnapshots(spark, stream, snapshotDir, opts.csvOptions)
     val path = snapshotPath(snapshotDir, stream, opts.useCsv)
 
@@ -170,6 +181,41 @@ object Snapshot {
 
       case (None, _) =>
         if (opts.justNew || opts.overwrite) None else snapshot
+    }
+  }
+
+  /** The bucketed-layout twin of the flag matrix above: same returns,
+    * [[BucketedSnapshot.fold]] as the merge. `coerceTypes` /
+    * `localizeDatetimeTypes` apply the same transforms; note a PK-type
+    * coercion changes the hash of the stored buckets, so that one fold
+    * pays a snapshot-side exchange before the layout re-aligns.
+    */
+  private def snapshotRecordsBucketed(
+      spark: SparkSession,
+      streamData: Option[DataFrame],
+      stream: String,
+      snapshotDir: String,
+      opts: SnapshotOptions,
+      buckets: Int): Option[DataFrame] = {
+    val existing =
+      BucketedSnapshot.read(spark, stream, snapshotDir, opts.pk, buckets)
+    (streamData, existing) match {
+      case (Some(data), Some(_)) if !opts.overwrite =>
+        val folded = BucketedSnapshot.fold(
+          spark, data, stream, snapshotDir, opts.pk, buckets,
+          oldTransform = old => {
+            val l = if (opts.localizeDatetimeTypes) localize(old) else old
+            if (opts.coerceTypes) coerce(l, data.schema) else l
+          })
+        if (opts.justNew) Some(data) else Some(folded)
+      case (Some(data), _) => // first snapshot or overwrite
+        if (opts.overwrite)
+          BucketedSnapshot.reset(spark, stream, snapshotDir)
+        BucketedSnapshot.fold(
+          spark, data, stream, snapshotDir, opts.pk, buckets)
+        Some(data)
+      case (None, _) =>
+        if (opts.justNew || opts.overwrite) None else existing
     }
   }
 }

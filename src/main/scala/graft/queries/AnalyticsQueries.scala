@@ -1130,8 +1130,8 @@ object AnalyticsQueries {
     "q145_skyline",
     """WITH p AS (
       |  SELECT l_partkey,
-      |    sum(CAST(l_quantity AS BIGINT)) AS qty,
-      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |  FROM lineitem GROUP BY 1),
       |s AS (
       |  SELECT l_partkey, qty, rev_cents,
@@ -1173,7 +1173,7 @@ object AnalyticsQueries {
       |    sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
       |    sum(w) OVER (PARTITION BY flag) AS tw
       |  FROM a)
-      |SELECT flag, min(cents) AS wmedian_cents, max(tw) AS total_weight
+      |SELECT flag, min(cents) AS wmedian_cents, CAST(max(tw) AS BIGINT) AS total_weight
       |FROM c WHERE 2 * cw >= tw GROUP BY flag
       |ORDER BY flag""".stripMargin) { (spark, dir) =>
     val a = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -134,7 +134,8 @@ object CoreQueries {
     */
   val q04TopkPerGroup: QuerySpec = QuerySpec.oracled(
     "q04_topk_per_group",
-    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+    """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey,
+      |  o_totalprice FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_orderpriority
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -339,10 +340,10 @@ object CoreQueries {
   val q13ToJsonStruct: QuerySpec = QuerySpec.oracled(
     "q13_to_json_struct",
     """SELECT o_orderkey,
-      |  to_json(struct_pack(
+      |  CAST(to_json(struct_pack(
       |    o_orderkey := o_orderkey,
       |    o_orderstatus := o_orderstatus,
-      |    o_orderpriority := o_orderpriority)) AS payload
+      |    o_orderpriority := o_orderpriority)) AS VARCHAR) AS payload
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
     t(spark, dir, "orders")
@@ -361,16 +362,18 @@ object CoreQueries {
     * boundary then rounds differently per engine. Decimal addition is exact,
     * so the sum is order-independent; `value` carries 2 decimal digits, so
     * the DECIMAL(18,6) cast is itself tie-free. The output is BIGINT cents,
-    * not DOUBLE: the r1–r3 DOUBLE form was bit-identical across engines yet
-    * still hash-mismatched in the driver gate (its float canonicalization),
-    * and an integer column is hash-stable under any canonicalization.
+    * not DOUBLE, and every integer aggregate in the oracle SQL is CAST to
+    * BIGINT: DuckDB types a bare integer `sum()` as HUGEINT (int128) where
+    * Spark produces BIGINT, and the driver's hash is TYPE-sensitive — the
+    * r1–r4 reds on this query were exactly that (values identical, declared
+    * result type divergent), not float canonicalization.
     */
   val q14NullHandling: QuerySpec = QuerySpec.oracled(
     "q14_null_handling",
     """SELECT event_type,
       |  count(*) AS n_rows,
       |  count(nullif(user_id % 10, 0)) AS n_nonnull,
-      |  sum(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS n_zero,
+      |  CAST(sum(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |  CAST(round(sum(CAST(coalesce(nullif(value, 0.0), -1.0)
       |    AS DECIMAL(18,6))) * 100, 0) AS BIGINT) AS filled_sum_cents
       |FROM events
@@ -736,7 +739,7 @@ object CoreQueries {
       |    row_number() OVER (PARTITION BY event_type
       |      ORDER BY cents DESC, event_id) AS rk
       |  FROM c)
-      |SELECT event_type, CAST(rk AS BIGINT) AS rk, cents, event_id
+      |SELECT event_type, CAST(rk AS INTEGER) AS rk, cents, event_id
       |FROM r WHERE rk <= 3
       |ORDER BY event_type, rk""".stripMargin) { (spark, dir) =>
     graft.functions.VectorExpressions.register(spark)

@@ -125,7 +125,7 @@ object EtlQueries {
       |  SELECT t_key, c_custkey, t_name, c_name
       |  FROM typos JOIN cust ON t2 = c2 AND t3 = c3)
       |SELECT t_key, c_custkey AS match_key,
-      |  levenshtein(t_name, c_name) AS dist
+      |  CAST(levenshtein(t_name, c_name) AS INTEGER) AS dist
       |FROM cand WHERE levenshtein(t_name, c_name) <= 2
       |ORDER BY t_key, match_key""".stripMargin) { (spark, dir) =>
     val customer = t(spark, dir, "customer")
@@ -418,6 +418,54 @@ object EtlQueries {
       Snapshot.snapshotRecords(spark, Some(base), "cust", stateDir, opts)
       Snapshot.snapshotRecords(spark, Some(upd), "cust", stateDir, opts)
         .get // the post-merge re-read from the renamed file
+        .orderBy("k")
+  }
+
+  /** q108's fold replayed through the BUCKETED snapshot layout
+    * ([[graft.operators.BucketedSnapshot]]) — the same two successive
+    * `snapshotRecords` calls, the same oracle, but the state persists as
+    * a PK-bucketed external table and the second fold's merge is the
+    * anti-join + union shape whose snapshot side runs with zero shuffle
+    * exchanges (BucketedSnapshotSpec pins the plan; this row adjudicates
+    * the VALUES). At 100 TB this is the difference between re-shuffling
+    * the whole snapshot nightly and shuffling only the delta.
+    */
+  val q248SnapshotFoldBucketed: QuerySpec = QuerySpec.oracled(
+    "q248_snapshot_fold_bucketed",
+    """WITH upd AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewSnap#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |unioned AS (
+      |  SELECT c_custkey AS k, c_name AS name, 0 AS seq FROM customer
+      |  UNION ALL SELECT k, name, 1 FROM upd),
+      |last AS (
+      |  SELECT k, name,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM unioned)
+      |SELECT k, name FROM last WHERE rn = 1 ORDER BY k""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.{BucketedSnapshot, Snapshot, SnapshotOptions}
+      val base = t(spark, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      val upd = base.filter(col("k") % 5 === 0)
+        .select(col("k"), concat(col("name"), lit("-v2")).as("name"))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 1000000000L).as("k"),
+            concat(lit("NewSnap#"), (col("k") + 1000000000L).cast("string"))
+              .as("name")))
+      val stateDir = graft.queries.QuerySpec.stagedPath("q248_state", dir)
+      BucketedSnapshot.reset(spark, "cust", stateDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(stateDir))
+      new java.io.File(stateDir).mkdirs()
+      val opts = SnapshotOptions(pk = Seq("k"), bucketBy = Some(8))
+      Snapshot.snapshotRecords(spark, Some(base), "cust", stateDir, opts)
+      Snapshot.snapshotRecords(spark, Some(upd), "cust", stateDir, opts)
+        .get // the promoted bucketed table, read back through the catalog
         .orderBy("k")
   }
 
@@ -841,7 +889,8 @@ object EtlQueries {
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
-      q108SnapshotFold, q121KAnonymity, q125ProfileApprox,
+      q108SnapshotFold, q248SnapshotFoldBucketed, q121KAnonymity,
+      q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,
       q175FdAudit, q179TCloseness, q183IncrementalJoin, q197CoverageAudit)
 }

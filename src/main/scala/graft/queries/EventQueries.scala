@@ -590,6 +590,54 @@ object EventQueries {
       .orderBy("lang")
   }.withSetup((s, d) => { stageQ245(s, d); () })
 
+  /** The connector's streaming WRITE path end-to-end: the q245 backlog
+    * streams in through the Singer source (admission control 1 file per
+    * trigger → two epochs) and straight OUT through
+    * `writeStream.format("graft-singer")` — no `foreachBatch` wrapper —
+    * then batch-reads back for the adjudicated aggregate. Proves the
+    * epoch-commit discipline (zero-padded epoch prefixes, per-epoch tmp
+    * dirs, idempotent rename-over) produces a directory that is itself a
+    * valid Singer source: sink and source compose. No keep-last here —
+    * both the full export and the correction batch land, so the oracle is
+    * documents UNION ALL its corrected doc_id < 100 slice
+    * (ref: src/singer.ts:341-342,387-391 — append-interleave semantics).
+    */
+  val q247SingerStreamWrite: QuerySpec = QuerySpec.oracled(
+    "q247_singer_stream_write",
+    """WITH u AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 1000 FROM documents
+      |  WHERE doc_id < 100)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM u GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val staged = stageQ245(spark, dir)
+    val outDir = QuerySpec.stagedPath("q247_out", dir)
+    val ckpt = QuerySpec.stagedPath("q247_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val stream = spark.readStream.format("graft-singer")
+      .option("maxFilesPerTrigger", "1")
+      .load(staged)
+    stream.writeStream
+      .format("graft-singer")
+      .option("path", outDir)
+      .option("stream", "documents_rt")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.format("graft-singer").load(outDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("chars_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }.withSetup((s, d) => { stageQ245(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -2088,7 +2136,7 @@ object EventQueries {
       q40AsofForward, q43StreamingDedup, q50StreamingSliding,
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
-      q245SingerSnapshotIngest,
+      q245SingerSnapshotIngest, q247SingerStreamWrite,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

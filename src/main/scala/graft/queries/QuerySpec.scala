@@ -17,9 +17,18 @@ final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     sql: Option[String],
-    setup: Option[(SparkSession, String) => Unit] = None) {
+    setup: Option[(SparkSession, String) => Unit] = None,
+    /** Correctness-only standing: the query stays in the adjudicated
+      * ledger (Verify + oracle) but Bench skips it. For deliberate
+      * verification twins whose SHAPE is scale-forbidden (q31's all-pairs
+      * crossJoin) — timing a shape the library tells users never to run
+      * only adds noise to the perf signal. Bench reports the skip in a
+      * `bench_exempt` field, so the omission is visible, not silent.
+      */
+    benchExempt: Boolean = false) {
   def withSetup(s: (SparkSession, String) => Unit): QuerySpec =
     copy(setup = Some(s))
+  def correctnessOnly: QuerySpec = copy(benchExempt = true)
 }
 
 object QuerySpec {

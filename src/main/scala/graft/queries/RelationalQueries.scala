@@ -97,7 +97,7 @@ object RelationalQueries {
       |  SELECT o_orderkey, o_totalprice,
       |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
       |  FROM orders)
-      |SELECT bin, count(*) AS n_orders,
+      |SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_orders,
       |  CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_cents,
       |  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_cents
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>

@@ -48,7 +48,8 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -75,7 +76,8 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -101,7 +103,9 @@ object SimilarityQueries {
       spark.read.parquet(s"$dir/embeddings.parquet"),
       idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
-  }
+  }.correctnessOnly // deliberate all-pairs verification twin of q41 —
+  // adjudicated for VALUES, never timed: benching a scale-forbidden shape
+  // adds ~1 s/round of noise for a number no user should ever reproduce
 
   /** Banded-LSH near-dup pairs checked against the EXACT all-pairs oracle
     * (same SQL shape as q31): green iff banded candidate generation loses
@@ -197,7 +201,8 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -248,7 +253,8 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -306,7 +312,8 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -476,7 +483,8 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cos_sim
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

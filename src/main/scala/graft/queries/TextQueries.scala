@@ -813,7 +813,7 @@ object TextQueries {
     "q147_source_gini",
     """WITH c AS (
       |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
-      |SELECT source, sum(c) AS n_docs, count(*) AS n_langs,
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_langs,
       |  1 - CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) /
       |      CAST(CAST(sum(c) AS DECIMAL(38,0)) * sum(c) AS DOUBLE)
       |      AS gini

@@ -14,7 +14,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import java.util.OptionalLong
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -123,16 +124,16 @@ object SingerSource {
   /** Supported Catalyst leaf types; fail fast on anything else. */
   private[sources] def validateSchema(schema: StructType): Unit = {
     def check(dt: DataType, path: String): Unit = dt match {
-      case LongType | IntegerType | DoubleType | BooleanType | StringType |
-          TimestampType => ()
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+          StringType | TimestampType | DateType => ()
       case st: StructType =>
         st.fields.foreach(f => check(f.dataType, s"$path.${f.name}"))
       case ArrayType(et, _) => check(et, s"$path[]")
       case other =>
         throw new UnsupportedOperationException(
           s"graft-singer: unsupported type ${other.simpleString} at $path " +
-            "(supported: long, int, double, boolean, string, timestamp, " +
-            "struct, array)")
+            "(supported: long, int, double, float, boolean, string, " +
+            "timestamp, date, struct, array)")
     }
     schema.fields.foreach(f => check(f.dataType, f.name))
   }
@@ -222,7 +223,11 @@ object SingerSource {
       case StringType =>
         UTF8String.fromString(
           if (node.isTextual) node.asText else node.toString)
-      case TimestampType => parseTimestampMicros(node.asText)
+      case TimestampType =>
+        // malformed values coerce to null like every other primitive
+        // (keeps pushed IsNull/IsNotNull consistent with materialization)
+        try parseTimestampMicros(node.asText)
+        catch { case _: java.time.format.DateTimeParseException => null }
       case st: StructType =>
         InternalRow.fromSeq(st.fields.toSeq.map(f =>
           convert(node.get(f.name), f.dataType)))
@@ -247,7 +252,8 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -256,9 +262,22 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
       override def build(): Write = {
         SingerSource.validateSchema(info.schema())
         val stream = info.options().getOrDefault("stream", "stream")
+        val ttl = Option(info.options().get("staleTmpTtlMs")).map(_.toLong)
+          .getOrElse(SingerBatchWrite.DefaultStaleTmpTtlMs)
+        val confMap = SingerSource.confToMap(SingerSource.driverHadoopConf())
         val bw = new SingerBatchWrite(paths.head, info.schema(), stream,
-          doTruncate, SingerSource.confToMap(SingerSource.driverHadoopConf()))
-        new Write { override def toBatch: BatchWrite = bw }
+          doTruncate, confMap, ttl)
+        new Write {
+          override def toBatch: BatchWrite = bw
+          override def toStreaming: StreamingWrite = {
+            if (doTruncate)
+              throw new UnsupportedOperationException(
+                "graft-singer: streaming write is append-only (use " +
+                  "outputMode(\"append\"))")
+            new SingerStreamingWrite(paths.head, info.schema(), stream,
+              confMap)
+          }
+        }
       }
     }
 
@@ -442,22 +461,52 @@ private[sources] class SingerScan(
 }
 
 /** Offset = how many files of the lexicographically-sorted listing have
-  * been consumed. */
-private[sources] final case class SingerOffset(fileCount: Int) extends Offset {
-  override def json(): String = fileCount.toString
+  * been consumed, PLUS the name of the last consumed file. The count alone
+  * is the position; the name is a tamper-detector: if a file ever arrives
+  * sorting before an already-committed file (violating the increasing-name
+  * contract), the sorted listing's prefix shifts and `listing(count-1)`
+  * stops matching `lastFile` — planInputPartitions fails fast instead of
+  * silently re-reading a committed file and permanently skipping the new
+  * one. JSON is `{"count":N,"last":"name"}`; a bare integer (the pre-r5
+  * checkpoint format) still deserializes, with no name to validate.
+  */
+private[sources] final case class SingerOffset(
+    fileCount: Int, lastFile: Option[String]) extends Offset {
+  override def json(): String = lastFile match {
+    case Some(f) =>
+      s"""{"count":$fileCount,"last":${SingerSource.mapper
+        .writeValueAsString(f)}}"""
+    case None => fileCount.toString
+  }
+}
+
+private[sources] object SingerOffset {
+  def at(listing: Seq[String], count: Int): SingerOffset =
+    SingerOffset(count, if (count > 0) Some(listing(count - 1)) else None)
+
+  def parse(json: String): SingerOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val n = SingerSource.mapper.readTree(t)
+      SingerOffset(n.path("count").asInt,
+        Option(n.get("last")).filter(!_.isNull).map(_.asText))
+    } else SingerOffset(t.toInt, None)
+  }
 }
 
 /** Micro-batch stream over a growing directory of Singer export files.
   *
   * Contract: export files must arrive with lexicographically INCREASING
   * names (the dated-export convention, e.g. `2024-06-01T12-00.singer`) —
-  * the offset is a prefix length of the sorted listing, so a file sorting
-  * before an already-committed prefix would be invisible. This is the
-  * tradeoff that keeps the offset O(1) (an integer) instead of a
-  * seen-file log; Spark's own FileStreamSource chooses the log, and a
-  * production hardening of this source would too. Each micro-batch plans
-  * one InputPartition per NEW file — the same parallel, pruned reader as
-  * the batch path.
+  * the offset is a prefix of the sorted listing. This keeps the offset
+  * O(1) (count + last file name) instead of a seen-file log; Spark's own
+  * FileStreamSource chooses the log. Contract VIOLATIONS are detected,
+  * not silently corrupting: the offset embeds the last consumed file
+  * name, and planInputPartitions fails fast when the listing shrinks
+  * below a committed offset or when the file at the committed boundary
+  * no longer matches (i.e. a file arrived sorting before a committed
+  * one). Each micro-batch plans one InputPartition per NEW file — the
+  * same parallel, pruned reader as the batch path.
   */
 private[sources] class SingerMicroBatchStream(
     paths: Seq[String], full: StructType, required: StructType,
@@ -484,11 +533,11 @@ private[sources] class SingerMicroBatchStream(
     availableNowTarget = Some(snapshot.size)
   }
 
-  override def initialOffset(): Offset = SingerOffset(0)
+  override def initialOffset(): Offset = SingerOffset(0, None)
 
   override def latestOffset(): Offset = {
     snapshot = listNow()
-    SingerOffset(snapshot.size)
+    SingerOffset.at(snapshot, snapshot.size)
   }
 
   /** Admission control: `maxFilesPerTrigger` bounds each micro-batch to N
@@ -511,19 +560,38 @@ private[sources] class SingerMicroBatchStream(
       case m: ReadMaxFiles => math.min(s0 + m.maxFiles, bound)
       case _ => bound
     }
-    SingerOffset(cap)
+    SingerOffset.at(snapshot, cap)
   }
 
   override def deserializeOffset(json: String): Offset =
-    SingerOffset(json.trim.toInt)
+    SingerOffset.parse(json)
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SingerOffset].fileCount
-    val e = end.asInstanceOf[SingerOffset].fileCount
+    val so = start.asInstanceOf[SingerOffset]
+    val eo = end.asInstanceOf[SingerOffset]
+    val (s, e) = (so.fileCount, eo.fileCount)
     // restart path: offsets can arrive from the checkpoint before any
     // latestOffset() call of this incarnation
     if (snapshot.size < e) snapshot = listNow()
+    // Fail fast instead of silently corrupting: a shrunken listing or a
+    // file that arrived sorting before a committed file both shift the
+    // prefix this offset encodes (duplicated reads + permanent skips).
+    if (snapshot.size < e)
+      throw new IllegalStateException(
+        s"graft-singer: listing has ${snapshot.size} files but the " +
+          s"checkpointed offset covers $e — files were deleted or renamed " +
+          "under a committed offset")
+    def check(o: SingerOffset, what: String): Unit =
+      o.lastFile.filter(_ != snapshot(o.fileCount - 1)).foreach { want =>
+        throw new IllegalStateException(
+          s"graft-singer: $what offset expected file #${o.fileCount} to be " +
+            s"'$want' but the sorted listing has " +
+            s"'${snapshot(o.fileCount - 1)}' — a file arrived out of " +
+            "lexicographic order; the increasing-name contract is violated")
+      }
+    if (s > 0) check(so, "start")
+    if (e > 0) check(eo, "end")
     snapshot.slice(s, e).map(SingerInputPartition).toArray
   }
 
@@ -602,7 +670,8 @@ private[sources] class SingerPartitionReader(
   */
 private[sources] class SingerBatchWrite(
     path: String, schema: StructType, stream: String, truncate: Boolean,
-    confMap: Map[String, String])
+    confMap: Map[String, String],
+    staleTmpTtlMs: Long = SingerBatchWrite.DefaultStaleTmpTtlMs)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID.toString
@@ -620,9 +689,23 @@ private[sources] class SingerBatchWrite(
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     fs.mkdirs(target)
-    // overwrite: capture the victims now, delete them only AFTER every
-    // rename has succeeded — a crash mid-commit leaves old+new visible
-    // (benign for at-least-once), never an empty directory
+    // GC _tmp-* leftovers from drivers that crashed before abort() could
+    // run; an age gate keeps us from racing a concurrent writer's live
+    // tmp dir (its mtime refreshes as tasks write into it)
+    val staleBefore = System.currentTimeMillis() - staleTmpTtlMs
+    fs.listStatus(target).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_tmp-") && n != s"_tmp-$writeId" &&
+          st.getModificationTime < staleBefore)
+        fs.delete(st.getPath, true)
+    }
+    // Overwrite crash semantics (documented, not hidden): victims are
+    // captured now and deleted only AFTER every rename succeeds. A crash
+    // mid-commit therefore leaves old AND new files visible — a reader of
+    // the overwrite target sees DUPLICATED rows until the write is retried
+    // to completion. The alternative (delete first) risks an empty or
+    // partial directory, which is strictly worse; truncate callers who
+    // need atomic visibility should write to a fresh directory and swap.
     val oldFiles =
       if (truncate)
         fs.listStatus(target).filter(st =>
@@ -653,6 +736,102 @@ private[sources] class SingerBatchWrite(
     tmp.getFileSystem(conf).delete(tmp, true)
     ()
   }
+}
+
+/** Streaming (micro-batch) write: `df.writeStream.format("graft-singer")`
+  * without a `foreachBatch` wrapper — the connector-symmetric egress the
+  * batch path already has.
+  *
+  * Epoch discipline: tasks write into `_tmp-<writeId>/epoch-<id>/`;
+  * `commit(epoch)` first DELETES any `epoch-<padded id>-*` files already
+  * in the target (leftovers of a pre-crash attempt of the same epoch,
+  * possibly from a different incarnation with different partitioning),
+  * then renames the new files in. Replaying an epoch after restart is
+  * therefore idempotent — the at-least-once redelivery the checkpoint
+  * protocol guarantees converges to exactly-once file state once the
+  * re-commit completes. Final names zero-pad the epoch so the directory
+  * keeps the lexicographically-increasing arrival order the micro-batch
+  * READ side's prefix offset requires: a Singer dir can be both the sink
+  * of one query and the source of another. One streaming query per
+  * target directory (the file-sink convention): concurrent queries would
+  * collide on epoch numbering.
+  */
+private[sources] class SingerStreamingWrite(
+    path: String, schema: StructType, stream: String,
+    confMap: Map[String, String]) extends StreamingWrite {
+
+  private val writeId = java.util.UUID.randomUUID.toString
+
+  private def epochPrefix(epochId: Long): String = f"epoch-$epochId%020d-"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SingerStreamingWriterFactory(
+      s"$path/_tmp-$writeId", writeId, schema, stream, confMap)
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SingerSource.confFromMap(confMap)
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target)
+    val prefix = epochPrefix(epochId)
+    fs.listStatus(target)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    messages.foreach {
+      case SingerCommitMessage(Some(tmp)) =>
+        val src = new Path(tmp)
+        val dst = new Path(target, prefix + src.getName)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"graft-singer: streaming commit rename failed: $src -> $dst")
+      case _ => ()
+    }
+    cleanTmp(fs, epochId)
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SingerSource.confFromMap(confMap)
+    val fs = new Path(path).getFileSystem(conf)
+    cleanTmp(fs, epochId)
+  }
+
+  /** Drop this epoch's tmp subdir, then the `_tmp-<writeId>` parent once
+    * empty — micro-batch execution builds a fresh Write (fresh writeId)
+    * per epoch, so the parent would otherwise accumulate one empty dir
+    * per batch.
+    */
+  private def cleanTmp(fs: org.apache.hadoop.fs.FileSystem,
+      epochId: Long): Unit = {
+    val parent = new Path(s"$path/_tmp-$writeId")
+    val epochDir = new Path(parent, s"epoch-$epochId")
+    if (fs.exists(epochDir)) fs.delete(epochDir, true)
+    if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+      fs.delete(parent, true)
+    ()
+  }
+}
+
+private[sources] class SingerStreamingWriterFactory(
+    tmpDir: String, writeId: String, schema: StructType, stream: String,
+    confMap: Map[String, String]) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SingerDataWriter(
+      s"$tmpDir/epoch-$epochId/part-$partitionId-$taskId-$writeId.singer",
+      schema, stream, confMap)
+}
+
+private[sources] object SingerBatchWrite {
+  /** `_tmp-*` dirs older than this are presumed orphans of a crashed
+    * driver and GC'd at the next commit; a live concurrent writer's tmp
+    * dir stays newer than this as long as its tasks keep writing.
+    * Override per write with `.option("staleTmpTtlMs", ...)`.
+    */
+  val DefaultStaleTmpTtlMs: Long = 24L * 60 * 60 * 1000
 }
 
 private[sources] final case class SingerCommitMessage(file: Option[String])
@@ -712,8 +891,17 @@ private[sources] class SingerDataWriter(
       case LongType      => F.numberNode(v.asInstanceOf[Long])
       case IntegerType   => F.numberNode(v.asInstanceOf[Int])
       case DoubleType    => F.numberNode(v.asInstanceOf[Double])
+      // widen to double BEFORE serializing so the decimal written is the
+      // exact float value and the read-back DoubleType equals (double)f
+      case FloatType     => F.numberNode(v.asInstanceOf[Float].toDouble)
       case BooleanType   => F.booleanNode(v.asInstanceOf[Boolean])
       case StringType    => F.textNode(v.toString)
+      case DateType      =>
+        // Singer's JSON schema has only date-time; a DATE writes as
+        // midnight UTC and reads back as TimestampType
+        F.textNode(IsoFmt.format(java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Int].toLong)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
       case TimestampType =>
         val us = v.asInstanceOf[Long]
         F.textNode(IsoFmt.format(java.time.Instant.ofEpochSecond(

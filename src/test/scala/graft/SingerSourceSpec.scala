@@ -274,4 +274,139 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     val n = spark.read.format("graft-singer").load(s"$dir/data.singer").count()
     assert(n == 1L)
   }
+
+  test("out-of-lexicographic-order arrival fails fast instead of corrupting") {
+    val dir = tmpDir("singer_ooo")
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    def addFile(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = tmpDir("singer_ooo_stage")
+      writeSinger(tmp, rows)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$tmp/data.singer"),
+        java.nio.file.Paths.get(s"$src/$name"))
+      ()
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-singer").load(src)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    addFile("b.singer", Seq((1L, "a", 1.0)))
+    drain()
+    // a file sorting BEFORE the committed prefix arrives: the silent
+    // outcome would be b.singer re-read (duplicate) + a.singer never read
+    addFile("a.singer", Seq((2L, "b", 2.0)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("lexicographic")),
+      s"expected the contract-violation error, got: ${chain(e)}")
+  }
+
+  test("streaming write emits epoch-prefixed files a batch read composes") {
+    val dir = tmpDir("singer_stream_write")
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    def addFile(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = tmpDir("singer_sw_stage")
+      writeSinger(tmp, rows)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$tmp/data.singer"),
+        java.nio.file.Paths.get(s"$src/$name"))
+      ()
+    }
+    addFile("a.singer", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    addFile("b.singer", Seq((3L, "c", 3.0)))
+    val out = s"$dir/out"
+    val q = spark.readStream.format("graft-singer")
+      .option("maxFilesPerTrigger", "1") // → two epochs
+      .load(src)
+      .writeStream
+      .format("graft-singer")
+      .option("path", out)
+      .option("stream", "t")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".singer"))
+      .map(_.getName).sorted.toSeq
+    assert(files.nonEmpty && files.forall(_.startsWith("epoch-")),
+      s"expected epoch-prefixed .singer files, got $files")
+    // per-epoch tmp dirs are cleaned up once their epoch commits
+    assert(!new java.io.File(out).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("_tmp-")),
+      "committed epochs must not leave _tmp dirs behind")
+    assert(files.map(_.take("epoch-00000000000000000000".length))
+      .distinct.size == 2, s"expected two epochs, got $files")
+    val got = spark.read.format("graft-singer").load(out)
+      .orderBy("id").as[(Long, String, Double)].collect.toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("batch commit garbage-collects stale _tmp dirs, spares fresh ones") {
+    val dir = tmpDir("singer_tmp_gc")
+    new java.io.File(dir).mkdirs()
+    val stale = new java.io.File(s"$dir/_tmp-dead")
+    stale.mkdirs()
+    assert(stale.setLastModified(System.currentTimeMillis() - 60000))
+    val fresh = new java.io.File(s"$dir/_tmp-live")
+    fresh.mkdirs() // mtime = now → inside any sane TTL
+    Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+      .write.format("graft-singer")
+      .option("stream", "t")
+      .option("staleTmpTtlMs", "30000")
+      .mode("append").save(dir)
+    assert(!stale.exists(), "stale _tmp dir should be GC'd at commit")
+    assert(fresh.exists(), "a live writer's fresh _tmp dir must survive")
+  }
+
+  test("float and date columns write with documented widening semantics") {
+    val dir = tmpDir("singer_float_date")
+    val df = Seq((1L, 1.5f, java.sql.Date.valueOf("2024-06-01")),
+        (2L, -0.25f, java.sql.Date.valueOf("1999-12-31")))
+      .toDF("id", "f", "d")
+    df.write.format("graft-singer").option("stream", "t")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft-singer").load(dir)
+    assert(back.schema("f").dataType.typeName == "double")
+    assert(back.schema("d").dataType.typeName == "timestamp")
+    val got = back.orderBy("id")
+      .select(col("id"), col("f"),
+        date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("d"))
+      .as[(Long, Double, String)].collect.toSeq
+    assert(got == Seq(
+      (1L, 1.5f.toDouble, "2024-06-01 00:00:00"),
+      (2L, -0.25f.toDouble, "1999-12-31 00:00:00")))
+  }
+
+  test("a malformed timestamp value coerces to null, not a scan crash") {
+    val dir = tmpDir("singer_badts")
+    new java.io.File(dir).mkdirs()
+    val lines = Seq(
+      """{"type":"SCHEMA","stream":"t","schema":{"type":["object","null"],""" +
+        """"properties":{"id":{"type":["integer","null"]},""" +
+        """"ts":{"format":"date-time","type":["string","null"]}}},""" +
+        """"key_properties":["id"]}""",
+      """{"type":"RECORD","stream":"t","record":{"id":1,"ts":"2024-06-01T00:00:00.000000Z"}}""",
+      """{"type":"RECORD","stream":"t","record":{"id":2,"ts":"not-a-time"}}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data.singer"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = spark.read.format("graft-singer").load(s"$dir/data.singer")
+    assert(df.count() == 2L)
+    assert(df.filter(col("ts").isNull).select("id").as[Long].collect.toSeq
+      == Seq(2L))
+  }
 }
