@@ -93,6 +93,25 @@ object Similarity {
     expr(terms.mkString("(", " + ", ")"))
   }
 
+  /** Bucket over an arbitrary SLICE of the plane family (planes
+    * `fromPlane until fromPlane + numPlanes`) — what lets several
+    * INDEPENDENT LSH tables share one deterministic plane matrix (table t
+    * = slice t·b..(t+1)·b). Composed-HOF form (the slice is cold-path
+    * seeding, not the hot bucket loop).
+    */
+  def hyperplaneBucketSliced(
+      vecCol: String, fromPlane: Int, numPlanes: Int, dim: Int): Column = {
+    val ps = planes(fromPlane + numPlanes, dim).slice(
+      fromPlane, fromPlane + numPlanes)
+    val terms = ps.zipWithIndex.map { case (plane, p) =>
+      val lit = plane.map(v => s"${v}D").mkString("array(", ", ", ")")
+      s"IF(aggregate(zip_with(`$vecCol`, $lit, (x, y) -> " +
+        s"CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v) > 0, " +
+        s"${1L << p}L, 0L)"
+    }
+    expr(terms.mkString("(", " + ", ")"))
+  }
+
   private def topK(
       scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -645,5 +664,118 @@ object Similarity {
     c.join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** NN-descent kNN-graph construction (Dong, Moses, Li 2011, "Efficient
+    * K-Nearest Neighbor Graph Construction for Generic Similarity
+    * Measures") — the graph-based ANN family (the construction step HNSW
+    * descendants build on), expressed as joins + windows so every round
+    * is one deterministic dataflow:
+    *
+    *   init:  `seedTables` INDEPENDENT hyperplane-LSH tables (disjoint
+    *          slices of the shared plane matrix, `seedPlanes` bits each)
+    *          bucket equi-self-joined and unioned → exact-cosine top-k
+    *          per node. Multiple coarse tables are what make the seed
+    *          CONNECTED — a single fine-grained table leaves tiny
+    *          disconnected components that neighbors-of-neighbors can
+    *          never escape (NN-descent's random init, made deterministic
+    *          as an LSH forest);
+    *   round: neighbors-of-neighbors refinement. Each node's combined
+    *          list = its out-neighbors ∪ its top-k REVERSE neighbors
+    *          (the reverse cap is NN-descent's sampling made
+    *          deterministic: rank by cosine, tie on id). Lists are
+    *          re-keyed by the shared member m and capped at `2k` entries
+    *          per m, so candidate generation is an equi-join on m
+    *          producing ≤ 4k² pairs per member — Σ n·4k² total, never
+    *          n². New candidates union the current edges, exact cosine
+    *          re-scores, top-k keeps the best k per node.
+    *
+    * Every choice (bucket seed, caps, tie-breaks) is rank-deterministic,
+    * so a SQL oracle replays construction EXACTLY — recall is audited by
+    * value, not statistically. At 100 TB every stage is an id-keyed
+    * narrow shuffle (float vectors join back in only for scoring).
+    */
+  def nnDescentTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 1,
+      seedTables: Int = 4,
+      seedPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"nnDescentTopK: bad k=$k rounds=$rounds")
+    require(seedTables >= 1 && seedPlanes >= 1,
+      s"nnDescentTopK: bad seedTables=$seedTables seedPlanes=$seedPlanes")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    graft.functions.HyperplaneExpressions.register(corpus.sparkSession)
+    val vecs = corpus.select(
+      col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+      selfNormFast(vecCol).as("n"))
+    // one row per (vector, table): the table index keys the equi-join so
+    // L tables bucket-join in ONE shuffle instead of L passes
+    val bucketed = (0 until seedTables).map { t =>
+      corpus.select(
+        col(idCol).cast("long").as("vec_id"),
+        lit(t).as("tbl"),
+        hyperplaneBucketSliced(vecCol, t * seedPlanes, seedPlanes, dim)
+          .as("bucket"))
+    }.reduce(_ unionByName _)
+
+    def scoreTopK(pairs: DataFrame): DataFrame = {
+      // pairs: (u, m) id-only; join the vectors back in, exact cosine,
+      // keep each u's best k
+      val scored = pairs
+        .join(vecs.select(col("vec_id").as("u"), col("v").as("v_u"),
+          col("n").as("n_u")), Seq("u"))
+        .join(vecs.select(col("vec_id").as("m"), col("v").as("v_m"),
+          col("n").as("n_m")), Seq("m"))
+        .withColumn("cosine",
+          dotFast("v_u", "v_m") / (col("n_u") * col("n_m")))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("cosine").desc, col("m").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("u"), col("m"), col("cosine"), col("rank"))
+    }
+
+    // deterministic seed: same-(table, bucket) candidates (ids only,
+    // distinct across tables), top-k
+    val seedPairs = bucketed
+      .select(col("vec_id").as("u"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("m"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("u") =!= col("m"))
+      .select("u", "m")
+      .distinct()
+    var graph = scoreTopK(seedPairs)
+
+    (1 to rounds).foreach { _ =>
+      val wRev = Window.partitionBy(col("u"))
+        .orderBy(col("cosine").desc, col("m").asc)
+      val rev = graph.select(col("m").as("u"), col("u").as("m"),
+          col("cosine"))
+        .withColumn("rr", row_number().over(wRev))
+        .filter(col("rr") <= k)
+        .select("u", "m", "cosine")
+      // combined neighbor list, deduped keep-best, then capped per MEMBER
+      // so a popular node can't quadratically explode the m-join
+      val und = graph.select("u", "m", "cosine")
+        .unionByName(rev)
+        .groupBy("u", "m").agg(max(col("cosine")).as("cosine"))
+      val wCap = Window.partitionBy(col("m"))
+        .orderBy(col("cosine").desc, col("u").asc)
+      val capped = und.withColumn("cm", row_number().over(wCap))
+        .filter(col("cm") <= 2 * k)
+        .select("u", "m")
+      val cand = capped.select(col("u").as("a"), col("m"))
+        .join(capped.select(col("u").as("b"), col("m")), Seq("m"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("m"))
+      val all = cand.unionByName(graph.select("u", "m")).distinct()
+      graph = scoreTopK(all)
+    }
+    graph.select(col("u").as("query_id"), col("rank"),
+      col("m").as("neighbor_id"), round(col("cosine"), 6).as("cos_sim"))
   }
 }

@@ -77,34 +77,59 @@ object BucketedSnapshot {
 
   /** Current version from the `_current` pointer, if the layout exists. */
   private[graft] def currentVersion(
-      spark: SparkSession, snapshotDir: String, stream: String): Option[Int] = {
+      spark: SparkSession, snapshotDir: String, stream: String): Option[Int] =
+    readPointer(spark, snapshotDir, stream).map(_._1)
+
+  /** (version, buckets-recorded-at-write) from the pointer; the bucket
+    * count rides along so a later session cannot silently re-register the
+    * table with a DIFFERENT count (the catalog would then claim an
+    * alignment the files don't have — misread, not error).
+    */
+  private def readPointer(
+      spark: SparkSession, snapshotDir: String,
+      stream: String): Option[(Int, Option[Int])] = {
     val ptr = new org.apache.hadoop.fs.Path(
       s"${layoutDir(snapshotDir, stream)}/_current")
     val f = fs(spark, ptr.toString)
     if (!f.exists(ptr)) None
     else {
       val in = f.open(ptr)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
-      finally in.close()
+      try {
+        val parts = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .trim.split("\\s+")
+        Some((parts(0).toInt,
+          if (parts.length > 1) Some(parts(1).toInt) else None))
+      } finally in.close()
     }
   }
 
   private def writePointer(
       spark: SparkSession, snapshotDir: String, stream: String,
-      version: Int): Unit = {
+      version: Int, buckets: Int): Unit = {
     val dir = layoutDir(snapshotDir, stream)
     val ptr = new org.apache.hadoop.fs.Path(s"$dir/_current")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/._current.swap.${System.nanoTime()}")
     val f = fs(spark, dir)
     val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$version $buckets".getBytes("UTF-8")) finally out.close()
     if (f.exists(ptr)) f.delete(ptr, false)
     if (!f.rename(tmp, ptr))
       throw new IllegalStateException(s"pointer promote failed: $tmp -> $ptr")
     ()
   }
+
+  private def checkBuckets(
+      spark: SparkSession, snapshotDir: String, stream: String,
+      buckets: Int): Unit =
+    readPointer(spark, snapshotDir, stream).flatMap(_._2).foreach { b =>
+      require(b == buckets,
+        s"bucketed snapshot '$stream' at $snapshotDir was written with " +
+          s"$b buckets; reading/folding with $buckets would misalign the " +
+          "bucketed scan — pass the original count (re-bucket via compact " +
+          "or a rewrite fold to change it)")
+    }
 
   /** Register the external bucketed table for `version` if this session's
     * catalog doesn't have it yet (fresh-session recovery path).
@@ -131,10 +156,12 @@ object BucketedSnapshot {
     */
   def read(
       spark: SparkSession, stream: String, snapshotDir: String,
-      pk: Seq[String], buckets: Int): Option[DataFrame] =
+      pk: Seq[String], buckets: Int): Option[DataFrame] = {
+    checkBuckets(spark, snapshotDir, stream, buckets)
     currentVersion(spark, snapshotDir, stream).map { v =>
       spark.table(ensureTable(spark, snapshotDir, stream, pk, buckets, v))
     }
+  }
 
   /** Keep-last dedup of one batch by PK: explicit `buckets`-way hash
     * partitioning (so the downstream join adds no second exchange), then
@@ -180,6 +207,12 @@ object BucketedSnapshot {
     val path = s"${layoutDir(snapshotDir, stream)}/v$version"
     val tbl = tableName(snapshotDir, stream, version)
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    // a crash between a previous attempt's write and its pointer promote
+    // leaves a partial v$version dir; writing into it would mix two
+    // attempts' files — clear it first (the pointer still guards reads)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (f.exists(p)) f.delete(p, true)
     df.write
       .format("parquet")
       .bucketBy(buckets, pk.head, pk.tail: _*)
@@ -213,6 +246,7 @@ object BucketedSnapshot {
       tieBreak: Seq[String] = Nil,
       oldTransform: DataFrame => DataFrame = identity): DataFrame = {
     require(pk.nonEmpty, "bucketed snapshot requires a primary key")
+    checkBuckets(spark, snapshotDir, stream, buckets)
     // persist: the delta feeds BOTH merge branches (anti-join probe and
     // union tail); without the cache, column pruning specializes the two
     // subtrees differently and the delta's dedup shuffle runs twice
@@ -232,10 +266,107 @@ object BucketedSnapshot {
           (kept.unionByName(delta, allowMissingColumns = true), v + 1)
       }
       writeVersion(merged, spark, snapshotDir, stream, pk, buckets, nextV)
-      writePointer(spark, snapshotDir, stream, nextV)
+      writePointer(spark, snapshotDir, stream, nextV, buckets)
       if (nextV > 1) dropVersion(spark, snapshotDir, stream, nextV - 1)
       spark.table(tableName(snapshotDir, stream, nextV))
     } finally { delta.unpersist(); () }
+  }
+
+  /** Generation column for the merge-on-read layout: which fold a row
+    * arrived in; read-time keep-last picks the max per PK. Internal —
+    * stripped by [[readMor]].
+    */
+  private[graft] val GenCol = "_graft_gen"
+
+  /** Merge-on-read fold — the true 100 TB nightly shape. [[fold]] avoids
+    * the snapshot-side SHUFFLE but still rewrites the full table every
+    * merge (write amplification = |snapshot| / |delta|). This variant
+    * APPENDS the deduped delta into the SAME bucketed table, stamped with
+    * a generation number: fold-time IO is delta-sized, full stop. Bucket
+    * alignment is preserved because a bucketed `saveAsTable(Append)`
+    * routes each row to its bucket file by the same hash — base and delta
+    * rows of one PK land in one bucket, so read-time resolution needs no
+    * shuffle either.
+    *
+    * Keep-last resolves at READ time ([[readMor]]): a row_number window
+    * over the PK ordered by generation desc — which the bucketed scan's
+    * partitioning already satisfies, so the resolve is a per-bucket local
+    * sort, ZERO exchanges (MorSnapshotSpec pins the plan). Read cost
+    * grows with accumulated generations; [[compactMor]] folds them back
+    * to one (full rewrite, amortized over many cheap appends — the
+    * LSM/merge-on-read tradeoff Delta and Hudi make, built here from
+    * Spark primitives).
+    *
+    * Schema drift is NOT supported between compactions (a bucketed append
+    * must match the table schema exactly); [[fold]] remains the
+    * drift-tolerant form.
+    */
+  def foldMor(
+      spark: SparkSession, fresh: DataFrame, stream: String,
+      snapshotDir: String, pk: Seq[String], buckets: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(pk.nonEmpty, "bucketed snapshot requires a primary key")
+    checkBuckets(spark, snapshotDir, stream, buckets)
+    currentVersion(spark, snapshotDir, stream) match {
+      case None =>
+        val base = dedupBatch(fresh, pk, buckets, tieBreak)
+          .withColumn(GenCol, lit(1L))
+        writeVersion(base, spark, snapshotDir, stream, pk, buckets, 1)
+        writePointer(spark, snapshotDir, stream, 1, buckets)
+      case Some(v) =>
+        val tbl = ensureTable(spark, snapshotDir, stream, pk, buckets, v)
+        require(spark.table(tbl).columns.contains(GenCol),
+          s"snapshot '$stream' was not created by foldMor (no $GenCol " +
+            "column) — use fold() or compact it into the MOR layout first")
+        val nextGen = spark.table(tbl)
+          .agg(max(col(GenCol))).head.getLong(0) + 1L
+        val delta = dedupBatch(fresh, pk, buckets, tieBreak)
+          .withColumn(GenCol, lit(nextGen))
+        // bucket-aligned append: delta-sized IO, no version rewrite
+        delta.write.format("parquet")
+          .bucketBy(buckets, pk.head, pk.tail: _*)
+          .sortBy(pk.head, pk.tail: _*)
+          .mode("append")
+          .saveAsTable(tbl)
+    }
+    readMor(spark, stream, snapshotDir, pk, buckets).get
+  }
+
+  /** The merge-on-read snapshot resolved to current state: keep-last by
+    * generation per PK, as a per-bucket local sort over the bucketed scan
+    * — no exchange. Returns None if no snapshot exists.
+    */
+  def readMor(
+      spark: SparkSession, stream: String, snapshotDir: String,
+      pk: Seq[String], buckets: Int): Option[DataFrame] =
+    read(spark, stream, snapshotDir, pk, buckets).map { t =>
+      if (!t.columns.contains(GenCol)) t
+      else {
+        val w = Window.partitionBy(pk.map(col): _*)
+          .orderBy(col(GenCol).desc)
+        t.withColumn("_bs_rn", row_number().over(w))
+          .filter(col("_bs_rn") === 1)
+          .drop("_bs_rn", GenCol)
+      }
+    }
+
+  /** Fold all accumulated generations back into one: full rewrite to the
+    * next version (generation reset to 1), pointer promote, old version
+    * dropped. The amortized cost that keeps [[readMor]]'s per-read merge
+    * bounded.
+    */
+  def compactMor(
+      spark: SparkSession, stream: String, snapshotDir: String,
+      pk: Seq[String], buckets: Int): DataFrame = {
+    val v = currentVersion(spark, snapshotDir, stream).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot '$stream' at $snapshotDir to compact"))
+    val resolved = readMor(spark, stream, snapshotDir, pk, buckets).get
+      .withColumn(GenCol, lit(1L))
+    writeVersion(resolved, spark, snapshotDir, stream, pk, buckets, v + 1)
+    writePointer(spark, snapshotDir, stream, v + 1, buckets)
+    dropVersion(spark, snapshotDir, stream, v)
+    readMor(spark, stream, snapshotDir, pk, buckets).get
   }
 
   /** Drop the whole layout (all versions, tables, pointer) — the

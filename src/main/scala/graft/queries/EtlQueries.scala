@@ -469,6 +469,103 @@ object EtlQueries {
         .orderBy("k")
   }
 
+  /** The MERGE-ON-READ bucketed snapshot ([[graft.operators
+    * .BucketedSnapshot.foldMor]]): three successive folds where each
+    * fold's IO is DELTA-sized (bucket-aligned parquet append stamped with
+    * a generation number — base files are never rewritten; MorSnapshotSpec
+    * pins file-level immutability) and keep-last resolves at read time as
+    * a per-bucket local sort with zero exchanges. The oracle replays the
+    * chain as one 3-priority window. At 100 TB this is the LSM tradeoff
+    * Delta/Hudi make: nightly folds cost |delta| IO, compaction (q250)
+    * amortizes the read-side merge.
+    */
+  val q249SnapshotFoldMor: QuerySpec = QuerySpec.oracled(
+    "q249_snapshot_fold_mor",
+    """WITH u1 AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |u2 AS (
+      |  SELECT c_custkey AS k, c_name || '-v3' AS name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewMor#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |unioned AS (
+      |  SELECT c_custkey AS k, c_name AS name, 0 AS seq FROM customer
+      |  UNION ALL SELECT k, name, 1 FROM u1
+      |  UNION ALL SELECT k, name, 2 FROM u2),
+      |last AS (
+      |  SELECT k, name,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM unioned)
+      |SELECT k, name FROM last WHERE rn = 1 ORDER BY k""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.BucketedSnapshot
+      val (base, u1, u2) = morBatches(spark, dir)
+      val stateDir = graft.queries.QuerySpec.stagedPath("q249_state", dir)
+      BucketedSnapshot.reset(spark, "cust", stateDir)
+      BucketedSnapshot.foldMor(spark, base, "cust", stateDir, Seq("k"), 8)
+      BucketedSnapshot.foldMor(spark, u1, "cust", stateDir, Seq("k"), 8)
+      BucketedSnapshot.foldMor(spark, u2, "cust", stateDir, Seq("k"), 8)
+        .orderBy("k")
+  }
+
+  /** q249's chain with a COMPACTION between the second and third fold:
+    * compaction must be state-invariant (same oracle as q249) and the
+    * post-compaction fold must keep working against the rewritten
+    * single-generation table — the full LSM lifecycle (append, append,
+    * compact, append, resolve) adjudicated end-to-end.
+    */
+  val q250SnapshotCompaction: QuerySpec = QuerySpec.oracled(
+    "q250_snapshot_compaction",
+    """WITH u1 AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |u2 AS (
+      |  SELECT c_custkey AS k, c_name || '-v3' AS name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewMor#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |unioned AS (
+      |  SELECT c_custkey AS k, c_name AS name, 0 AS seq FROM customer
+      |  UNION ALL SELECT k, name, 1 FROM u1
+      |  UNION ALL SELECT k, name, 2 FROM u2),
+      |last AS (
+      |  SELECT k, name,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM unioned)
+      |SELECT k, name FROM last WHERE rn = 1 ORDER BY k""".stripMargin) {
+    (spark, dir) =>
+      import graft.operators.BucketedSnapshot
+      val (base, u1, u2) = morBatches(spark, dir)
+      val stateDir = graft.queries.QuerySpec.stagedPath("q250_state", dir)
+      BucketedSnapshot.reset(spark, "cust", stateDir)
+      BucketedSnapshot.foldMor(spark, base, "cust", stateDir, Seq("k"), 8)
+      BucketedSnapshot.foldMor(spark, u1, "cust", stateDir, Seq("k"), 8)
+      BucketedSnapshot.compactMor(spark, "cust", stateDir, Seq("k"), 8)
+      BucketedSnapshot.foldMor(spark, u2, "cust", stateDir, Seq("k"), 8)
+        .orderBy("k")
+  }
+
+  /** The shared base/update batches for the MOR chain (q249/q250). */
+  private def morBatches(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    val u1 = base.filter(col("k") % 5 === 0)
+      .select(col("k"), concat(col("name"), lit("-v2")).as("name"))
+    val u2 = base.filter(col("k") % 7 === 0)
+      .select(col("k"), concat(col("name"), lit("-v3")).as("name"))
+      .unionByName(base.filter(col("k") % 101 === 0)
+        .select((col("k") + 1000000000L).as("k"),
+          concat(lit("NewMor#"), (col("k") + 1000000000L).cast("string"))
+            .as("name")))
+    (base, u1, u2)
+  }
+
   /** k-anonymity release gate (k=50) over the (event_type, day) cohort
     * grid: cohorts with ≥ 50 distinct users release their exact stats;
     * smaller cohorts collapse into one `<suppressed>` bucket per event
@@ -889,7 +986,8 @@ object EtlQueries {
   val all: Seq[QuerySpec] =
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
-      q108SnapshotFold, q248SnapshotFoldBucketed, q121KAnonymity,
+      q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
+      q250SnapshotCompaction, q121KAnonymity,
       q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,
       q175FdAudit, q179TCloseness, q183IncrementalJoin, q197CoverageAudit)

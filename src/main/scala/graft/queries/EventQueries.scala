@@ -638,6 +638,135 @@ object EventQueries {
       .orderBy("lang")
   }.withSetup((s, d) => { stageQ245(s, d); () })
 
+  private val q251Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage q251's multi-stream Singer file: a customer export (stream
+    * `cust`) and a documents export (stream `docs`) APPENDED into one
+    * file — the reference's append mode interleaving two streams
+    * (ref: src/singer.ts:387-391). Memoized per sf dir.
+    */
+  private def stageQ251(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q251Staging.getOrStage(dir) {
+      import graft.operators.{Export, ExportOptions}
+      val out = QuerySpec.stagedPath("q251_multistream", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      def export(df: org.apache.spark.sql.DataFrame, stream: String,
+          keys: Seq[String]): String = {
+        val tmp = QuerySpec.stagedPath(s"q251_tmp_$stream", dir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        Export.toExport(df, stream, tmp,
+          ExportOptions(exportFormat = Some("singer"), keys = keys),
+          conf = graft.conf.GluestickConf(Map.empty))
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$tmp/data.singer"))
+      }
+      val cust = export(
+        spark.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_nationkey")),
+        "cust", Seq("c_custkey"))
+      val docs = export(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars")),
+        "docs", Seq("doc_id"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/data.singer"), cust + docs)
+      out
+    }
+
+  /** Multi-stream Singer file read through the connector's `stream`
+    * option: one physical file interleaves two streams with DIFFERENT
+    * schemas (the reference's append-mode output); each read selects its
+    * stream's SCHEMA for inference and skips other streams' RECORDs at
+    * the JSON-node stage — without the option, stream B's rows would
+    * silently coerce through stream A's schema. Adjudicated as both
+    * streams' aggregates against the parquet originals.
+    */
+  val q251SingerMultiStream: QuerySpec = QuerySpec.oracled(
+    "q251_singer_multi_stream",
+    """SELECT 'cust' AS src, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS id_sum
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT 'docs', CAST(count(*) AS BIGINT),
+      |  CAST(sum(doc_id) AS BIGINT)
+      |FROM documents WHERE doc_id % 2 = 0
+      |ORDER BY src""".stripMargin) { (spark, dir) =>
+    val staged = stageQ251(spark, dir)
+    def agg(stream: String, idCol: String) =
+      spark.read.format("graft-singer")
+        .option("stream", stream)
+        .load(s"$staged/data.singer")
+        .agg(count(lit(1)).as("n"), sum(col(idCol)).as("id_sum"))
+        .select(lit(stream).as("src"), col("n"), col("id_sum"))
+    agg("cust", "c_custkey").unionByName(agg("docs", "doc_id"))
+      .orderBy("src")
+  }.withSetup((s, d) => { stageQ251(s, d); () })
+
+  private val q252Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage q252's bookmarked backlog: the q245-shaped two-file export
+    * (full docs, then a correction batch) with a data-derived bookmark
+    * STATE appended to each file — `max_id` = the max doc_id that file
+    * carried, the Singer tap convention for incremental-sync cursors.
+    */
+  private def stageQ252(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q252Staging.getOrStage(dir) {
+      import graft.operators.{Export, ExportOptions}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = QuerySpec.stagedPath("q252_state_backlog", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      def export(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = QuerySpec.stagedPath(s"q252_tmp_$name", dir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        Export.toExport(df, "documents_rt", tmp,
+          ExportOptions(exportFormat = Some("singer"), keys = Seq("doc_id")),
+          conf = graft.conf.GluestickConf(Map.empty))
+        val maxId = df.agg(max(col("doc_id"))).head.getLong(0)
+        val body = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$tmp/data.singer"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/$name"),
+          body + s"""{"type":"STATE","value":{"bookmarks":""" +
+            s"""{"documents_rt":{"max_id":$maxId}}}}""" + "\n")
+        ()
+      }
+      export(docs, "a.singer")
+      export(docs.filter(col("doc_id") < 100), "b.singer")
+      out
+    }
+
+  /** The tap-bookmark recovery surface (`option("messages","state")`):
+    * STATE payloads of a two-file export read as a first-class table —
+    * the sink's global `{}` states plus the stager's data-derived cursor
+    * states — and the resume cursor recovered with plain
+    * `get_json_object` + max. This is how a 100 TB incremental sync
+    * decides where to resume: from the data's own STATE lines, not an
+    * external ledger. Adjudicated against the cursor recomputed from the
+    * parquet original.
+    */
+  val q252SingerStateBookmarks: QuerySpec = QuerySpec.oracled(
+    "q252_singer_state_bookmarks",
+    """SELECT CAST(4 AS BIGINT) AS n_states,
+      |  CAST(2 AS BIGINT) AS n_bookmarked,
+      |  CAST(max(doc_id) AS BIGINT) AS resume_cursor
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    val staged = stageQ252(spark, dir)
+    val states = spark.read.format("graft-singer")
+      .option("messages", "state").load(staged)
+    val cursor = get_json_object(col("value"),
+      "$.bookmarks.documents_rt.max_id").cast("long")
+    states.agg(
+      count(lit(1)).as("n_states"),
+      count(cursor).as("n_bookmarked"),
+      max(cursor).as("resume_cursor"))
+  }.withSetup((s, d) => { stageQ252(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -2137,6 +2266,7 @@ object EventQueries {
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
       q245SingerSnapshotIngest, q247SingerStreamWrite,
+      q251SingerMultiStream, q252SingerStateBookmarks,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

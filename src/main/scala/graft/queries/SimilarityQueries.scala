@@ -30,6 +30,17 @@ object SimilarityQueries {
       s"(CASE WHEN ${planeDotSql(vec, plane)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Bucket over planes [from, from+n) of the shared plane matrix — the
+    * oracle twin of [[Similarity.hyperplaneBucketSliced]] (q253's
+    * LSH-forest seed tables).
+    */
+  private def bucketSliceSql(vec: String, from: Int, n: Int): String =
+    Similarity.planes(from + n, Dim).slice(from, from + n).zipWithIndex
+      .map { case (plane, p) =>
+        s"(CASE WHEN ${planeDotSql(vec, plane)} > 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+
   private val normCte =
     s"""WITH nv AS (
        |  SELECT vec_id, embedding,
@@ -552,12 +563,98 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** NN-descent kNN-graph construction ([[Similarity.nnDescentTopK]]):
+    * LSH-bucket seed graph, then ONE neighbors-of-neighbors refinement
+    * round — reverse neighbors capped at k, combined lists capped at 2k
+    * per shared member, candidate equi-join on the member, exact cosine
+    * re-rank. Every cap and tie-break is rank-deterministic, so the
+    * oracle replays the CONSTRUCTION itself (seed, reverse cap, member
+    * cap, candidate join, final ranking) — the refined graph's exact
+    * edges are adjudicated, not a recall statistic. This is the
+    * graph-based ANN family's build step (what HNSW-style indexes
+    * amortize), in pure joins + windows.
+    */
+  val q253NnDescent: QuerySpec = QuerySpec.oracled(
+    "q253_ann_nn_descent",
+    s"""$normCte,
+       |b AS (
+       |  SELECT vec_id, nrm, 0 AS tbl,
+       |    ${bucketSliceSql("embedding", 0, 6)} AS bucket FROM nv
+       |  UNION ALL SELECT vec_id, nrm, 1,
+       |    ${bucketSliceSql("embedding", 6, 6)} FROM nv
+       |  UNION ALL SELECT vec_id, nrm, 2,
+       |    ${bucketSliceSql("embedding", 12, 6)} FROM nv
+       |  UNION ALL SELECT vec_id, nrm, 3,
+       |    ${bucketSliceSql("embedding", 18, 6)} FROM nv),
+       |seedp AS (
+       |  SELECT DISTINCT q.vec_id AS u, c.vec_id AS m
+       |  FROM b q JOIN b c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id <> c.vec_id),
+       |seeds AS (
+       |  SELECT s.u, s.m,
+       |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+       |      AS cosine
+       |  FROM seedp s
+       |  JOIN nv x ON x.vec_id = s.u
+       |  JOIN nv y ON y.vec_id = s.m),
+       |g0 AS (
+       |  SELECT u, m, cosine FROM (
+       |    SELECT u, m, cosine,
+       |      row_number() OVER (PARTITION BY u
+       |                         ORDER BY cosine DESC, m) AS rk
+       |    FROM seeds) WHERE rk <= 4),
+       |rev AS (
+       |  SELECT nu AS u, nm AS m, cosine FROM (
+       |    SELECT m AS nu, u AS nm, cosine,
+       |      row_number() OVER (PARTITION BY m
+       |                         ORDER BY cosine DESC, u) AS rr
+       |    FROM g0) WHERE rr <= 4),
+       |und AS (
+       |  SELECT u, m, max(cosine) AS cosine FROM (
+       |    SELECT u, m, cosine FROM g0
+       |    UNION ALL SELECT u, m, cosine FROM rev)
+       |  GROUP BY u, m),
+       |capped AS (
+       |  SELECT u, m FROM (
+       |    SELECT u, m,
+       |      row_number() OVER (PARTITION BY m
+       |                         ORDER BY cosine DESC, u) AS cm
+       |    FROM und) WHERE cm <= 8),
+       |cand AS (
+       |  SELECT a.u AS u, b.u AS m
+       |  FROM capped a JOIN capped b ON a.m = b.m AND a.u <> b.u
+       |  UNION
+       |  SELECT u, m FROM g0),
+       |scored AS (
+       |  SELECT cand.u, cand.m,
+       |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+       |      AS cosine
+       |  FROM cand
+       |  JOIN nv x ON x.vec_id = cand.u
+       |  JOIN nv y ON y.vec_id = cand.m),
+       |fin AS (
+       |  SELECT u, m, cosine,
+       |    row_number() OVER (PARTITION BY u
+       |                       ORDER BY cosine DESC, m) AS rank
+       |  FROM scored)
+       |SELECT u AS query_id, CAST(rank AS INTEGER) AS rank,
+       |  m AS neighbor_id, round(cosine, 6) AS cos_sim
+       |FROM fin WHERE rank <= 4
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.nnDescentTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", k = 4, rounds = 1,
+      seedTables = 4, seedPlanes = 6, dim = Dim)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
-      q220AnnRecall, q234LabelAudit)
+      q220AnnRecall, q234LabelAudit, q253NnDescent)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

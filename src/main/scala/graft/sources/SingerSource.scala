@@ -76,22 +76,37 @@ class SingerSource extends TableProvider with DataSourceRegister {
     // schema comes from the query); READS of an empty schema fail fast at
     // scan build ([[SingerScanBuilder.build]]) — a stream started on a
     // still-empty export dir must error, not silently drop every record
-    if (files.isEmpty) new StructType()
-    else SingerSource.schemaFromFiles(files, conf)
+    if ("state".equalsIgnoreCase(options.get("messages")))
+      SingerSource.StateSchema
+    else if (files.isEmpty) new StructType()
+    else SingerSource.schemaFromFiles(files, conf,
+      Option(options.get("stream")))
   }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    SingerSource.validateSchema(schema)
-    new SingerTable(SingerSource.resolvePaths(properties), schema)
+    val stateMode =
+      "state".equalsIgnoreCase(properties.get("messages"))
+    if (!stateMode) SingerSource.validateSchema(schema)
+    new SingerTable(SingerSource.resolvePaths(properties), schema,
+      Option(properties.get("stream")), stateMode)
   }
 }
 
 object SingerSource {
 
   private[sources] val mapper = new ObjectMapper()
+
+  /** Schema of the STATE-message surface (`option("messages","state")`):
+    * one row per STATE line — the file it came from and the raw JSON of
+    * its `value` payload (Singer bookmarks are tap-defined; parsing is
+    * the consumer's business via `from_json`/`get_json_object`).
+    */
+  val StateSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
 
   /** The `path` / `paths` (JSON array) options, failing fast if absent. */
   private[sources] def resolvePaths(
@@ -152,30 +167,49 @@ object SingerSource {
       else Seq(p.toString)
     }.sorted
 
-  /** Driver-side schema inference: first SCHEMA message of the first file. */
+  /** Driver-side schema inference: first SCHEMA message of the first file
+    * (or, with `stream` set, the first SCHEMA for THAT stream across the
+    * listed files — append-mode export files interleave streams, ref:
+    * src/singer.ts:387-391).
+    */
   def schemaFromFirstSchemaMessage(
-      paths: Seq[String], conf: Configuration): StructType =
-    schemaFromFiles(listFiles(paths, conf), conf)
+      paths: Seq[String], conf: Configuration,
+      stream: Option[String] = None): StructType =
+    schemaFromFiles(listFiles(paths, conf), conf, stream)
 
   private[sources] def schemaFromFiles(
-      files: Seq[String], conf: Configuration): StructType = {
-    val first = files.headOption.getOrElse(
-      throw new IllegalArgumentException("graft-singer: no files to infer from"))
-    val in = openLines(first, conf)
-    try {
-      Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .map(mapper.readTree)
-        .collectFirst {
-          case n if n.path("type").asText == "SCHEMA" =>
-            val props = n.path("schema").path("properties")
-            StructType(props.fieldNames.asScala.toSeq.map { name =>
-              StructField(name, CatalogSchema.toDataType(props.get(name)),
-                nullable = true)
-            })
-        }
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft-singer: no SCHEMA message in $first"))
-    } finally in.close()
+      files: Seq[String], conf: Configuration,
+      stream: Option[String] = None): StructType = {
+    if (files.isEmpty)
+      throw new IllegalArgumentException("graft-singer: no files to infer from")
+    // without a stream filter only the FIRST file is probed (one driver
+    // read, the common single-stream case); with one, files are scanned in
+    // order until the stream's SCHEMA appears
+    val probe = if (stream.isEmpty) files.take(1) else files
+    val found = probe.iterator.flatMap { f =>
+      val in = openLines(f, conf)
+      try {
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(mapper.readTree)
+          .collectFirst {
+            case n if n.path("type").asText == "SCHEMA" &&
+                stream.forall(_ == n.path("stream").asText) =>
+              val props = n.path("schema").path("properties")
+              StructType(props.fieldNames.asScala.toSeq.map { name =>
+                StructField(name, CatalogSchema.toDataType(props.get(name)),
+                  nullable = true)
+              })
+          }
+      } finally in.close()
+    }
+    if (found.hasNext) found.next()
+    else throw new IllegalArgumentException(
+      stream match {
+        case Some(s) =>
+          s"graft-singer: no SCHEMA message for stream '$s' in " +
+            files.mkString(", ")
+        case None => s"graft-singer: no SCHEMA message in ${files.head}"
+      })
   }
 
   private[sources] def openLines(
@@ -241,7 +275,17 @@ object SingerSource {
   }
 }
 
-private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
+private[sources] class SingerTable(
+    paths: Seq[String], tableSchema: StructType,
+    /** When set, only RECORDs of this stream materialize (append-mode
+      * export files interleave streams); absent → all RECORDs, the
+      * single-stream fast path.
+      */
+    streamFilter: Option[String] = None,
+    /** STATE-message mode: rows are (file, value JSON) per STATE line —
+      * the tap-bookmark recovery surface.
+      */
+    stateMode: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -283,6 +327,8 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SingerScanBuilder(paths, tableSchema,
+      streamFilter.orElse(Option(options.get("stream"))),
+      stateMode || "state".equalsIgnoreCase(options.get("messages")),
       Option(options.get("maxFilesPerTrigger")).map { v =>
         val n =
           try v.toInt
@@ -300,6 +346,8 @@ private[sources] class SingerTable(paths: Seq[String], tableSchema: StructType)
 
 private[sources] class SingerScanBuilder(
     paths: Seq[String], full: StructType,
+    streamFilter: Option[String] = None,
+    stateMode: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -314,6 +362,9 @@ private[sources] class SingerScanBuilder(
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // state mode: the record-node evaluator doesn't apply — Spark keeps
+    // every filter as a residual over the (file, value) rows
+    if (stateMode) return filters
     val (supported, rest) =
       filters.partition(SingerFilters.isSupported(full, _))
     pushed = supported
@@ -334,7 +385,7 @@ private[sources] class SingerScanBuilder(
           "target that will be populated later)")
     new SingerScan(paths, full, required, pushed,
       SingerSource.confToMap(SingerSource.driverHadoopConf()),
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, streamFilter, stateMode)
   }
 }
 
@@ -419,7 +470,9 @@ private[sources] object SingerFilters {
 private[sources] class SingerScan(
     paths: Seq[String], full: StructType, required: StructType,
     filters: Array[Filter], confMap: Map[String, String],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    streamFilter: Option[String] = None,
+    stateMode: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -453,11 +506,12 @@ private[sources] class SingerScan(
       .map(SingerInputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(full, required, filters, confMap)
+    new SingerReaderFactory(full, required, filters, confMap, streamFilter,
+      stateMode)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SingerMicroBatchStream(paths, full, required, filters, confMap,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, streamFilter, stateMode)
 }
 
 /** Offset = how many files of the lexicographically-sorted listing have
@@ -511,7 +565,9 @@ private[sources] object SingerOffset {
 private[sources] class SingerMicroBatchStream(
     paths: Seq[String], full: StructType, required: StructType,
     filters: Array[Filter], confMap: Map[String, String],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    streamFilter: Option[String] = None,
+    stateMode: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -596,7 +652,8 @@ private[sources] class SingerMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SingerReaderFactory(full, required, filters, confMap)
+    new SingerReaderFactory(full, required, filters, confMap, streamFilter,
+      stateMode)
 
   override def commit(end: Offset): Unit = ()
 
@@ -608,21 +665,76 @@ private[sources] final case class SingerInputPartition(file: String)
 
 private[sources] class SingerReaderFactory(
     full: StructType, required: StructType, filters: Array[Filter],
-    confMap: Map[String, String])
+    confMap: Map[String, String], streamFilter: Option[String] = None,
+    stateMode: Boolean = false)
     extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SingerPartitionReader(
-      p.asInstanceOf[SingerInputPartition].file, full, required, filters,
-      confMap)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[SingerInputPartition].file
+    if (stateMode)
+      new SingerStatePartitionReader(file, required, confMap, streamFilter)
+    else
+      new SingerPartitionReader(file, full, required, filters,
+        confMap, streamFilter)
+  }
+}
+
+/** STATE-message reader: one row per STATE line — (file, value JSON).
+  * With `streamFilter` set, only STATE lines carrying that stream name
+  * (taps that tag their states) pass; untagged STATE lines always pass,
+  * since Singer state is global by default.
+  */
+private[sources] class SingerStatePartitionReader(
+    file: String, required: StructType, confMap: Map[String, String],
+    streamFilter: Option[String] = None)
+    extends PartitionReader[InternalRow] {
+
+  private val in =
+    SingerSource.openLines(file, SingerSource.confFromMap(confMap))
+  private var row: InternalRow = _
+  private val shortName =
+    new org.apache.hadoop.fs.Path(file).getName
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val n = SingerSource.mapper.readTree(line)
+        val tagged = Option(n.get("stream")).map(_.asText)
+        if (n.path("type").asText == "STATE" &&
+            (tagged.isEmpty || streamFilter.forall(s => tagged.contains(s)))) {
+          val v = n.get("value")
+          row = InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
+            case "file" => UTF8String.fromString(shortName)
+            case "value" =>
+              if (v == null || v.isNull) null
+              else UTF8String.fromString(v.toString)
+            case other => throw new IllegalStateException(
+              s"graft-singer state mode: unexpected column $other")
+          }))
+          return true
+        }
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = in.close()
 }
 
 /** Streams one file, yielding an InternalRow per RECORD message with only
-  * the pruned fields materialized.
+  * the pruned fields materialized. With `streamFilter` set, RECORDs of
+  * other streams are skipped at the JSON-node stage (append-mode export
+  * files interleave streams; reading stream A's rows through stream B's
+  * schema would silently coerce every field).
   */
 private[sources] class SingerPartitionReader(
     file: String, full: StructType, required: StructType,
-    filters: Array[Filter], confMap: Map[String, String])
+    filters: Array[Filter], confMap: Map[String, String],
+    streamFilter: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val in =
@@ -634,7 +746,8 @@ private[sources] class SingerPartitionReader(
     while (line != null) {
       if (line.nonEmpty) {
         val n = SingerSource.mapper.readTree(line)
-        if (n.path("type").asText == "RECORD") {
+        if (n.path("type").asText == "RECORD" &&
+            streamFilter.forall(_ == n.path("stream").asText)) {
           val rec = n.path("record")
           // pushed filters run on the raw node BEFORE row materialization
           if (filters.forall(SingerFilters.eval(rec, full, _))) {

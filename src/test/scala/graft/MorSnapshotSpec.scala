@@ -1,0 +1,102 @@
+package graft
+
+import graft.ext.Bucketing
+import graft.operators.{BucketedSnapshot, Upsert}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read bucketed snapshot ([[BucketedSnapshot.foldMor]]):
+  * append-only folds ≡ keepLast, zero-exchange read-time resolution,
+  * delta-sized append IO, and compaction equivalence.
+  */
+class MorSnapshotSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("three MOR folds equal two chained keepLast folds") {
+    val dir = tmpDir("mor_eq")
+    val base = (1L to 400L).map(k => (k, s"v0-$k")).toDF("k", "name")
+    val u1 = (1L to 400L).filter(_ % 3 == 0)
+      .map(k => (k, s"v1-$k")).toDF("k", "name")
+    val u2 = ((1L to 400L).filter(_ % 5 == 0).map(k => (k, s"v2-$k")) ++
+      Seq((900L, "new"))).toDF("k", "name")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark, u1, "s", dir, Seq("k"), 4)
+    val got = BucketedSnapshot.foldMor(spark, u2, "s", dir, Seq("k"), 4)
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    val want = Upsert.keepLast(
+      Upsert.keepLast(base, u1, Seq("k")), u2, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    assert(got == want)
+  }
+
+  test("read-time resolution runs with zero shuffle exchanges") {
+    val dir = tmpDir("mor_shuffle")
+    val base = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark,
+      (1L to 50L).map(k => (k * 7, k * 1.0)).toDF("k", "v"),
+      "s", dir, Seq("k"), 4)
+    val resolved = BucketedSnapshot.readMor(
+      spark, "s", dir, Seq("k"), 4).get
+    resolved.collect()
+    assert(Bucketing.shuffleCount(resolved) == 0,
+      resolved.queryExecution.executedPlan.toString.take(4000))
+  }
+
+  test("a MOR fold appends delta-sized files, not a table rewrite") {
+    val dir = tmpDir("mor_io")
+    val base = (1L to 2000L).map(k => (k, s"payload-$k" * 8)).toDF("k", "p")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    def dataFiles(): Set[(String, Long)] = {
+      val vdir = new java.io.File(s"$dir/s.snapshot.bucketed/v1")
+      vdir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = dataFiles()
+    BucketedSnapshot.foldMor(spark,
+      Seq((3L, "x")).toDF("k", "p"), "s", dir, Seq("k"), 4)
+    val after = dataFiles()
+    // every pre-existing file untouched; only new (delta) files appeared
+    assert(before.subsetOf(after), "append must not rewrite base files")
+    assert(after.size > before.size)
+  }
+
+  test("compaction collapses generations and preserves state") {
+    val dir = tmpDir("mor_compact")
+    val base = (1L to 300L).map(k => (k, s"v0-$k")).toDF("k", "name")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark,
+      (1L to 300L).filter(_ % 4 == 0).map(k => (k, s"v1-$k"))
+        .toDF("k", "name"), "s", dir, Seq("k"), 4)
+    val before = BucketedSnapshot.readMor(spark, "s", dir, Seq("k"), 4).get
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    val compacted = BucketedSnapshot
+      .compactMor(spark, "s", dir, Seq("k"), 4)
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    assert(compacted == before)
+    // physical state: one generation again, old version dropped
+    val tbl = BucketedSnapshot.read(spark, "s", dir, Seq("k"), 4).get
+    assert(tbl.select(BucketedSnapshot.GenCol).distinct
+      .as[Long].collect.toSeq == Seq(1L))
+    val names = new java.io.File(s"$dir/s.snapshot.bucketed")
+      .listFiles().map(_.getName).toSet
+    assert(names.contains("v2") && !names.contains("v1"), names.toString)
+    // folds keep working after compaction
+    val next = BucketedSnapshot.foldMor(spark,
+      Seq((1L, "post-compact")).toDF("k", "name"), "s", dir, Seq("k"), 4)
+    assert(next.filter(col("k") === 1L).as[(Long, String)].collect.toSeq
+      == Seq((1L, "post-compact")))
+  }
+
+  test("foldMor refuses a layout created by the rewrite fold") {
+    val dir = tmpDir("mor_guard")
+    BucketedSnapshot.fold(spark,
+      Seq((1L, "a")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    val e = intercept[IllegalArgumentException] {
+      BucketedSnapshot.foldMor(spark,
+        Seq((2L, "b")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    }
+    assert(e.getMessage.contains("foldMor"), e.getMessage)
+  }
+}

@@ -391,6 +391,80 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
       (2L, -0.25f.toDouble, "1999-12-31 00:00:00")))
   }
 
+  test("stream option selects one stream of an interleaved multi-stream file") {
+    val dir = tmpDir("singer_multistream")
+    new java.io.File(dir).mkdirs()
+    // two appended exports with DIFFERENT schemas in one file — the
+    // reference's append mode (src/singer.ts:387-391) produces exactly this
+    val a = tmpDir("singer_ms_a"); val b = tmpDir("singer_ms_b")
+    Export.toExport(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), "alpha", a,
+      ExportOptions(exportFormat = Some("singer"), keys = Seq("id")),
+      conf = graft.conf.GluestickConf(Map.empty))
+    Export.toExport(Seq((10L, 1.5), (20L, 2.5), (30L, 3.5)).toDF("k", "v"),
+      "beta", b,
+      ExportOptions(exportFormat = Some("singer"), keys = Seq("k")),
+      conf = graft.conf.GluestickConf(Map.empty))
+    val out = java.nio.file.Paths.get(s"$dir/data.singer")
+    val lines =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$a/data.singer")) +
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$b/data.singer"))
+    java.nio.file.Files.writeString(out, lines)
+    val alpha = spark.read.format("graft-singer")
+      .option("stream", "alpha").load(out.toString)
+    assert(alpha.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(alpha.orderBy("id").as[(Long, String)].collect.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    val beta = spark.read.format("graft-singer")
+      .option("stream", "beta").load(out.toString)
+    assert(beta.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(beta.orderBy("k").as[(Long, Double)].collect.toSeq ==
+      Seq((10L, 1.5), (20L, 2.5), (30L, 3.5)))
+    // an unknown stream fails fast at inference, not silently empty
+    val e = intercept[Exception] {
+      spark.read.format("graft-singer")
+        .option("stream", "gamma").load(out.toString).count()
+    }
+    assert(e.getMessage.contains("gamma"), e.getMessage)
+  }
+
+  test("messages=state reads STATE payloads; records mode still skips them") {
+    val dir = tmpDir("singer_state")
+    new java.io.File(dir).mkdirs()
+    val lines = Seq(
+      """{"type":"SCHEMA","stream":"t","schema":{"type":["object","null"],""" +
+        """"properties":{"id":{"type":["integer","null"]}}},""" +
+        """"key_properties":["id"]}""",
+      """{"type":"RECORD","stream":"t","record":{"id":1}}""",
+      """{"type":"STATE","value":{}}""",
+      """{"type":"RECORD","stream":"t","record":{"id":2}}""",
+      """{"type":"STATE","stream":"other","value":{"bookmarks":{"b":7}}}""",
+      """{"type":"STATE","value":{"bookmarks":{"t":{"max_id":2}}}}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.singer"), lines.mkString("\n"))
+    // records mode unchanged: 2 rows
+    assert(spark.read.format("graft-singer")
+      .load(s"$dir/data.singer").count() == 2L)
+    // state mode: every STATE line, with file + raw value JSON
+    val st = spark.read.format("graft-singer")
+      .option("messages", "state").load(s"$dir/data.singer")
+    assert(st.schema.fieldNames.toSeq == Seq("file", "value"))
+    val vals = st.select("value").as[String].collect.toSeq
+    assert(vals.size == 3 && vals.contains("{}"), vals.toString)
+    assert(vals.exists(_.contains("max_id")), vals.toString)
+    // bookmark extraction composes with plain SQL functions
+    val maxId = st.select(get_json_object(col("value"),
+      "$.bookmarks.t.max_id").cast("long").as("m"))
+      .agg(max("m")).as[Option[Long]].collect.head
+    assert(maxId.contains(2L))
+    // a stream-tagged STATE for another stream is excluded under the filter
+    val tagged = spark.read.format("graft-singer")
+      .option("messages", "state").option("stream", "t")
+      .load(s"$dir/data.singer")
+    assert(tagged.count() == 2L) // the two untagged global states
+  }
+
   test("a malformed timestamp value coerces to null, not a scan crash") {
     val dir = tmpDir("singer_badts")
     new java.io.File(dir).mkdirs()
