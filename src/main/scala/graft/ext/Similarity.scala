@@ -739,43 +739,58 @@ object Similarity {
         .select(col("u"), col("m"), col("cosine"), col("rank"))
     }
 
-    // deterministic seed: same-(table, bucket) candidates (ids only,
-    // distinct across tables), top-k
-    val seedPairs = bucketed
-      .select(col("vec_id").as("u"), col("tbl"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("m"), col("tbl"),
-        col("bucket")), Seq("tbl", "bucket"))
-      .filter(col("u") =!= col("m"))
-      .select("u", "m")
-      .distinct()
-    var graph = scoreTopK(seedPairs)
-
-    (1 to rounds).foreach { _ =>
-      val wRev = Window.partitionBy(col("u"))
-        .orderBy(col("cosine").desc, col("m").asc)
-      val rev = graph.select(col("m").as("u"), col("u").as("m"),
-          col("cosine"))
-        .withColumn("rr", row_number().over(wRev))
-        .filter(col("rr") <= k)
-        .select("u", "m", "cosine")
-      // combined neighbor list, deduped keep-best, then capped per MEMBER
-      // so a popular node can't quadratically explode the m-join
-      val und = graph.select("u", "m", "cosine")
-        .unionByName(rev)
-        .groupBy("u", "m").agg(max(col("cosine")).as("cosine"))
-      val wCap = Window.partitionBy(col("m"))
-        .orderBy(col("cosine").desc, col("u").asc)
-      val capped = und.withColumn("cm", row_number().over(wCap))
-        .filter(col("cm") <= 2 * k)
+    // The graph var is referenced by THREE subtrees per round (forward
+    // edges, reverse edges, candidate union) and vecs by two joins per
+    // scoring pass — without lineage cuts the final plan re-derives the
+    // seed once per reference (52 redundant scans at rounds=1, audited).
+    // localCheckpoint per round + persisted inputs is the same
+    // per-round-truncation discipline as ext/Bfs and ext/Sssp.
+    import org.apache.spark.storage.StorageLevel
+    val vecsP = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    val bucketedP = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seed: same-(table, bucket) candidates (ids only,
+      // distinct across tables), top-k
+      val seedPairs = bucketedP
+        .select(col("vec_id").as("u"), col("tbl"), col("bucket"))
+        .join(bucketedP.select(col("vec_id").as("m"), col("tbl"),
+          col("bucket")), Seq("tbl", "bucket"))
+        .filter(col("u") =!= col("m"))
         .select("u", "m")
-      val cand = capped.select(col("u").as("a"), col("m"))
-        .join(capped.select(col("u").as("b"), col("m")), Seq("m"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a").as("u"), col("b").as("m"))
-      val all = cand.unionByName(graph.select("u", "m")).distinct()
-      graph = scoreTopK(all)
+        .distinct()
+      var graph = scoreTopK(seedPairs).localCheckpoint()
+
+      (1 to rounds).foreach { _ =>
+        val wRev = Window.partitionBy(col("u"))
+          .orderBy(col("cosine").desc, col("m").asc)
+        val rev = graph.select(col("m").as("u"), col("u").as("m"),
+            col("cosine"))
+          .withColumn("rr", row_number().over(wRev))
+          .filter(col("rr") <= k)
+          .select("u", "m", "cosine")
+        // combined neighbor list, deduped keep-best, then capped per
+        // MEMBER so a popular node can't quadratically explode the m-join
+        val und = graph.select("u", "m", "cosine")
+          .unionByName(rev)
+          .groupBy("u", "m").agg(max(col("cosine")).as("cosine"))
+        val wCap = Window.partitionBy(col("m"))
+          .orderBy(col("cosine").desc, col("u").asc)
+        val capped = und.withColumn("cm", row_number().over(wCap))
+          .filter(col("cm") <= 2 * k)
+          .select("u", "m")
+        val cand = capped.select(col("u").as("a"), col("m"))
+          .join(capped.select(col("u").as("b"), col("m")), Seq("m"))
+          .filter(col("a") =!= col("b"))
+          .select(col("a").as("u"), col("b").as("m"))
+        val all = cand.unionByName(graph.select("u", "m")).distinct()
+        graph = scoreTopK(all).localCheckpoint()
+      }
+      graph.select(col("u").as("query_id"), col("rank"),
+        col("m").as("neighbor_id"), round(col("cosine"), 6).as("cos_sim"))
+    } finally {
+      // safe to release: every round's result is already materialized in
+      // its checkpoint, so the returned frame no longer reads these
+      vecsP.unpersist(); bucketedP.unpersist(); ()
     }
-    graph.select(col("u").as("query_id"), col("rank"),
-      col("m").as("neighbor_id"), round(col("cosine"), 6).as("cos_sim"))
   }
 }

@@ -64,7 +64,33 @@ object Snapshot {
       Some(spark.read
         .option("header", "true").option("inferSchema", "true")
         .options(csvOptions).csv(csvPath))
-    else None
+    else
+      // a bucketed layout is also honored (plain parquet read of the
+      // current version — callers wanting the exchange-free bucketed
+      // SCAN use BucketedSnapshot.read with the pk/bucket params this
+      // signature doesn't carry); MOR generations resolve to keep-last
+      BucketedSnapshot.currentVersion(spark, snapshotDir, stream).map { v =>
+        val t = spark.read.parquet(
+          s"$snapshotDir/$stream.snapshot.bucketed/v$v")
+        if (!t.columns.contains(BucketedSnapshot.GenCol)) t
+        else {
+          // resolve generations without the pk (unknown here): every MOR
+          // generation is unique-by-PK, so max-gen rows per PK == rows of
+          // the latest generation per PK; the pk-free equivalent is a
+          // window — unavailable — so expose raw generations to pk-less
+          // readers? No: that would duplicate. Read via the documented
+          // keep-last rule using ALL non-gen columns as identity is
+          // wrong too. The honest contract: pk-less readSnapshots on a
+          // MOR layout returns the CURRENT COMPACTED state only, so we
+          // require single-generation state here.
+          val gens = t.select(BucketedSnapshot.GenCol).distinct().count()
+          require(gens == 1L,
+            s"snapshot '$stream' is a merge-on-read layout with $gens " +
+              "unresolved generations; read it with BucketedSnapshot" +
+              ".readMor(pk, buckets) or compact it first")
+          t.drop(BucketedSnapshot.GenCol)
+        }
+      }
   }
 
   /** UTC normalization hook (P7, ref: src/etl-utils.ts:191-212): session TZ

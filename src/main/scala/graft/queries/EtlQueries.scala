@@ -421,6 +421,78 @@ object EtlQueries {
         .orderBy("k")
   }
 
+  /** Fellegi–Sunter record linkage ([[graft.ext.RecordLinkage]]): a
+    * dirty twin of every 4th customer (name typo; every 8th also gets a
+    * corrupted segment) links back against the clean table — blocked on
+    * the nation key (Σ|block|² candidates, never a cross product),
+    * scored with FIXED integer milli-weights per field
+    * agreement, classified at a threshold. Integer scores make the link
+    * decisions bit-identical across engines, so the oracle replays the
+    * whole decision model. The doubly-perturbed twins score below
+    * threshold — the missed-match band every real linkage has — and any
+    * accidental acctbal collision inside a block is a deterministic,
+    * replayed false positive, not flake.
+    */
+  val q254RecordLinkage: QuerySpec = QuerySpec.oracled(
+    "q254_record_linkage",
+    """WITH dirty AS (
+      |  SELECT c_custkey AS t_key,
+      |    substr(c_name, 1, 4) || 'X' || substr(c_name, 6) AS t_name,
+      |    CASE WHEN c_custkey % 8 = 0 THEN 'ALTERED'
+      |         ELSE c_mktsegment END AS t_seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS t_cents,
+      |    c_nationkey
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |clean AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents,
+      |    c_nationkey
+      |  FROM customer),
+      |cand AS (
+      |  SELECT d.t_key, c.c_custkey,
+      |    (CASE WHEN d.t_name = c.c_name THEN 4000 ELSE -1000 END +
+      |     CASE WHEN substr(d.t_name, 1, 4) = substr(c.c_name, 1, 4)
+      |          THEN 1500 ELSE -2500 END +
+      |     CASE WHEN d.t_seg = c.c_mktsegment THEN 800 ELSE -1200 END +
+      |     CASE WHEN d.t_cents = c.c_cents THEN 3000 ELSE -500 END)
+      |      AS score
+      |  FROM dirty d JOIN clean c
+      |    ON d.c_nationkey = c.c_nationkey)
+      |SELECT t_key, c_custkey AS match_key,
+      |  CAST(score AS BIGINT) AS score_milli
+      |FROM cand WHERE score >= 4000
+      |ORDER BY t_key, match_key""".stripMargin) { (spark, dir) =>
+    import graft.ext.RecordLinkage
+    val cust = t(spark, dir, "customer")
+    val dirty = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("t_key"),
+        concat(substring(col("c_name"), 1, 4), lit("X"),
+          expr("substr(c_name, 6)")).as("t_name"),
+        when(col("c_custkey") % 8 === 0, lit("ALTERED"))
+          .otherwise(col("c_mktsegment")).as("t_seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("t_cents"),
+        col("c_nationkey"))
+    val clean = cust.select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c_cents"),
+      col("c_nationkey"))
+    val cand = RecordLinkage
+      .blockedCandidates(dirty, clean, Seq("c_nationkey"))
+      .withColumn("a_name_full", col("t_name") === col("c_name"))
+      .withColumn("a_name_pre4",
+        substring(col("t_name"), 1, 4) === substring(col("c_name"), 1, 4))
+      .withColumn("a_seg", col("t_seg") === col("c_mktsegment"))
+      .withColumn("a_cents", col("t_cents") === col("c_cents"))
+    RecordLinkage.classify(cand,
+      Seq("a_name_full" -> (4000, -1000), "a_name_pre4" -> (1500, -2500),
+        "a_seg" -> (800, -1200), "a_cents" -> (3000, -500)),
+      thresholdMilli = 4000L)
+      .filter(col("is_link"))
+      .select(col("t_key"), col("c_custkey").as("match_key"),
+        col("score_milli"))
+      .orderBy("t_key", "match_key")
+  }
+
   /** q108's fold replayed through the BUCKETED snapshot layout
     * ([[graft.operators.BucketedSnapshot]]) — the same two successive
     * `snapshotRecords` calls, the same oracle, but the state persists as
@@ -987,7 +1059,7 @@ object EtlQueries {
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
-      q250SnapshotCompaction, q121KAnonymity,
+      q250SnapshotCompaction, q254RecordLinkage, q121KAnonymity,
       q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,
       q175FdAudit, q179TCloseness, q183IncrementalJoin, q197CoverageAudit)

@@ -767,6 +767,193 @@ object EventQueries {
       max(cursor).as("resume_cursor"))
   }.withSetup((s, d) => { stageQ252(s, d); () })
 
+  /** Deterministic priority sampling + Horvitz–Thompson subset sums
+    * ([[graft.ext.PrioritySampling]]): ONE fixed-size (k=1000)
+    * weight-aware sample of the event value stream answers per-type
+    * subtotal queries — the sketch a 100 TB metering pipeline keeps
+    * instead of re-scanning per question. md5 pseudo-uniforms and
+    * fixed-point integer priorities make sample membership, the
+    * threshold τ, and every estimate bit-identical across engines; the
+    * oracle replays the whole estimator next to the exact per-type sums
+    * it approximates. The heavy step is a distributed TakeOrdered — no
+    * global sort, no full-table window.
+    */
+  val q255PrioritySample: QuerySpec = QuerySpec.oracled(
+    "q255_priority_sample",
+    """WITH w AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS w
+      |  FROM events
+      |  WHERE value IS NOT NULL AND round(value * 100) > 0),
+      |h AS (
+      |  SELECT *, ('0x' || substr(md5('prio:' || event_id::VARCHAR),
+      |      1, 15))::BIGINT % 1073741824 + 1 AS hu
+      |  FROM w),
+      |p AS (SELECT *, (w * 1099511627776) // hu AS prio FROM h),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY prio DESC, event_id) AS rk
+      |  FROM p),
+      |tau AS (
+      |  SELECT coalesce(max(CASE WHEN rk = 1001 THEN prio END), 0) AS tau
+      |  FROM r),
+      |est AS (
+      |  SELECT event_type, count(*) AS n_sampled,
+      |    CAST(sum(CASE
+      |        WHEN w::HUGEINT * 1099511627776 > tau.tau::HUGEINT * 1073741824
+      |        THEN w::HUGEINT * 1099511627776
+      |        ELSE tau.tau::HUGEINT * 1073741824 END)
+      |         // 1099511627776 AS BIGINT) AS est_cents
+      |  FROM r CROSS JOIN tau WHERE rk <= 1000
+      |  GROUP BY event_type, tau.tau),
+      |ex AS (
+      |  SELECT event_type, CAST(sum(w) AS BIGINT) AS exact_cents
+      |  FROM w GROUP BY event_type)
+      |SELECT ex.event_type,
+      |  CAST(coalesce(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(coalesce(est.est_cents, 0) AS BIGINT) AS est_cents,
+      |  ex.exact_cents
+      |FROM ex LEFT JOIN est ON ex.event_type = est.event_type
+      |ORDER BY ex.event_type""".stripMargin) { (spark, dir) =>
+    import graft.ext.PrioritySampling
+    import graft.queries.{CoreQueries => CQ}
+    val w = CQ.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("w"))
+      .filter(col("w") > 0)
+    val sample = PrioritySampling.prioritySample(w, "event_id", "w", 1000)
+    val est = PrioritySampling.subsetEstimates(sample, "event_type", "w")
+    val exact = w.groupBy("event_type")
+      .agg(sum("w").cast("long").as("exact_cents"))
+    exact.join(est, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_total"), lit(0L)).as("est_cents"),
+        col("exact_cents"))
+      .orderBy("event_type")
+  }
+
+  private val q256Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the event stream as TWO parquet files (event_id parity split)
+    * so the maintenance loop sees two micro-batches. Memoized per sf dir.
+    */
+  private def stageQ256(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q256Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q256_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val ev = CoreQueries.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("w"))
+        .filter(col("w") > 0)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$staged/00")
+      flattenPart(spark, staged.toString, "00", "a.parquet")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$staged/01")
+      flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** q255's sketch MAINTAINED over a stream: each micro-batch folds into
+    * a persisted top-(k+1) priority state (`mergeTopK(state ∪ batch)` —
+    * a sample of deterministic per-item priorities is a pure top-k, so
+    * truncated intermediate states lose nothing and the maintained
+    * sketch equals the one-shot batch sample EXACTLY, not approximately).
+    * The oracle is therefore the same full-estimator replay as q255 at
+    * this k — stream ≡ batch down to the last estimate cent. This is how
+    * a 100 TB ingest keeps a live metering sample: k+1 rows of state per
+    * fold, never a rescan.
+    */
+  val q256PrioritySampleStream: QuerySpec = QuerySpec.oracled(
+    "q256_priority_sample_stream",
+    """WITH w AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS w
+      |  FROM events
+      |  WHERE value IS NOT NULL AND round(value * 100) > 0),
+      |h AS (
+      |  SELECT *, ('0x' || substr(md5('prio:' || event_id::VARCHAR),
+      |      1, 15))::BIGINT % 1073741824 + 1 AS hu
+      |  FROM w),
+      |p AS (SELECT *, (w * 1099511627776) // hu AS prio FROM h),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY prio DESC, event_id) AS rk
+      |  FROM p),
+      |tau AS (
+      |  SELECT coalesce(max(CASE WHEN rk = 501 THEN prio END), 0) AS tau
+      |  FROM r),
+      |est AS (
+      |  SELECT event_type, count(*) AS n_sampled,
+      |    CAST(sum(CASE
+      |        WHEN w::HUGEINT * 1099511627776 > tau.tau::HUGEINT * 1073741824
+      |        THEN w::HUGEINT * 1099511627776
+      |        ELSE tau.tau::HUGEINT * 1073741824 END)
+      |         // 1099511627776 AS BIGINT) AS est_cents
+      |  FROM r CROSS JOIN tau WHERE rk <= 500
+      |  GROUP BY event_type, tau.tau),
+      |ex AS (
+      |  SELECT event_type, CAST(sum(w) AS BIGINT) AS exact_cents
+      |  FROM w GROUP BY event_type)
+      |SELECT ex.event_type,
+      |  CAST(coalesce(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(coalesce(est.est_cents, 0) AS BIGINT) AS est_cents,
+      |  ex.exact_cents
+      |FROM ex LEFT JOIN est ON ex.event_type = est.event_type
+      |ORDER BY ex.event_type""".stripMargin) { (spark, dir) =>
+    import graft.ext.PrioritySampling
+    val k = 500
+    val staged = stageQ256(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q256_state", dir)
+    val ckpt = QuerySpec.stagedPath("q256_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q256_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q256_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ann = PrioritySampling.annotate(batch, "event_id", "w")
+        val state = new java.io.File(stateDir)
+        val unioned =
+          if (state.exists())
+            ann.unionByName(batch.sparkSession.read.parquet(stateDir))
+          else ann
+        val next = PrioritySampling.mergeTopK(unioned, "event_id", k)
+        // temp-write + swap: never overwrite the state a later fold reads
+        val tmp = s"${stateDir}__next"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        next.coalesce(1).write.parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(state)
+        if (!new java.io.File(tmp).renameTo(state))
+          throw new IllegalStateException(s"state swap failed: $tmp")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val sample = PrioritySampling.finalizeSample(
+      spark.read.parquet(stateDir), "event_id", k)
+    val est = PrioritySampling.subsetEstimates(sample, "event_type", "w")
+    val exact = spark.read.parquet(s"$staged/a.parquet")
+      .unionByName(spark.read.parquet(s"$staged/b.parquet"))
+      .groupBy("event_type")
+      .agg(sum("w").cast("long").as("exact_cents"))
+    exact.join(est, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_total"), lit(0L)).as("est_cents"),
+        col("exact_cents"))
+      .orderBy("event_type")
+  }.withSetup((s, d) => { stageQ256(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -2266,7 +2453,8 @@ object EventQueries {
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
       q245SingerSnapshotIngest, q247SingerStreamWrite,
-      q251SingerMultiStream, q252SingerStateBookmarks,
+      q251SingerMultiStream, q252SingerStateBookmarks, q255PrioritySample,
+      q256PrioritySampleStream,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
