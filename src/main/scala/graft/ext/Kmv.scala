@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002;
+  * Beyer et al. 2007, "On Synopses for Distinct-Value Estimation Under
+  * Multiset Operations") — the MERGEABLE sketch family member whose SET
+  * OPERATIONS (union, intersection) come out of the sketch itself, where
+  * HLL needs inclusion–exclusion with compounding error.
+  *
+  * Determinism: item hashes are md5-derived integers in [0, 2^60), so a
+  * sketch is a pure function of the data — same rows, same sketch, same
+  * estimates, any partitioning or engine. That makes every estimate
+  * oracle-adjudicable by VALUE (the SQL replays hashing, the k-min
+  * selection, and the estimator), not by tolerance band.
+  *
+  * Estimators (exact integer arithmetic, floor division):
+  *  - distinct(A) = (k−1)·M / h_k when the sketch is full (h_k = k-th
+  *    minimum hash, M = 2^60); the EXACT distinct count when fewer than
+  *    k distinct hashes exist (the sketch then IS the value set);
+  *  - union: the k smallest of the merged hash sets — a KMV sketch of
+  *    A ∪ B by construction;
+  *  - intersection: with θ = the union sketch's k-th min, the hashes
+  *    below θ seen in BOTH sketches are a uniform sample of A ∪ B, so
+  *    |A∩B| ≈ common/k · distinct(A∪B) (Jaccard via the shared sample).
+  *
+  * Scale shape: sketch construction is one hash projection + one
+  * per-group top-k window (single keyed shuffle of (group, hash) pairs —
+  * the values themselves never move); everything after runs on k-row
+  * sketches.
+  */
+object Kmv {
+
+  /** Hash domain: [0, 2^60) — headroom under BIGINT for the (k−1)·M
+    * numerator in DECIMAL(38).
+    */
+  val M: Long = 1152921504606846976L // 2^60
+
+  /** Per-group KMV sketch rows: (groupCol, h, rk) with rk ∈ [1, k] over
+    * DISTINCT hashes ascending. Fewer than k rows ⟺ the group has fewer
+    * than k distinct values (the sketch is then exact).
+    */
+  def sketch(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2, got $k")
+    val h = expr(
+      s"CAST(conv(substring(md5(concat('$salt', ':', " +
+        s"CAST(`$valueCol` AS STRING))), 1, 15), 16, 10) AS BIGINT) % ${M}L")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h").asc)
+    df.select(col(groupCol), h.as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Distinct-count estimates from [[sketch]] rows: one row per group
+    * with `est_distinct` — exact when the sketch isn't full, else
+    * (k−1)·M div h_k.
+    */
+  def estimateDistinct(sk: DataFrame, groupCol: String, k: Int): DataFrame =
+    sk.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("hk"))
+      .select(col(groupCol),
+        when(col("hk").isNull, col("n_kept"))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${M}L div hk " +
+              "AS BIGINT)"))
+          .as("est_distinct"))
+
+  /** Pairwise union + intersection estimates between every pair of
+    * groups (a < b): merges the two sketches, takes the k smallest of
+    * the merge as the union sketch, counts the shared hashes below its
+    * θ, and derives |A∪B| and |A∩B|. Runs entirely on k-row sketches.
+    */
+  def setEstimates(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = sk.select(col(groupCol).as("ga"), col("h"))
+    val b = sk.select(col(groupCol).as("gb"), col("h"))
+    val pairs = sk.select(col(groupCol).as("ga")).distinct()
+      .join(sk.select(col(groupCol).as("gb")).distinct(),
+        col("ga") < col("gb"))
+    val aSide = pairs.join(a, Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"),
+        lit(0).as("in_b"))
+    val bSide = pairs.join(b, Seq("gb"))
+      .select(col("ga"), col("gb"), col("h"), lit(0).as("in_a"),
+        lit(1).as("in_b"))
+    val uni = aSide.unionByName(bSide)
+      .groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("h").asc)
+    val ranked = uni.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    ranked.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("hk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("common"))
+      .select(col("ga"), col("gb"),
+        when(col("hk").isNull, col("n_kept"))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${M}L div hk " +
+              "AS BIGINT)"))
+          .as("est_union"),
+        // |A∩B| ≈ common/k' · |A∪B| with k' = rows actually kept
+        expr("CAST(common * (CASE WHEN hk IS NULL THEN n_kept ELSE " +
+          s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${M}L div hk AS BIGINT) " +
+          "END) div n_kept AS BIGINT)").as("est_intersect"))
+  }
+}

@@ -2175,6 +2175,287 @@ object EventQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** KMV (k-minimum-values) distinct sketch ([[graft.ext.Kmv]]) beside
+    * the exact counts: md5-deterministic hashes make the sketch a pure
+    * function of the data, so — unlike the HLL rows, whose contract is a
+    * tolerance band — the ESTIMATES THEMSELVES are adjudicated by value
+    * (the oracle replays hashing, k-min selection, and the (k−1)·M/h_k
+    * estimator). Construction is one hash projection + one per-group
+    * top-k window; every estimate then reads k-row sketches.
+    */
+  val q257KmvDistinct: QuerySpec = QuerySpec.oracled(
+    "q257_kmv_distinct",
+    """WITH uk AS (
+      |  SELECT event_type, user_id::VARCHAR || ':' ||
+      |    (epoch_us(ts) // 86400000000)::VARCHAR AS uk
+      |  FROM events WHERE user_id IS NOT NULL),
+      |h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || uk), 1, 15))::BIGINT
+      |      % 1152921504606846976 AS h
+      |  FROM uk),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |s AS (SELECT * FROM r WHERE rk <= 256),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_kept,
+      |    max(CASE WHEN rk = 256 THEN h END) AS hk
+      |  FROM s GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type, count(DISTINCT uk) AS exact_distinct
+      |  FROM uk GROUP BY 1)
+      |SELECT ex.event_type,
+      |  CAST(CASE WHEN agg.hk IS NULL THEN agg.n_kept
+      |       ELSE (255::HUGEINT * 1152921504606846976) // agg.hk
+      |       END AS BIGINT) AS est_distinct,
+      |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+      |FROM ex JOIN agg ON ex.event_type = agg.event_type
+      |ORDER BY ex.event_type""".stripMargin) { (spark, dir) =>
+    import graft.ext.Kmv
+    val base = CoreQueries.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("(ts div 1000) div 86400000000").cast("string")).as("uk"))
+    val sk = Kmv.sketch(base, "event_type", "uk", k = 256)
+    val est = Kmv.estimateDistinct(sk, "event_type", k = 256)
+    val exact = base.groupBy("event_type")
+      .agg(countDistinct("uk").as("exact_distinct"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** KMV set ALGEBRA ([[graft.ext.Kmv.setEstimates]]): pairwise audience
+    * union AND intersection straight from the stored k-row sketches —
+    * where q162's HLL needs inclusion–exclusion (three compounding
+    * estimates), KMV's shared-sample intersection is one estimate, and
+    * being md5-deterministic it is adjudicated by VALUE next to the
+    * exact pair counts. T types → T sketches answer all T² overlaps; the
+    * exact twin re-scans user sets per pair.
+    */
+  val q258KmvSetOps: QuerySpec = QuerySpec.oracled(
+    "q258_kmv_set_ops",
+    """WITH uk0 AS (
+      |  SELECT event_type, user_id::VARCHAR || ':' ||
+      |    (epoch_us(ts) // 86400000000)::VARCHAR AS uk
+      |  FROM events WHERE user_id IS NOT NULL),
+      |h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || uk), 1, 15))::BIGINT
+      |      % 1152921504606846976 AS h
+      |  FROM uk0),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |s AS (SELECT * FROM r WHERE rk <= 256),
+      |tp AS (SELECT DISTINCT event_type FROM s),
+      |pairs AS (
+      |  SELECT a.event_type AS ga, b.event_type AS gb
+      |  FROM tp a JOIN tp b ON a.event_type < b.event_type),
+      |sides AS (
+      |  SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+      |  FROM pairs p JOIN s ON s.event_type = p.ga
+      |  UNION ALL
+      |  SELECT p.ga, p.gb, s.h, 0, 1
+      |  FROM pairs p JOIN s ON s.event_type = p.gb),
+      |uni AS (
+      |  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |  FROM sides GROUP BY 1, 2, 3),
+      |ur AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ga, gb
+      |                               ORDER BY h) AS rk
+      |  FROM uni),
+      |ua AS (
+      |  SELECT ga, gb, count(*) AS n_kept,
+      |    max(CASE WHEN rk = 256 THEN h END) AS hk,
+      |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS common
+      |  FROM ur WHERE rk <= 256 GROUP BY 1, 2),
+      |est AS (
+      |  SELECT ga, gb,
+      |    CASE WHEN hk IS NULL THEN n_kept
+      |         ELSE (255::HUGEINT * 1152921504606846976) // hk
+      |         END AS est_union, n_kept, common
+      |  FROM ua),
+      |u AS (SELECT DISTINCT event_type, uk FROM uk0),
+      |exu AS (
+      |  SELECT a.ga, a.gb, count(DISTINCT u.uk) AS exact_union
+      |  FROM pairs a JOIN u
+      |    ON u.event_type = a.ga OR u.event_type = a.gb
+      |  GROUP BY 1, 2),
+      |exi AS (
+      |  SELECT x.event_type AS ga, y.event_type AS gb,
+      |    count(DISTINCT x.uk) AS exact_intersect
+      |  FROM u x JOIN u y
+      |    ON x.uk = y.uk AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT est.ga AS type_a, est.gb AS type_b,
+      |  CAST(est.est_union AS BIGINT) AS est_union,
+      |  CAST(est.common * est.est_union // est.n_kept AS BIGINT)
+      |    AS est_intersect,
+      |  CAST(exu.exact_union AS BIGINT) AS exact_union,
+      |  CAST(coalesce(exi.exact_intersect, 0) AS BIGINT)
+      |    AS exact_intersect
+      |FROM est
+      |JOIN exu ON est.ga = exu.ga AND est.gb = exu.gb
+      |LEFT JOIN exi ON est.ga = exi.ga AND est.gb = exi.gb
+      |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+    import graft.ext.Kmv
+    val base = CoreQueries.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("(ts div 1000) div 86400000000").cast("string")).as("uk"))
+    val sk = Kmv.sketch(base, "event_type", "uk", k = 256)
+    val est = Kmv.setEstimates(sk, "event_type", k = 256)
+    val u = base.distinct()
+    val pairs = u.select(col("event_type").as("ga")).distinct()
+      .join(u.select(col("event_type").as("gb")).distinct(),
+        col("ga") < col("gb"))
+    val exu = pairs.join(u,
+        col("event_type") === col("ga") || col("event_type") === col("gb"))
+      .groupBy("ga", "gb")
+      .agg(countDistinct("uk").as("exact_union"))
+    val exi = u.select(col("event_type").as("ga"), col("uk"))
+      .join(u.select(col("event_type").as("gb"), col("uk")), "uk")
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(countDistinct("uk").as("exact_intersect"))
+    est.join(exu, Seq("ga", "gb"))
+      .join(exi, Seq("ga", "gb"), "left")
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("est_union"), col("est_intersect"), col("exact_union"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q257's KMV sketch MAINTAINED over the q256 two-file event stream:
+    * each micro-batch's (group, hash) rows union the persisted sketch
+    * state and re-take the per-group k smallest (temp-write + swap, like
+    * q256's priority state). KMV is a pure per-group bottom-k of
+    * deterministic hashes, so truncated intermediate states lose nothing
+    * and the maintained sketch — and every estimate off it — equals the
+    * one-shot batch sketch EXACTLY. State is |groups|·k rows per fold at
+    * any ingest scale; the oracle is q257's full replay restricted to
+    * the staged rows.
+    */
+  val q259KmvStream: QuerySpec = QuerySpec.oracled(
+    "q259_kmv_stream",
+    """WITH uk AS (
+      |  SELECT event_type, user_id::VARCHAR || ':' ||
+      |    (epoch_us(ts) // 86400000000)::VARCHAR AS uk
+      |  FROM events WHERE user_id IS NOT NULL),
+      |h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || uk), 1, 15))::BIGINT
+      |      % 1152921504606846976 AS h
+      |  FROM uk),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |s AS (SELECT * FROM r WHERE rk <= 256),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_kept,
+      |    max(CASE WHEN rk = 256 THEN h END) AS hk
+      |  FROM s GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type, count(DISTINCT uk) AS exact_distinct
+      |  FROM uk GROUP BY 1)
+      |SELECT ex.event_type,
+      |  CAST(CASE WHEN agg.hk IS NULL THEN agg.n_kept
+      |       ELSE (255::HUGEINT * 1152921504606846976) // agg.hk
+      |       END AS BIGINT) AS est_distinct,
+      |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+      |FROM ex JOIN agg ON ex.event_type = agg.event_type
+      |ORDER BY ex.event_type""".stripMargin) { (spark, dir) =>
+    import graft.ext.Kmv
+    val k = 256
+    val staged = stageQ259(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q259_state", dir)
+    val ckpt = QuerySpec.stagedPath("q259_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q259_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q259_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batchSk = Kmv.sketch(batch, "event_type", "uk", k)
+          .select("event_type", "h")
+        val state = new java.io.File(stateDir)
+        val unioned =
+          if (state.exists())
+            batchSk.unionByName(
+              batch.sparkSession.read.parquet(stateDir))
+          else batchSk
+        // re-take per-group bottom-k of the merged DISTINCT hashes —
+        // the KMV merge operation
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h").asc)
+        val next = unioned.distinct()
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= k)
+          .select("event_type", "h")
+        val tmp = s"${stateDir}__next"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        next.coalesce(1).write.parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(state)
+        if (!new java.io.File(tmp).renameTo(state))
+          throw new IllegalStateException(s"state swap failed: $tmp")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // rank the persisted state back into sketch rows for the estimator
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h").asc)
+    val sk = spark.read.parquet(stateDir)
+      .withColumn("rk", row_number().over(w))
+    val est = Kmv.estimateDistinct(sk, "event_type", k)
+    val exact = spark.read.parquet(s"$staged/a.parquet")
+      .unionByName(spark.read.parquet(s"$staged/b.parquet"))
+      .groupBy("event_type")
+      .agg(countDistinct("uk").as("exact_distinct"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("est_distinct"), col("exact_distinct"))
+      .orderBy("event_type")
+  }.withSetup((s, d) => { stageQ259(s, d); () })
+
+  private val q259Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the user-day projection as TWO parquet files (event_id parity
+    * split) for the KMV maintenance stream. Memoized per sf dir.
+    */
+  private def stageQ259(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q259Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q259_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val ev = CoreQueries.events(spark, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("(ts div 1000) div 86400000000").cast("string")).as("uk"))
+      ev.filter(col("event_id") % 2 === 0).drop("event_id").coalesce(1)
+        .write.parquet(s"$staged/00")
+      flattenPart(spark, staged.toString, "00", "a.parquet")
+      ev.filter(col("event_id") % 2 === 1).drop("event_id").coalesce(1)
+        .write.parquet(s"$staged/01")
+      flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
   /** q40's forward workload on the NATIVE as-of exec — locks the
     * descending-scan merge path (forward = earliest strictly-later right
     * row) against the same DuckDB ASOF JOIN oracle the composed form
@@ -2460,7 +2741,8 @@ object EventQueries {
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
-      q162HllIntersection, q166RollingP90, q168HdrQuantile, q174CmsFreq,
+      q162HllIntersection, q257KmvDistinct, q258KmvSetOps, q259KmvStream,
+      q166RollingP90, q168HdrQuantile, q174CmsFreq,
       q176CmsJoinSize, q181DisorderAudit, q185StreamQuota,
       q214StreamFullOuter, q217TimerSessions)
 

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ext.Kmv
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ext.Kmv]]: exactness below k, partitioning invariance,
+  * estimator calibration, and set-operation sanity.
+  */
+class KmvSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("below k the sketch IS the distinct count (exact)") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 9L))
+      .toDF("g", "v")
+    val est = Kmv.estimateDistinct(
+      Kmv.sketch(df, "g", "v", k = 16), "g", k = 16)
+      .as[(String, Long)].collect.toMap
+    assert(est == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("sketch and estimates are partitioning-invariant") {
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    def run(parts: Int) =
+      Kmv.estimateDistinct(
+        Kmv.sketch(df.repartition(parts), "g", "v", k = 128), "g", 128)
+        .orderBy("g").as[(String, Long)].collect.toSeq
+    assert(run(11) == run(2))
+  }
+
+  test("distinct estimates land within 15% at k=128 over 10k values") {
+    val df = (1L to 10000L).map(i => ("g", i)).toDF("g", "v")
+    val est = Kmv.estimateDistinct(
+      Kmv.sketch(df, "g", "v", k = 128), "g", 128)
+      .as[(String, Long)].collect.head._2
+    assert(math.abs(est - 10000L).toDouble / 10000 < 0.15, s"est=$est")
+  }
+
+  test("set estimates: disjoint sets intersect near zero, union near sum") {
+    val a = (1L to 4000L).map(i => ("a", i))
+    val b = (100001L to 104000L).map(i => ("b", i))
+    val df = (a ++ b).toDF("g", "v")
+    val se = Kmv.setEstimates(Kmv.sketch(df, "g", "v", k = 128), "g", 128)
+      .as[(String, String, Long, Long)].collect.head
+    val (_, _, estU, estI) = se
+    assert(math.abs(estU - 8000L).toDouble / 8000 < 0.2, s"union=$estU")
+    assert(estI < 400, s"disjoint intersect should be near 0, got $estI")
+  }
+}
