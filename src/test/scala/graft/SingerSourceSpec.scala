@@ -355,6 +355,76 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
   }
 
+  test("streaming write restarts append new epochs; replayed epochs overwrite") {
+    val dir = tmpDir("singer_sw_restart")
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    def addFile(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = tmpDir("singer_swr_stage")
+      writeSinger(tmp, rows)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$tmp/data.singer"),
+        java.nio.file.Paths.get(s"$src/$name"))
+      ()
+    }
+    val out = s"$dir/out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-singer")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .format("graft-singer")
+        .option("path", out)
+        .option("stream", "t")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    addFile("a.singer", Seq((1L, "a", 1.0)))
+    drain()
+    // restart from the same checkpoint: only the NEW file becomes a new
+    // epoch; committed epochs are untouched
+    addFile("b.singer", Seq((2L, "b", 2.0)))
+    drain()
+    val got = spark.read.format("graft-singer").load(out)
+      .orderBy("id").as[(Long, String, Double)].collect.toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val epochs = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".singer"))
+      .map(_.getName.take("epoch-00000000000000000000".length)).distinct
+    assert(epochs.length == 2, epochs.mkString(", "))
+
+    // idempotent re-commit: plant a stale file claiming an already-used
+    // epoch prefix — the next commit of that epoch must REPLACE it, so a
+    // pre-crash partial attempt can never double rows. Simulate by
+    // clearing the checkpoint (epoch numbering restarts at 0) with a
+    // fresh output dir holding a bogus epoch-0 leftover.
+    val out2 = s"$dir/out2"
+    new java.io.File(out2).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        s"$out2/epoch-00000000000000000000-part-9-9-dead.singer"),
+      """{"type":"SCHEMA","stream":"t","schema":{"type":["object","null"],""" +
+        """"properties":{"id":{"type":["integer","null"]}}},""" +
+        """"key_properties":["id"]}""" + "\n" +
+        """{"type":"RECORD","stream":"t","record":{"id":999}}""" + "\n")
+    val q2 = spark.readStream.format("graft-singer").load(src)
+      .writeStream
+      .format("graft-singer")
+      .option("path", out2)
+      .option("stream", "t")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val ids = spark.read.format("graft-singer").load(out2)
+      .select("id").as[Long].collect.toSeq.sorted
+    assert(!ids.contains(999L),
+      s"stale epoch-0 leftover must be replaced, got $ids")
+    assert(ids == Seq(1L, 2L), ids.toString)
+  }
+
   test("batch commit garbage-collects stale _tmp dirs, spares fresh ones") {
     val dir = tmpDir("singer_tmp_gc")
     new java.io.File(dir).mkdirs()
