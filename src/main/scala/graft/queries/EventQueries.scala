@@ -590,6 +590,46 @@ object EventQueries {
       .orderBy("lang")
   }.withSetup((s, d) => { stageQ245(s, d); () })
 
+  /** q245's full ingestion loop re-run onto the BUCKETED snapshot
+    * layout: the admission-controlled Singer stream folds through
+    * `StreamingSnapshot` with `SnapshotOptions(bucketBy = 8)`, so every
+    * micro-batch merge is the delta-only anti-join fold
+    * ([[graft.operators.BucketedSnapshot]]) instead of the full union
+    * shuffle — the composition a 100 TB tap-to-table pipeline actually
+    * runs (stream in, bucketed keep-last state, zero snapshot-side
+    * exchanges per fold). Same oracle as q245: layout must not change
+    * semantics, and the correction batch must still win.
+    */
+  val q260SingerIngestBucketed: QuerySpec = QuerySpec.oracled(
+    "q260_singer_ingest_bucketed",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN doc_id < 100 THEN n_chars + 1000
+      |            ELSE n_chars END) AS BIGINT) AS chars_sum,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.{BucketedSnapshot, SnapshotOptions}
+    val staged = stageQ245(spark, dir)
+    val snapDir = QuerySpec.stagedPath("q260_snap", dir)
+    val ckpt = QuerySpec.stagedPath("q260_ckpt", dir)
+    BucketedSnapshot.reset(spark, "docs", snapDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snapDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val stream = spark.readStream.format("graft-singer")
+      .option("maxFilesPerTrigger", "1")
+      .load(staged)
+    graft.streaming.StreamingSnapshot.start(
+      spark, stream, "docs", snapDir,
+      SnapshotOptions(pk = Seq("doc_id"), bucketBy = Some(8)), ckpt)
+      .awaitTermination()
+    BucketedSnapshot.read(spark, "docs", snapDir, Seq("doc_id"), 8).get
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("chars_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }.withSetup((s, d) => { stageQ245(s, d); () })
+
   /** The connector's streaming WRITE path end-to-end: the q245 backlog
     * streams in through the Singer source (admission control 1 file per
     * trigger → two epochs) and straight OUT through
@@ -2734,6 +2774,7 @@ object EventQueries {
       q51AsofTolerance, q54StreamingDedupBounded, q70StreamingFunnel,
       q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
       q245SingerSnapshotIngest, q247SingerStreamWrite,
+      q260SingerIngestBucketed,
       q251SingerMultiStream, q252SingerStateBookmarks, q255PrioritySample,
       q256PrioritySampleStream,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
