@@ -67,10 +67,17 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // correctness-only twins (scale-forbidden shapes kept solely as
     // oracles) are excluded from timing but reported, so the omission is
-    // auditable rather than silent
-    val exempt = SparkEntry.specs.filter(_.benchExempt).map(_.name)
+    // auditable rather than silent. An explicit dev filter naming a
+    // query WINS over its exemption (asking for a timing by name is the
+    // audit), and the reported exempt list covers only this run's scope.
+    val exempt =
+      if (only.isDefined) Nil
+      else SparkEntry.specs.filter(_.benchExempt).map(_.name)
     val results = SparkEntry.specs
-      .filter(spec => only.forall(_.contains(spec.name)) && !spec.benchExempt)
+      .filter(spec => only match {
+        case Some(names) => names.contains(spec.name)
+        case None => !spec.benchExempt
+      })
       .map { spec =>
       spec.setup.foreach { s =>
         try s(spark, sfDir)

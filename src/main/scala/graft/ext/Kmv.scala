@@ -48,9 +48,20 @@ object Kmv {
     val h = expr(
       s"CAST(conv(substring(md5(concat('$salt', ':', " +
         s"CAST(`$valueCol` AS STRING))), 1, 15), 16, 10) AS BIGINT) % ${M}L")
+    merge(df.select(col(groupCol), h.as("h")), groupCol, k)
+  }
+
+  /** The per-group bottom-k selection over DISTINCT hashes — THE merge
+    * operation of the sketch family, shared by construction ([[sketch]])
+    * and by streaming maintenance (state ∪ batch → merge): one rule, so
+    * a maintained sketch can never drift from the one-shot sketch.
+    * Input rows are (groupCol, h); output adds `rk` ∈ [1, k].
+    */
+  def merge(rows: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("h").asc)
-    df.select(col(groupCol), h.as("h"))
+    rows.select(col(groupCol), col("h"))
       .distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -48,14 +48,36 @@ object PrioritySampling {
     finalizeSample(
       mergeTopK(annotate(df, idCol, weightCol, salt), idCol, k), idCol, k)
 
-  /** Add the deterministic integer priority `_prio` to a batch. */
+  /** Largest admissible weight: `w · Scale` must stay inside BIGINT, or
+    * the multiply wraps negative and the HEAVIEST items silently fall to
+    * the bottom of the priority order — the exact rows the sample exists
+    * to keep. Enforced per row (see [[annotate]]); re-scale upstream
+    * (e.g. whole currency units instead of cents) to admit larger
+    * weights.
+    */
+  val MaxWeight: Long = Long.MaxValue / Scale // 2^23 − ε
+
+  /** Add the deterministic integer priority `_prio` to a batch. Weights
+    * outside (0, [[MaxWeight]]] fail fast at runtime — a row-level
+    * `assert_true` riding the same pass, the BucketedSnapshot null-PK
+    * discipline (silent overflow would skew every estimate; silence is
+    * the one wrong option).
+    */
   def annotate(
       df: DataFrame, idCol: String, weightCol: String,
       salt: String = "prio"): DataFrame = {
     val hu = expr(
       s"CAST(conv(substring(md5(concat('$salt', ':', " +
         s"CAST(`$idCol` AS STRING))), 1, 15), 16, 10) AS BIGINT) % $M + 1")
-    df.withColumn("_hu", hu)
+    val inRange = col(weightCol) > 0L && col(weightCol) <= MaxWeight
+    df.filter(coalesce(
+        assert_true(inRange,
+          lit(s"priority sampling: weight `$weightCol` must be in " +
+            s"(0, $MaxWeight] — larger values would overflow the " +
+            "fixed-point priority (re-scale the weight upstream)"))
+          .cast("boolean"),
+        lit(true)))
+      .withColumn("_hu", hu)
       .withColumn("_prio", expr(s"(`$weightCol` * ${Scale}L) div _hu"))
       .drop("_hu")
   }

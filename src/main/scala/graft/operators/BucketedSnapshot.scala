@@ -114,9 +114,13 @@ object BucketedSnapshot {
     val f = fs(spark, dir)
     val out = f.create(tmp, true)
     try out.write(s"$version $buckets".getBytes("UTF-8")) finally out.close()
-    if (f.exists(ptr)) f.delete(ptr, false)
-    if (!f.rename(tmp, ptr))
-      throw new IllegalStateException(s"pointer promote failed: $tmp -> $ptr")
+    // FileContext rename with OVERWRITE is the atomic promote — a plain
+    // delete-then-rename has a window where the pointer is ABSENT, and a
+    // crash there makes the next fold see "no snapshot" and silently
+    // rebuild from its delta alone
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }
 
@@ -318,8 +322,11 @@ object BucketedSnapshot {
         require(spark.table(tbl).columns.contains(GenCol),
           s"snapshot '$stream' was not created by foldMor (no $GenCol " +
             "column) — use fold() or compact it into the MOR layout first")
+        // coalesce(…, 0): an EMPTY stored table (a first batch that
+        // deduped/filtered to nothing) has a null max — treat as gen 0
+        // instead of NPE-wedging the snapshot
         val nextGen = spark.table(tbl)
-          .agg(max(col(GenCol))).head.getLong(0) + 1L
+          .agg(coalesce(max(col(GenCol)), lit(0L))).head.getLong(0) + 1L
         val delta = dedupBatch(fresh, pk, buckets, tieBreak)
           .withColumn(GenCol, lit(nextGen))
         // bucket-aligned append: delta-sized IO, no version rewrite

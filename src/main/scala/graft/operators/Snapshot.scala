@@ -74,15 +74,10 @@ object Snapshot {
           s"$snapshotDir/$stream.snapshot.bucketed/v$v")
         if (!t.columns.contains(BucketedSnapshot.GenCol)) t
         else {
-          // resolve generations without the pk (unknown here): every MOR
-          // generation is unique-by-PK, so max-gen rows per PK == rows of
-          // the latest generation per PK; the pk-free equivalent is a
-          // window — unavailable — so expose raw generations to pk-less
-          // readers? No: that would duplicate. Read via the documented
-          // keep-last rule using ALL non-gen columns as identity is
-          // wrong too. The honest contract: pk-less readSnapshots on a
-          // MOR layout returns the CURRENT COMPACTED state only, so we
-          // require single-generation state here.
+          // keep-last resolution needs the PK, which this pk-less
+          // signature doesn't carry — exposing unresolved generations
+          // would duplicate rows, so a merge-on-read layout is readable
+          // here only in its compacted (single-generation) state
           val gens = t.select(BucketedSnapshot.GenCol).distinct().count()
           require(gens == 1L,
             s"snapshot '$stream' is a merge-on-read layout with $gens " +
@@ -237,9 +232,12 @@ object Snapshot {
       case (Some(data), _) => // first snapshot or overwrite
         if (opts.overwrite)
           BucketedSnapshot.reset(spark, stream, snapshotDir)
-        BucketedSnapshot.fold(
-          spark, data, stream, snapshotDir, opts.pk, buckets)
-        Some(data)
+        // return the FOLDED frame, not the raw input: the bucketed
+        // layout dedups even the first write (its documented deviation),
+        // so handing back `data` would diverge from the persisted state
+        // whenever the first batch carries duplicate PKs
+        Some(BucketedSnapshot.fold(
+          spark, data, stream, snapshotDir, opts.pk, buckets))
       case (None, _) =>
         if (opts.justNew || opts.overwrite) None else existing
     }

@@ -2438,13 +2438,9 @@ object EventQueries {
             batchSk.unionByName(
               batch.sparkSession.read.parquet(stateDir))
           else batchSk
-        // re-take per-group bottom-k of the merged DISTINCT hashes —
-        // the KMV merge operation
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("h").asc)
-        val next = unioned.distinct()
-          .withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") <= k)
+        // the shared KMV merge rule — same selection as Kmv.sketch, so
+        // the maintained state can never drift from the one-shot sketch
+        val next = Kmv.merge(unioned, "event_type", k)
           .select("event_type", "h")
         val tmp = s"${stateDir}__next"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -2457,10 +2453,7 @@ object EventQueries {
       .start()
     q.awaitTermination()
     // rank the persisted state back into sketch rows for the estimator
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("h").asc)
-    val sk = spark.read.parquet(stateDir)
-      .withColumn("rk", row_number().over(w))
+    val sk = Kmv.merge(spark.read.parquet(stateDir), "event_type", k)
     val est = Kmv.estimateDistinct(sk, "event_type", k)
     val exact = spark.read.parquet(s"$staged/a.parquet")
       .unionByName(spark.read.parquet(s"$staged/b.parquet"))

@@ -257,11 +257,18 @@ object SingerSource {
       case StringType =>
         UTF8String.fromString(
           if (node.isTextual) node.asText else node.toString)
+      case FloatType => if (node.isNumber) node.floatValue else null
       case TimestampType =>
         // malformed values coerce to null like every other primitive
         // (keeps pushed IsNull/IsNotNull consistent with materialization)
         try parseTimestampMicros(node.asText)
         catch { case _: java.time.format.DateTimeParseException => null }
+      case DateType =>
+        // user-supplied DateType schema over date-time strings: epoch days
+        try {
+          val us = parseTimestampMicros(node.asText)
+          Math.floorDiv(us, 86400000000L).toInt
+        } catch { case _: java.time.format.DateTimeParseException => null }
       case st: StructType =>
         InternalRow.fromSeq(st.fields.toSeq.map(f =>
           convert(node.get(f.name), f.dataType)))
@@ -825,16 +832,18 @@ private[sources] class SingerBatchWrite(
           st.isFile && st.getPath.getName.endsWith(".singer"))
           .map(_.getPath).toSeq
       else Nil
-    messages.foreach {
-      case SingerCommitMessage(Some(tmp)) =>
-        val src = new Path(tmp)
-        val dst = new Path(target, src.getName)
-        // file names embed writeId, so dst cannot collide with another
-        // job's output; a false rename is therefore a real failure
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(
-            s"graft-singer: commit rename failed: $src -> $dst")
-      case _ => ()
+    // publish in NAME order: renames are one-at-a-time, and a live
+    // micro-batch reader of this directory requires lexicographically
+    // increasing arrival (its offset is a sorted-listing prefix)
+    messages.collect {
+      case SingerCommitMessage(Some(tmp)) => new Path(tmp)
+    }.sortBy(_.getName).foreach { src =>
+      val dst = new Path(target, src.getName)
+      // file names embed writeId, so dst cannot collide with another
+      // job's output; a false rename is therefore a real failure
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"graft-singer: commit rename failed: $src -> $dst")
     }
     oldFiles.foreach(fs.delete(_, false))
     fs.delete(new Path(s"$path/_tmp-$writeId"), true)
@@ -892,14 +901,14 @@ private[sources] class SingerStreamingWrite(
     fs.listStatus(target)
       .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
       .foreach(st => fs.delete(st.getPath, false))
-    messages.foreach {
-      case SingerCommitMessage(Some(tmp)) =>
-        val src = new Path(tmp)
-        val dst = new Path(target, prefix + src.getName)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(
-            s"graft-singer: streaming commit rename failed: $src -> $dst")
-      case _ => ()
+    // publish in name order — the live-reader contract (see batch commit)
+    messages.collect {
+      case SingerCommitMessage(Some(tmp)) => new Path(tmp)
+    }.sortBy(_.getName).foreach { src =>
+      val dst = new Path(target, prefix + src.getName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"graft-singer: streaming commit rename failed: $src -> $dst")
     }
     cleanTmp(fs, epochId)
   }
@@ -934,7 +943,7 @@ private[sources] class SingerStreamingWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SingerDataWriter(
-      s"$tmpDir/epoch-$epochId/part-$partitionId-$taskId-$writeId.singer",
+      f"$tmpDir/epoch-$epochId/part-$partitionId%05d-$taskId-$writeId.singer",
       schema, stream, confMap)
 }
 
@@ -960,9 +969,12 @@ private[sources] class SingerWriterFactory(
     new SingerDataWriter(
       // writeId in the FINAL name: partition/task ids are only unique
       // within one application — appends from separate jobs must not
-      // collide on part-0-0
-      s"$tmpDir/part-$partitionId-$taskId-$writeId.singer", schema, stream,
-      confMap)
+      // collide on part-0-0. Partition id zero-padded so a job with ≥10
+      // partitions still publishes in lexicographic order (the
+      // micro-batch READER's increasing-name contract holds even when
+      // this directory is being streamed while written).
+      f"$tmpDir/part-$partitionId%05d-$taskId-$writeId.singer", schema,
+      stream, confMap)
 }
 
 /** Serializes rows as Singer RECORD messages; the SCHEMA line (built with

@@ -32,6 +32,21 @@ class PrioritySamplingSpec extends AnyFunSuite with SparkSpec {
     assert(a.size == 500 && a == b)
   }
 
+  test("weights past the fixed-point bound fail fast, never wrap negative") {
+    val bad = Seq((1L, PrioritySampling.MaxWeight + 1, "g"))
+      .toDF("id", "w", "g")
+    val e = intercept[Exception] {
+      PrioritySampling.prioritySample(bad, "id", "w", 4).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("overflow")), chain(e).mkString("|"))
+    // the bound itself is admissible
+    val ok = Seq((1L, PrioritySampling.MaxWeight, "g")).toDF("id", "w", "g")
+    assert(PrioritySampling.prioritySample(ok, "id", "w", 4).count() == 1L)
+  }
+
   test("subset estimates land near the exact sums on a skewed workload") {
     // heavy-tailed weights: the regime priority sampling exists for
     val df = (1L to 20000L)

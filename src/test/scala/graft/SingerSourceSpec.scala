@@ -535,6 +535,27 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(tagged.count() == 2L) // the two untagged global states
   }
 
+  test("a user-supplied Float/Date schema reads back what the writer wrote") {
+    val dir = tmpDir("singer_float_date_read")
+    Seq((1L, 2.5f, java.sql.Date.valueOf("2024-06-02")))
+      .toDF("id", "f", "d")
+      .write.format("graft-singer").option("stream", "t")
+      .mode("append").save(dir)
+    // explicit schema with the ORIGINAL narrow types: validateSchema
+    // admits them, so convert() must materialize them too (narrowing
+    // the on-wire double / date-time string back down)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("f",
+        org.apache.spark.sql.types.FloatType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType)))
+    val got = spark.read.format("graft-singer").schema(schema).load(dir)
+      .as[(Long, Float, java.sql.Date)].collect.toSeq
+    assert(got == Seq((1L, 2.5f, java.sql.Date.valueOf("2024-06-02"))))
+  }
+
   test("a malformed timestamp value coerces to null, not a scan crash") {
     val dir = tmpDir("singer_badts")
     new java.io.File(dir).mkdirs()
