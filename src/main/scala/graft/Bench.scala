@@ -114,6 +114,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val exemptJson = exempt.map(JsonEscape(_)).mkString("[", ",", "]")
+    // Headline first as its own COMPACT line: the driver's artifact capture
+    // truncates long lines (BENCH_r04/r05 recorded "parsed": null with the
+    // tail landing mid-map), so the big per-query line alone can lose the
+    // round's one number. A short self-contained line always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"bench_exempt":$exemptJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {

@@ -48,12 +48,13 @@ object PrioritySampling {
     finalizeSample(
       mergeTopK(annotate(df, idCol, weightCol, salt), idCol, k), idCol, k)
 
-  /** Largest admissible weight: `w · Scale` must stay inside BIGINT, or
-    * the multiply wraps negative and the HEAVIEST items silently fall to
-    * the bottom of the priority order — the exact rows the sample exists
-    * to keep. Enforced per row (see [[annotate]]); re-scale upstream
-    * (e.g. whole currency units instead of cents) to admit larger
-    * weights.
+  /** Largest admissible weight on the BIGINT path: `w · Scale` must stay
+    * inside BIGINT, or the multiply wraps negative and the HEAVIEST
+    * items silently fall to the bottom of the priority order — the exact
+    * rows the sample exists to keep. Enforced per row (see [[annotate]]).
+    * Heavier corpora (token counts per shard, bytes per asset) should
+    * use the capless DECIMAL(38) path ([[annotateWide]] /
+    * [[prioritySampleWide]]) instead of re-scaling away precision.
     */
   val MaxWeight: Long = Long.MaxValue / Scale // 2^23 − ε
 
@@ -82,15 +83,39 @@ object PrioritySampling {
       .drop("_hu")
   }
 
-  /** The top-(k+1) rows of an annotated frame by (priority desc, id) —
-    * a distributed TakeOrdered. This is the MERGEABLE maintenance state:
-    * `mergeTopK(state ∪ annotate(batch))` folds a new batch into the
-    * sketch, because priority sampling's sample is a pure top-k of
-    * deterministic per-item priorities — streaming ≡ batch, exactly.
+  /** The top-(k+1) DISTINCT-id rows of an annotated frame by
+    * (priority desc, id) — a distributed TakeOrdered. This is the
+    * MERGEABLE maintenance state: `mergeTopK(state ∪ annotate(batch))`
+    * folds a new batch into the sketch, because priority sampling's
+    * sample is a pure top-k of deterministic per-item priorities —
+    * streaming ≡ batch, exactly.
+    *
+    * Replay safety: under at-least-once micro-batch delivery (state
+    * persisted, then the same batch redelivered after a crash) a row can
+    * appear in BOTH state and batch. Priorities are deterministic per
+    * id, so the duplicate rows are identical — but without dedup the
+    * pair would occupy two of the k+1 slots, displace a genuine row and
+    * skew τ (the [[graft.ext.Kmv]] merge calls `.distinct()` for the
+    * same reason). Each id appears at most TWICE here (state ids are
+    * unique by construction; a batch's ids are unique by the sampler's
+    * contract), so the true top-(k+1) distinct ids all sit within the
+    * top 2(k+1) raw rows: TakeOrdered to 2(k+1), then dedup + re-rank on
+    * that driver-sized frame. The full table still never sees a
+    * dedup shuffle — the heavy step stays a plain TakeOrdered.
     */
   def mergeTopK(annotated: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"priority sampling: k must be >= 1, got $k")
-    annotated.orderBy(col("_prio").desc, col(idCol).asc).limit(k + 1)
+    val top2 = annotated
+      .orderBy(col("_prio").desc, col(idCol).asc).limit(2 * (k + 1))
+    // ≤ 2(k+1) rows from here on: window + filter are driver-cheap.
+    // max-priority survivor per id is deterministic (replay duplicates
+    // are bit-identical; the (prio desc, id) order is a total order).
+    top2
+      .withColumn("_dup_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("_prio").desc)))
+      .filter(col("_dup_rk") === 1).drop("_dup_rk")
+      .orderBy(col("_prio").desc, col(idCol).asc).limit(k + 1)
   }
 
   /** Split a top-(k+1) state into the k-row sample with the threshold
@@ -108,6 +133,67 @@ object PrioritySampling {
       .join(broadcast(tau), lit(true), "left")
       .withColumn("_tau", coalesce(col("_tau"), lit(0L)))
   }
+
+  /** [[annotate]]'s wide twin: `_prio` is DECIMAL(38,0), admitting ANY
+    * positive BIGINT weight (heavy-item corpora — token counts per
+    * shard, bytes per asset — blow past [[MaxWeight]]'s ~2²³
+    * weight-unit cap). The wide fixed point sets S = M, so a priority
+    * IS the item's τ-comparable value in weight units: q = w·M div hu,
+    * τ_true = τ·M/S = τ. Max magnitude w·M ≤ 2⁶³·2³⁰ = 2⁹³ ≪ 10³⁸ —
+    * no overflow is reachable from BIGINT weights, so no row-level
+    * guard is needed (the (0, ∞) positivity check remains).
+    */
+  def annotateWide(
+      df: DataFrame, idCol: String, weightCol: String,
+      salt: String = "prio"): DataFrame = {
+    val hu = expr(
+      s"CAST(conv(substring(md5(concat('$salt', ':', " +
+        s"CAST(`$idCol` AS STRING))), 1, 15), 16, 10) AS BIGINT) % $M + 1")
+    df.filter(coalesce(
+        assert_true(col(weightCol) > 0L,
+          lit(s"priority sampling: weight `$weightCol` must be positive"))
+          .cast("boolean"),
+        lit(true)))
+      .withColumn("_hu", hu)
+      // floor(a/b) as (a − a%b)/b: Spark's `div` narrows to BIGINT (the
+      // exact overflow this path exists to avoid), while decimal `/` of
+      // the exactly-divisible numerator is integral and exact — `%` on
+      // decimals is exact, the quotient is a whole number at any scale
+      .withColumn("_aM",
+        expr(s"CAST(`$weightCol` AS DECIMAL(38,0)) * ${M}L"))
+      .withColumn("_prio",
+        expr("CAST((_aM - _aM % _hu) / _hu AS DECIMAL(38,0))"))
+      .drop("_hu", "_aM")
+  }
+
+  /** [[prioritySample]] with the wide DECIMAL(38) priority path —
+    * identical shape ([[mergeTopK]] and [[finalizeSample]] are
+    * type-agnostic over `_prio`), no weight cap.
+    */
+  def prioritySampleWide(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "prio"): DataFrame =
+    finalizeSample(
+      mergeTopK(annotateWide(df, idCol, weightCol, salt), idCol, k),
+      idCol, k)
+
+  /** Subset-sum estimates for a wide-path sample. With S = M the stored
+    * τ is already in weight units, so each member contributes
+    * `greatest(w, τ)` directly — DECIMAL(38,0) throughout (k terms of
+    * ≤2⁹³ sum well inside 10³⁸), exact, no de-scaling division at all.
+    * `est_total` stays DECIMAL(38,0): the sums themselves can exceed
+    * BIGINT in the regime this path exists for.
+    */
+  def subsetEstimatesWide(
+      sample: DataFrame, subsetCol: String, weightCol: String): DataFrame =
+    sample
+      .groupBy(col(subsetCol))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        expr(
+          s"CAST(sum(greatest(CAST(`$weightCol` AS DECIMAL(38,0)), " +
+            "CAST(_tau AS DECIMAL(38,0)))) AS DECIMAL(38,0))")
+          .as("est_total"))
 
   /** Horvitz–Thompson subset-sum estimates from a [[prioritySample]]
     * result, grouped by `subsetCol`: `n_sampled` members and the

@@ -47,6 +47,74 @@ class PrioritySamplingSpec extends AnyFunSuite with SparkSpec {
     assert(PrioritySampling.prioritySample(ok, "id", "w", 4).count() == 1L)
   }
 
+  test("at-least-once replay: re-merging an already-folded batch is a no-op") {
+    // the q256 crash window: state persisted, then the SAME batch
+    // redelivered — mergeTopK(state ∪ batch) must not let the duplicate
+    // rows burn two of the k+1 slots (which would displace a genuine row
+    // and skew tau)
+    val k = 50
+    val all = (1L to 2000L).map(i => (i, (i % 97) + 1, s"g${i % 7}"))
+      .toDF("id", "w", "g")
+    val (b1, b2) = (all.filter(col("id") <= 1000), all.filter(col("id") > 1000))
+    val ann1 = PrioritySampling.annotate(b1, "id", "w")
+    val ann2 = PrioritySampling.annotate(b2, "id", "w")
+    val state = PrioritySampling.mergeTopK(ann1.unionByName(ann2), "id", k)
+    // redeliver batch 2 on top of the committed state
+    val replayed = PrioritySampling.mergeTopK(state.unionByName(ann2), "id", k)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "_prio").as[(Long, Long)].collect.toSeq.sorted
+    assert(key(replayed) == key(state))
+    assert(replayed.count() == k + 1)
+    // and the finalized sample + estimates are bit-identical
+    val sA = PrioritySampling.finalizeSample(state, "id", k)
+    val sB = PrioritySampling.finalizeSample(replayed, "id", k)
+    val eA = PrioritySampling.subsetEstimates(sA, "g", "w")
+      .select("g", "est_total").as[(String, Long)].collect.toMap
+    val eB = PrioritySampling.subsetEstimates(sB, "g", "w")
+      .select("g", "est_total").as[(String, Long)].collect.toMap
+    assert(eA == eB)
+  }
+
+  test("wide path: weights near 2^60 sample exactly, no overflow, heavy certainty") {
+    // the regime the BIGINT fixed point cannot touch: token-count /
+    // byte-sized weights far past MaxWeight (~2^23)
+    val big = 1L << 60
+    val df = ((1L to 400L).map(i => (i, (i % 50) + 1000L, "small")) ++
+      (401L to 410L).map(i => (i, big + i, "huge"))).toDF("id", "w", "g")
+    val s = PrioritySampling.prioritySampleWide(df, "id", "w", k = 100)
+    assert(s.count() == 100)
+    // every huge item is a certainty member (w >= tau by priority >= w)
+    assert(s.filter(col("g") === "huge").count() == 10)
+    val est = PrioritySampling.subsetEstimatesWide(s, "g", "w")
+      .select("g", "est_total")
+      .as[(String, java.math.BigDecimal)].collect.toMap
+    val exactHuge = df.filter(col("g") === "huge")
+      .agg(sum(col("w").cast("decimal(38,0)"))).as[java.math.BigDecimal]
+      .collect.head
+    // huge items are certainty items with w > tau, so their subset
+    // estimate is EXACT — and it sits far beyond BIGINT's reach
+    assert(est("huge").compareTo(exactHuge) == 0, s"${est("huge")} vs $exactHuge")
+    assert(exactHuge.compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0)
+  }
+
+  test("wide path: n <= k collapses to the exact sums; partitioning-invariant") {
+    val df = Seq((1L, 1L << 58, "a"), (2L, 3L, "a"), (3L, (1L << 59) + 7, "b"))
+      .toDF("id", "w", "g")
+    val s = PrioritySampling.prioritySampleWide(df, "id", "w", k = 10)
+    val est = PrioritySampling.subsetEstimatesWide(s, "g", "w")
+      .select("g", "est_total")
+      .as[(String, java.math.BigDecimal)].collect.toMap
+    assert(est("a").longValueExact == (1L << 58) + 3L)
+    assert(est("b").longValueExact == (1L << 59) + 7L)
+    val wide = (1L to 5000L).map(i => (i, (1L << 40) + (i % 97) + 1, s"g${i % 7}"))
+      .toDF("id", "w", "g")
+    val a = PrioritySampling.prioritySampleWide(wide.repartition(13), "id", "w", 500)
+      .select("id").as[Long].collect.toSeq.sorted
+    val b = PrioritySampling.prioritySampleWide(wide.repartition(3), "id", "w", 500)
+      .select("id").as[Long].collect.toSeq.sorted
+    assert(a.size == 500 && a == b)
+  }
+
   test("subset estimates land near the exact sums on a skewed workload") {
     // heavy-tailed weights: the regime priority sampling exists for
     val df = (1L to 20000L)
