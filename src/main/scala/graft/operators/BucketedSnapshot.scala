@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   *      write either.
   *
   * Each fold writes a NEW versioned directory (`v1`, `v2`, …) under
-  * `{dir}/{stream}.snapshot.bucketed/` and promotes it by atomically
-  * renaming a `_current` pointer file — the same never-read-what-you're-
-  * overwriting discipline as the single-file snapshot, without rewriting
-  * the pointer target in place. The superseded version's table and files
-  * are dropped after promotion.
+  * `{dir}/{stream}.snapshot.bucketed/` and promotes it by CREATING the
+  * next immutable `_current.<seq>` manifest file (readers take the
+  * highest seq that parses) — the same never-read-what-you're-
+  * overwriting discipline as the single-file snapshot, with no rename
+  * anywhere on the commit path, so the promote is safe on object stores
+  * where rename is a non-atomic copy+delete (see [[readPointer]]). The
+  * superseded version's table and files are dropped after promotion.
   *
   * Catalog note: bucket metadata lives in the session catalog; a fresh
   * session re-registers the external table from the pointer + parquet
@@ -75,59 +77,115 @@ object BucketedSnapshot {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Current version from the `_current` pointer, if the layout exists. */
+  /** Current version from the pointer manifests, if the layout exists. */
   private[graft] def currentVersion(
       spark: SparkSession, snapshotDir: String, stream: String): Option[Int] =
-    readPointer(spark, snapshotDir, stream).map(_._1)
+    readPointer(spark, snapshotDir, stream).map(_.version)
 
-  /** (version, buckets-recorded-at-write) from the pointer; the bucket
+  /** One committed pointer state: version, buckets-recorded-at-write,
+    * and (MOR layouts only) the highest RESERVED generation. The bucket
     * count rides along so a later session cannot silently re-register the
     * table with a DIFFERENT count (the catalog would then claim an
-    * alignment the files don't have — misread, not error).
+    * alignment the files don't have — misread, not error); the
+    * generation rides along so a MOR fold never has to scan the stored
+    * table to find it (see [[foldMor]]).
+    */
+  private case class Pointer(
+      version: Int, buckets: Option[Int], gen: Option[Long])
+
+  private val ManifestRe = """_current\.(\d{9})""".r
+
+  private def parsePointer(text: String): Option[Pointer] = {
+    val parts = text.trim.split("\\s+")
+    // a torn/garbage manifest (non-atomic write interrupted) parses to
+    // None and the reader falls through to the previous committed one
+    scala.util.Try(Pointer(
+      parts(0).toInt,
+      if (parts.length > 1) Some(parts(1).toInt) else None,
+      if (parts.length > 2) Some(parts(2).toLong) else None)).toOption
+  }
+
+  /** Read the newest COMMITTED pointer. The pointer is a sequence of
+    * immutable manifest files `_current.<seq>` — a reader lists them and
+    * takes the highest seq that parses; a writer only ever CREATES a new
+    * manifest (one PUT), never renames or overwrites. This is the
+    * object-store-safe commit: S3-family stores have no atomic rename
+    * (rename = copy + delete, either half can land alone), but a single
+    * new-key PUT is atomic, and a crash between "write new" and "GC old"
+    * just leaves an extra older manifest that max-seq ignores. The
+    * legacy single `_current` file (pre-manifest layouts) is read as a
+    * fallback when no manifest exists.
     */
   private def readPointer(
       spark: SparkSession, snapshotDir: String,
-      stream: String): Option[(Int, Option[Int])] = {
-    val ptr = new org.apache.hadoop.fs.Path(
-      s"${layoutDir(snapshotDir, stream)}/_current")
-    val f = fs(spark, ptr.toString)
-    if (!f.exists(ptr)) None
-    else {
-      val in = f.open(ptr)
-      try {
-        val parts = new String(
+      stream: String): Option[Pointer] = {
+    val dir = layoutDir(snapshotDir, stream)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(dirPath)) return None
+    def slurp(p: org.apache.hadoop.fs.Path): Option[Pointer] =
+      scala.util.Try {
+        val in = f.open(p)
+        try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          .trim.split("\\s+")
-        Some((parts(0).toInt,
-          if (parts.length > 1) Some(parts(1).toInt) else None))
-      } finally in.close()
-    }
+        finally in.close()
+      }.toOption.flatMap(parsePointer)
+    val manifests = f.listStatus(dirPath).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestRe(seq) => Some(seq.toLong -> st.getPath)
+        case _ => None
+      })
+      .sortBy(-_._1)
+    manifests.view.flatMap { case (_, p) => slurp(p) }.headOption
+      .orElse {
+        val legacy = new org.apache.hadoop.fs.Path(s"$dir/_current")
+        if (f.exists(legacy)) slurp(legacy) else None
+      }
   }
 
+  private def maxManifestSeq(
+      f: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Long =
+    if (!f.exists(dirPath)) 0L
+    else f.listStatus(dirPath).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(seq) => Some(seq.toLong)
+      case _ => None
+    }).foldLeft(0L)(math.max)
+
+  /** Commit a pointer state: CREATE `_current.<maxSeq+1>` (single PUT —
+    * no rename anywhere on the commit path), then best-effort GC of
+    * manifests older than the previous one (the newest two stay, so a
+    * reader that listed just before the commit can still open its pick).
+    * Single-writer discipline (the snapshot contract throughout).
+    */
   private def writePointer(
       spark: SparkSession, snapshotDir: String, stream: String,
-      version: Int, buckets: Int): Unit = {
+      version: Int, buckets: Int, gen: Option[Long] = None): Unit = {
     val dir = layoutDir(snapshotDir, stream)
-    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_current")
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir/._current.swap.${System.nanoTime()}")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
-    val out = f.create(tmp, true)
-    try out.write(s"$version $buckets".getBytes("UTF-8")) finally out.close()
-    // FileContext rename with OVERWRITE is the atomic promote — a plain
-    // delete-then-rename has a window where the pointer is ABSENT, and a
-    // crash there makes the next fold see "no snapshot" and silently
-    // rebuild from its delta alone
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val seq = maxManifestSeq(f, dirPath) + 1L
+    val ptr = new org.apache.hadoop.fs.Path(dir + f"/_current.$seq%09d")
+    val body = s"$version $buckets" + gen.map(g => s" $g").getOrElse("")
+    val out = f.create(ptr, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // GC: keep seq and seq-1, drop the rest (+ the legacy file, now
+    // superseded by any manifest)
+    f.listStatus(dirPath).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(s) if s.toLong < seq - 1L =>
+          f.delete(st.getPath, false); ()
+        case "_current" => f.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
     ()
   }
 
   private def checkBuckets(
       spark: SparkSession, snapshotDir: String, stream: String,
       buckets: Int): Unit =
-    readPointer(spark, snapshotDir, stream).flatMap(_._2).foreach { b =>
+    readPointer(spark, snapshotDir, stream).flatMap(_.buckets).foreach { b =>
       require(b == buckets,
         s"bucketed snapshot '$stream' at $snapshotDir was written with " +
           s"$b buckets; reading/folding with $buckets would misalign the " +
@@ -311,22 +369,35 @@ object BucketedSnapshot {
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(pk.nonEmpty, "bucketed snapshot requires a primary key")
     checkBuckets(spark, snapshotDir, stream, buckets)
-    currentVersion(spark, snapshotDir, stream) match {
+    readPointer(spark, snapshotDir, stream) match {
       case None =>
         val base = dedupBatch(fresh, pk, buckets, tieBreak)
           .withColumn(GenCol, lit(1L))
         writeVersion(base, spark, snapshotDir, stream, pk, buckets, 1)
-        writePointer(spark, snapshotDir, stream, 1, buckets)
-      case Some(v) =>
+        writePointer(spark, snapshotDir, stream, 1, buckets, Some(1L))
+      case Some(ptr) =>
+        val v = ptr.version
         val tbl = ensureTable(spark, snapshotDir, stream, pk, buckets, v)
         require(spark.table(tbl).columns.contains(GenCol),
           s"snapshot '$stream' was not created by foldMor (no $GenCol " +
             "column) — use fold() or compact it into the MOR layout first")
-        // coalesce(…, 0): an EMPTY stored table (a first batch that
-        // deduped/filtered to nothing) has a null max — treat as gen 0
-        // instead of NPE-wedging the snapshot
-        val nextGen = spark.table(tbl)
-          .agg(coalesce(max(col(GenCol)), lit(0L))).head.getLong(0) + 1L
+        // the generation rides in the pointer so the fold NEVER scans
+        // the stored table (the old max(GenCol) was a full-table column
+        // scan per append — the exact IO the MOR layout exists to avoid).
+        // Legacy pointers without a gen field pay the scan ONCE, then
+        // the reservation below records it. coalesce(…, 0): an EMPTY
+        // stored table (a first batch that deduped to nothing) has a
+        // null max — treat as gen 0 instead of NPE-wedging the snapshot.
+        val nextGen = ptr.gen.getOrElse(
+          spark.table(tbl)
+            .agg(coalesce(max(col(GenCol)), lit(0L))).head.getLong(0)) + 1L
+        // RESERVE the generation before appending: a crash after the
+        // reservation but before the append leaves only a harmless gap
+        // in generation numbers, while the reverse order (append first)
+        // could crash into a state where a later fold REUSES the
+        // appended generation — two folds sharing a gen would make the
+        // read-time keep-last pick arbitrarily between them
+        writePointer(spark, snapshotDir, stream, v, buckets, Some(nextGen))
         val delta = dedupBatch(fresh, pk, buckets, tieBreak)
           .withColumn(GenCol, lit(nextGen))
         // bucket-aligned append: delta-sized IO, no version rewrite
@@ -371,7 +442,7 @@ object BucketedSnapshot {
     val resolved = readMor(spark, stream, snapshotDir, pk, buckets).get
       .withColumn(GenCol, lit(1L))
     writeVersion(resolved, spark, snapshotDir, stream, pk, buckets, v + 1)
-    writePointer(spark, snapshotDir, stream, v + 1, buckets)
+    writePointer(spark, snapshotDir, stream, v + 1, buckets, Some(1L))
     dropVersion(spark, snapshotDir, stream, v)
     readMor(spark, stream, snapshotDir, pk, buckets).get
   }
@@ -393,18 +464,24 @@ object BucketedSnapshot {
 
   /** The merge PLAN for spec assertion — identical shape to [[fold]]'s
     * merge but not executed/written, so BucketedSnapshotSpec can count
-    * exchanges on exactly what fold runs.
+    * exchanges on exactly what fold runs. Loan pattern: the delta cache
+    * the plan shares between its two branches is unpersisted when `use`
+    * returns (fold's own try/finally discipline — without it every call
+    * leaked one MEMORY_AND_DISK entry for the session's lifetime).
     */
-  private[graft] def mergePlan(
+  private[graft] def mergePlan[T](
       spark: SparkSession, fresh: DataFrame, stream: String,
-      snapshotDir: String, pk: Seq[String], buckets: Int): DataFrame = {
+      snapshotDir: String, pk: Seq[String], buckets: Int)(
+      use: DataFrame => T): T = {
     val delta = dedupBatch(fresh, pk, buckets, Nil)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val v = currentVersion(spark, snapshotDir, stream).get
-    val old = spark.table(
-      ensureTable(spark, snapshotDir, stream, pk, buckets, v))
-    val cond: Column = pk.map(c => old(c) === delta(c)).reduce(_ && _)
-    old.join(delta, cond, "left_anti")
-      .unionByName(delta, allowMissingColumns = true)
+    try {
+      val v = currentVersion(spark, snapshotDir, stream).get
+      val old = spark.table(
+        ensureTable(spark, snapshotDir, stream, pk, buckets, v))
+      val cond: Column = pk.map(c => old(c) === delta(c)).reduce(_ && _)
+      use(old.join(delta, cond, "left_anti")
+        .unionByName(delta, allowMissingColumns = true))
+    } finally { delta.unpersist(); () }
   }
 }

@@ -57,9 +57,8 @@ class BucketedSnapshotSpec extends AnyFunSuite with SparkSpec {
     BucketedSnapshot.fold(spark, base, "s", dir, Seq("k"), 4)
     val delta = (1L to 100L).map(k => (k * 3, k * 5.0)).toDF("k", "v")
     withForcedSmj {
-      val plan = BucketedSnapshot.mergePlan(spark, delta, "s", dir,
-        Seq("k"), 4)
-      try {
+      BucketedSnapshot.mergePlan(spark, delta, "s", dir, Seq("k"), 4) {
+        plan =>
         plan.collect()
         val s = plan.queryExecution.executedPlan.toString
         // the snapshot feeds the anti-join through its BUCKETED scan …
@@ -71,13 +70,59 @@ class BucketedSnapshotSpec extends AnyFunSuite with SparkSpec {
         assert(Bucketing.shuffleCount(plan) == 0,
           s"expected zero merge-level shuffles, got " +
             s"${Bucketing.shuffleCount(plan)}\n" + s.take(8000))
-      } finally spark.catalog.clearCache() // drop mergePlan's delta cache
+      }
+      // the loan released the delta cache — no clearCache compensation
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "mergePlan must unpersist its delta when the loan returns")
       // control: the union+window keepLast shape shuffles the whole union
       val naive = Upsert.keepLast(
         spark.read.parquet(s"$dir/s.snapshot.bucketed/v1"), delta, Seq("k"))
       naive.collect()
       assert(Bucketing.shuffleCount(naive) >= 1)
     }
+  }
+
+  test("pointer promote survives a crash between write-new and GC-old") {
+    // object-store discipline: the commit is a single new-manifest PUT;
+    // simulate the non-atomic failure mode (new manifest landed, old one
+    // never deleted — on S3 a rename's copy half without its delete
+    // half) and assert readers still take the newest COMMITTED state
+    val dir = tmpDir("bsnap_manifest")
+    val base = Seq((1L, "a")).toDF("k", "name")
+    BucketedSnapshot.fold(spark, base, "s", dir, Seq("k"), 2)
+    BucketedSnapshot.fold(spark, Seq((2L, "b")).toDF("k", "name"),
+      "s", dir, Seq("k"), 2)
+    val layout = new java.io.File(s"$dir/s.snapshot.bucketed")
+    val manifests = layout.listFiles()
+      .filter(_.getName.startsWith("_current.")).map(_.getName).sorted
+    // both folds' manifests coexist (writer keeps the previous one);
+    // the reader resolved the newer — v2
+    assert(manifests.length == 2, manifests.mkString(","))
+    assert(BucketedSnapshot.currentVersion(spark, dir, "s").contains(2))
+    // a TORN manifest with a higher seq (partial write crash) is skipped,
+    // not trusted: readers fall back to the newest valid one
+    val torn = new java.io.File(layout, "_current.999999999")
+    val w = new java.io.FileWriter(torn); w.write("garb"); w.close()
+    assert(BucketedSnapshot.currentVersion(spark, dir, "s").contains(2))
+    assert(BucketedSnapshot.read(spark, "s", dir, Seq("k"), 2).get
+      .orderBy("k").as[(Long, String)].collect.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    torn.delete()
+  }
+
+  test("a legacy single-file _current pointer still reads") {
+    val dir = tmpDir("bsnap_legacy")
+    BucketedSnapshot.fold(spark, Seq((1L, "a")).toDF("k", "name"),
+      "s", dir, Seq("k"), 2)
+    val layout = new java.io.File(s"$dir/s.snapshot.bucketed")
+    // rewrite the layout to the pre-manifest format: one `_current` file
+    layout.listFiles().filter(_.getName.startsWith("_current."))
+      .foreach(_.delete())
+    val w = new java.io.FileWriter(new java.io.File(layout, "_current"))
+    w.write("1 2"); w.close()
+    assert(BucketedSnapshot.currentVersion(spark, dir, "s").contains(1))
+    assert(BucketedSnapshot.read(spark, "s", dir, Seq("k"), 2).get
+      .as[(Long, String)].collect.toSeq == Seq((1L, "a")))
   }
 
   test("snapshotRecords flag matrix routes through the bucketed layout") {

@@ -89,6 +89,51 @@ class MorSnapshotSpec extends AnyFunSuite with SparkSpec {
       == Seq((1L, "post-compact")))
   }
 
+  test("a fold never scans the stored table (generation rides the pointer)") {
+    val dir = tmpDir("mor_noscan")
+    val base = (1L to 200L).map(k => (k, s"v0-$k")).toDF("k", "name")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark,
+      Seq((7L, "v1")).toDF("k", "name"), "s", dir, Seq("k"), 4)
+    // make any stored-table scan IMPOSSIBLE: delete every data file,
+    // keeping only the layout metadata (pointer manifests + catalog).
+    // The old max(_graft_gen)-per-fold shape dies here with
+    // FileNotFoundException; the pointer-carried generation appends
+    // delta-sized IO without ever planning a read
+    val vdir = new java.io.File(s"$dir/s.snapshot.bucketed/v1")
+    vdir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    BucketedSnapshot.foldMor(spark,
+      Seq((8L, "v2")).toDF("k", "name"), "s", dir, Seq("k"), 4)
+    // the append landed (one new file) and the reserved generation
+    // advanced to 3 — all without touching the (now absent) base files
+    val files = vdir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val appended = spark.read.parquet(files.map(_.getAbsolutePath): _*)
+    assert(appended.select(BucketedSnapshot.GenCol).distinct
+      .as[Long].collect.toSeq == Seq(3L))
+  }
+
+  test("generation gaps from a reserve-then-crash are harmless") {
+    // the crash window: pointer reserved gen N+1, append never ran. The
+    // next fold must skip to N+2 (never reuse), and resolution is
+    // unaffected — max-per-PK doesn't care about gaps
+    val dir = tmpDir("mor_gap")
+    BucketedSnapshot.foldMor(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    // simulate the reservation-only crash: bump the pointer by hand
+    val layout = new java.io.File(s"$dir/s.snapshot.bucketed")
+    val w = new java.io.FileWriter(new java.io.File(layout, "_current.000000099"))
+    w.write("1 2 7"); w.close()
+    val got = BucketedSnapshot.foldMor(spark,
+      Seq((2L, "B2")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2")))
+    val gens = BucketedSnapshot.read(spark, "s", dir, Seq("k"), 2).get
+      .select(BucketedSnapshot.GenCol).distinct.as[Long].collect.toSet
+    assert(gens == Set(1L, 8L), gens.toString) // reserved-past-7 fold
+  }
+
   test("foldMor refuses a layout created by the rewrite fold") {
     val dir = tmpDir("mor_guard")
     BucketedSnapshot.fold(spark,
