@@ -79,6 +79,9 @@ class SingerSource extends TableProvider with DataSourceRegister {
     if ("state".equalsIgnoreCase(options.get("messages")))
       SingerSource.StateSchema
     else if (files.isEmpty) new StructType()
+    else if ("true".equalsIgnoreCase(options.get("mergeSchemas")))
+      SingerSource.mergedSchemaFromFiles(files, conf,
+        Option(options.get("stream")))
     else SingerSource.schemaFromFiles(files, conf,
       Option(options.get("stream")))
   }
@@ -210,6 +213,65 @@ object SingerSource {
             files.mkString(", ")
         case None => s"graft-singer: no SCHEMA message in ${files.head}"
       })
+  }
+
+  /** Cross-file schema evolution (`option("mergeSchemas","true")`): every
+    * file's SCHEMA message (the selected stream's with `stream` set) is
+    * read and the fields union in first-seen order — the connector twin
+    * of parquet's `mergeSchema`. Records from a file whose SCHEMA lacks a
+    * merged field read that field as NULL (materialization is
+    * schema-driven, so the backfill is free). A field declared with two
+    * DIFFERENT types across files fails fast: silent coercion picks a
+    * winner the user never chose. Real because each export re-infers its
+    * own schema (ref: src/singer.ts:34-166) — two exports into one
+    * directory CAN legitimately disagree after a tap gained columns.
+    */
+  private[sources] def mergedSchemaFromFiles(
+      files: Seq[String], conf: Configuration,
+      stream: Option[String] = None): StructType = {
+    if (files.isEmpty)
+      throw new IllegalArgumentException("graft-singer: no files to infer from")
+    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    files.foreach { f =>
+      val in = openLines(f, conf)
+      try {
+        // first matching SCHEMA per file: one export writes one SCHEMA
+        // per stream, and a file re-declaring its own stream mid-file is
+        // outside the Singer contract this source documents
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(mapper.readTree)
+          .collectFirst {
+            case n if n.path("type").asText == "SCHEMA" &&
+                stream.forall(_ == n.path("stream").asText) => n
+          }
+          .foreach { n =>
+            val props = n.path("schema").path("properties")
+            props.fieldNames.asScala.foreach { name =>
+              val dt = CatalogSchema.toDataType(props.get(name))
+              merged.get(name) match {
+                case Some(prev) if prev != dt =>
+                  throw new IllegalArgumentException(
+                    s"graft-singer: mergeSchemas found field '$name' " +
+                      s"declared as ${prev.simpleString} and " +
+                      s"${dt.simpleString} in different files — " +
+                      "incompatible SCHEMA evolution cannot merge")
+                case Some(_) => ()
+                case None => merged.update(name, dt); ()
+              }
+            }
+          }
+      } finally in.close()
+    }
+    if (merged.isEmpty) throw new IllegalArgumentException(
+      stream match {
+        case Some(s) =>
+          s"graft-singer: no SCHEMA message for stream '$s' in " +
+            files.mkString(", ")
+        case None => s"graft-singer: no SCHEMA message in ${files.mkString(", ")}"
+      })
+    StructType(merged.toSeq.map { case (n, dt) =>
+      StructField(n, dt, nullable = true)
+    })
   }
 
   private[sources] def openLines(
@@ -748,12 +810,15 @@ private[sources] class SingerPartitionReader(
     SingerSource.openLines(file, SingerSource.confFromMap(confMap))
   private var row: InternalRow = _
 
+  private val knownFields = full.fieldNames.toSet
+
   override def next(): Boolean = {
     var line = in.readLine()
     while (line != null) {
       if (line.nonEmpty) {
         val n = SingerSource.mapper.readTree(line)
-        if (n.path("type").asText == "RECORD" &&
+        val tpe = n.path("type").asText
+        if (tpe == "RECORD" &&
             streamFilter.forall(_ == n.path("stream").asText)) {
           val rec = n.path("record")
           // pushed filters run on the raw node BEFORE row materialization
@@ -762,6 +827,23 @@ private[sources] class SingerPartitionReader(
               SingerSource.convert(rec.get(f.name), f.dataType)))
             return true
           }
+        } else if (tpe == "SCHEMA" &&
+            streamFilter.forall(_ == n.path("stream").asText)) {
+          // Divergent-SCHEMA detection: materialization reads ONLY the
+          // table schema's fields, so a file whose SCHEMA gained columns
+          // (each export re-infers its own, ref: src/singer.ts:34-166)
+          // would otherwise silently TRUNCATE every one of its records.
+          // Rare line type, set lookup — costs nothing on the data path.
+          val extra = n.path("schema").path("properties")
+            .fieldNames.asScala.filterNot(knownFields.contains).toSeq
+          if (extra.nonEmpty)
+            throw new IllegalStateException(
+              s"graft-singer: $file declares SCHEMA fields " +
+                s"${extra.mkString("[", ", ", "]")} not in the table " +
+                "schema — its records would be silently truncated. Read " +
+                "with option(\"mergeSchemas\",\"true\") to widen across " +
+                "files (missing fields backfill as NULL), or supply an " +
+                "explicit .schema(...) covering every file's fields")
         }
       }
       line = in.readLine()
@@ -811,12 +893,26 @@ private[sources] class SingerBatchWrite(
     fs.mkdirs(target)
     // GC _tmp-* leftovers from drivers that crashed before abort() could
     // run; an age gate keeps us from racing a concurrent writer's live
-    // tmp dir (its mtime refreshes as tasks write into it)
+    // tmp dir. Age = the NEWEST mtime anywhere under the dir, not the
+    // dir's own: a directory mtime only refreshes on direct child
+    // create/delete, so a live concurrent batch whose tasks all opened
+    // their files long ago (one slow straggler, a long queue) would look
+    // stale by dir-mtime and get deleted mid-commit. Content mtimes keep
+    // advancing while any task is still writing. The TTL therefore bounds
+    // WRITE inactivity: a writer that goes staleTmpTtlMs with no file
+    // progress at all is treated as dead (the `staleTmpTtlMs` option's
+    // documented assumption).
     val staleBefore = System.currentTimeMillis() - staleTmpTtlMs
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
     fs.listStatus(target).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("_tmp-") && n != s"_tmp-$writeId" &&
-          st.getModificationTime < staleBefore)
+          newestMtime(st.getPath) < staleBefore)
         fs.delete(st.getPath, true)
     }
     // Overwrite crash semantics (documented, not hidden): victims are
@@ -836,7 +932,7 @@ private[sources] class SingerBatchWrite(
     // micro-batch reader of this directory requires lexicographically
     // increasing arrival (its offset is a sorted-listing prefix)
     messages.collect {
-      case SingerCommitMessage(Some(tmp)) => new Path(tmp)
+      case SingerCommitMessage(Some(tmp), _) => new Path(tmp)
     }.sortBy(_.getName).foreach { src =>
       val dst = new Path(target, src.getName)
       // file names embed writeId, so dst cannot collide with another
@@ -871,12 +967,22 @@ private[sources] class SingerBatchWrite(
   * then renames the new files in. Replaying an epoch after restart is
   * therefore idempotent — the at-least-once redelivery the checkpoint
   * protocol guarantees converges to exactly-once file state once the
-  * re-commit completes. Final names zero-pad the epoch so the directory
-  * keeps the lexicographically-increasing arrival order the micro-batch
-  * READ side's prefix offset requires: a Singer dir can be both the sink
-  * of one query and the source of another. One streaming query per
-  * target directory (the file-sink convention): concurrent queries would
-  * collide on epoch numbering.
+  * re-commit completes. Final names are DETERMINISTIC per
+  * (epoch, partition) — `epoch-<padded id>-part-<padded pid>.singer`,
+  * no task/write ids — so a replayed commit reproduces byte-identical
+  * names: a downstream micro-batch reader of this directory whose
+  * committed offset pins a pre-crash file name finds the same name
+  * after the replay instead of wedging on its out-of-order check.
+  * Zero-padding keeps the lexicographically-increasing arrival order
+  * the READ side's prefix offset requires: a Singer dir can be both the
+  * sink of one query and the source of another. Residual caveat
+  * (documented, not hidden): if the replayed epoch runs with FEWER
+  * partitions than the crashed attempt, the replacement set is a proper
+  * prefix of the old names — a reader whose offset pinned one of the
+  * no-longer-produced tail names still fails fast; replay with
+  * unchanged partitioning (the checkpointed-plan default) is exact. One
+  * streaming query per target directory (the file-sink convention):
+  * concurrent queries would collide on epoch numbering.
   */
 private[sources] class SingerStreamingWrite(
     path: String, schema: StructType, stream: String,
@@ -901,11 +1007,13 @@ private[sources] class SingerStreamingWrite(
     fs.listStatus(target)
       .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
       .foreach(st => fs.delete(st.getPath, false))
-    // publish in name order — the live-reader contract (see batch commit)
+    // publish in name order — the live-reader contract (see batch
+    // commit). Final name from (epoch, partition) ONLY: replayed commits
+    // must reproduce identical names (scaladoc above)
     messages.collect {
-      case SingerCommitMessage(Some(tmp)) => new Path(tmp)
-    }.sortBy(_.getName).foreach { src =>
-      val dst = new Path(target, prefix + src.getName)
+      case SingerCommitMessage(Some(tmp), pid) => (new Path(tmp), pid)
+    }.sortBy(_._2).foreach { case (src, pid) =>
+      val dst = new Path(target, prefix + f"part-$pid%05d.singer")
       if (!fs.rename(src, dst))
         throw new java.io.IOException(
           s"graft-singer: streaming commit rename failed: $src -> $dst")
@@ -944,7 +1052,7 @@ private[sources] class SingerStreamingWriterFactory(
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SingerDataWriter(
       f"$tmpDir/epoch-$epochId/part-$partitionId%05d-$taskId-$writeId.singer",
-      schema, stream, confMap)
+      schema, stream, confMap, partitionId)
 }
 
 private[sources] object SingerBatchWrite {
@@ -956,7 +1064,14 @@ private[sources] object SingerBatchWrite {
   val DefaultStaleTmpTtlMs: Long = 24L * 60 * 60 * 1000
 }
 
-private[sources] final case class SingerCommitMessage(file: Option[String])
+private[sources] final case class SingerCommitMessage(
+    file: Option[String],
+    /** The writing task's partition id — the streaming commit derives its
+      * DETERMINISTIC final file names from it (see
+      * [[SingerStreamingWrite.commit]]); −1 on the batch path, which
+      * keeps its writeId-embedding names (cross-job append safety).
+      */
+    partitionId: Int = -1)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class SingerWriterFactory(
@@ -988,7 +1103,7 @@ private[sources] class SingerWriterFactory(
   */
 private[sources] class SingerDataWriter(
     file: String, schema: StructType, stream: String,
-    confMap: Map[String, String])
+    confMap: Map[String, String], partitionId: Int = -1)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val IsoFmt = java.time.format.DateTimeFormatter
@@ -1079,7 +1194,7 @@ private[sources] class SingerDataWriter(
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     if (out != null) out.close()
-    SingerCommitMessage(if (out != null) Some(file) else None)
+    SingerCommitMessage(if (out != null) Some(file) else None, partitionId)
   }
 
   override def abort(): Unit = if (out != null) out.close()

@@ -433,6 +433,15 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(stale.setLastModified(System.currentTimeMillis() - 60000))
     val fresh = new java.io.File(s"$dir/_tmp-live")
     fresh.mkdirs() // mtime = now → inside any sane TTL
+    // the straggler case: the DIR's mtime is old (every file was created
+    // long ago — dir mtime only moves on direct child create/delete) but
+    // one task is still writing, so a CONTENT mtime is fresh. Dir-mtime
+    // gating would delete this live write mid-commit.
+    val straggler = new java.io.File(s"$dir/_tmp-straggler")
+    straggler.mkdirs()
+    val inFlight = new java.io.File(straggler, "part-00000-0-x.singer")
+    val w = new java.io.FileWriter(inFlight); w.write("{}\n"); w.close()
+    assert(straggler.setLastModified(System.currentTimeMillis() - 60000))
     Seq((1L, "a", 1.0)).toDF("id", "name", "score")
       .write.format("graft-singer")
       .option("stream", "t")
@@ -440,6 +449,86 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
       .mode("append").save(dir)
     assert(!stale.exists(), "stale _tmp dir should be GC'd at commit")
     assert(fresh.exists(), "a live writer's fresh _tmp dir must survive")
+    assert(straggler.exists() && inFlight.exists(),
+      "a dir whose CONTENTS are fresh must survive even with an old dir mtime")
+  }
+
+  test("streaming write file names are deterministic per (epoch, partition)") {
+    val dir = tmpDir("singer_sw_detnames")
+    val src = s"$dir/src"
+    new java.io.File(src).mkdirs()
+    val tmp = tmpDir("singer_swd_stage")
+    writeSinger(tmp, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$tmp/data.singer"),
+      java.nio.file.Paths.get(s"$src/a.singer"))
+    val out = s"$dir/out"
+    val q = spark.readStream.format("graft-singer").load(src)
+      .writeStream.format("graft-singer")
+      .option("path", out).option("stream", "t")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val names = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".singer"))
+      .map(_.getName).sorted.toSeq
+    // no task id, no write id: a replayed commit of this epoch would
+    // reproduce EXACTLY these names, so a downstream reader's committed
+    // offset can never pin a name that replay fails to recreate
+    assert(names.forall(_.matches("epoch-\\d{20}-part-\\d{5}\\.singer")),
+      names.mkString(", "))
+  }
+
+  test("mergeSchemas widens across files; divergence without it fails fast") {
+    val dir = tmpDir("singer_evolve")
+    new java.io.File(dir).mkdirs()
+    // export 1: (id, name); export 2 re-inferred with a NEW column rating
+    // (ref src/singer.ts:34-166 — each export derives its own SCHEMA)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.singer"),
+      """{"type":"SCHEMA","stream":"t","schema":{"type":["object","null"],""" +
+        """"properties":{"id":{"type":["integer","null"]},""" +
+        """"name":{"type":["string","null"]}}},"key_properties":["id"]}""" +
+        "\n" +
+        """{"type":"RECORD","stream":"t","record":{"id":1,"name":"a"}}""" +
+        "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.singer"),
+      """{"type":"SCHEMA","stream":"t","schema":{"type":["object","null"],""" +
+        """"properties":{"id":{"type":["integer","null"]},""" +
+        """"name":{"type":["string","null"]},""" +
+        """"rating":{"type":["number","null"]}}},"key_properties":["id"]}""" +
+        "\n" +
+        """{"type":"RECORD","stream":"t","record":""" +
+        """{"id":2,"name":"b","rating":4.5}}""" + "\n")
+    // WITHOUT the option: first-file inference would silently truncate
+    // b.singer's records — the reader fails fast instead
+    val e = intercept[Exception] {
+      spark.read.format("graft-singer").load(dir).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("mergeSchemas")), chain(e).mkString("|"))
+    // WITH it: unionByName-style widening, NULL backfill for a.singer
+    val merged = spark.read.format("graft-singer")
+      .option("mergeSchemas", "true").load(dir)
+    assert(merged.schema.fieldNames.toSeq == Seq("id", "name", "rating"))
+    val got = merged.orderBy("id")
+      .as[(Long, String, Option[Double])].collect.toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(4.5))))
+    // incompatible evolution (same field, different type) cannot merge
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.singer"),
+      """{"type":"SCHEMA","stream":"t","schema":{"type":["object","null"],""" +
+        """"properties":{"id":{"type":["string","null"]}}},""" +
+        """"key_properties":["id"]}""" + "\n")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-singer")
+        .option("mergeSchemas", "true").load(dir).collect()
+    }
+    assert(e2.getMessage.contains("incompatible"), e2.getMessage)
   }
 
   test("float and date columns write with documented widening semantics") {
