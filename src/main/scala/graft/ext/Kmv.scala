@@ -82,12 +82,32 @@ object Kmv {
               "AS BIGINT)"))
           .as("est_distinct"))
 
-  /** Pairwise union + intersection estimates between every pair of
-    * groups (a < b): merges the two sketches, takes the k smallest of
-    * the merge as the union sketch, counts the shared hashes below its
-    * θ, and derives |A∪B| and |A∩B|. Runs entirely on k-row sketches.
+  /** All-pairs sketch-land guard: the pairwise estimators build the full
+    * (a < b) group grid — that is their CONTRACT (sketch-land
+    * cardinalities: tens to thousands of groups, k-row sketches), but
+    * nothing in the dataflow itself stops a caller handing them 10⁵
+    * groups and a 10¹⁰-pair grid. The estimators count the groups (one
+    * aggregate over the already-tiny sketch frame) and fail fast past
+    * this default; raise `maxGroups` explicitly to accept the quadratic
+    * cost knowingly.
     */
-  def setEstimates(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+  val DefaultMaxGroups: Int = 2048
+
+  private def guardGroups(
+      sk: DataFrame, groupCol: String, maxGroups: Int): Unit = {
+    val n = sk.select(col(groupCol)).distinct().count()
+    require(n <= maxGroups,
+      s"kmv: $n groups would form ~${n * (n - 1) / 2} sketch pairs — " +
+        s"beyond maxGroups=$maxGroups. Pre-filter the groups of interest " +
+        "or raise maxGroups to accept the all-pairs grid deliberately")
+  }
+
+  /** The merged (a < b) pair sketch: per pair, the k smallest hashes of
+    * the two sketches' union, each flagged with which side(s) carried it
+    * — the shared uniform sample every pairwise estimator reads.
+    */
+  private def rankedUnion(
+      sk: DataFrame, groupCol: String, k: Int): DataFrame = {
     val a = sk.select(col(groupCol).as("ga"), col("h"))
     val b = sk.select(col(groupCol).as("gb"), col("h"))
     val pairs = sk.select(col(groupCol).as("ga")).distinct()
@@ -104,22 +124,67 @@ object Kmv {
       .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ga"), col("gb")).orderBy(col("h").asc)
-    val ranked = uni.withColumn("rk", row_number().over(w))
+    uni.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-    ranked.groupBy("ga", "gb")
+  }
+
+  /** `(k−1)·M div hk` when the union sketch is full, else the exact kept
+    * count — the one union-size rule all pairwise estimators share.
+    */
+  private def unionSizeExpr(k: Int): org.apache.spark.sql.Column =
+    when(col("hk").isNull, col("n_kept"))
+      .otherwise(expr(
+        s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${M}L div hk AS BIGINT)"))
+
+  /** Pairwise union + intersection estimates between every pair of
+    * groups (a < b): merges the two sketches, takes the k smallest of
+    * the merge as the union sketch, counts the shared hashes below its
+    * θ, and derives |A∪B| and |A∩B|. Runs entirely on k-row sketches.
+    */
+  def setEstimates(
+      sk: DataFrame, groupCol: String, k: Int,
+      maxGroups: Int = DefaultMaxGroups): DataFrame = {
+    guardGroups(sk, groupCol, maxGroups)
+    rankedUnion(sk, groupCol, k).groupBy("ga", "gb")
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rk") === k, col("h"))).as("hk"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
           .otherwise(0L)).as("common"))
       .select(col("ga"), col("gb"),
-        when(col("hk").isNull, col("n_kept"))
-          .otherwise(expr(
-            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${M}L div hk " +
-              "AS BIGINT)"))
-          .as("est_union"),
+        unionSizeExpr(k).as("est_union"),
         // |A∩B| ≈ common/k' · |A∪B| with k' = rows actually kept
         expr("CAST(common * (CASE WHEN hk IS NULL THEN n_kept ELSE " +
           s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${M}L div hk AS BIGINT) " +
           "END) div n_kept AS BIGINT)").as("est_intersect"))
+  }
+
+  /** Pairwise DIFFERENCE estimates — |A∖B| and |B∖A| per (a < b) pair,
+    * completing the sketch set algebra (union q258, intersection q258,
+    * difference here). Same shared-sample argument as intersection: of
+    * the union sketch's k' hashes, those seen ONLY in A's sketch are a
+    * uniform sample of A∖B inside A∪B, so
+    * |A∖B| ≈ only_a/k' · |A∪B| — one estimate where a
+    * subtract-the-estimates approach (|A| − |A∩B|) compounds two. Exact
+    * (and exactly consistent: est_a_not_b + est_b_not_a + est_intersect
+    * sums to the union ONLY up to floor rounding) when the union sketch
+    * isn't full. Runs entirely on k-row sketches.
+    */
+  def differenceEstimates(
+      sk: DataFrame, groupCol: String, k: Int,
+      maxGroups: Int = DefaultMaxGroups): DataFrame = {
+    guardGroups(sk, groupCol, maxGroups)
+    rankedUnion(sk, groupCol, k).groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("hk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+          .otherwise(0L)).as("only_a"),
+        sum(when(col("in_a") === 0 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("only_b"))
+      .withColumn("est_union", unionSizeExpr(k))
+      .select(col("ga"), col("gb"),
+        expr("CAST(only_a * est_union div n_kept AS BIGINT)")
+          .as("est_a_not_b"),
+        expr("CAST(only_b * est_union div n_kept AS BIGINT)")
+          .as("est_b_not_a"))
   }
 }

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: [[blockedCandidates]] is an equi-join on the blocking
   * key (candidates Σ|block|², never |L|×|R|); scoring is a codegen'd
   * projection over the candidate pairs; no stage sees more than the
-  * blocked pair set. EM-based m/u ESTIMATION is out of scope (it needs
-  * iterative soft counts; the fixed-weight form is the score/decide
-  * primitive it would feed).
+  * blocked pair set. [[emEstimate]] learns the m/u parameters with a
+  * deterministic quantized EM (see its scaladoc) whose only distributed
+  * stage is one agreement-pattern histogram.
   *
   * Reference scope: gluestick has no linkage (the reference is a
   * tap-to-table ETL layer); this extends the dedup/ER family (q87's
@@ -70,4 +70,110 @@ object RecordLinkage {
       thresholdMilli: Long): DataFrame =
     fsScore(pairs, fields)
       .withColumn("is_link", col("score_milli") >= thresholdMilli)
+
+  /** Probability fixed point for [[emEstimate]]: nano-units (10⁻⁹). */
+  val Nano: Long = 1000000000L
+
+  /** [[emEstimate]]'s result: learned per-field match/non-match rates
+    * (nano-units, clamped to [1, Nano−1]), the match proportion, and the
+    * final agreement-pattern posteriors `(gamma, count, gNano)` — enough
+    * to classify (posterior ≥ threshold) without rescanning the pairs.
+    */
+  final case class EmResult(
+      fields: Seq[String], m: Seq[Long], u: Seq[Long], p: Long,
+      patterns: Seq[(Seq[Option[Int]], Long, Long)])
+
+  /** EM estimation of the Fellegi–Sunter m/u parameters (Winkler 1988's
+    * unsupervised fit), made deterministic — and therefore SQL-oracle
+    * replayable — by two choices:
+    *
+    *  1. **Pattern-histogram E-step.** With K comparison fields a pair's
+    *     agreement vector is one of ≤ 3^K patterns, so EM never iterates
+    *     over pairs: ONE distributed `groupBy(fields).count()` (the only
+    *     shuffle, candidate-set-sized) produces the histogram, and every
+    *     round folds ≤ 3^K rows — driver-sized by definition, the
+    *     Bfs/Sssp/Bpe iterative-operator discipline.
+    *  2. **Quantized integer arithmetic.** Probabilities live in BIGINT
+    *     nano-units; each likelihood product floor-divides back to scale
+    *     after every multiply (`acc = acc·term div Nano`, fields in
+    *     declared order), posteriors are `aM·Nano div (aM+aU)`, and
+    *     M-step ratios are exact integer divisions of exact integer
+    *     sums. No float ever appears, so the learned parameters and
+    *     every classification are bit-identical across engines,
+    *     partitionings, and replays — DuckDB reproduces the fit with
+    *     HUGEINT `//` arithmetic, which is how q262 adjudicates it.
+    *
+    * Semantics: `fields` are BOOLEAN agreement columns; NULL (field
+    * missing on either side) is uninformative — it contributes no
+    * likelihood factor and is excluded from that field's M-step counts.
+    * Rates clamp to [1, Nano−1] (zero-locking a rate would wedge EM).
+    * `rounds` E+M iterations run, then one final E-step fills the
+    * returned posteriors. Quantization bias is ≤ K·10⁻⁹ per posterior —
+    * far below anything that could flip a link decision with real
+    * weights, and the price of exact replayability.
+    */
+  def emEstimate(
+      pairs: DataFrame, fields: Seq[String], rounds: Int,
+      initM: Long = 900000000L, initU: Long = 100000000L,
+      initP: Long = 100000000L): EmResult = {
+    require(fields.nonEmpty && fields.size <= 8,
+      "emEstimate: 1..8 comparison fields (pattern space is 3^K)")
+    require(rounds >= 1, "emEstimate: at least one EM round")
+    val k = fields.size
+    val hist = pairs
+      .groupBy(fields.map(c => col(c).cast("int")): _*).count()
+      .collect()
+      .map { r =>
+        (Seq.tabulate(k)(i => if (r.isNullAt(i)) None else Some(r.getInt(i))),
+          r.getLong(k))
+      }
+      // deterministic fold order (sums are exact so order cannot change
+      // results; sorting just makes the returned patterns stable)
+      .sortBy(_._1.map(_.fold("n")(_.toString)).mkString).toSeq
+    val m = Array.fill(k)(clamp(initM))
+    val u = Array.fill(k)(clamp(initU))
+    var p = clamp(initP)
+    def eStep(): Seq[(Seq[Option[Int]], Long, Long)] =
+      hist.map { case (gamma, cnt) =>
+        var aM = BigInt(p)
+        var aU = BigInt(Nano - p)
+        var i = 0
+        while (i < k) {
+          gamma(i) match {
+            case Some(1) =>
+              aM = aM * m(i) / Nano; aU = aU * u(i) / Nano
+            case Some(0) =>
+              aM = aM * (Nano - m(i)) / Nano; aU = aU * (Nano - u(i)) / Nano
+            case _ => ()
+          }
+          i += 1
+        }
+        val g = aM * Nano / (aM + aU).max(1)
+        (gamma, cnt, g.toLong)
+      }
+    var r = 0
+    while (r < rounds) {
+      val gs = eStep()
+      var i = 0
+      while (i < k) {
+        val rel = gs.filter(_._1(i).isDefined)
+        val den = rel.map { case (_, c, g) => BigInt(g) * c }.sum
+        val num = rel.filter(_._1(i).contains(1))
+          .map { case (_, c, g) => BigInt(g) * c }.sum
+        val denU = rel.map { case (_, c, g) => BigInt(Nano - g) * c }.sum
+        val numU = rel.filter(_._1(i).contains(1))
+          .map { case (_, c, g) => BigInt(Nano - g) * c }.sum
+        m(i) = clamp((num * Nano / den.max(1)).toLong)
+        u(i) = clamp((numU * Nano / denU.max(1)).toLong)
+        i += 1
+      }
+      val tot = hist.map(x => BigInt(x._2)).sum
+      p = clamp(
+        (gs.map { case (_, c, g) => BigInt(g) * c }.sum / tot.max(1)).toLong)
+      r += 1
+    }
+    EmResult(fields, m.toSeq, u.toSeq, p, eStep())
+  }
+
+  private def clamp(x: Long): Long = math.max(1L, math.min(Nano - 1L, x))
 }

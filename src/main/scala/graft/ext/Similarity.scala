@@ -703,7 +703,25 @@ object Similarity {
       rounds: Int = 1,
       seedTables: Int = 4,
       seedPlanes: Int = 6,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    nnDescentTopKCounted(corpus, idCol, vecCol, k, rounds, seedTables,
+      seedPlanes, dim, roundsRun = null)
+
+  /** [[nnDescentTopK]] with an observable round counter — the spec hook
+    * that pins the convergence early-exit (`roundsRun`, when non-null,
+    * is set to the number of refinement rounds actually executed).
+    */
+  private[graft] def nnDescentTopKCounted(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 1,
+      seedTables: Int = 4,
+      seedPlanes: Int = 6,
+      dim: Int = 64,
+      roundsRun: java.util.concurrent.atomic.AtomicInteger = null)
+      : DataFrame = {
     require(k >= 1 && rounds >= 0, s"nnDescentTopK: bad k=$k rounds=$rounds")
     require(seedTables >= 1 && seedPlanes >= 1,
       s"nnDescentTopK: bad seedTables=$seedTables seedPlanes=$seedPlanes")
@@ -760,7 +778,15 @@ object Similarity {
         .distinct()
       var graph = scoreTopK(seedPairs).localCheckpoint()
 
-      (1 to rounds).foreach { _ =>
+      // `rounds` is a CAP, not a fixed cost: NN-descent converges when a
+      // refinement round improves no neighbor list, and every later
+      // round would recompute the identical graph (the dataflow is
+      // deterministic). The change probe is an anti-join on the id-only
+      // (u, m) edge lists — both sides already materialized by their
+      // checkpoints — with limit(1): an existence check, not a count.
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
         val wRev = Window.partitionBy(col("u"))
           .orderBy(col("cosine").desc, col("m").asc)
         val rev = graph.select(col("m").as("u"), col("u").as("m"),
@@ -783,7 +809,16 @@ object Similarity {
           .filter(col("a") =!= col("b"))
           .select(col("a").as("u"), col("b").as("m"))
         val all = cand.unionByName(graph.select("u", "m")).distinct()
-        graph = scoreTopK(all).localCheckpoint()
+        val next = scoreTopK(all).localCheckpoint()
+        // top-k per node is unique under the (cosine desc, id asc) total
+        // order, so "no new edge" ⟺ the graphs are identical ⟺ every
+        // later round is a fixed point
+        converged = next.select("u", "m")
+          .join(graph.select("u", "m"), Seq("u", "m"), "left_anti")
+          .limit(1).isEmpty
+        graph = next
+        r += 1
+        if (roundsRun != null) roundsRun.set(r)
       }
       graph.select(col("u").as("query_id"), col("rank"),
         col("m").as("neighbor_id"), round(col("cosine"), 6).as("cos_sim"))

@@ -47,4 +47,37 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(estU - 8000L).toDouble / 8000 < 0.2, s"union=$estU")
     assert(estI < 400, s"disjoint intersect should be near 0, got $estI")
   }
+
+  test("difference estimates: sub-k exact; calibrated on overlap; symmetric") {
+    // below k the union sketch IS the union → differences are EXACT
+    val small = (1L to 30L).map(i => ("a", i)) ++ (21L to 50L).map(i => ("b", i))
+    val de = Kmv.differenceEstimates(
+      Kmv.sketch(small.toDF("g", "v"), "g", "v", k = 128), "g", 128)
+      .as[(String, String, Long, Long)].collect.head
+    assert(de == ("a", "b", 20L, 20L), de.toString)
+    // above k: |A|=6000 with 2000 shared, |B|=4000 → A∖B=4000, B∖A=2000
+    val big = (1L to 6000L).map(i => ("a", i)) ++
+      (4001L to 8000L).map(i => ("b", i))
+    val db = Kmv.differenceEstimates(
+      Kmv.sketch(big.toDF("g", "v"), "g", "v", k = 256), "g", 256)
+      .as[(String, String, Long, Long)].collect.head
+    assert(math.abs(db._3 - 4000L).toDouble / 4000 < 0.25, db.toString)
+    assert(math.abs(db._4 - 2000L).toDouble / 2000 < 0.25, db.toString)
+  }
+
+  test("pairwise estimators fail fast past the group-count guard") {
+    val df = (1L to 300L).map(i => (s"g${i % 5}", i)).toDF("g", "v")
+    val sk = Kmv.sketch(df, "g", "v", k = 16)
+    val e = intercept[IllegalArgumentException] {
+      Kmv.setEstimates(sk, "g", 16, maxGroups = 3).collect()
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Kmv.differenceEstimates(sk, "g", 16, maxGroups = 3).collect()
+    }
+    assert(e2.getMessage.contains("maxGroups"), e2.getMessage)
+    // at the cap, both run
+    assert(Kmv.setEstimates(sk, "g", 16, maxGroups = 5).count() == 10L)
+    assert(Kmv.differenceEstimates(sk, "g", 16, maxGroups = 5).count() == 10L)
+  }
 }

@@ -37,6 +37,28 @@ class NnDescentSpec extends AnyFunSuite with SparkSpec {
       s"each round must improve recall, got $rs")
   }
 
+  test("a converged graph early-exits: rounds is a cap, not a fixed cost") {
+    val k = 3
+    // a tiny corpus converges in a round or two; with the cap far past
+    // that, the counter must show the loop stopped at convergence + 1
+    // (the round that PROVED the fixed point) — never the full cap
+    val tiny = emb.filter(col("vec_id") < 40)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val capped = Similarity.nnDescentTopKCounted(
+      tiny, "vec_id", "embedding", k, rounds = 12, roundsRun = counter)
+    val edges = capped.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect.toSeq.sorted
+    assert(counter.get > 0 && counter.get < 12,
+      s"expected convergence exit below the 12-round cap, ran ${counter.get}")
+    // the early exit is a pure optimization: the capped run's graph is
+    // the fixed point the full run would also produce
+    val full = Similarity.nnDescentTopK(
+      tiny, "vec_id", "embedding", k, rounds = counter.get)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect.toSeq.sorted
+    assert(edges == full)
+  }
+
   test("every node emits at most k ranked edges, ranks contiguous from 1") {
     val g = Similarity.nnDescentTopK(emb, "vec_id", "embedding", 3,
       rounds = 1)

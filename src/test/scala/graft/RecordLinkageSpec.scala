@@ -43,4 +43,38 @@ class RecordLinkageSpec extends AnyFunSuite with SparkSpec {
       RecordLinkage.blockedCandidates(l, r, Nil)
     }
   }
+
+  test("EM separates matches from non-matches on a planted mixture") {
+    // 200 pairs: 40 true matches (fields mostly agree), 160 non-matches
+    // (fields mostly disagree) — the classical two-component mixture
+    val rows = (1 to 200).map { i =>
+      val isMatch = i <= 40
+      val f1 = if (isMatch) i % 10 != 0 else i % 20 == 0 // 90% vs 5%
+      val f2 = if (isMatch) i % 5 != 0 else i % 10 == 0  // 80% vs 10%
+      (i.toLong, f1, f2)
+    }.toDF("id", "a_f1", "a_f2")
+    val res = RecordLinkage.emEstimate(rows, Seq("a_f1", "a_f2"), rounds = 5)
+    // learned m well above learned u for both informative fields
+    assert(res.m(0) > 2 * res.u(0), s"m=${res.m} u=${res.u}")
+    assert(res.m(1) > 2 * res.u(1), s"m=${res.m} u=${res.u}")
+    // match proportion recovered near the planted 20%
+    assert(res.p > 100000000L && res.p < 350000000L, s"p=${res.p}")
+    // posterior classification at 0.5 finds a match-sized link set
+    val links = res.patterns.filter(_._3 >= 500000000L).map(_._2).sum
+    assert(links >= 30L && links <= 60L, s"links=$links")
+  }
+
+  test("EM is partitioning-invariant and replay-deterministic") {
+    val rows = (1 to 500).map { i =>
+      (i.toLong, i % 3 == 0, i % 7 != 0, if (i % 11 == 0) None else Some(i % 2 == 0))
+    }.toDF("id", "a_x", "a_y", "a_z")
+    val a = RecordLinkage.emEstimate(rows.repartition(13),
+      Seq("a_x", "a_y", "a_z"), rounds = 4)
+    val b = RecordLinkage.emEstimate(rows.repartition(3),
+      Seq("a_x", "a_y", "a_z"), rounds = 4)
+    assert(a.m == b.m && a.u == b.u && a.p == b.p)
+    assert(a.patterns == b.patterns)
+    // NULL agreements were present (a_z) and did not poison the fit
+    assert(a.patterns.exists(_._1(2).isEmpty))
+  }
 }
