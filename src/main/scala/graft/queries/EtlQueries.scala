@@ -493,6 +493,148 @@ object EtlQueries {
       .orderBy("t_key", "match_key")
   }
 
+  /** q262's oracle, generated: the EM fit unrolled round by round in
+    * DuckDB HUGEINT arithmetic — the same nano-unit fixed point, the
+    * same per-field fold order, the same floor divisions as
+    * [[graft.ext.RecordLinkage.emEstimate]], so the learned parameters
+    * and the link classification hash-match EXACTLY, not within a
+    * tolerance. Generating the string (rather than hand-writing ~5
+    * rounds × 3 fields of CTEs) is what guarantees the operation order
+    * stays in lockstep with the Scala loop.
+    */
+  private def q262OracleSql(rounds: Int): String = {
+    val S = "1000000000"
+    val k = 3
+    def folded(init: String, terms: Seq[String]): String =
+      terms.foldLeft(init)((acc, t) => s"(($acc * $t) // $S)")
+    def eStep(e: String, r: String, src: String): String = {
+      val mT = (1 to k).map(i =>
+        s"(CASE WHEN g$i = 1 THEN $r.m$i ELSE $S - $r.m$i END)")
+      val uT = (1 to k).map(i =>
+        s"(CASE WHEN g$i = 1 THEN $r.u$i ELSE $S - $r.u$i END)")
+      s"""${e}a AS (
+         |  SELECT $src.*, ${folded(s"$r.p", mT)} AS am,
+         |    ${folded(s"($S - $r.p)", uT)} AS au
+         |  FROM $src CROSS JOIN $r),
+         |$e AS (
+         |  SELECT ${e}a.*, (am * $S) // GREATEST(1, am + au) AS g
+         |  FROM ${e}a)""".stripMargin
+    }
+    def mStep(r: String, e: String): String = {
+      val per = (1 to k).map { i =>
+        s"""  GREATEST(1, LEAST($S - 1,
+           |    (COALESCE(SUM(CASE WHEN g$i = 1 THEN g * cnt END), 0) * $S)
+           |      // GREATEST(1, SUM(g * cnt)))) AS m$i,
+           |  GREATEST(1, LEAST($S - 1,
+           |    (COALESCE(SUM(CASE WHEN g$i = 1 THEN ($S - g) * cnt END), 0)
+           |      * $S) // GREATEST(1, SUM(($S - g) * cnt)))) AS u$i"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$r AS (
+         |  SELECT
+         |$per,
+         |  GREATEST(1, LEAST($S - 1, SUM(g * cnt) // GREATEST(1, SUM(cnt))))
+         |    AS p
+         |  FROM $e)""".stripMargin
+    }
+    val roundCtes = (1 to rounds).map { i =>
+      eStep(s"e$i", s"r${i - 1}", if (i == 1) "pat" else "pat") + ",\n" +
+        mStep(s"r$i", s"e$i")
+    }.mkString(",\n")
+    val fin = eStep("ef", s"r$rounds", "pat")
+    s"""WITH dirty AS (
+       |  SELECT c_custkey AS t_key,
+       |    substr(c_name, 1, 4) || 'X' || substr(c_name, 6) AS t_name,
+       |    CASE WHEN c_custkey % 8 = 0 THEN 'ALTERED'
+       |         ELSE c_mktsegment END AS t_seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS t_cents,
+       |    c_nationkey
+       |  FROM customer WHERE c_custkey % 4 = 0),
+       |clean AS (
+       |  SELECT c_custkey, c_name, c_mktsegment,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents,
+       |    c_nationkey
+       |  FROM customer),
+       |pat AS (
+       |  SELECT g1, g2, g3, CAST(count(*) AS HUGEINT) AS cnt FROM (
+       |    SELECT
+       |      CASE WHEN substr(d.t_name, 1, 4) = substr(c.c_name, 1, 4)
+       |           THEN 1 ELSE 0 END AS g1,
+       |      CASE WHEN d.t_seg = c.c_mktsegment THEN 1 ELSE 0 END AS g2,
+       |      CASE WHEN d.t_cents = c.c_cents THEN 1 ELSE 0 END AS g3
+       |    FROM dirty d JOIN clean c ON d.c_nationkey = c.c_nationkey)
+       |  GROUP BY 1, 2, 3),
+       |r0 AS (
+       |  SELECT
+       |    CAST(900000000 AS HUGEINT) AS m1, CAST(100000000 AS HUGEINT) AS u1,
+       |    CAST(900000000 AS HUGEINT) AS m2, CAST(100000000 AS HUGEINT) AS u2,
+       |    CAST(900000000 AS HUGEINT) AS m3, CAST(100000000 AS HUGEINT) AS u3,
+       |    CAST(100000000 AS HUGEINT) AS p),
+       |$roundCtes,
+       |$fin,
+       |summary AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN g >= 500000000 THEN cnt ELSE 0 END), 0)
+       |      AS n_links,
+       |    SUM(cnt) AS n_pairs
+       |  FROM ef)
+       |SELECT field, CAST(m_nano AS BIGINT) AS m_nano,
+       |  CAST(u_nano AS BIGINT) AS u_nano,
+       |  CAST((SELECT p FROM r$rounds) AS BIGINT) AS p_nano,
+       |  CAST((SELECT n_links FROM summary) AS BIGINT) AS n_links,
+       |  CAST((SELECT n_pairs FROM summary) AS BIGINT) AS n_pairs
+       |FROM (
+       |  SELECT 'a_name_pre4' AS field, m1 AS m_nano, u1 AS u_nano FROM r$rounds
+       |  UNION ALL
+       |  SELECT 'a_seg', m2, u2 FROM r$rounds
+       |  UNION ALL
+       |  SELECT 'a_cents', m3, u3 FROM r$rounds)
+       |ORDER BY field""".stripMargin
+  }
+
+  /** Fellegi–Sunter EM ([[graft.ext.RecordLinkage.emEstimate]]): the m/u
+    * parameters q254 takes as given are LEARNED here, unsupervised, from
+    * q254's own blocked candidate set (name-prefix / segment / balance
+    * agreements). Five quantized EM rounds in exact nano-unit integers —
+    * the only distributed stage is one agreement-pattern histogram
+    * (≤ 2³ rows out of the Σ|block|² candidate join); the fit itself
+    * folds the histogram. Adjudicated the strong way: the oracle REPLAYS
+    * all five rounds in HUGEINT arithmetic and must reproduce the
+    * learned parameters and the posterior-0.5 link count bit-for-bit.
+    */
+  val q262LinkageEm: QuerySpec = QuerySpec.oracled(
+    "q262_linkage_em", q262OracleSql(5)) { (spark, dir) =>
+    import graft.ext.RecordLinkage
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val dirty = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("t_key"),
+        concat(substring(col("c_name"), 1, 4), lit("X"),
+          expr("substr(c_name, 6)")).as("t_name"),
+        when(col("c_custkey") % 8 === 0, lit("ALTERED"))
+          .otherwise(col("c_mktsegment")).as("t_seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("t_cents"),
+        col("c_nationkey"))
+    val clean = cust.select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c_cents"),
+      col("c_nationkey"))
+    val cand = RecordLinkage
+      .blockedCandidates(dirty, clean, Seq("c_nationkey"))
+      .withColumn("a_name_pre4",
+        substring(col("t_name"), 1, 4) === substring(col("c_name"), 1, 4))
+      .withColumn("a_seg", col("t_seg") === col("c_mktsegment"))
+      .withColumn("a_cents", col("t_cents") === col("c_cents"))
+    val res = RecordLinkage.emEstimate(cand,
+      Seq("a_name_pre4", "a_seg", "a_cents"), rounds = 5)
+    val nLinks = res.patterns.filter(_._3 >= 500000000L).map(_._2).sum
+    val nPairs = res.patterns.map(_._2).sum
+    res.fields.zipWithIndex
+      .map { case (f, i) => (f, res.m(i), res.u(i), res.p, nLinks, nPairs) }
+      .toDF("field", "m_nano", "u_nano", "p_nano", "n_links", "n_pairs")
+      .orderBy("field")
+  }
+
   /** q108's fold replayed through the BUCKETED snapshot layout
     * ([[graft.operators.BucketedSnapshot]]) — the same two successive
     * `snapshotRecords` calls, the same oracle, but the state persists as
@@ -1059,7 +1201,8 @@ object EtlQueries {
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
-      q250SnapshotCompaction, q254RecordLinkage, q121KAnonymity,
+      q250SnapshotCompaction, q254RecordLinkage, q262LinkageEm,
+      q121KAnonymity,
       q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,
       q175FdAudit, q179TCloseness, q183IncrementalJoin, q197CoverageAudit)

@@ -807,6 +807,68 @@ object EventQueries {
       max(cursor).as("resume_cursor"))
   }.withSetup((s, d) => { stageQ252(s, d); () })
 
+  private val q261Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage q261's schema-evolved export pair: export 1 carries
+    * (doc_id, lang) for even doc_ids; export 2 — the tap after it gained
+    * a column — carries (doc_id, lang, n_chars) for odd doc_ids. Each
+    * export re-infers its own SCHEMA (ref: src/singer.ts:34-166), so one
+    * directory legitimately holds two disagreeing SCHEMA messages.
+    */
+  private def stageQ261(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q261Staging.getOrStage(dir) {
+      import graft.operators.{Export, ExportOptions}
+      val out = QuerySpec.stagedPath("q261_evolved", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def export(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = QuerySpec.stagedPath(s"q261_tmp_$name", dir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        Export.toExport(df, "docs", tmp,
+          ExportOptions(exportFormat = Some("singer"), keys = Seq("doc_id")),
+          conf = graft.conf.GluestickConf(Map.empty))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$tmp/data.singer"),
+          java.nio.file.Paths.get(s"$out/$name"))
+        ()
+      }
+      export(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang")), "a.singer")
+      export(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars")), "b.singer")
+      out
+    }
+
+  /** Singer cross-file SCHEMA evolution (`option("mergeSchemas","true")`):
+    * a directory holding two exports whose SCHEMAs disagree — the second
+    * gained a column — reads back with unionByName-style widening and
+    * NULL backfill, the connector twin of q119's parquet mergeSchema.
+    * Without the option this read FAILS FAST at the divergent file
+    * (SingerSourceSpec pins that) instead of silently truncating its
+    * records to the first file's fields. Adjudicated per language
+    * against the parquet original, with the widened column summed only
+    * where a file actually carried it.
+    */
+  val q261SingerSchemaEvolution: QuerySpec = QuerySpec.oracled(
+    "q261_singer_schema_evolution",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+      |    AS chars_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+    (spark, dir) =>
+    val staged = stageQ261(spark, dir)
+    spark.read.format("graft-singer")
+      .option("mergeSchemas", "true").load(staged)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars_sum"))
+      .orderBy("lang")
+  }.withSetup((s, d) => { stageQ261(s, d); () })
+
   /** Deterministic priority sampling + Horvitz–Thompson subset sums
     * ([[graft.ext.PrioritySampling]]): ONE fixed-size (k=1000)
     * weight-aware sample of the event value stream answers per-type
@@ -2373,6 +2435,108 @@ object EventQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** KMV DIFFERENCE estimates ([[graft.ext.Kmv.differenceEstimates]]):
+    * |A∖B| and |B∖A| per audience pair straight from the stored k-row
+    * sketches — the shared-sample rule again (union-sketch hashes seen
+    * only in A sample A∖B), ONE estimate where |A| − |A∩B| compounds
+    * two. Completes the q258 set algebra; md5 determinism means the
+    * estimates adjudicate by VALUE next to the exact anti-join counts.
+    */
+  val q263KmvDifference: QuerySpec = QuerySpec.oracled(
+    "q263_kmv_difference",
+    """WITH uk0 AS (
+      |  SELECT event_type, user_id::VARCHAR || ':' ||
+      |    (epoch_us(ts) // 86400000000)::VARCHAR AS uk
+      |  FROM events WHERE user_id IS NOT NULL),
+      |h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || uk), 1, 15))::BIGINT
+      |      % 1152921504606846976 AS h
+      |  FROM uk0),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |s AS (SELECT * FROM r WHERE rk <= 256),
+      |tp AS (SELECT DISTINCT event_type FROM s),
+      |pairs AS (
+      |  SELECT a.event_type AS ga, b.event_type AS gb
+      |  FROM tp a JOIN tp b ON a.event_type < b.event_type),
+      |sides AS (
+      |  SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+      |  FROM pairs p JOIN s ON s.event_type = p.ga
+      |  UNION ALL
+      |  SELECT p.ga, p.gb, s.h, 0, 1
+      |  FROM pairs p JOIN s ON s.event_type = p.gb),
+      |uni AS (
+      |  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |  FROM sides GROUP BY 1, 2, 3),
+      |ur AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ga, gb
+      |                               ORDER BY h) AS rk
+      |  FROM uni),
+      |ua AS (
+      |  SELECT ga, gb, count(*) AS n_kept,
+      |    max(CASE WHEN rk = 256 THEN h END) AS hk,
+      |    sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS only_a,
+      |    sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS only_b
+      |  FROM ur WHERE rk <= 256 GROUP BY 1, 2),
+      |est AS (
+      |  SELECT ga, gb,
+      |    CASE WHEN hk IS NULL THEN n_kept
+      |         ELSE (255::HUGEINT * 1152921504606846976) // hk
+      |         END AS est_union, n_kept, only_a, only_b
+      |  FROM ua),
+      |u AS (SELECT DISTINCT event_type, uk FROM uk0),
+      |exa AS (
+      |  SELECT p.ga, p.gb, count(DISTINCT x.uk) AS exact_a_not_b
+      |  FROM pairs p JOIN u x ON x.event_type = p.ga
+      |  LEFT JOIN u y ON y.event_type = p.gb AND y.uk = x.uk
+      |  WHERE y.uk IS NULL GROUP BY 1, 2),
+      |exb AS (
+      |  SELECT p.ga, p.gb, count(DISTINCT y.uk) AS exact_b_not_a
+      |  FROM pairs p JOIN u y ON y.event_type = p.gb
+      |  LEFT JOIN u x ON x.event_type = p.ga AND x.uk = y.uk
+      |  WHERE x.uk IS NULL GROUP BY 1, 2)
+      |SELECT est.ga AS type_a, est.gb AS type_b,
+      |  CAST(est.only_a * est.est_union // est.n_kept AS BIGINT)
+      |    AS est_a_not_b,
+      |  CAST(est.only_b * est.est_union // est.n_kept AS BIGINT)
+      |    AS est_b_not_a,
+      |  CAST(coalesce(exa.exact_a_not_b, 0) AS BIGINT) AS exact_a_not_b,
+      |  CAST(coalesce(exb.exact_b_not_a, 0) AS BIGINT) AS exact_b_not_a
+      |FROM est
+      |LEFT JOIN exa ON est.ga = exa.ga AND est.gb = exa.gb
+      |LEFT JOIN exb ON est.ga = exb.ga AND est.gb = exb.gb
+      |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+    import graft.ext.Kmv
+    val base = CoreQueries.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("(ts div 1000) div 86400000000").cast("string")).as("uk"))
+    val sk = Kmv.sketch(base, "event_type", "uk", k = 256)
+    val est = Kmv.differenceEstimates(sk, "event_type", k = 256)
+    val u = base.distinct()
+    val ua = u.select(col("event_type").as("ga"), col("uk"))
+    val ub = u.select(col("event_type").as("gb"), col("uk"))
+    val pairs = ua.select("ga").distinct()
+      .join(ub.select("gb").distinct(), col("ga") < col("gb"))
+    val exa = pairs.join(ua, Seq("ga"))
+      .join(ub, Seq("gb", "uk"), "left_anti")
+      .groupBy("ga", "gb").agg(countDistinct("uk").as("exact_a_not_b"))
+    val exb = pairs.join(ub, Seq("gb"))
+      .join(ua, Seq("ga", "uk"), "left_anti")
+      .groupBy("ga", "gb").agg(countDistinct("uk").as("exact_b_not_a"))
+    est.join(exa, Seq("ga", "gb"), "left")
+      .join(exb, Seq("ga", "gb"), "left")
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("est_a_not_b"), col("est_b_not_a"),
+        coalesce(col("exact_a_not_b"), lit(0L)).as("exact_a_not_b"),
+        coalesce(col("exact_b_not_a"), lit(0L)).as("exact_b_not_a"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q257's KMV sketch MAINTAINED over the q256 two-file event stream:
     * each micro-batch's (group, hash) rows union the persisted sketch
     * state and re-take the per-group k smallest (temp-write + swap, like
@@ -2768,7 +2932,8 @@ object EventQueries {
       q237StreamQualityGate, q239SingerStream, q240StreamScd2Enrich,
       q245SingerSnapshotIngest, q247SingerStreamWrite,
       q260SingerIngestBucketed,
-      q251SingerMultiStream, q252SingerStateBookmarks, q255PrioritySample,
+      q251SingerMultiStream, q252SingerStateBookmarks,
+      q261SingerSchemaEvolution, q255PrioritySample,
       q256PrioritySampleStream,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
@@ -2776,6 +2941,7 @@ object EventQueries {
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
       q162HllIntersection, q257KmvDistinct, q258KmvSetOps, q259KmvStream,
+      q263KmvDifference,
       q166RollingP90, q168HdrQuantile, q174CmsFreq,
       q176CmsJoinSize, q181DisorderAudit, q185StreamQuota,
       q214StreamFullOuter, q217TimerSessions)
