@@ -341,6 +341,46 @@ object TextStats {
     * equi-join AQE can split, and the per-doc rollup partially aggregates
     * map-side. The total-count `N` rides a 1-row broadcast.
     */
+  /** Bigram conditional surprisal in whole bits — the next step up from
+    * [[surprisalBits]]'s unigram model: each bigram (w₁,w₂) contributes
+    * `⌊log₂(c(w₁·) / c(w₁w₂))⌋` = −⌊log₂ P(w₂|w₁)⌋ quantized, where
+    * c(w₁·) counts bigram CONTEXTS starting with w₁ (so probabilities
+    * condition correctly and the per-context ratios are ≥ 1). Same
+    * libm-free `length(bin(a div b))−1` floor-log₂, so the per-doc sums
+    * are exact integers any engine reproduces. Repetitive, formulaic
+    * text (low conditional entropy) scores LOW bits per bigram — the
+    * quality signal unigram surprisal misses, because a doc can use
+    * rare words in utterly predictable sequences. Docs with fewer than
+    * two tokens emit no row.
+    *
+    * Scale shape: bigrams explode once (narrow), two vocabulary-sized
+    * count aggregates (map-side combinable), and two equi-joins keyed by
+    * bigram/context — AQE's skew handling covers the hot-context keys
+    * ("the …"); nothing keys wider than a bigram string.
+    */
+  def bigramSurprisalBits(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokensCol(textCol), t => t =!= "")
+    val bg = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, " +
+          "concat(toks[i], ' ', toks[i + 1]) AS bgm))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.bgm").as("bgm"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy("bgm").agg(count(lit(1)).as("c12"))
+    bg.join(c12, "bgm").join(c1, "w1")
+      .select(col(idCol),
+        (length(bin(expr("c1 div c12"))) - 1).cast("long").as("bits"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("bits").as("bigram_bits"))
+      .withColumn("avg_millibits",
+        expr("bigram_bits * 1000 div n_bigrams"))
+  }
+
   def surprisalBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokensCol(textCol)).as("tok"))

@@ -1954,6 +1954,91 @@ object TextQueries {
       .orderBy("lang", "band")
   }
 
+  /** DSIR-shaped data selection ([[graft.ext.Dsir]]): every document
+    * scored by its summed integer log₂ target/source feature ratios
+    * (hashed unigram presence, add-one smoothing, 2²⁰ fixed point), then
+    * the deterministic top-200 selected — the importance-resampling
+    * recipe for steering a 100 TB crawl toward a target distribution
+    * (here: English), with the Gumbel noise replaced by the
+    * temperature-0 total order so the oracle replays feature hashing,
+    * the ratio table, every score, and the selection boundary exactly.
+    * Adjudicated as the selected set's per-language census — the
+    * mixture shift IS the result.
+    */
+  val q264DsirSelection: QuerySpec = QuerySpec.oracled(
+    "q264_dsir_selection",
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter($toksSql, x -> x <> '')) AS tok
+       |  FROM documents),
+       |pr AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |    ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT % 4096
+       |      AS feat
+       |  FROM tok),
+       |fb AS (
+       |  SELECT feat,
+       |    CAST(length(bin(
+       |      ((count(CASE WHEN lang = 'en' THEN 1 END) + 1) * 1048576)
+       |        // (count(*) + 1))) - 1 - 20 AS BIGINT) AS bits
+       |  FROM pr GROUP BY feat),
+       |sc AS (
+       |  SELECT pr.doc_id, pr.lang, CAST(sum(fb.bits) AS BIGINT)
+       |    AS score_bits
+       |  FROM pr JOIN fb USING (feat) GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang, score_bits,
+       |      row_number() OVER (ORDER BY score_bits DESC, doc_id) AS rn
+       |    FROM sc) WHERE rn <= 200)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+       |  CAST(sum(score_bits) AS BIGINT) AS score_sum,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.ext.Dsir
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = Dsir.importanceScores(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 4096, carryCols = Seq("lang"))
+    Dsir.selectTopN(scored, "doc_id", 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sel"),
+        sum("score_bits").as("score_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Bigram conditional surprisal
+    * ([[graft.ext.TextStats.bigramSurprisalBits]]): −⌊log₂ P(w₂|w₁)⌋
+    * summed per document in exact integers — the repetition-sensitive
+    * quality signal q232's unigram model misses (rare words in
+    * predictable sequences score high there, low here). Same libm-free
+    * floor-log₂, replayed in full by the oracle.
+    */
+  val q265BigramSurprisal: QuerySpec = QuerySpec.oracled(
+    "q265_bigram_surprisal",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, toks[t.p + 1] AS w1,
+       |    toks[t.p + 1] || ' ' || toks[t.p + 2] AS bgm
+       |  FROM tk, UNNEST(range(len(toks) - 1)) AS t(p)),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |c12 AS (SELECT bgm, count(*) AS c12 FROM bg GROUP BY bgm),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    CAST(length(bin(c1.c1 // c12.c12)) - 1 AS BIGINT) AS bits
+       |  FROM bg b JOIN c12 ON b.bgm = c12.bgm JOIN c1 ON b.w1 = c1.w1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS bigram_bits,
+       |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.ext.TextStats.bigramSurprisalBits(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -1967,5 +2052,5 @@ object TextQueries {
       q209TemperatureMix, q210IndexedGrep, q223EpochShuffle,
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
-      q242VocabGrowth)
+      q242VocabGrowth, q264DsirSelection, q265BigramSurprisal)
 }

@@ -95,4 +95,74 @@ class TextScoringSpec extends AnyFunSuite with SparkSpec {
       assert((nNeigh == 0L) == r.isNullAt(r.fieldIndex("agree")))
     }
   }
+
+  test("bigramSurprisalBits: formulaic text scores fewer bits per bigram") {
+    // ten copies of one fixed sentence (fully predictable bigrams) vs one
+    // doc scrambling the same vocabulary — conditional entropy separates
+    // them where unigram surprisal cannot (identical token multisets)
+    val formula = "alpha beta gamma delta alpha beta gamma delta"
+    val scramble = "alpha delta beta alpha gamma gamma delta beta"
+    val docs = ((1L to 10L).map(i => (i, formula)) :+ (99L, scramble))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramSurprisalBits(docs, "doc_id", "text")
+      .select("doc_id", "avg_millibits").as[(Long, Long)].collect.toMap
+    assert(got(1L) < got(99L),
+      s"formulaic=${got(1L)} must score below scrambled=${got(99L)}")
+    // single-token and empty docs emit no row
+    val tiny = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val rows = TextStats.bigramSurprisalBits(tiny, "doc_id", "text")
+      .select("doc_id").as[Long].collect.toSeq
+    assert(rows == Seq(3L))
+  }
+
+  test("bigram bits are the exact integer floor-log2 of the context ratio") {
+    // corpus: "x a", "x b", "x b", "x b" → c(x·)=4; bigram "x a" has
+    // c12=1 → bits=floor(log2(4))=2; "x b" c12=3 → floor(log2(4/3))=
+    // floor(log2(1))=0 (integer div first: 4 div 3 = 1)
+    val docs = Seq((1L, "x a"), (2L, "x b"), (3L, "x b"), (4L, "x b"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramSurprisalBits(docs, "doc_id", "text")
+      .select("doc_id", "bigram_bits").as[(Long, Long)].collect.toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("DSIR selection shifts the mixture toward the target predicate") {
+    import graft.ext.Dsir
+    // two sublanguages with disjoint vocabulary; target = lang t
+    val docs = ((1L to 40L).map(i =>
+        (i, "t", s"tea time ${i % 5} brew leaf steep")) ++
+      (41L to 120L).map(i =>
+        (i, "s", s"iron ore ${i % 7} smelt forge anvil")))
+      .toDF("doc_id", "lang", "text")
+    val scored = Dsir.importanceScores(docs, "doc_id", "text",
+      col("lang") === "t", buckets = 1024, carryCols = Seq("lang"))
+    val sel = Dsir.selectTopN(scored, "doc_id", 40)
+    val byLang = sel.groupBy("lang").count()
+      .as[(String, Long)].collect.toMap
+    // the 40 target docs carry target-heavy features — all selected
+    assert(byLang.getOrElse("t", 0L) == 40L, byLang.toString)
+    // scores are partitioning-invariant (exact integer sums)
+    val a = Dsir.importanceScores(docs.repartition(13), "doc_id", "text",
+      col("lang") === "t", buckets = 1024)
+      .select("doc_id", "score_bits").as[(Long, Long)].collect.toSeq.sorted
+    val b = Dsir.importanceScores(docs.repartition(3), "doc_id", "text",
+      col("lang") === "t", buckets = 1024)
+      .select("doc_id", "score_bits").as[(Long, Long)].collect.toSeq.sorted
+    assert(a == b)
+  }
+
+  test("DSIR feature table is bucket-bounded and the scoring join broadcasts") {
+    import graft.ext.Dsir
+    val docs = (1L to 60L).map(i => (i, s"w${i % 9} w${i % 4} w${i % 13}"))
+      .toDF("doc_id", "text")
+    val pairs = Dsir.hashedFeatures(docs, "doc_id", "text", buckets = 32)
+    assert(pairs.select("feat").distinct.count() <= 32)
+    assert(pairs.agg(min("feat"), max("feat"))
+      .as[(Long, Long)].collect.head._1 >= 0L)
+    val scored = Dsir.importanceScores(docs, "doc_id", "text",
+      col("doc_id") <= 20L, buckets = 32)
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
