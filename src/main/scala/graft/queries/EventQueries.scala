@@ -935,6 +935,75 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** q255's estimator on the WIDE DECIMAL(38) priority path
+    * ([[graft.ext.PrioritySampling.prioritySampleWide]]): the same event
+    * weights scaled ×2⁴⁰ (byte/token-count magnitudes — 2¹⁷× past the
+    * BIGINT fixed point's 2²³ cap, where the narrow path fails fast by
+    * design). The wide fixed point sets S = M, so priorities ARE
+    * τ-comparable weight values and the estimator is a plain
+    * `greatest(w, τ)` sum in DECIMAL(38,0); estimates de-scale to cents
+    * for adjudication. The oracle replays the wide arithmetic in
+    * HUGEINT — floor-division priorities, τ, and every estimate are
+    * value-exact, proving heavy-item corpora sample without rescaling.
+    */
+  val q266PrioritySampleWide: QuerySpec = QuerySpec.oracled(
+    "q266_priority_sample_wide",
+    """WITH w AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT)::HUGEINT * 1099511627776
+      |      AS w
+      |  FROM events
+      |  WHERE value IS NOT NULL AND round(value * 100) > 0),
+      |h AS (
+      |  SELECT *, ('0x' || substr(md5('prio:' || event_id::VARCHAR),
+      |      1, 15))::BIGINT % 1073741824 + 1 AS hu
+      |  FROM w),
+      |p AS (SELECT *, (w * 1073741824) // hu AS prio FROM h),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY prio DESC, event_id) AS rk
+      |  FROM p),
+      |tau AS (
+      |  SELECT coalesce(max(CASE WHEN rk = 1001 THEN prio END),
+      |    0::HUGEINT) AS tau
+      |  FROM r),
+      |est AS (
+      |  SELECT event_type, count(*) AS n_sampled,
+      |    CAST(sum(CASE WHEN w > tau.tau THEN w ELSE tau.tau END)
+      |      // 1099511627776 AS BIGINT) AS est_cents
+      |  FROM r CROSS JOIN tau WHERE rk <= 1000
+      |  GROUP BY event_type, tau.tau),
+      |ex AS (
+      |  SELECT event_type,
+      |    CAST(sum(w) // 1099511627776 AS BIGINT) AS exact_cents
+      |  FROM w GROUP BY event_type)
+      |SELECT ex.event_type,
+      |  CAST(coalesce(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(coalesce(est.est_cents, 0) AS BIGINT) AS est_cents,
+      |  ex.exact_cents
+      |FROM ex LEFT JOIN est ON ex.event_type = est.event_type
+      |ORDER BY ex.event_type""".stripMargin) { (spark, dir) =>
+    import graft.ext.PrioritySampling
+    import graft.queries.{CoreQueries => CQ}
+    val w = CQ.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) * 1099511627776L").as("w"))
+      .filter(col("w") > 0)
+    val sample = PrioritySampling.prioritySampleWide(w, "event_id", "w", 1000)
+    val est = PrioritySampling.subsetEstimatesWide(sample, "event_type", "w")
+      .select(col("event_type"), col("n_sampled"),
+        expr("CAST(est_total div 1099511627776L AS BIGINT)").as("est_cents"))
+    val exact = w.groupBy("event_type")
+      .agg(expr("CAST(sum(CAST(w AS DECIMAL(38,0))) div 1099511627776L " +
+        "AS BIGINT)").as("exact_cents"))
+    exact.join(est, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_cents"), lit(0L)).as("est_cents"),
+        col("exact_cents"))
+      .orderBy("event_type")
+  }
+
   private val q256Staging = new QuerySpec.StagingCache[String]
 
   /** Stage the event stream as TWO parquet files (event_id parity split)
@@ -2934,7 +3003,7 @@ object EventQueries {
       q260SingerIngestBucketed,
       q251SingerMultiStream, q252SingerStateBookmarks,
       q261SingerSchemaEvolution, q255PrioritySample,
-      q256PrioritySampleStream,
+      q256PrioritySampleStream, q266PrioritySampleWide,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
