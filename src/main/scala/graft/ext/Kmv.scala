@@ -86,20 +86,35 @@ object Kmv {
     * (a < b) group grid — that is their CONTRACT (sketch-land
     * cardinalities: tens to thousands of groups, k-row sketches), but
     * nothing in the dataflow itself stops a caller handing them 10⁵
-    * groups and a 10¹⁰-pair grid. The estimators count the groups (one
-    * aggregate over the already-tiny sketch frame) and fail fast past
-    * this default; raise `maxGroups` explicitly to accept the quadratic
-    * cost knowingly.
+    * groups and a 10¹⁰-pair grid. The estimators attach a lazy group
+    * count (a broadcast 1-row aggregate riding the estimator's own job)
+    * and fail fast past this default; raise `maxGroups` explicitly to
+    * accept the quadratic cost knowingly.
     */
   val DefaultMaxGroups: Int = 2048
 
-  private def guardGroups(
-      sk: DataFrame, groupCol: String, maxGroups: Int): Unit = {
-    val n = sk.select(col(groupCol)).distinct().count()
-    require(n <= maxGroups,
-      s"kmv: $n groups would form ~${n * (n - 1) / 2} sketch pairs — " +
-        s"beyond maxGroups=$maxGroups. Pre-filter the groups of interest " +
-        "or raise maxGroups to accept the all-pairs grid deliberately")
+  /** Attach the group-count guard LAZILY: a broadcast 1-row count joined
+    * onto the result with a row-level `assert_true`, so the check rides
+    * the estimator's own job instead of forcing a separate eager action
+    * that would re-evaluate the (lazy, usually un-cached) sketch
+    * dataflow once more per call.
+    */
+  private def withGroupGuard(
+      result: DataFrame, sk: DataFrame, groupCol: String,
+      maxGroups: Int): DataFrame = {
+    val n = sk.select(col(groupCol)).distinct()
+      .agg(count(lit(1)).as("_n_groups"))
+    result.crossJoin(broadcast(n))
+      .filter(coalesce(
+        assert_true(col("_n_groups") <= maxGroups,
+          concat(lit("kmv: "), col("_n_groups").cast("string"),
+            lit(" groups would form a quadratic sketch-pair grid — " +
+              s"beyond maxGroups=$maxGroups. Pre-filter the groups of " +
+              "interest or raise maxGroups to accept the all-pairs " +
+              "grid deliberately")))
+          .cast("boolean"),
+        lit(true)))
+      .drop("_n_groups")
   }
 
   /** The merged (a < b) pair sketch: per pair, the k smallest hashes of
@@ -144,8 +159,9 @@ object Kmv {
   def setEstimates(
       sk: DataFrame, groupCol: String, k: Int,
       maxGroups: Int = DefaultMaxGroups): DataFrame = {
-    guardGroups(sk, groupCol, maxGroups)
-    rankedUnion(sk, groupCol, k).groupBy("ga", "gb")
+    withGroupGuard(
+      rankedUnion(sk, groupCol, k), sk, groupCol, maxGroups)
+      .groupBy("ga", "gb")
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rk") === k, col("h"))).as("hk"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
@@ -172,8 +188,9 @@ object Kmv {
   def differenceEstimates(
       sk: DataFrame, groupCol: String, k: Int,
       maxGroups: Int = DefaultMaxGroups): DataFrame = {
-    guardGroups(sk, groupCol, maxGroups)
-    rankedUnion(sk, groupCol, k).groupBy("ga", "gb")
+    withGroupGuard(
+      rankedUnion(sk, groupCol, k), sk, groupCol, maxGroups)
+      .groupBy("ga", "gb")
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rk") === k, col("h"))).as("hk"),
         sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)

@@ -107,14 +107,32 @@ object PrioritySampling {
     require(k >= 1, s"priority sampling: k must be >= 1, got $k")
     val top2 = annotated
       .orderBy(col("_prio").desc, col(idCol).asc).limit(2 * (k + 1))
-    // ≤ 2(k+1) rows from here on: window + filter are driver-cheap.
+    // ≤ 2(k+1) rows from here on: windows + filters are driver-cheap.
     // max-priority survivor per id is deterministic (replay duplicates
     // are bit-identical; the (prio desc, id) order is a total order).
+    //
+    // The at-most-twice contract is ENFORCED, not assumed: the top-2(k+1)
+    // coverage bound holds iff each id contributes ≤ 2 rows to the
+    // truncated window (a third copy cut off below the limit leaves only
+    // 2 visible — bound intact either way), so a third VISIBLE copy is
+    // exactly the violation that silently displaces a genuine member.
+    // Row-level assert on the same window pass — no extra action.
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
     top2
       .withColumn("_dup_rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("_prio").desc)))
-      .filter(col("_dup_rk") === 1).drop("_dup_rk")
+      .withColumn("_dup_n", count(lit(1)).over(wId))
+      .filter(coalesce(
+        assert_true(col("_dup_n") <= 2,
+          lit(s"priority sampling: id `$idCol` appears 3+ times in the " +
+            "merge input — state ids are unique and a batch's ids must " +
+            "be unique, so merge at most state ∪ ONE batch at a time " +
+            "(and dedup batches with duplicate ids upstream)"))
+          .cast("boolean"),
+        lit(true)))
+      .filter(col("_dup_rk") === 1).drop("_dup_rk", "_dup_n")
       .orderBy(col("_prio").desc, col(idCol).asc).limit(k + 1)
   }
 

@@ -95,14 +95,37 @@ object BucketedSnapshot {
 
   private val ManifestRe = """_current\.(\d{9})""".r
 
-  private def parsePointer(text: String): Option[Pointer] = {
+  /** Manifest records end with a literal `ok` terminator: a torn write
+    * observed mid-flight ("12 4 9" seen as "1") would otherwise parse as
+    * a VALID pointer to the wrong version — a digit prefix is still
+    * digits. Requiring the terminator makes any truncation unparseable,
+    * so readers fall through to the previous committed manifest. The
+    * legacy single `_current` file (pre-manifest format) carries no
+    * terminator and is parsed leniently — it was always
+    * rename-committed, never observed mid-write.
+    */
+  private def parsePointer(
+      text: String, requireTerminator: Boolean): Option[Pointer] = {
     val parts = text.trim.split("\\s+")
-    // a torn/garbage manifest (non-atomic write interrupted) parses to
-    // None and the reader falls through to the previous committed one
-    scala.util.Try(Pointer(
-      parts(0).toInt,
-      if (parts.length > 1) Some(parts(1).toInt) else None,
-      if (parts.length > 2) Some(parts(2).toLong) else None)).toOption
+    val payload =
+      if (!requireTerminator) Some(parts)
+      else if (parts.length >= 2 && parts.last == "ok")
+        Some(parts.dropRight(1))
+      else if (parts.length >= 2 && parts.forall(_.forall(_.isDigit)))
+        // pre-terminator manifest format ("v b [g]") — still readable.
+        // Tear-safety holds: ≥2 tokens means a space follows token 1, so
+        // the VERSION is complete; a torn-off buckets digit fails the
+        // checkBuckets require loudly, a torn-off gen falls back to the
+        // legacy max-scan. Only the dangerous single-token digit prefix
+        // ("1" observed from "12 …") is rejected.
+        Some(parts)
+      else None
+    payload.flatMap { p =>
+      scala.util.Try(Pointer(
+        p(0).toInt,
+        if (p.length > 1) Some(p(1).toInt) else None,
+        if (p.length > 2) Some(p(2).toLong) else None)).toOption
+    }
   }
 
   /** Read the newest COMMITTED pointer. The pointer is a sequence of
@@ -122,25 +145,51 @@ object BucketedSnapshot {
     val dir = layoutDir(snapshotDir, stream)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
-    if (!f.exists(dirPath)) return None
-    def slurp(p: org.apache.hadoop.fs.Path): Option[Pointer] =
+    def slurp(p: org.apache.hadoop.fs.Path,
+        requireTerminator: Boolean): Option[Pointer] =
       scala.util.Try {
         val in = f.open(p)
         try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
-      }.toOption.flatMap(parsePointer)
-    val manifests = f.listStatus(dirPath).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case ManifestRe(seq) => Some(seq.toLong -> st.getPath)
-        case _ => None
-      })
-      .sortBy(-_._1)
-    manifests.view.flatMap { case (_, p) => slurp(p) }.headOption
-      .orElse {
+      }.toOption.flatMap(parsePointer(_, requireTerminator))
+    // List-then-open race: between our listing and our open, the single
+    // writer can commit (twice) and GC every manifest we listed — all
+    // opens then miss, which must NOT read as "no snapshot" (a fold
+    // would silently rebuild from its delta alone, the data-loss mode
+    // the commit protocol exists to prevent). Manifests present in a
+    // listing but all unreadable ⇒ re-list; only a listing with NO
+    // manifests (and no legacy file) means no snapshot. Bounded retries,
+    // then fail loudly rather than lie.
+    var attempt = 0
+    while (attempt < 5) {
+      if (!f.exists(dirPath)) return None
+      val manifests = f.listStatus(dirPath).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case ManifestRe(seq) => Some(seq.toLong -> st.getPath)
+          case _ => None
+        })
+        .sortBy(-_._1)
+      val resolved = manifests.view
+        .flatMap { case (_, p) => slurp(p, requireTerminator = true) }
+        .headOption
+      if (resolved.isDefined) return resolved
+      if (manifests.isEmpty) {
         val legacy = new org.apache.hadoop.fs.Path(s"$dir/_current")
-        if (f.exists(legacy)) slurp(legacy) else None
+        return if (f.exists(legacy))
+          slurp(legacy, requireTerminator = false)
+        else None
       }
+      // manifests listed but none readable/parseable — racing commit+GC
+      // or all-torn; re-list (new manifests will have appeared in the
+      // racing case)
+      attempt += 1
+      if (attempt < 5) Thread.sleep(50L * attempt)
+    }
+    throw new IllegalStateException(
+      s"bucketed snapshot '$stream' at $snapshotDir: pointer manifests " +
+        "exist but none parsed after retries — refusing to treat a " +
+        "present-but-unreadable pointer as an absent snapshot")
   }
 
   private def maxManifestSeq(
@@ -166,7 +215,9 @@ object BucketedSnapshot {
     val f = fs(spark, dir)
     val seq = maxManifestSeq(f, dirPath) + 1L
     val ptr = new org.apache.hadoop.fs.Path(dir + f"/_current.$seq%09d")
-    val body = s"$version $buckets" + gen.map(g => s" $g").getOrElse("")
+    // trailing `ok` = torn-write detector (see parsePointer)
+    val body =
+      s"$version $buckets" + gen.map(g => s" $g").getOrElse("") + " ok"
     val out = f.create(ptr, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     // GC: keep seq and seq-1, drop the rest (+ the legacy file, now
@@ -452,13 +503,25 @@ object BucketedSnapshot {
     */
   def reset(
       spark: SparkSession, stream: String, snapshotDir: String): Unit = {
-    currentVersion(spark, snapshotDir, stream).foreach { v =>
-      spark.sql(s"DROP TABLE IF EXISTS " +
-        s"`${tableName(snapshotDir, stream, v)}`")
-    }
+    // best-effort catalog cleanup: reset must succeed even when the
+    // pointer is unreadable (that unreadable state is often WHY the
+    // caller is resetting) — sweep every version's table name instead
+    // of reading the pointer for the current one
+    val f = fs(spark, layoutDir(snapshotDir, stream))
     val p = new org.apache.hadoop.fs.Path(layoutDir(snapshotDir, stream))
-    val f = fs(spark, p.toString)
-    if (f.exists(p)) f.delete(p, true)
+    if (f.exists(p)) {
+      f.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case n if n.startsWith("v") =>
+            scala.util.Try(n.drop(1).toInt).foreach { v =>
+              spark.sql(s"DROP TABLE IF EXISTS " +
+                s"`${tableName(snapshotDir, stream, v)}`")
+            }
+          case _ => ()
+        }
+      }
+      f.delete(p, true)
+    }
     ()
   }
 

@@ -538,7 +538,7 @@ object EtlQueries {
          |  FROM $e)""".stripMargin
     }
     val roundCtes = (1 to rounds).map { i =>
-      eStep(s"e$i", s"r${i - 1}", if (i == 1) "pat" else "pat") + ",\n" +
+      eStep(s"e$i", s"r${i - 1}", "pat") + ",\n" +
         mStep(s"r$i", s"e$i")
     }.mkString(",\n")
     val fin = eStep("ef", s"r$rounds", "pat")

@@ -987,7 +987,12 @@ object EventQueries {
     val w = CQ.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT) * 1099511627776L").as("w"))
+        // the ×2⁴⁰ scale-up must itself run in DECIMAL: a BIGINT multiply
+        // would wrap for cents ≥ 2²³ and filter(w > 0) would then silently
+        // drop the HEAVIEST items — the exact overflow mode this wide-path
+        // query exists to rule out
+        expr("CAST(CAST(round(value * 100) AS DECIMAL(38,0)) * " +
+          "1099511627776 AS DECIMAL(38,0))").as("w"))
       .filter(col("w") > 0)
     val sample = PrioritySampling.prioritySampleWide(w, "event_id", "w", 1000)
     val est = PrioritySampling.subsetEstimatesWide(sample, "event_type", "w")

@@ -80,10 +80,10 @@ class SingerSource extends TableProvider with DataSourceRegister {
       SingerSource.StateSchema
     else if (files.isEmpty) new StructType()
     else if ("true".equalsIgnoreCase(options.get("mergeSchemas")))
-      SingerSource.mergedSchemaFromFiles(files, conf,
-        Option(options.get("stream")))
-    else SingerSource.schemaFromFiles(files, conf,
-      Option(options.get("stream")))
+      SingerSource.markInferred(SingerSource.mergedSchemaFromFiles(
+        files, conf, Option(options.get("stream"))))
+    else SingerSource.markInferred(SingerSource.schemaFromFiles(
+      files, conf, Option(options.get("stream"))))
   }
 
   override def getTable(
@@ -110,6 +110,26 @@ object SingerSource {
   val StateSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("value", StringType, nullable = true)))
+
+  /** Field-metadata marker distinguishing an INFERRED table schema from
+    * a user-supplied one. The reader's divergent-SCHEMA fail-fast (see
+    * [[SingerPartitionReader]]) only makes sense for inferred schemas —
+    * a user who passed `.schema(...)` explicitly chose their projection,
+    * and narrowing below a file's SCHEMA is then intent, not silent data
+    * loss. DSv2 hands `getTable` the schema with no provenance, so the
+    * provenance rides in field metadata (which Spark preserves through
+    * the scan plumbing).
+    */
+  private[sources] val InferredMetaKey = "graft.singer.inferred"
+
+  private[sources] def markInferred(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putBoolean(InferredMetaKey, true)
+        .build())))
+
+  private[sources] def isInferred(s: StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(InferredMetaKey))
 
   /** The `path` / `paths` (JSON array) options, failing fast if absent. */
   private[sources] def resolvePaths(
@@ -811,6 +831,9 @@ private[sources] class SingerPartitionReader(
   private var row: InternalRow = _
 
   private val knownFields = full.fieldNames.toSet
+  // the divergence check guards INFERRED schemas only: a user-supplied
+  // .schema(...) is a deliberate projection, not silent truncation
+  private val strictSchema = SingerSource.isInferred(full)
 
   override def next(): Boolean = {
     var line = in.readLine()
@@ -827,7 +850,7 @@ private[sources] class SingerPartitionReader(
               SingerSource.convert(rec.get(f.name), f.dataType)))
             return true
           }
-        } else if (tpe == "SCHEMA" &&
+        } else if (tpe == "SCHEMA" && strictSchema &&
             streamFilter.forall(_ == n.path("stream").asText)) {
           // Divergent-SCHEMA detection: materialization reads ONLY the
           // table schema's fields, so a file whose SCHEMA gained columns
@@ -903,17 +926,23 @@ private[sources] class SingerBatchWrite(
     // progress at all is treated as dead (the `staleTmpTtlMs` option's
     // documented assumption).
     val staleBefore = System.currentTimeMillis() - staleTmpTtlMs
-    def newestMtime(p: Path): Long = {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
-    }
+    // A concurrently-committing writer can rename/delete entries out of
+    // its own tmp dir while this walk is mid-scan; a vanished path means
+    // its owner is ALIVE, so treat any listing/status miss as "fresh"
+    // (never GC) rather than letting the FileNotFoundException fail THIS
+    // job's commit.
+    def newestMtime(p: Path): Long =
+      scala.util.Try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +:
+          fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+      }.getOrElse(Long.MaxValue)
     fs.listStatus(target).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("_tmp-") && n != s"_tmp-$writeId" &&
           newestMtime(st.getPath) < staleBefore)
-        fs.delete(st.getPath, true)
+        scala.util.Try(fs.delete(st.getPath, true)) // racing owner wins
     }
     // Overwrite crash semantics (documented, not hidden): victims are
     // captured now and deleted only AFTER every rename succeeds. A crash

@@ -100,9 +100,13 @@ class BucketedSnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(manifests.length == 2, manifests.mkString(","))
     assert(BucketedSnapshot.currentVersion(spark, dir, "s").contains(2))
     // a TORN manifest with a higher seq (partial write crash) is skipped,
-    // not trusted: readers fall back to the newest valid one
+    // not trusted: readers fall back to the newest valid one — including
+    // the insidious digit-prefix tear ("1" observed from an intended
+    // "1 2 ok"), which the `ok` terminator rejects
     val torn = new java.io.File(layout, "_current.999999999")
     val w = new java.io.FileWriter(torn); w.write("garb"); w.close()
+    assert(BucketedSnapshot.currentVersion(spark, dir, "s").contains(2))
+    val w2 = new java.io.FileWriter(torn); w2.write("1"); w2.close()
     assert(BucketedSnapshot.currentVersion(spark, dir, "s").contains(2))
     assert(BucketedSnapshot.read(spark, "s", dir, Seq("k"), 2).get
       .orderBy("k").as[(Long, String)].collect.toSeq ==

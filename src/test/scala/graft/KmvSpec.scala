@@ -68,14 +68,19 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
   test("pairwise estimators fail fast past the group-count guard") {
     val df = (1L to 300L).map(i => (s"g${i % 5}", i)).toDF("g", "v")
     val sk = Kmv.sketch(df, "g", "v", k = 16)
-    val e = intercept[IllegalArgumentException] {
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    // the guard is LAZY (row-level assert riding the estimator's own
+    // job — no separate eager sketch evaluation), so it fires at action
+    val e = intercept[Exception] {
       Kmv.setEstimates(sk, "g", 16, maxGroups = 3).collect()
     }
-    assert(e.getMessage.contains("maxGroups"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
+    assert(chain(e).exists(_.contains("maxGroups")), chain(e).mkString("|"))
+    val e2 = intercept[Exception] {
       Kmv.differenceEstimates(sk, "g", 16, maxGroups = 3).collect()
     }
-    assert(e2.getMessage.contains("maxGroups"), e2.getMessage)
+    assert(chain(e2).exists(_.contains("maxGroups")), chain(e2).mkString("|"))
     // at the cap, both run
     assert(Kmv.setEstimates(sk, "g", 16, maxGroups = 5).count() == 10L)
     assert(Kmv.differenceEstimates(sk, "g", 16, maxGroups = 5).count() == 10L)

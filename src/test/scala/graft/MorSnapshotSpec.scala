@@ -124,7 +124,7 @@ class MorSnapshotSpec extends AnyFunSuite with SparkSpec {
     // simulate the reservation-only crash: bump the pointer by hand
     val layout = new java.io.File(s"$dir/s.snapshot.bucketed")
     val w = new java.io.FileWriter(new java.io.File(layout, "_current.000000099"))
-    w.write("1 2 7"); w.close()
+    w.write("1 2 7 ok"); w.close()
     val got = BucketedSnapshot.foldMor(spark,
       Seq((2L, "B2")).toDF("k", "name"), "s", dir, Seq("k"), 2)
       .orderBy("k").as[(Long, String)].collect.toSeq

@@ -518,6 +518,15 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     val got = merged.orderBy("id")
       .as[(Long, String, Option[Double])].collect.toSeq
     assert(got == Seq((1L, "a", None), (2L, "b", Some(4.5))))
+    // a USER-SUPPLIED narrower schema is a deliberate projection, not
+    // silent truncation — the divergence check applies to INFERRED
+    // schemas only (provenance rides in field metadata)
+    val narrow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val projected = spark.read.format("graft-singer").schema(narrow)
+      .load(dir).as[Long].collect.toSeq.sorted
+    assert(projected == Seq(1L, 2L))
     // incompatible evolution (same field, different type) cannot merge
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/c.singer"),
