@@ -1130,6 +1130,130 @@ object EventQueries {
       .orderBy("event_type")
   }.withSetup((s, d) => { stageQ256(s, d); () })
 
+  private val q267Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the event stream with WIDE (×2⁴⁰ DECIMAL) weights as two
+    * parquet files — q256's two-micro-batch shape on q266's weight
+    * regime. Memoized per sf dir.
+    */
+  private def stageQ267(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q267Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q267_events", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val ev = CoreQueries.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(CAST(round(value * 100) AS DECIMAL(38,0)) * " +
+            "1099511627776 AS DECIMAL(38,0))").as("w"))
+        .filter(col("w") > 0)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$staged/00")
+      flattenPart(spark, staged.toString, "00", "a.parquet")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$staged/01")
+      flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** q266's WIDE sample maintained over the q256 micro-batch loop:
+    * per-batch `mergeTopK(state ∪ annotateWide(batch))` with temp-write +
+    * swap state. DECIMAL(38) priorities are just as deterministic as the
+    * BIGINT ones, so the maintained wide sketch — and every estimate off
+    * it — equals the one-shot q266 sample EXACTLY at this k, under
+    * weights 2¹⁷ past the narrow fixed point's cap. Stream ≡ batch on
+    * the heavy-item regime; the oracle is q266's full HUGEINT replay at
+    * k = 500.
+    */
+  val q267PrioritySampleWideStream: QuerySpec = QuerySpec.oracled(
+    "q267_priority_sample_wide_stream",
+    """WITH w AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT)::HUGEINT * 1099511627776
+      |      AS w
+      |  FROM events
+      |  WHERE value IS NOT NULL AND round(value * 100) > 0),
+      |h AS (
+      |  SELECT *, ('0x' || substr(md5('prio:' || event_id::VARCHAR),
+      |      1, 15))::BIGINT % 1073741824 + 1 AS hu
+      |  FROM w),
+      |p AS (SELECT *, (w * 1073741824) // hu AS prio FROM h),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY prio DESC, event_id) AS rk
+      |  FROM p),
+      |tau AS (
+      |  SELECT coalesce(max(CASE WHEN rk = 501 THEN prio END),
+      |    0::HUGEINT) AS tau
+      |  FROM r),
+      |est AS (
+      |  SELECT event_type, count(*) AS n_sampled,
+      |    CAST(sum(CASE WHEN w > tau.tau THEN w ELSE tau.tau END)
+      |      // 1099511627776 AS BIGINT) AS est_cents
+      |  FROM r CROSS JOIN tau WHERE rk <= 500
+      |  GROUP BY event_type, tau.tau),
+      |ex AS (
+      |  SELECT event_type,
+      |    CAST(sum(w) // 1099511627776 AS BIGINT) AS exact_cents
+      |  FROM w GROUP BY event_type)
+      |SELECT ex.event_type,
+      |  CAST(coalesce(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(coalesce(est.est_cents, 0) AS BIGINT) AS est_cents,
+      |  ex.exact_cents
+      |FROM ex LEFT JOIN est ON ex.event_type = est.event_type
+      |ORDER BY ex.event_type""".stripMargin) { (spark, dir) =>
+    import graft.ext.PrioritySampling
+    val k = 500
+    val staged = stageQ267(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q267_state", dir)
+    val ckpt = QuerySpec.stagedPath("q267_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q267_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q267_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ann = PrioritySampling.annotateWide(batch, "event_id", "w")
+        val state = new java.io.File(stateDir)
+        val unioned =
+          if (state.exists())
+            ann.unionByName(batch.sparkSession.read.parquet(stateDir))
+          else ann
+        val next = PrioritySampling.mergeTopK(unioned, "event_id", k)
+        val tmp = s"${stateDir}__next"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        next.coalesce(1).write.parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(state)
+        if (!new java.io.File(tmp).renameTo(state))
+          throw new IllegalStateException(s"state swap failed: $tmp")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val sample = PrioritySampling.finalizeSample(
+      spark.read.parquet(stateDir), "event_id", k)
+    val est = PrioritySampling.subsetEstimatesWide(sample, "event_type", "w")
+      .select(col("event_type"), col("n_sampled"),
+        expr("CAST(est_total div 1099511627776L AS BIGINT)").as("est_cents"))
+    val exact = spark.read.parquet(s"$staged/a.parquet")
+      .unionByName(spark.read.parquet(s"$staged/b.parquet"))
+      .groupBy("event_type")
+      .agg(expr("CAST(sum(CAST(w AS DECIMAL(38,0))) div 1099511627776L " +
+        "AS BIGINT)").as("exact_cents"))
+    exact.join(est, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_cents"), lit(0L)).as("est_cents"),
+        col("exact_cents"))
+      .orderBy("event_type")
+  }.withSetup((s, d) => { stageQ267(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -3009,6 +3133,7 @@ object EventQueries {
       q251SingerMultiStream, q252SingerStateBookmarks,
       q261SingerSchemaEvolution, q255PrioritySample,
       q256PrioritySampleStream, q266PrioritySampleWide,
+      q267PrioritySampleWideStream,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,

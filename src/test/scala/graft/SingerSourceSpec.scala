@@ -453,6 +453,44 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
       "a dir whose CONTENTS are fresh must survive even with an old dir mtime")
   }
 
+  test("mergeSchemas composes with the stream option: per-stream widening") {
+    val dir = tmpDir("singer_evolve_ms")
+    new java.io.File(dir).mkdirs()
+    def schemaLine(stream: String, props: String) =
+      s"""{"type":"SCHEMA","stream":"$stream","schema":""" +
+        s"""{"type":["object","null"],"properties":{$props}},""" +
+        """"key_properties":[]}"""
+    val idP = """"id":{"type":["integer","null"]}"""
+    val nmP = """"nm":{"type":["string","null"]}"""
+    val xP = """"x":{"type":["number","null"]}"""
+    // file a: stream d (id), stream c (id, x) interleaved
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.singer"),
+      schemaLine("d", idP) + "\n" +
+        """{"type":"RECORD","stream":"d","record":{"id":1}}""" + "\n" +
+        schemaLine("c", s"$idP,$xP") + "\n" +
+        """{"type":"RECORD","stream":"c","record":{"id":7,"x":0.5}}""" + "\n")
+    // file b: stream d WIDENED (id, nm); stream c unchanged
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.singer"),
+      schemaLine("d", s"$idP,$nmP") + "\n" +
+        """{"type":"RECORD","stream":"d","record":{"id":2,"nm":"two"}}""" +
+        "\n" + schemaLine("c", s"$idP,$xP") + "\n" +
+        """{"type":"RECORD","stream":"c","record":{"id":8,"x":1.5}}""" + "\n")
+    // merging is PER-STREAM: d widens to (id, nm) — stream c's fields
+    // (x) never leak into d's schema, and c's records never materialize
+    val d = spark.read.format("graft-singer")
+      .option("stream", "d").option("mergeSchemas", "true").load(dir)
+    assert(d.schema.fieldNames.toSeq == Seq("id", "nm"))
+    assert(d.orderBy("id").as[(Long, Option[String])].collect.toSeq ==
+      Seq((1L, None), (2L, Some("two"))))
+    val c = spark.read.format("graft-singer")
+      .option("stream", "c").option("mergeSchemas", "true").load(dir)
+    assert(c.schema.fieldNames.toSeq == Seq("id", "x"))
+    assert(c.orderBy("id").as[(Long, Double)].collect.toSeq ==
+      Seq((7L, 0.5), (8L, 1.5)))
+  }
+
   test("streaming write file names are deterministic per (epoch, partition)") {
     val dir = tmpDir("singer_sw_detnames")
     val src = s"$dir/src"
