@@ -245,6 +245,13 @@ object SingerSource {
     * winner the user never chose. Real because each export re-infers its
     * own schema (ref: src/singer.ts:34-166) — two exports into one
     * directory CAN legitimately disagree after a tap gained columns.
+    *
+    * Cost note: merged inference opens every file ON THE DRIVER and
+    * reads to its first matching SCHEMA line (normally line 1), so it is
+    * O(files) driver-side opens — fine for the thousands-of-exports
+    * directories taps produce; for an extreme file count, prefer the
+    * default first-file inference plus an explicit widened `.schema(...)`
+    * (the read-time divergence check only applies to inferred schemas).
     */
   private[sources] def mergedSchemaFromFiles(
       files: Seq[String], conf: Configuration,
