@@ -114,12 +114,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val exemptJson = exempt.map(JsonEscape(_)).mkString("[", ",", "]")
-    // Headline first as its own COMPACT line: the driver's artifact capture
-    // truncates long lines (BENCH_r04/r05 recorded "parsed": null with the
-    // tail landing mid-map), so the big per-query line alone can lose the
-    // round's one number. A short self-contained line always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // The driver's artifact capture keeps the TAIL of stdout and truncates
+    // long lines (BENCH_r04..r06 recorded "parsed": null with the tail
+    // landing mid-map in the big per-query line). Print the compact
+    // headline BOTH before and after the big line: the trailing copy is
+    // the one a tail capture keeps; the leading copy aids humans reading
+    // the full log top-down.
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(headline)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"bench_exempt":$exemptJson,"sf":"$sfDir"}""")
+    println(headline)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
