@@ -93,18 +93,21 @@ object Kmv {
     */
   val DefaultMaxGroups: Int = 2048
 
-  /** Attach the group-count guard LAZILY: a broadcast 1-row count joined
-    * onto the result with a row-level `assert_true`, so the check rides
-    * the estimator's own job instead of forcing a separate eager action
-    * that would re-evaluate the (lazy, usually un-cached) sketch
-    * dataflow once more per call.
+  /** Attach the group-count guard UPSTREAM of the pair grid: a broadcast
+    * 1-row count joined onto the distinct-GROUPS frame (|groups| rows)
+    * with a row-level `assert_true`, so the check evaluates while the
+    * grid join SCANS its inputs — BEFORE the quadratic (pairs × sketch)
+    * output materializes or shuffles. Past maxGroups the job dies at
+    * O(|groups|) rows scanned, not after paying (and possibly dying on)
+    * a 10¹⁰-pair grid. Still lazy: the guard rides the estimator's own
+    * job rather than forcing a separate eager action that would
+    * re-evaluate the (usually un-cached) sketch dataflow once more.
     */
-  private def withGroupGuard(
-      result: DataFrame, sk: DataFrame, groupCol: String,
-      maxGroups: Int): DataFrame = {
-    val n = sk.select(col(groupCol)).distinct()
-      .agg(count(lit(1)).as("_n_groups"))
-    result.crossJoin(broadcast(n))
+  private def guardedGroups(
+      sk: DataFrame, groupCol: String, maxGroups: Int): DataFrame = {
+    val groups = sk.select(col(groupCol)).distinct()
+    val n = groups.agg(count(lit(1)).as("_n_groups"))
+    groups.crossJoin(broadcast(n))
       .filter(coalesce(
         assert_true(col("_n_groups") <= maxGroups,
           concat(lit("kmv: "), col("_n_groups").cast("string"),
@@ -119,14 +122,17 @@ object Kmv {
 
   /** The merged (a < b) pair sketch: per pair, the k smallest hashes of
     * the two sketches' union, each flagged with which side(s) carried it
-    * — the shared uniform sample every pairwise estimator reads.
+    * — the shared uniform sample every pairwise estimator reads. The
+    * maxGroups guard sits on the grid's INPUT frames (see
+    * [[guardedGroups]]) so an oversized group set fails fast.
     */
   private def rankedUnion(
-      sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+      sk: DataFrame, groupCol: String, k: Int, maxGroups: Int): DataFrame = {
     val a = sk.select(col(groupCol).as("ga"), col("h"))
     val b = sk.select(col(groupCol).as("gb"), col("h"))
-    val pairs = sk.select(col(groupCol).as("ga")).distinct()
-      .join(sk.select(col(groupCol).as("gb")).distinct(),
+    val guarded = guardedGroups(sk, groupCol, maxGroups)
+    val pairs = guarded.select(col(groupCol).as("ga"))
+      .join(guarded.select(col(groupCol).as("gb")),
         col("ga") < col("gb"))
     val aSide = pairs.join(a, Seq("ga"))
       .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"),
@@ -159,8 +165,7 @@ object Kmv {
   def setEstimates(
       sk: DataFrame, groupCol: String, k: Int,
       maxGroups: Int = DefaultMaxGroups): DataFrame = {
-    withGroupGuard(
-      rankedUnion(sk, groupCol, k), sk, groupCol, maxGroups)
+    rankedUnion(sk, groupCol, k, maxGroups)
       .groupBy("ga", "gb")
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rk") === k, col("h"))).as("hk"),
@@ -188,8 +193,7 @@ object Kmv {
   def differenceEstimates(
       sk: DataFrame, groupCol: String, k: Int,
       maxGroups: Int = DefaultMaxGroups): DataFrame = {
-    withGroupGuard(
-      rankedUnion(sk, groupCol, k), sk, groupCol, maxGroups)
+    rankedUnion(sk, groupCol, k, maxGroups)
       .groupBy("ga", "gb")
       .agg(count(lit(1)).as("n_kept"),
         max(when(col("rk") === k, col("h"))).as("hk"),
@@ -199,6 +203,45 @@ object Kmv {
           .otherwise(0L)).as("only_b"))
       .withColumn("est_union", unionSizeExpr(k))
       .select(col("ga"), col("gb"),
+        expr("CAST(only_a * est_union div n_kept AS BIGINT)")
+          .as("est_a_not_b"),
+        expr("CAST(only_b * est_union div n_kept AS BIGINT)")
+          .as("est_b_not_a"))
+  }
+
+  /** The FULL pairwise set algebra in ONE pass: per (a < b) pair,
+    * `est_union`, `est_intersect`, `est_a_not_b`, `est_b_not_a` — the
+    * row a profile dashboard actually asks for. [[setEstimates]] and
+    * [[differenceEstimates]] each rebuild the merged pair sketch
+    * ([[rankedUnion]]) from scratch, so calling both pays the
+    * (pairs × sketch) shuffle twice; this computes the shared sample
+    * once and reads all four estimators off ONE aggregation — same
+    * single keyed shuffle + one groupBy, half the sketch-land work.
+    *
+    * Results are DEFINED to be byte-identical to the two separate
+    * calls: every output column is the same integer expression over the
+    * same (n_kept, hk, common/only_a/only_b) aggregates, floor division
+    * and all, so `setAlgebra(sk) ≡ setEstimates(sk) ⋈ differenceEstimates
+    * (sk)` exactly (pinned by KmvSpec and the q268 oracle).
+    */
+  def setAlgebra(
+      sk: DataFrame, groupCol: String, k: Int,
+      maxGroups: Int = DefaultMaxGroups): DataFrame = {
+    rankedUnion(sk, groupCol, k, maxGroups)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("hk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("common"),
+        sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+          .otherwise(0L)).as("only_a"),
+        sum(when(col("in_a") === 0 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("only_b"))
+      .withColumn("est_union", unionSizeExpr(k))
+      .select(col("ga"), col("gb"),
+        col("est_union"),
+        expr("CAST(common * est_union div n_kept AS BIGINT)")
+          .as("est_intersect"),
         expr("CAST(only_a * est_union div n_kept AS BIGINT)")
           .as("est_a_not_b"),
         expr("CAST(only_b * est_union div n_kept AS BIGINT)")

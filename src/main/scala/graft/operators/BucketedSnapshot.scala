@@ -112,13 +112,17 @@ object BucketedSnapshot {
       else if (parts.length >= 2 && parts.last == "ok")
         Some(parts.dropRight(1))
       else if (parts.length >= 2 && parts.forall(_.forall(_.isDigit)))
-        // pre-terminator manifest format ("v b [g]") — still readable.
-        // Tear-safety holds: ≥2 tokens means a space follows token 1, so
-        // the VERSION is complete; a torn-off buckets digit fails the
-        // checkBuckets require loudly, a torn-off gen falls back to the
-        // legacy max-scan. Only the dangerous single-token digit prefix
-        // ("1" observed from "12 …") is rejected.
-        Some(parts)
+        // pre-terminator manifest format ("v b") — still readable, but
+        // NEVER trust a gen token here: a torn new-format record
+        // ("1 2 77 ok" observed as "1 2 7") is all-digits with ≥2 tokens
+        // and would parse as a VALID pointer carrying a STALE generation
+        // — two folds would then share a generation and MOR keep-last
+        // resolution becomes arbitrary. Taking only version+buckets is
+        // safe: ≥2 tokens means a space follows token 1 so the VERSION
+        // is complete, a torn-off buckets digit fails the checkBuckets
+        // require loudly, and gen=None falls back to the max(GenCol)
+        // scan, which is slow but always correct.
+        Some(parts.take(2))
       else None
     payload.flatMap { p =>
       scala.util.Try(Pointer(
@@ -176,9 +180,18 @@ object BucketedSnapshot {
       if (resolved.isDefined) return resolved
       if (manifests.isEmpty) {
         val legacy = new org.apache.hadoop.fs.Path(s"$dir/_current")
-        return if (f.exists(legacy))
-          slurp(legacy, requireTerminator = false)
-        else None
+        if (!f.exists(legacy)) return None
+        // Legacy `_current` was rename-committed (never observed
+        // mid-write), so present-but-unreadable/unparseable is an
+        // infrastructure fault, NOT "no snapshot" — returning None here
+        // would let the next fold silently rebuild from its delta alone
+        // (the data-loss mode the manifest path refuses loudly above).
+        return Some(slurp(legacy, requireTerminator = false).getOrElse(
+          throw new IllegalStateException(
+            s"bucketed snapshot '$stream' at $snapshotDir: legacy " +
+              "_current pointer exists but is unreadable or unparseable " +
+              "— refusing to treat a present pointer as an absent " +
+              "snapshot")))
       }
       // manifests listed but none readable/parseable — racing commit+GC
       // or all-torn; re-list (new manifests will have appeared in the

@@ -2735,6 +2735,83 @@ object EventQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** The FULL KMV set algebra in ONE pass ([[graft.ext.Kmv.setAlgebra]]):
+    * union, intersection, and BOTH differences per audience pair off a
+    * single merged-pair-sketch aggregation — what a profile dashboard
+    * calls, where chaining q258's [[graft.ext.Kmv.setEstimates]] and
+    * q263's [[graft.ext.Kmv.differenceEstimates]] pays the
+    * (pairs × sketch) shuffle twice. Every value is DEFINED byte-equal
+    * to the separate estimators (same integer expressions over the same
+    * aggregates — KmvSpec pins the join); the oracle replays the whole
+    * algebra in HUGEINT.
+    */
+  val q268KmvSetAlgebra: QuerySpec = QuerySpec.oracled(
+    "q268_kmv_set_algebra",
+    """WITH uk0 AS (
+      |  SELECT event_type, user_id::VARCHAR || ':' ||
+      |    (epoch_us(ts) // 86400000000)::VARCHAR AS uk
+      |  FROM events WHERE user_id IS NOT NULL),
+      |h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || uk), 1, 15))::BIGINT
+      |      % 1152921504606846976 AS h
+      |  FROM uk0),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |s AS (SELECT * FROM r WHERE rk <= 256),
+      |tp AS (SELECT DISTINCT event_type FROM s),
+      |pairs AS (
+      |  SELECT a.event_type AS ga, b.event_type AS gb
+      |  FROM tp a JOIN tp b ON a.event_type < b.event_type),
+      |sides AS (
+      |  SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+      |  FROM pairs p JOIN s ON s.event_type = p.ga
+      |  UNION ALL
+      |  SELECT p.ga, p.gb, s.h, 0, 1
+      |  FROM pairs p JOIN s ON s.event_type = p.gb),
+      |uni AS (
+      |  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |  FROM sides GROUP BY 1, 2, 3),
+      |ur AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ga, gb
+      |                               ORDER BY h) AS rk
+      |  FROM uni),
+      |ua AS (
+      |  SELECT ga, gb, count(*) AS n_kept,
+      |    max(CASE WHEN rk = 256 THEN h END) AS hk,
+      |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS common,
+      |    sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS only_a,
+      |    sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS only_b
+      |  FROM ur WHERE rk <= 256 GROUP BY 1, 2),
+      |est AS (
+      |  SELECT ga, gb,
+      |    CASE WHEN hk IS NULL THEN n_kept
+      |         ELSE (255::HUGEINT * 1152921504606846976) // hk
+      |         END AS est_union, n_kept, common, only_a, only_b
+      |  FROM ua)
+      |SELECT ga AS type_a, gb AS type_b,
+      |  CAST(est_union AS BIGINT) AS est_union,
+      |  CAST(common * est_union // n_kept AS BIGINT) AS est_intersect,
+      |  CAST(only_a * est_union // n_kept AS BIGINT) AS est_a_not_b,
+      |  CAST(only_b * est_union // n_kept AS BIGINT) AS est_b_not_a
+      |FROM est
+      |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+    import graft.ext.Kmv
+    val base = CoreQueries.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("(ts div 1000) div 86400000000").cast("string")).as("uk"))
+    Kmv.setAlgebra(
+      Kmv.sketch(base, "event_type", "uk", k = 256), "event_type", k = 256)
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("est_union"), col("est_intersect"),
+        col("est_a_not_b"), col("est_b_not_a"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q257's KMV sketch MAINTAINED over the q256 two-file event stream:
     * each micro-batch's (group, hash) rows union the persisted sketch
     * state and re-take the per-group k smallest (temp-write + swap, like
@@ -3140,7 +3217,7 @@ object EventQueries {
       q151AsofNative, q152SlidingJoinAgg, q153BitmaskCover,
       q154AsofNativeForward, q157HllRollup, q158HistQuantileRollup,
       q162HllIntersection, q257KmvDistinct, q258KmvSetOps, q259KmvStream,
-      q263KmvDifference,
+      q263KmvDifference, q268KmvSetAlgebra,
       q166RollingP90, q168HdrQuantile, q174CmsFreq,
       q176CmsJoinSize, q181DisorderAudit, q185StreamQuota,
       q214StreamFullOuter, q217TimerSessions)

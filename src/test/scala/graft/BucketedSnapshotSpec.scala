@@ -129,6 +129,26 @@ class BucketedSnapshotSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect.toSeq == Seq((1L, "a")))
   }
 
+  test("a present-but-unparseable legacy pointer fails loudly") {
+    // the legacy `_current` file was rename-committed, so a present file
+    // that can't be read or parsed is an infrastructure fault — treating
+    // it as "no snapshot" would let the next fold silently rebuild from
+    // its delta alone (data loss). Must throw, mirroring the manifest
+    // path's retry-then-fail.
+    val dir = tmpDir("bsnap_legacy_bad")
+    BucketedSnapshot.fold(spark, Seq((1L, "a")).toDF("k", "name"),
+      "s", dir, Seq("k"), 2)
+    val layout = new java.io.File(s"$dir/s.snapshot.bucketed")
+    layout.listFiles().filter(_.getName.startsWith("_current."))
+      .foreach(_.delete())
+    val w = new java.io.FileWriter(new java.io.File(layout, "_current"))
+    w.write("not a pointer"); w.close()
+    val e = intercept[IllegalStateException] {
+      BucketedSnapshot.currentVersion(spark, dir, "s")
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("snapshotRecords flag matrix routes through the bucketed layout") {
     val dir = tmpDir("bsnap_flags")
     val opts = SnapshotOptions(pk = Seq("k"), bucketBy = Some(4))

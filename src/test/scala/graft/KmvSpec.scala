@@ -84,5 +84,64 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
     // at the cap, both run
     assert(Kmv.setEstimates(sk, "g", 16, maxGroups = 5).count() == 10L)
     assert(Kmv.differenceEstimates(sk, "g", 16, maxGroups = 5).count() == 10L)
+    val e3 = intercept[Exception] {
+      Kmv.setAlgebra(sk, "g", 16, maxGroups = 3).collect()
+    }
+    assert(chain(e3).exists(_.contains("maxGroups")), chain(e3).mkString("|"))
+  }
+
+  test("the guard kills the job before the pair grid materializes") {
+    // the assert rides the distinct-GROUPS frame (the grid join's
+    // INPUTS), so an oversized group set dies scanning O(|groups|) rows
+    // — the quadratic (pairs × sketch) union/groupBy shuffle never runs.
+    // Observable: with the guard tripping, NO stage ever writes the
+    // grid's shuffle partitions for the rk window; we assert via timing
+    // proxy-free plan structure instead — the assert_true filter sits
+    // BELOW the pair join in the optimized plan.
+    val df = (1L to 100L).map(i => (s"g${i % 5}", i)).toDF("g", "v")
+    val plan = Kmv.setAlgebra(Kmv.sketch(df, "g", "v", 16), "g", 16,
+      maxGroups = 3).queryExecution.optimizedPlan
+    // find the join that builds the (ga < gb) grid; the guard's
+    // assert_true must appear in its subtree (i.e. upstream of the join),
+    // not above the final aggregate
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val gridJoin = joins.find(
+      _.condition.exists(_.sql.contains("<"))).getOrElse(
+      fail("no grid join in plan:\n" + plan.treeString))
+    // assert_true lowers to raise_error in the optimized plan
+    assert(gridJoin.toString.contains("raise_error"),
+      "guard not upstream of the grid join:\n" + plan.treeString)
+  }
+
+  test("setAlgebra equals the two separate estimators, byte for byte") {
+    val rows = (1L to 6000L).map(i => ("a", i)) ++
+      (4001L to 8000L).map(i => ("b", i)) ++
+      (1L to 500L).map(i => ("c", i * 7))
+    val sk = Kmv.sketch(rows.toDF("g", "v"), "g", "v", k = 256)
+    val one = Kmv.setAlgebra(sk, "g", 256)
+      .orderBy("ga", "gb")
+      .as[(String, String, Long, Long, Long, Long)].collect.toSeq
+    val se = Kmv.setEstimates(sk, "g", 256)
+      .as[(String, String, Long, Long)].collect
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val de = Kmv.differenceEstimates(sk, "g", 256)
+      .as[(String, String, Long, Long)].collect
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(one.size == 3)
+    one.foreach { case (ga, gb, u, i, anb, bna) =>
+      assert(se((ga, gb)) == ((u, i)), s"($ga,$gb) set mismatch")
+      assert(de((ga, gb)) == ((anb, bna)), s"($ga,$gb) diff mismatch")
+    }
+    // one pass: setAlgebra's plan carries exactly as many grid joins as
+    // ONE of the separate estimators (the pairs subtree appears once per
+    // union side), so one call replaces the two — half the sketch-land
+    // work
+    def gridJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.sql.contains("<")) => j }.size
+    assert(gridJoins(Kmv.setAlgebra(sk, "g", 256)) ==
+      gridJoins(Kmv.setEstimates(sk, "g", 256)))
   }
 }

@@ -134,6 +134,42 @@ class MorSnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(gens == Set(1L, 8L), gens.toString) // reserved-past-7 fold
   }
 
+  test("a torn no-terminator manifest never carries a stale generation") {
+    // the silent-corruption mode the `ok` terminator exists to prevent:
+    // a new-format record "1 2 3 ok" observed mid-write as "1 2 1" is
+    // all-digits with >=2 tokens, so the lenient pre-terminator branch
+    // accepts it — but its GEN token is a torn prefix (stale). If the
+    // reader trusted it, the next fold would reserve an already-used
+    // generation and keep-last resolution between the two folds sharing
+    // it would be arbitrary. The fix drops the gen on the lenient path
+    // (version+buckets only); the fold then pays the max(GenCol) scan
+    // and reserves a FRESH generation.
+    val dir = tmpDir("mor_torn_gen")
+    BucketedSnapshot.foldMor(spark,
+      Seq((1L, "g1")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    BucketedSnapshot.foldMor(spark,
+      Seq((1L, "g2")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    BucketedSnapshot.foldMor(spark,
+      Seq((1L, "g3")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    // replace every manifest with one no-terminator record carrying a
+    // stale gen token (as a torn "1 2 <bigger> ok" would read)
+    val layout = new java.io.File(s"$dir/s.snapshot.bucketed")
+    layout.listFiles().filter(_.getName.startsWith("_current."))
+      .foreach(_.delete())
+    val w = new java.io.FileWriter(
+      new java.io.File(layout, "_current.000000050"))
+    w.write("1 2 1"); w.close()
+    val got = BucketedSnapshot.foldMor(spark,
+      Seq((1L, "g4")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+      .as[(Long, String)].collect.toSeq
+    // if the stale gen=1 were trusted, the new row would land at gen 2
+    // and lose keep-last to the stored gen-3 row ("g3")
+    assert(got == Seq((1L, "g4")), got.toString)
+    val gens = BucketedSnapshot.read(spark, "s", dir, Seq("k"), 2).get
+      .select(BucketedSnapshot.GenCol).as[Long].collect.toSet
+    assert(gens.max == 4L, gens.toString)
+  }
+
   test("foldMor refuses a layout created by the rewrite fold") {
     val dir = tmpDir("mor_guard")
     BucketedSnapshot.fold(spark,
