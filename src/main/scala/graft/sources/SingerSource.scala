@@ -80,8 +80,11 @@ class SingerSource extends TableProvider with DataSourceRegister {
       SingerSource.StateSchema
     else if (files.isEmpty) new StructType()
     else if ("true".equalsIgnoreCase(options.get("mergeSchemas")))
-      SingerSource.markInferred(SingerSource.mergedSchemaFromFiles(
-        files, conf, Option(options.get("stream"))))
+      SingerSource.markInferred(SingerSource.mergedSchema(
+        files, conf, Option(options.get("stream")),
+        Option(options.get("mergeSchemasDistributedThreshold"))
+          .map(_.toInt)
+          .getOrElse(SingerSource.DistributedInferenceThreshold)))
     else SingerSource.markInferred(SingerSource.schemaFromFiles(
       files, conf, Option(options.get("stream"))))
   }
@@ -246,49 +249,82 @@ object SingerSource {
     * own schema (ref: src/singer.ts:34-166) — two exports into one
     * directory CAN legitimately disagree after a tap gained columns.
     *
-    * Cost note: merged inference opens every file ON THE DRIVER and
-    * reads to its first matching SCHEMA line (normally line 1), so it is
-    * O(files) driver-side opens — fine for the thousands-of-exports
-    * directories taps produce; for an extreme file count, prefer the
-    * default first-file inference plus an explicit widened `.schema(...)`
-    * (the read-time divergence check only applies to inferred schemas).
+    * Cost note: below [[DistributedInferenceThreshold]] files, merged
+    * inference opens each file ON THE DRIVER and reads to its first
+    * matching SCHEMA line (normally line 1) — O(files) driver-side opens,
+    * cheapest for the common small-directory case (no job-scheduling
+    * overhead). At or above the threshold the probe runs as ONE Spark
+    * job (a `parallelize` over the file list, each task reading its
+    * files' SCHEMA heads), so a tap directory with 10⁵+ exports never
+    * serializes inference through the driver — the driver only folds
+    * the per-file field lists (schema-sized, not file-sized). Both paths
+    * share [[mergeFieldLists]], so the merged schema and every
+    * divergence error are IDENTICAL regardless of which ran. Override
+    * the cutover with `option("mergeSchemasDistributedThreshold", n)`.
     */
-  private[sources] def mergedSchemaFromFiles(
-      files: Seq[String], conf: Configuration,
-      stream: Option[String] = None): StructType = {
-    if (files.isEmpty)
-      throw new IllegalArgumentException("graft-singer: no files to infer from")
-    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
-    files.foreach { f =>
-      val in = openLines(f, conf)
-      try {
-        // first matching SCHEMA per file: one export writes one SCHEMA
-        // per stream, and a file re-declaring its own stream mid-file is
-        // outside the Singer contract this source documents
-        Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .map(mapper.readTree)
-          .collectFirst {
-            case n if n.path("type").asText == "SCHEMA" &&
-                stream.forall(_ == n.path("stream").asText) => n
-          }
-          .foreach { n =>
-            val props = n.path("schema").path("properties")
-            props.fieldNames.asScala.foreach { name =>
-              val dt = CatalogSchema.toDataType(props.get(name))
-              merged.get(name) match {
-                case Some(prev) if prev != dt =>
-                  throw new IllegalArgumentException(
-                    s"graft-singer: mergeSchemas found field '$name' " +
-                      s"declared as ${prev.simpleString} and " +
-                      s"${dt.simpleString} in different files — " +
-                      "incompatible SCHEMA evolution cannot merge")
-                case Some(_) => ()
-                case None => merged.update(name, dt); ()
-              }
-            }
-          }
-      } finally in.close()
+  private[sources] val DistributedInferenceThreshold: Int = 64
+
+  /** Path dispatcher for mergeSchemas inference: driver probe below the
+    * threshold (or when no SparkSession is active — defensive, inference
+    * always runs under one), one Spark job at or above it.
+    */
+  private[sources] def mergedSchema(
+      files: Seq[String], conf: Configuration, stream: Option[String],
+      threshold: Int): StructType =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(spark) if files.size >= threshold =>
+        mergedSchemaFromFilesDistributed(spark, files, stream)
+      case _ => mergedSchemaFromFiles(files, conf, stream)
     }
+
+  /** First matching SCHEMA message's fields, in declared order — the
+    * per-file probe both merge paths run (driver-side here,
+    * executor-side in the distributed path). One export writes one
+    * SCHEMA per stream; a file re-declaring its own stream mid-file is
+    * outside the Singer contract this source documents.
+    */
+  private[sources] def firstSchemaFields(
+      file: String, conf: Configuration,
+      stream: Option[String]): Option[Seq[(String, DataType)]] = {
+    val in = openLines(file, conf)
+    try {
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(mapper.readTree)
+        .collectFirst {
+          case n if n.path("type").asText == "SCHEMA" &&
+              stream.forall(_ == n.path("stream").asText) => n
+        }
+        .map { n =>
+          val props = n.path("schema").path("properties")
+          props.fieldNames.asScala.toSeq.map { name =>
+            name -> CatalogSchema.toDataType(props.get(name))
+          }
+        }
+    } finally in.close()
+  }
+
+  /** Fold per-file field lists (file order) into the merged schema:
+    * fields union in first-seen order; a field declared with two
+    * DIFFERENT types across files fails fast — silent coercion picks a
+    * winner the user never chose.
+    */
+  private def mergeFieldLists(
+      perFile: Iterable[Seq[(String, DataType)]], files: Seq[String],
+      stream: Option[String]): StructType = {
+    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    perFile.foreach(_.foreach { case (name, dt) =>
+      merged.get(name) match {
+        case Some(prev) if prev != dt =>
+          throw new IllegalArgumentException(
+            s"graft-singer: mergeSchemas found field '$name' " +
+              s"declared as ${prev.simpleString} and " +
+              s"${dt.simpleString} in different files — " +
+              "incompatible SCHEMA evolution cannot merge")
+        case Some(_) => ()
+        case None => merged.update(name, dt); ()
+      }
+    })
     if (merged.isEmpty) throw new IllegalArgumentException(
       stream match {
         case Some(s) =>
@@ -299,6 +335,49 @@ object SingerSource {
     StructType(merged.toSeq.map { case (n, dt) =>
       StructField(n, dt, nullable = true)
     })
+  }
+
+  private[sources] def mergedSchemaFromFiles(
+      files: Seq[String], conf: Configuration,
+      stream: Option[String] = None): StructType = {
+    if (files.isEmpty)
+      throw new IllegalArgumentException("graft-singer: no files to infer from")
+    // lazy view: a divergence in file 2 throws before file 3 is opened,
+    // exactly as the pre-refactor incremental scan did
+    mergeFieldLists(
+      files.view.map(f => firstSchemaFields(f, conf, stream).getOrElse(Nil)),
+      files, stream)
+  }
+
+  /** The Spark-job probe: each task opens its files and reads to the
+    * first matching SCHEMA line; the driver receives only the per-file
+    * field lists (as DataType JSON — stable across serialization) and
+    * folds them in LEXICOGRAPHIC FILE ORDER, so the merged field order
+    * and every divergence error are byte-identical to the driver path
+    * regardless of task scheduling. Slices are capped so a million-file
+    * directory doesn't make a million tasks.
+    */
+  private[sources] def mergedSchemaFromFilesDistributed(
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+      stream: Option[String]): StructType = {
+    if (files.isEmpty)
+      throw new IllegalArgumentException("graft-singer: no files to infer from")
+    val confB = org.apache.spark.graftbench.HadoopConfBroadcast(
+      spark.sparkContext)
+    val slices = math.max(1,
+      math.min(files.size / 8 + 1, spark.sparkContext.defaultParallelism * 4))
+    val perFile: Map[String, Seq[(String, String)]] =
+      spark.sparkContext.parallelize(files, slices)
+        .map { f =>
+          f -> firstSchemaFields(f, confB.value, stream)
+            .getOrElse(Nil).map { case (n, dt) => (n, dt.json) }
+        }
+        .collect().toMap
+    mergeFieldLists(
+      files.map(f => perFile(f).map { case (n, j) =>
+        (n, DataType.fromJson(j))
+      }),
+      files, stream)
   }
 
   private[sources] def openLines(

@@ -710,4 +710,99 @@ class SingerSourceSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("ts").isNull).select("id").as[Long].collect.toSeq
       == Seq(2L))
   }
+
+  private def schemaLine(stream: String, props: String) =
+    s"""{"type":"SCHEMA","stream":"$stream","schema":""" +
+      s"""{"type":["object","null"],"properties":{$props}},""" +
+      """"key_properties":[]}"""
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; org.apache.spark.graftbench.BusFlush.flush(spark) }
+    finally spark.sparkContext.removeSparkListener(l)
+    jobs.get()
+  }
+
+  test("mergeSchemas over 1000 files infers via ONE Spark job, not driver opens") {
+    val dir = tmpDir("singer_dist_infer")
+    new java.io.File(dir).mkdirs()
+    val idP = """"id":{"type":["integer","null"]}"""
+    val nmP = """"nm":{"type":["string","null"]}"""
+    // 1000 exports; from e0357 on the tap gained a column — first-seen
+    // merge order must still be (id, nm) regardless of task scheduling
+    (0 until 1000).foreach { i =>
+      val props = if (i >= 357) s"$idP,$nmP" else idP
+      val rec = if (i >= 357)
+        s"""{"type":"RECORD","stream":"t","record":{"id":$i,"nm":"x$i"}}"""
+      else s"""{"type":"RECORD","stream":"t","record":{"id":$i}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/e$i%04d.singer"),
+        schemaLine("t", props) + "\n" + rec + "\n")
+    }
+    var schema: org.apache.spark.sql.types.StructType = null
+    val jobs = countJobs {
+      schema = spark.read.format("graft-singer")
+        .option("mergeSchemas", "true").load(dir).schema
+    }
+    assert(schema.fieldNames.toSeq == Seq("id", "nm"))
+    // the whole probe was ONE job (the parallelize over file heads):
+    // the driver never opened the 1000 files itself, and nothing ran
+    // a per-file job either
+    assert(jobs == 1, s"expected exactly 1 inference job, got $jobs")
+    // records read back with NULL backfill for the pre-widening files
+    val df = spark.read.format("graft-singer")
+      .option("mergeSchemas", "true").load(dir)
+    assert(df.count() == 1000L)
+    assert(df.filter(col("nm").isNotNull).count() == 643L)
+  }
+
+  test("mergeSchemas small-directory inference stays on the driver (zero jobs)") {
+    val dir = tmpDir("singer_dist_small")
+    new java.io.File(dir).mkdirs()
+    val idP = """"id":{"type":["integer","null"]}"""
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/e$i.singer"),
+        schemaLine("t", idP) + "\n" +
+          s"""{"type":"RECORD","stream":"t","record":{"id":$i}}""" + "\n")
+    }
+    val jobs = countJobs {
+      val s = spark.read.format("graft-singer")
+        .option("mergeSchemas", "true").load(dir).schema
+      assert(s.fieldNames.toSeq == Seq("id"))
+    }
+    assert(jobs == 0, s"small-dir inference must not schedule jobs, got $jobs")
+  }
+
+  test("distributed mergeSchemas fails fast on divergence, same error") {
+    val dir = tmpDir("singer_dist_diverge")
+    new java.io.File(dir).mkdirs()
+    (0 until 80).foreach { i =>
+      // e0040 re-declares id as string — incompatible evolution
+      val idP =
+        if (i == 40) """"id":{"type":["string","null"]}"""
+        else """"id":{"type":["integer","null"]}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/e$i%04d.singer"),
+        schemaLine("t", idP) + "\n")
+    }
+    val e = intercept[Exception] {
+      // force the distributed path at a low threshold
+      spark.read.format("graft-singer")
+        .option("mergeSchemas", "true")
+        .option("mergeSchemasDistributedThreshold", "10")
+        .load(dir)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("cannot merge")), chain(e).mkString("|"))
+  }
 }
