@@ -26,6 +26,37 @@ final case class DecodedAsset(
     height: Int,
     features: Array[Float])
 
+/** A decode outcome: exactly one of `decoded`/`error` is set. Errors are
+  * DATA (a corrupt payload is a per-row fact to route and count, not a
+  * reason to kill a 100 TB job); the caller splits on `error IS NULL`.
+  */
+final case class DecodeResult(
+    asset_id: Long,
+    decoded: Option[DecodedAsset],
+    error: Option[String])
+
+/** A pluggable media codec. `open()` runs ONCE per partition (where a
+  * native decoder context — libjpeg handle, ffmpeg demuxer — is
+  * initialized); the returned session decodes that partition's assets
+  * and is closed when the task completes, success or failure. The trait
+  * is the seam a real codec drops into as CONFIG, not a code change:
+  * everything else ([[Multimodal.decodeWith]]'s batching, schema, error
+  * routing) is codec-agnostic.
+  */
+trait Codec extends Serializable {
+  def open(): CodecSession
+}
+
+/** One partition's live decoder: [[decode]] returns Right(decoded) or
+  * Left(errorMessage) — throwing is for codec BUGS, data problems are
+  * values. [[close]] releases native resources; it is invoked via a task
+  * completion listener, so it runs even when downstream processing fails.
+  */
+trait CodecSession {
+  def decode(a: Asset): Either[String, DecodedAsset]
+  def close(): Unit
+}
+
 /** Multimodal-column plumbing (SURVEY extension): treat media as opaque
   * `binary` columns, decode/feature-extract per partition.
   *
@@ -80,15 +111,51 @@ object Multimodal {
       features = hist.map(_ / n))
   }
 
+  /** The default codec: the deterministic stub decode, wrapped in the
+    * pluggable seam. A real codec replaces THIS VALUE (one line of
+    * config), not any pipeline code.
+    */
+  object StubCodec extends Codec {
+    def open(): CodecSession = new CodecSession {
+      def decode(a: Asset): Either[String, DecodedAsset] =
+        Right(decodeOne(a))
+      def close(): Unit = ()
+    }
+  }
+
   /** Batched decode: one decoder instance per partition (where a native
     * codec context would be initialized once), streamed over the iterator.
+    * Convenience form of [[decodeWith]] for the infallible stub: decode
+    * errors from a pluggable codec need [[decodeWith]]'s error routing.
     */
   def decode(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     val spark = assets.sparkSession
     import spark.implicits._
+    decodeWith(assets, StubCodec)
+      .flatMap(_.decoded)
+  }
+
+  /** Batched decode through a pluggable [[Codec]]: `codec.open()` runs
+    * once per partition, each asset routes to `decoded` or `error`, and
+    * the session closes on task completion (even on failure — a native
+    * context must not leak across a task retry). The iterator is
+    * consumed lazily, so payloads stream through the decoder without
+    * buffering a partition in memory.
+    */
+  def decodeWith(
+      assets: Dataset[Asset], codec: Codec): Dataset[DecodeResult] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
     assets.mapPartitions { it =>
-      // per-partition init hook for a real codec lives here
-      it.map(decodeOne)
+      val session = codec.open()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => session.close()))
+      it.map { a =>
+        session.decode(a) match {
+          case Right(d) => DecodeResult(a.asset_id, Some(d), None)
+          case Left(err) => DecodeResult(a.asset_id, None, Some(err))
+        }
+      }
     }
   }
 

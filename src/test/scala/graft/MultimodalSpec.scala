@@ -3,6 +3,33 @@ package graft
 import graft.ext.{Asset, Multimodal}
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Counting fake codec: proves the [[graft.ext.Codec]] seam's init-once
+  * and close-always contracts. Counters are JVM-static (object fields) —
+  * valid in local mode where executors share the test JVM.
+  */
+object FakeCodec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger()
+  val closes = new java.util.concurrent.atomic.AtomicInteger()
+  val decodes = new java.util.concurrent.atomic.AtomicInteger()
+  def reset(): Unit = { opens.set(0); closes.set(0); decodes.set(0) }
+}
+
+class FakeCodec extends graft.ext.Codec {
+  def open(): graft.ext.CodecSession = {
+    FakeCodec.opens.incrementAndGet()
+    new graft.ext.CodecSession {
+      def decode(a: graft.ext.Asset)
+          : Either[String, graft.ext.DecodedAsset] = {
+        FakeCodec.decodes.incrementAndGet()
+        if (new String(a.payload, "UTF-8") == "CORRUPT")
+          Left(s"corrupt payload for asset ${a.asset_id}")
+        else Right(Multimodal.decodeOne(a))
+      }
+      def close(): Unit = { FakeCodec.closes.incrementAndGet(); () }
+    }
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("mapPartitions decode is deterministic and schema-stable") {
@@ -63,6 +90,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       math.rint(32.0 / orig.width * 1e6) / 1e6) < 1e-9)
     assert(r.getSeq[Float](r.fieldIndex("features")).toSeq ==
       orig.features.toSeq)
+  }
+
+  test("pluggable codec: init-once per partition, close on completion, error routing") {
+    import spark.implicits._
+    FakeCodec.reset()
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 7 == 0) "CORRUPT" else s"payload-$i")).toDF("doc_id", "text")
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+      .repartition(4)
+    val res = Multimodal.decodeWith(assets, new FakeCodec).collect()
+    // error ROUTING: corrupt payloads are rows with `error`, not task
+    // failures — exactly one of decoded/error per row
+    assert(res.forall(r => r.decoded.isDefined != r.error.isDefined))
+    val (bad, good) = res.partition(_.error.isDefined)
+    assert(bad.map(_.asset_id).sorted.toSeq ==
+      (1L to 40L).filter(_ % 7 == 0), bad.mkString(","))
+    assert(bad.forall(_.error.get.contains("corrupt")), bad.mkString(","))
+    assert(good.length == 40 - bad.length)
+    // init-ONCE semantics: one open per partition (not per row), and
+    // every open was closed (the native-context leak guard)
+    assert(FakeCodec.opens.get() == 4,
+      s"expected 4 opens (one per partition), got ${FakeCodec.opens.get()}")
+    assert(FakeCodec.closes.get() == FakeCodec.opens.get(),
+      s"opens=${FakeCodec.opens.get()} closes=${FakeCodec.closes.get()}")
+    // decode calls went through the SESSION (so a real codec's state is
+    // reachable from every row it decodes)
+    assert(FakeCodec.decodes.get() == 40)
   }
 
   test("feature table feeds the ANN operator shape") {
