@@ -63,19 +63,44 @@ object Dsir {
       .distinct()
   }
 
-  /** The `buckets`-row integer bit-score table from presence pairs that
-    * carry a boolean target flag: per feature,
-    * `length(bin((t+1)·2²⁰ div (s+1)))−1−RatioScaleBits`.
+  /** The (feat, t_c, s_c) COUNT table from presence pairs that carry a
+    * boolean target flag — the sufficient statistic of the whole DSIR
+    * fit. Counts are integer sums, so the table is exactly MERGEABLE
+    * ([[mergeCounts]]): a maintained table over any ingest split equals
+    * the one-shot table, and therefore so do the bit scores and the
+    * selection.
     */
-  def bitsFromPairs(pairs: DataFrame, targetFlag: String): DataFrame =
+  def countsFromPairs(pairs: DataFrame, targetFlag: String): DataFrame =
     pairs.groupBy("feat")
       .agg(
         count(when(col(targetFlag), lit(1))).as("t_c"),
         count(lit(1)).as("s_c"))
-      .select(col("feat"),
-        (length(bin(expr(
-          s"((t_c + 1) * ${1L << RatioScaleBits}L) div (s_c + 1)")))
-          - 1 - RatioScaleBits).cast("long").as("bits"))
+
+  /** The fold rule for maintained count tables: union + per-feature sum.
+    * Integer addition is associative and commutative, so ANY fold order
+    * over any batch split yields the identical table — the stream ≡
+    * batch guarantee is arithmetic, not a convention.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("feat")
+      .agg(sum("t_c").as("t_c"), sum("s_c").as("s_c"))
+
+  /** Bit scores off a (feat, t_c, s_c) count table: per feature,
+    * `length(bin((t+1)·2²⁰ div (s+1)))−1−RatioScaleBits`.
+    */
+  def bitsFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("feat"),
+      (length(bin(expr(
+        s"((t_c + 1) * ${1L << RatioScaleBits}L) div (s_c + 1)")))
+        - 1 - RatioScaleBits).cast("long").as("bits"))
+
+  /** The `buckets`-row integer bit-score table from presence pairs that
+    * carry a boolean target flag (one-shot form of
+    * [[countsFromPairs]] → [[bitsFromCounts]]).
+    */
+  def bitsFromPairs(pairs: DataFrame, targetFlag: String): DataFrame =
+    bitsFromCounts(countsFromPairs(pairs, targetFlag))
 
   /** Per-document scores from presence pairs and a bit table: broadcast
     * join (the bit table is `buckets` rows) + one per-doc sum.

@@ -2007,6 +2007,145 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  private val q270Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage `documents` as TWO parquet files (doc_id parity split — each
+    * document arrives WHOLE in one batch, the precondition for presence
+    * counts to be mergeable) for the DSIR maintenance stream. Memoized
+    * per sf dir.
+    */
+  private def stageQ270(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q270Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q270_docs", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "text")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$staged/00")
+      QuerySpec.flattenPart(spark, staged.toString, "00", "a.parquet")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$staged/01")
+      QuerySpec.flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** q264's DSIR fit MAINTAINED over a two-file document stream
+    * ([[graft.ext.Dsir.countsFromPairs]]/[[graft.ext.Dsir.mergeCounts]]):
+    * each micro-batch's (feat, t_c, s_c) presence-count table merges into
+    * the persisted table by per-feature integer sum (temp-write + swap,
+    * the q256/q259 state discipline). Counts are the fit's SUFFICIENT
+    * STATISTIC and integer sums are order-independent, so the maintained
+    * ratio table — and every bit score and the top-200 selection off it —
+    * equals the one-shot batch fit EXACTLY, at any ingest split that
+    * delivers documents whole. State is ≤ `buckets` rows per fold at any
+    * corpus scale. Adjudicated as q264's selection census PLUS the ratio
+    * table's own fingerprint (count / Σbits / Σfeat·bits), both replayed
+    * by the oracle from scratch.
+    */
+  val q270DsirStream: QuerySpec = QuerySpec.oracled(
+    "q270_dsir_stream",
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter($toksSql, x -> x <> '')) AS tok
+       |  FROM documents),
+       |pr AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |    ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT % 4096
+       |      AS feat
+       |  FROM tok),
+       |fb AS (
+       |  SELECT feat,
+       |    CAST(length(bin(
+       |      ((count(CASE WHEN lang = 'en' THEN 1 END) + 1) * 1048576)
+       |        // (count(*) + 1))) - 1 - 20 AS BIGINT) AS bits
+       |  FROM pr GROUP BY feat),
+       |fp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(bits) AS BIGINT) AS bits_sum,
+       |    CAST(sum(feat * bits) AS BIGINT) AS bits_fp
+       |  FROM fb),
+       |sc AS (
+       |  SELECT pr.doc_id, pr.lang, CAST(sum(fb.bits) AS BIGINT)
+       |    AS score_bits
+       |  FROM pr JOIN fb USING (feat) GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang, score_bits,
+       |      row_number() OVER (ORDER BY score_bits DESC, doc_id) AS rn
+       |    FROM sc) WHERE rn <= 200)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+       |  CAST(sum(score_bits) AS BIGINT) AS score_sum,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |  fp.n_feats, fp.bits_sum, fp.bits_fp
+       |FROM sel CROSS JOIN fp
+       |GROUP BY lang, fp.n_feats, fp.bits_sum, fp.bits_fp
+       |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.ext.Dsir
+    import org.apache.spark.sql.streaming.Trigger
+    val buckets = 4096
+    val staged = stageQ270(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q270_state", dir)
+    val ckpt = QuerySpec.stagedPath("q270_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q270_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q270_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batchCounts = Dsir.countsFromPairs(
+          Dsir.hashedFeatures(
+            batch.withColumn("_dsir_target", col("lang") === "en"),
+            "doc_id", "text", buckets, carryCols = Seq("_dsir_target")),
+          "_dsir_target")
+        val state = new java.io.File(stateDir)
+        val next =
+          if (state.exists())
+            Dsir.mergeCounts(batchCounts,
+              batch.sparkSession.read.parquet(stateDir))
+          else batchCounts
+        val tmp = s"${stateDir}__next"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        next.coalesce(1).write.parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(state)
+        if (!new java.io.File(tmp).renameTo(state))
+          throw new IllegalStateException(s"state swap failed: $tmp")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // the maintained table IS the fit: bits + fingerprint come straight
+    // off the persisted state, no corpus rescan
+    val counts = spark.read.parquet(stateDir)
+    val bits = Dsir.bitsFromCounts(counts)
+    val fp = bits.agg(
+      count(lit(1)).as("n_feats"),
+      sum("bits").as("bits_sum"),
+      sum(col("feat") * col("bits")).as("bits_fp"))
+    // scoring rescans the corpus by definition (every document needs a
+    // score); the RATIO TABLE is what the stream maintained
+    val docs = spark.read.parquet(s"$staged/a.parquet")
+      .unionByName(spark.read.parquet(s"$staged/b.parquet"))
+    val pairs = Dsir.hashedFeatures(
+      docs, "doc_id", "text", buckets, carryCols = Seq("lang"))
+    val scored = Dsir.scoresFromPairs(pairs, bits, "doc_id",
+      carryCols = Seq("lang"))
+    Dsir.selectTopN(scored, "doc_id", 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sel"),
+        sum("score_bits").as("score_sum"),
+        sum("doc_id").as("id_sum"))
+      .crossJoin(broadcast(fp))
+      .orderBy("lang")
+  }.withSetup((s, d) => { stageQ270(s, d); () })
+
   /** Bigram conditional surprisal
     * ([[graft.ext.TextStats.bigramSurprisalBits]]): −⌊log₂ P(w₂|w₁)⌋
     * summed per document in exact integers — the repetition-sensitive
@@ -2052,5 +2191,6 @@ object TextQueries {
       q209TemperatureMix, q210IndexedGrep, q223EpochShuffle,
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
-      q242VocabGrowth, q264DsirSelection, q265BigramSurprisal)
+      q242VocabGrowth, q264DsirSelection, q265BigramSurprisal,
+      q270DsirStream)
 }
