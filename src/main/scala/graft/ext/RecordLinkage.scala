@@ -176,4 +176,92 @@ object RecordLinkage {
   }
 
   private def clamp(x: Long): Long = math.max(1L, math.min(Nano - 1L, x))
+
+  /** One agreement pattern's place on the decision surface: its
+    * likelihood-ratio rank statistic (`ratioNano` = aM·Nano div aU —
+    * ordering equals the classical P(γ|M)/P(γ|U) order since the prior
+    * factor is constant), posterior, pair count, and the decided band.
+    */
+  final case class BandDecision(
+      gamma: Seq[Option[Int]], count: Long, posteriorNano: Long,
+      ratioNano: Long, decision: String)
+
+  /** The Fellegi–Sunter TWO-THRESHOLD decision rule (the 1969 paper's
+    * optimal linkage rule) from a fitted [[EmResult]]: patterns are
+    * ordered by likelihood ratio descending; the LINK band is the
+    * largest prefix whose expected false-link mass stays within
+    * `muNano` (target P(link | true non-match)), the NON-LINK band the
+    * largest suffix whose expected missed-match mass stays within
+    * `lambdaNano` (target P(non-link | true match)); everything between
+    * is CLERICAL REVIEW — the band the paper proves minimal under the
+    * two error constraints.
+    *
+    * Error masses are EXPECTED COUNTS under the fitted model:
+    * a pattern contributes `count·(Nano−g)` non-match mass and
+    * `count·g` match mass (g = its posterior), so the prefix test is
+    * `Σ count·(Nano−g) ≤ muNano·totU div Nano` with totU the total
+    * non-match mass — exact integer arithmetic end to end (BigInt
+    * accumulators, floor division), so the surface is bit-replayable by
+    * a SQL oracle (q269). Ties in the ratio order break on the gamma
+    * vector ascending (None sorts first, as −1); should the two bands
+    * overlap (lax targets), LINK wins — each pattern tests the prefix
+    * rule first, so the surface is total and deterministic either way.
+    *
+    * Driver-sized by the same argument as [[emEstimate]]: ≤ 3^K
+    * patterns. Returned in gamma order for stable presentation.
+    */
+  def decisionBands(
+      em: EmResult, muNano: Long, lambdaNano: Long): Seq[BandDecision] = {
+    require(muNano >= 0 && muNano <= Nano, s"muNano in [0, Nano]: $muNano")
+    require(lambdaNano >= 0 && lambdaNano <= Nano,
+      s"lambdaNano in [0, Nano]: $lambdaNano")
+    val k = em.fields.size
+    val rows = em.patterns.map { case (gamma, cnt, g) =>
+      var aM = BigInt(em.p)
+      var aU = BigInt(Nano - em.p)
+      var i = 0
+      while (i < k) {
+        gamma(i) match {
+          case Some(1) =>
+            aM = aM * em.m(i) / Nano; aU = aU * em.u(i) / Nano
+          case Some(0) =>
+            aM = aM * (Nano - em.m(i)) / Nano
+            aU = aU * (Nano - em.u(i)) / Nano
+          case _ => ()
+        }
+        i += 1
+      }
+      val ratio = (aM * Nano / aU.max(1)).toLong
+      (gamma, cnt, g, ratio)
+    }
+    import scala.math.Ordering.Implicits.seqOrdering
+    val topOrder = rows.sortBy { case (gamma, _, _, ratio) =>
+      (-ratio, gamma.map(_.getOrElse(-1)))
+    }
+    val totM = rows.map { case (_, c, g, _) => BigInt(g) * c }.sum
+    val totU = rows.map { case (_, c, g, _) => BigInt(Nano - g) * c }.sum
+    val muMass = BigInt(muNano) * totU / Nano
+    val lambdaMass = BigInt(lambdaNano) * totM / Nano
+    val inLink = scala.collection.mutable.Set[Seq[Option[Int]]]()
+    var cumU = BigInt(0)
+    topOrder.foreach { case (gamma, c, g, _) =>
+      cumU += BigInt(Nano - g) * c
+      if (cumU <= muMass) { inLink += gamma; () }
+    }
+    val inNonlink = scala.collection.mutable.Set[Seq[Option[Int]]]()
+    var cumM = BigInt(0)
+    topOrder.reverse.foreach { case (gamma, c, g, _) =>
+      cumM += BigInt(g) * c
+      if (cumM <= lambdaMass) { inNonlink += gamma; () }
+    }
+    rows
+      .map { case (gamma, c, g, ratio) =>
+        val d =
+          if (inLink(gamma)) "link"
+          else if (inNonlink(gamma)) "nonlink"
+          else "review"
+        BandDecision(gamma, c, g, ratio, d)
+      }
+      .sortBy(_.gamma.map(_.getOrElse(-1)))
+  }
 }

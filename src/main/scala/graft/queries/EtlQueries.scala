@@ -502,7 +502,19 @@ object EtlQueries {
     * rounds × 3 fields of CTEs) is what guarantees the operation order
     * stays in lockstep with the Scala loop.
     */
-  private def q262OracleSql(rounds: Int): String = {
+  /** The shared EM-replay CTE chain (through the final E-step `ef`,
+    * whose rows carry am/au/g per pattern) — the prefix of both q262's
+    * parameter check and q269's decision-surface check. `g1Sql` is the
+    * name comparator: q262 keeps the historical prefix-4 (constant-true
+    * on TPC-H's "Customer#..." names — a deliberately weak field the EM
+    * must learn is uninformative); q269 compares the LAST 3 digits (the
+    * discriminative part), which spreads the posteriors enough for all
+    * three decision bands to exist.
+    */
+  private def emReplayPrefix(
+      rounds: Int,
+      g1Sql: String =
+        "substr(d.t_name, 1, 4) = substr(c.c_name, 1, 4)"): String = {
     val S = "1000000000"
     val k = 3
     def folded(init: String, terms: Seq[String]): String =
@@ -558,7 +570,7 @@ object EtlQueries {
        |pat AS (
        |  SELECT g1, g2, g3, CAST(count(*) AS HUGEINT) AS cnt FROM (
        |    SELECT
-       |      CASE WHEN substr(d.t_name, 1, 4) = substr(c.c_name, 1, 4)
+       |      CASE WHEN $g1Sql
        |           THEN 1 ELSE 0 END AS g1,
        |      CASE WHEN d.t_seg = c.c_mktsegment THEN 1 ELSE 0 END AS g2,
        |      CASE WHEN d.t_cents = c.c_cents THEN 1 ELSE 0 END AS g3
@@ -571,7 +583,11 @@ object EtlQueries {
        |    CAST(900000000 AS HUGEINT) AS m3, CAST(100000000 AS HUGEINT) AS u3,
        |    CAST(100000000 AS HUGEINT) AS p),
        |$roundCtes,
-       |$fin,
+       |$fin""".stripMargin
+  }
+
+  private def q262OracleSql(rounds: Int): String =
+    s"""${emReplayPrefix(rounds)},
        |summary AS (
        |  SELECT
        |    COALESCE(SUM(CASE WHEN g >= 500000000 THEN cnt ELSE 0 END), 0)
@@ -590,7 +606,45 @@ object EtlQueries {
        |  UNION ALL
        |  SELECT 'a_cents', m3, u3 FROM r$rounds)
        |ORDER BY field""".stripMargin
-  }
+
+  /** q269's oracle: the EM replay, then the two-threshold decision
+    * surface in the same exact integer arithmetic as
+    * [[graft.ext.RecordLinkage.decisionBands]] — ratio ordering with
+    * gamma tie-breaks, HUGEINT cumulative error masses from both ends
+    * (the bottom-up order is the EXACT reverse of the top-down one), and
+    * the same link > nonlink > review precedence.
+    */
+  private def q269OracleSql(
+      rounds: Int, muNano: Long, lambdaNano: Long): String =
+    s"""${emReplayPrefix(rounds,
+         "substr(d.t_name, 16, 3) = substr(c.c_name, 16, 3)")},
+       |band AS (
+       |  SELECT ef.*, (am * 1000000000) // GREATEST(1, au) AS ratio
+       |  FROM ef),
+       |tot AS (
+       |  SELECT SUM(g * cnt) AS totm, SUM((1000000000 - g) * cnt) AS totu
+       |  FROM ef),
+       |cum AS (
+       |  SELECT band.*,
+       |    SUM((1000000000 - g) * cnt) OVER (
+       |      ORDER BY ratio DESC, g1, g2, g3
+       |      ROWS UNBOUNDED PRECEDING) AS cumu,
+       |    SUM(g * cnt) OVER (
+       |      ORDER BY ratio ASC, g1 DESC, g2 DESC, g3 DESC
+       |      ROWS UNBOUNDED PRECEDING) AS cumm
+       |  FROM band)
+       |SELECT CAST(g1 AS INTEGER) AS g1, CAST(g2 AS INTEGER) AS g2,
+       |  CAST(g3 AS INTEGER) AS g3,
+       |  CAST(cnt AS BIGINT) AS n_pairs,
+       |  CAST(g AS BIGINT) AS posterior_nano,
+       |  CAST(ratio AS BIGINT) AS ratio_nano,
+       |  CASE WHEN cumu <= ($muNano::HUGEINT * totu) // 1000000000
+       |         THEN 'link'
+       |       WHEN cumm <= ($lambdaNano::HUGEINT * totm) // 1000000000
+       |         THEN 'nonlink'
+       |       ELSE 'review' END AS decision
+       |FROM cum CROSS JOIN tot
+       |ORDER BY g1, g2, g3""".stripMargin
 
   /** Fellegi–Sunter EM ([[graft.ext.RecordLinkage.emEstimate]]): the m/u
     * parameters q254 takes as given are LEARNED here, unsupervised, from
@@ -633,6 +687,67 @@ object EtlQueries {
       .map { case (f, i) => (f, res.m(i), res.u(i), res.p, nLinks, nPairs) }
       .toDF("field", "m_nano", "u_nano", "p_nano", "n_links", "n_pairs")
       .orderBy("field")
+  }
+
+  /** The error-rate targets for q269's decision surface: link at a
+    * 0.001% expected false-link rate, non-link at a 0.2% expected
+    * missed-match rate (nano-units) — tight production-style targets
+    * under which the fit's two genuinely ambiguous patterns (posteriors
+    * 0.53 and 0.11) land in clerical review, so all three bands are
+    * populated on the test corpora. The surface, not the targets, is
+    * what the gate adjudicates.
+    */
+  private val Q269MuNano = 10000L
+  private val Q269LambdaNano = 2000000L
+
+  /** Fellegi–Sunter decision surface
+    * ([[graft.ext.RecordLinkage.decisionBands]]): the two-threshold
+    * link / clerical-review / non-link rule computed from q262's fitted
+    * posteriors, thresholds derived from TARGET ERROR RATES (μ = false
+    * links among true non-matches, λ = missed among true matches) in
+    * exact integer arithmetic — the 1969 paper's optimal rule, not an
+    * ad-hoc score cutoff. The fit runs on q262's candidate set with the
+    * name comparator sharpened to the LAST 3 digits (q262's prefix-4 is
+    * constant-true on TPC-H names — kept there as the weak-field probe;
+    * a decision surface needs at least one field that separates, or
+    * every pattern is a review). The oracle replays the full five-round
+    * EM fit AND the band assignment (ratio ordering, cumulative error
+    * masses from both ends, link precedence) bit-for-bit.
+    */
+  val q269LinkageBands: QuerySpec = QuerySpec.oracled(
+    "q269_linkage_bands",
+    q269OracleSql(5, Q269MuNano, Q269LambdaNano)) { (spark, dir) =>
+    import graft.ext.RecordLinkage
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val dirty = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("t_key"),
+        concat(substring(col("c_name"), 1, 4), lit("X"),
+          expr("substr(c_name, 6)")).as("t_name"),
+        when(col("c_custkey") % 8 === 0, lit("ALTERED"))
+          .otherwise(col("c_mktsegment")).as("t_seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("t_cents"),
+        col("c_nationkey"))
+    val clean = cust.select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c_cents"),
+      col("c_nationkey"))
+    val cand = RecordLinkage
+      .blockedCandidates(dirty, clean, Seq("c_nationkey"))
+      .withColumn("a_name_last3",
+        substring(col("t_name"), 16, 3) === substring(col("c_name"), 16, 3))
+      .withColumn("a_seg", col("t_seg") === col("c_mktsegment"))
+      .withColumn("a_cents", col("t_cents") === col("c_cents"))
+    val em = RecordLinkage.emEstimate(cand,
+      Seq("a_name_last3", "a_seg", "a_cents"), rounds = 5)
+    RecordLinkage.decisionBands(em, Q269MuNano, Q269LambdaNano)
+      .map { b =>
+        (b.gamma(0).get, b.gamma(1).get, b.gamma(2).get,
+          b.count, b.posteriorNano, b.ratioNano, b.decision)
+      }
+      .toDF("g1", "g2", "g3", "n_pairs", "posterior_nano", "ratio_nano",
+        "decision")
+      .orderBy("g1", "g2", "g3")
   }
 
   /** q108's fold replayed through the BUCKETED snapshot layout
@@ -1202,6 +1317,7 @@ object EtlQueries {
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
       q250SnapshotCompaction, q254RecordLinkage, q262LinkageEm,
+      q269LinkageBands,
       q121KAnonymity,
       q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,

@@ -77,4 +77,41 @@ class RecordLinkageSpec extends AnyFunSuite with SparkSpec {
     // NULL agreements were present (a_z) and did not poison the fit
     assert(a.patterns.exists(_._1(2).isEmpty))
   }
+
+  test("decision bands respect the error targets with link precedence") {
+    val rows = (1 to 200).map { i =>
+      val isMatch = i <= 40
+      val f1 = if (isMatch) i % 10 != 0 else i % 20 == 0
+      val f2 = if (isMatch) i % 5 != 0 else i % 10 == 0
+      (i.toLong, f1, f2)
+    }.toDF("id", "a_f1", "a_f2")
+    val em = RecordLinkage.emEstimate(rows, Seq("a_f1", "a_f2"), rounds = 5)
+    val Nano = RecordLinkage.Nano
+    val bands = RecordLinkage.decisionBands(em,
+      muNano = Nano / 100, lambdaNano = Nano / 20)
+    // the surface is total: every fitted pattern gets exactly one band
+    assert(bands.map(_.gamma).toSet == em.patterns.map(_._1).toSet)
+    assert(bands.forall(b =>
+      Set("link", "nonlink", "review").contains(b.decision)))
+    // the LINK set's expected false-link mass stays within mu
+    val totU = bands.map(b => BigInt(Nano - b.posteriorNano) * b.count).sum
+    val linkU = bands.filter(_.decision == "link")
+      .map(b => BigInt(Nano - b.posteriorNano) * b.count).sum
+    assert(linkU <= BigInt(Nano / 100) * totU / Nano, s"$linkU vs $totU")
+    // the NONLINK set's expected missed-match mass stays within lambda
+    val totM = bands.map(b => BigInt(b.posteriorNano) * b.count).sum
+    val nlM = bands.filter(_.decision == "nonlink")
+      .map(b => BigInt(b.posteriorNano) * b.count).sum
+    assert(nlM <= BigInt(Nano / 20) * totM / Nano, s"$nlM vs $totM")
+    // bands are CONTIGUOUS in ratio order: no nonlink outranks a link,
+    // no review outranks a link, no nonlink outranks a review
+    val order = bands.sortBy(-_.ratioNano).map(_.decision)
+    val rank = Map("link" -> 0, "review" -> 1, "nonlink" -> 2)
+    assert(order.map(rank) == order.map(rank).sorted, order.toString)
+    // lax targets: everything decided, link precedence on overlap (the
+    // call must not throw and must stay total)
+    val lax = RecordLinkage.decisionBands(em, Nano, Nano)
+    assert(lax.forall(_.decision != "review"))
+    assert(lax.map(_.gamma).toSet == bands.map(_.gamma).toSet)
+  }
 }
