@@ -62,12 +62,12 @@ object Similarity {
     * bit-identical result, no interpreted lambda dispatch. Callers must
     * have run [[graft.functions.VectorExpressions.register]].
     */
-  private def dotFast(a: String, b: String): Column =
+  private[graft] def dotFast(a: String, b: String): Column =
     expr(s"graft_dot(`$a`, `$b`)")
 
   def selfNorm(a: String): Column = sqrt(dot(a, a))
 
-  private def selfNormFast(a: String): Column = sqrt(dotFast(a, a))
+  private[graft] def selfNormFast(a: String): Column = sqrt(dotFast(a, a))
 
   /** `numPlanes`-bit signed-random-projection bucket of a vector column —
     * the fused codegen'd [[graft.functions.HyperplaneBucket]] (bit-parity
@@ -112,7 +112,7 @@ object Similarity {
     expr(terms.mkString("(", " + ", ")"))
   }
 
-  private def topK(
+  private[graft] def topK(
       scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -515,21 +515,8 @@ object Similarity {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     graft.functions.HyperplaneExpressions.register(corpus.sparkSession)
     val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
-
-    // dot(float vec, double centroid) as the portable HOF fold — numCentroids
-    // rows per vector via broadcast, so the interpreted lambda runs a
-    // constant number of times per row
-    def assigned(df: DataFrame, probes: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
-        .withColumn("__d", expr(
-          s"aggregate(zip_with(`$vecCol`, __cvec, (x, y) -> " +
-            "CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__d").desc, col("__cell").asc)
-      scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= probes)
-        .drop("__d", "__cvec")
-    }
+    def assigned(df: DataFrame, probes: Int): DataFrame =
+      assignCells(df, idCol, vecCol, cent, probes)
 
     val c = assigned(corpus, 1).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
@@ -541,6 +528,29 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
     topK(scored, k)
+  }
+
+  /** Nearest-centroid assignment against an explicit (`__cell`,
+    * `__cvec: array<double>`) centroid frame: dot(float vec, double
+    * centroid) as the portable HOF fold — numCentroids rows per vector
+    * via broadcast, so the interpreted lambda runs a constant number of
+    * times per row; ties to the lower cell. Shared by [[ivfTopKLloyd]]
+    * (fresh centroids) and [[AnnIndex]] (persisted centroids), so a
+    * maintained index can never assign differently from the one-shot
+    * build.
+    */
+  private[graft] def assignCells(
+      df: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
+      probes: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cent))
+      .withColumn("__d", expr(
+        s"aggregate(zip_with(`$vecCol`, __cvec, (x, y) -> " +
+          "CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d").desc, col("__cell").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= probes)
+      .drop("__d", "__cvec")
   }
 
   /** One Lloyd step's refined centroids as a (numCentroids)-row frame

@@ -336,6 +336,79 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Persisted + incrementally-maintained IVF index
+    * ([[graft.ext.AnnIndex]]): the quantizer is TRAINED on the even-id
+    * half of the corpus and frozen into a versioned on-disk artifact
+    * (manifest-pointer commit); the odd-id half then FOLDS in against
+    * the frozen centroids — stored postings never read, delta-sized IO
+    * (AnnIndexSpec proves the no-scan property) — and queries run
+    * against the maintained index. Because assignment is the shared
+    * [[graft.ext.Similarity.assignCells]] under one frozen quantizer,
+    * the maintained answer must equal a one-shot assignment of the FULL
+    * corpus under the same quantizer; the oracle replays exactly that
+    * (q55's fixed-point Lloyd replay with training restricted to the
+    * even half).
+    */
+  val q271AnnIndexFold: QuerySpec = QuerySpec.oracled(
+    "q271_ann_index_fold",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell0
+       |  FROM nv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM cv, range(1, ${Dim + 1}) t(i)
+       |  WHERE vec_id % 2 = 0
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.embedding, v.nrm, e.cell,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM cv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, embedding, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |corp AS (SELECT * FROM rnk WHERE rk = 1),
+       |qp AS (SELECT * FROM rnk WHERE rk <= 2 AND vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM qp q JOIN corp c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.ext.AnnIndex
+    val idxDir = QuerySpec.stagedPath("q271_index", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    new java.io.File(idxDir).mkdirs()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    AnnIndex.build(spark, emb.filter(col("vec_id") % 2 === 0),
+      idxDir, "emb", "vec_id", "embedding",
+      numCentroids = NumCentroids, dim = Dim)
+    AnnIndex.fold(spark, emb.filter(col("vec_id") % 2 === 1),
+      idxDir, "emb", "vec_id", "embedding")
+    AnnIndex.topK(spark, emb.filter(col("vec_id") < 20),
+      idxDir, "emb", "vec_id", "embedding", k = 3, numProbes = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -654,7 +727,7 @@ object SimilarityQueries {
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
-      q220AnnRecall, q234LabelAudit, q253NnDescent)
+      q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ext.{AnnIndex, Similarity}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ext.AnnIndex]]: versioned persisted IVF index — fold IO is
+  * delta-sized (no scan of stored postings), retrain ≡ the one-shot
+  * in-memory operator, pointer commit survives torn manifests.
+  */
+class AnnIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val Cent = 4
+
+  /** Deterministic synthetic vectors: id-seeded, mildly clustered. */
+  private def vecs(ids: Seq[Long]) =
+    ids.map { i =>
+      (i, Array.tabulate(Dim)(d =>
+        (((i * 31 + d * 7) % 13).toFloat / 13f) +
+          (if (i % 3 == 0) 1f else 0f)))
+    }.toDF("vec_id", "embedding")
+
+  test("build + fold + topK equals the oracle contract; retrain equals one-shot") {
+    val dir = tmpDir("annidx_eq")
+    val a = vecs(1L to 60L)
+    val b = vecs(61L to 100L)
+    AnnIndex.build(spark, a, dir, "e", "vec_id", "embedding", Cent, Dim)
+    assert(AnnIndex.currentVersion(spark, dir, "e").contains(1))
+    AnnIndex.fold(spark, b, dir, "e", "vec_id", "embedding")
+    // still v1 — folds extend postings, they don't version
+    assert(AnnIndex.currentVersion(spark, dir, "e").contains(1))
+    val q = vecs(1L to 5L)
+    val maintained = AnnIndex.topK(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = 2)
+      .orderBy("query_id", "rank").collect.toSeq
+    assert(maintained.nonEmpty)
+    // RETRAIN re-fits the quantizer over the accumulated corpus — from
+    // there the persisted index must answer EXACTLY like the one-shot
+    // in-memory operator over the same corpus (same fixed-point Lloyd,
+    // same assignment, same re-rank)
+    AnnIndex.retrain(spark, dir, "e", "vec_id", "embedding", Cent, Dim)
+    assert(AnnIndex.currentVersion(spark, dir, "e").contains(2))
+    val persisted = AnnIndex.topK(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    val oneShot = Similarity.ivfTopKLloyd(
+      vecs(1L to 100L), q, "vec_id", "embedding", k = 3,
+      numCentroids = Cent, dim = Dim, numProbes = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    assert(persisted == oneShot)
+    // the superseded version is gone
+    val names = new java.io.File(s"$dir/e.annindex")
+      .listFiles().map(_.getName).toSet
+    assert(names.contains("v2") && !names.contains("v1"), names.toString)
+  }
+
+  test("a fold never reads stored postings (delta-sized IO)") {
+    val dir = tmpDir("annidx_noscan")
+    AnnIndex.build(spark, vecs(1L to 50L), dir, "e", "vec_id", "embedding",
+      Cent, Dim)
+    // delete every stored postings FILE — a fold that scanned them would
+    // fail; one that only appends cannot notice
+    val postings = new java.io.File(s"$dir/e.annindex/v1/postings")
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory)
+        .flatMap(parquetFiles)
+    }
+    val stored = parquetFiles(postings)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(stored.nonEmpty)
+    stored.foreach(f => assert(f.delete()))
+    AnnIndex.fold(spark, vecs(51L to 70L), dir, "e", "vec_id", "embedding")
+    val after = parquetFiles(postings).filter(_.getName.endsWith(".parquet"))
+    assert(after.nonEmpty, "fold appended no files")
+    // reading back sees exactly the folded delta (stored files deleted)
+    val ids = spark.read.parquet(postings.toString)
+      .select("vec_id").as[Long].collect.toSet
+    assert(ids == (51L to 70L).toSet, ids.toString)
+  }
+
+  test("pointer: torn manifests are skipped; missing index fails fast") {
+    val dir = tmpDir("annidx_ptr")
+    intercept[IllegalArgumentException] {
+      AnnIndex.fold(spark, vecs(1L to 3L), dir, "e", "vec_id", "embedding")
+    }
+    AnnIndex.build(spark, vecs(1L to 30L), dir, "e", "vec_id", "embedding",
+      Cent, Dim)
+    val layout = new java.io.File(s"$dir/e.annindex")
+    // a torn higher-seq manifest (digit-prefix tear included) is not
+    // trusted — readers fall back to the committed one
+    val torn = new java.io.File(layout, "_current.999999999")
+    val w = new java.io.FileWriter(torn); w.write("2"); w.close()
+    assert(AnnIndex.currentVersion(spark, dir, "e").contains(1))
+    torn.delete()
+    ()
+  }
+}
