@@ -2146,6 +2146,130 @@ object TextQueries {
       .orderBy("lang")
   }.withSetup((s, d) => { stageQ270(s, d); () })
 
+  /** q272's oracle, generated: the whole unigram-LM training loop
+    * ([[graft.ext.Unigram.train]]) unrolled in DuckDB — seeding, then
+    * each hard-EM round's cost table, the per-word Viterbi DP position
+    * by position (each position takes the (cost, np, seg)-lexicographic
+    * minimum over its ≤ `maxPieceLen` predecessors — the same total
+    * tie-break order as the Spark `array_min` over structs), the
+    * recount from best segmentations, and the prune. Generating the
+    * string (rounds × word positions of CTEs) keeps the operation order
+    * in lockstep with the Scala loop, the q262 technique.
+    */
+  private def q272OracleSql(
+      rounds: Int, multiKeep: Int, maxPieceLen: Int,
+      maxWordLen: Int): String = {
+    val scale = 1L << 20
+    def costCtes(r: Int, vocab: String): String =
+      s"""t$r AS MATERIALIZED (
+         |  SELECT sum(cnt) + count(*) AS d FROM $vocab),
+         |c$r AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(21 - length(bin(((cnt + 1) * $scale) // t.d)) AS BIGINT)
+         |      AS bits
+         |  FROM $vocab, t$r t)""".stripMargin
+    def dpCtes(r: Int): String = {
+      val perPos = (1 to maxWordLen).map { j =>
+        val preds = (math.max(0, j - maxPieceLen) until j).map { i =>
+          s"""  SELECT d.w, d.freq, d.cost + c.bits AS cost,
+             |    d.np + 1 AS np,
+             |    CASE WHEN d.seg = '' THEN substr(d.w, ${i + 1}, ${j - i})
+             |         ELSE d.seg || ' ' || substr(d.w, ${i + 1}, ${j - i})
+             |         END AS seg
+             |  FROM d${r}_$i d JOIN c$r c
+             |    ON c.piece = substr(d.w, ${i + 1}, ${j - i})
+             |  WHERE len(d.w) >= $j""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""d${r}_${j}c AS MATERIALIZED (
+           |$preds),
+           |d${r}_$j AS MATERIALIZED (
+           |  SELECT w, freq, cost, np, seg FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY w
+           |      ORDER BY cost, np, seg) AS rk
+           |    FROM d${r}_${j}c) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""d${r}_0 AS MATERIALIZED (
+         |  SELECT w, freq, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg
+         |  FROM wf),
+         |$perPos""".stripMargin
+    }
+    def roundCtes(r: Int, prevVocab: String): String = {
+      val fin = (1 to maxWordLen)
+        .map(j => s"  SELECT freq, seg FROM d${r}_$j WHERE len(w) = $j")
+        .mkString("\n  UNION ALL\n")
+      s"""${costCtes(r, prevVocab)},
+         |${dpCtes(r)},
+         |f$r AS MATERIALIZED (
+         |$fin),
+         |n$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(string_split(seg, ' ')) AS piece
+         |    FROM f$r)
+         |  GROUP BY piece),
+         |rc$r AS MATERIALIZED (
+         |  SELECT v.piece, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS cnt
+         |  FROM $prevVocab v LEFT JOIN n$r n USING (piece)),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM rc$r WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |    FROM rc$r WHERE len(piece) > 1 AND cnt > 0)
+         |  WHERE rk <= $multiKeep)""".stripMargin
+    }
+    val body = (1 to rounds)
+      .map(r => roundCtes(r, if (r == 1) "v0" else s"v${r - 1}"))
+      .mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) <= $maxWordLen
+       |  GROUP BY w),
+       |seed AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wf, range(1, ${maxWordLen + 1}) t1(i),
+       |    range(1, ${maxPieceLen + 1}) t2(l)
+       |  WHERE i + l - 1 <= len(w)
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM seed WHERE len(piece) > 1 AND cnt > 0)
+       |  WHERE rk <= $multiKeep),
+       |$body,
+       |tfin AS MATERIALIZED (SELECT sum(cnt) + count(*) AS d FROM v$rounds)
+       |SELECT piece, cnt,
+       |  CAST(21 - length(bin(((cnt + 1) * $scale) // t.d)) AS BIGINT)
+       |    AS bits
+       |FROM v$rounds, tfin t
+       |ORDER BY piece""".stripMargin
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer induction
+    * ([[graft.ext.Unigram.train]]): the second tokenizer family beside
+    * BPE (q231/q241), trained as deterministic hard-EM — whole-bit
+    * surprisal costs, Viterbi segmentation under a total tie-break
+    * order, exact-integer recounts, coverage-preserving prune — so the
+    * oracle REPLAYS the entire training loop (two rounds, every DP
+    * position) and the learned vocabulary with per-piece counts and
+    * scores must match hash-exact, the q262 adjudication standard
+    * applied to tokenizer training.
+    */
+  val q272UnigramVocab: QuerySpec = QuerySpec.oracled(
+    "q272_unigram_vocab",
+    q272OracleSql(rounds = 2, multiKeep = 120, maxPieceLen = 3,
+      maxWordLen = 10)) { (spark, dir) =>
+    graft.ext.Unigram.train(
+      spark.read.parquet(s"$dir/documents.parquet"), "text",
+      rounds = 2, multiKeep = 120, maxPieceLen = 3, maxWordLen = 10)
+      .orderBy("piece")
+  }
+
   /** Bigram conditional surprisal
     * ([[graft.ext.TextStats.bigramSurprisalBits]]): −⌊log₂ P(w₂|w₁)⌋
     * summed per document in exact integers — the repetition-sensitive
@@ -2192,5 +2316,5 @@ object TextQueries {
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
       q242VocabGrowth, q264DsirSelection, q265BigramSurprisal,
-      q270DsirStream)
+      q270DsirStream, q272UnigramVocab)
 }
