@@ -2158,7 +2158,7 @@ object TextQueries {
     */
   private def q272OracleSql(
       rounds: Int, multiKeep: Int, maxPieceLen: Int,
-      maxWordLen: Int): String = {
+      maxWordLen: Int, applyCensus: Boolean = false): String = {
     val scale = 1L << 20
     def costCtes(r: Int, vocab: String): String =
       s"""t$r AS MATERIALIZED (
@@ -2221,7 +2221,7 @@ object TextQueries {
     val body = (1 to rounds)
       .map(r => roundCtes(r, if (r == 1) "v0" else s"v${r - 1}"))
       .mkString(",\n")
-    s"""WITH wf AS MATERIALIZED (
+    val prefix = s"""WITH wf AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest($toksSql) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) <= $maxWordLen
@@ -2241,13 +2241,43 @@ object TextQueries {
        |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
        |    FROM seed WHERE len(piece) > 1 AND cnt > 0)
        |  WHERE rk <= $multiKeep),
-       |$body,
-       |tfin AS MATERIALIZED (SELECT sum(cnt) + count(*) AS d FROM v$rounds)
-       |SELECT piece, cnt,
-       |  CAST(21 - length(bin(((cnt + 1) * $scale) // t.d)) AS BIGINT)
-       |    AS bits
-       |FROM v$rounds, tfin t
-       |ORDER BY piece""".stripMargin
+       |$body""".stripMargin
+    if (!applyCensus)
+      s"""$prefix,
+         |tfin AS MATERIALIZED (SELECT sum(cnt) + count(*) AS d FROM v$rounds)
+         |SELECT piece, cnt,
+         |  CAST(21 - length(bin(((cnt + 1) * $scale) // t.d)) AS BIGINT)
+         |    AS bits
+         |FROM v$rounds, tfin t
+         |ORDER BY piece""".stripMargin
+    else {
+      // the APPLY pass: one more cost table (over the FINAL vocab — the
+      // same scores [[graft.ext.Unigram.train]] returns) + one more
+      // Viterbi sweep, then the per-document subword census
+      val ar = rounds + 1
+      val fa = (1 to maxWordLen)
+        .map(j => s"  SELECT w, seg FROM d${ar}_$j WHERE len(w) = $j")
+        .mkString("\n  UNION ALL\n")
+      s"""$prefix,
+         |${costCtes(ar, s"v$rounds")},
+         |${dpCtes(ar)},
+         |fa AS MATERIALIZED (
+         |$fa),
+         |vn AS MATERIALIZED (
+         |  SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sub
+         |  FROM fa),
+         |aw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) <= $maxWordLen)
+         |SELECT aw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(vn.n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(vn.n_sub) * 1000000 // count(*) AS BIGINT)
+         |    AS sub_per_word_ppm
+         |FROM aw JOIN vn USING (w)
+         |GROUP BY aw.doc_id
+         |ORDER BY aw.doc_id""".stripMargin
+    }
   }
 
   /** Unigram-LM (SentencePiece-style) tokenizer induction
@@ -2268,6 +2298,41 @@ object TextQueries {
       spark.read.parquet(s"$dir/documents.parquet"), "text",
       rounds = 2, multiKeep = 120, maxPieceLen = 3, maxWordLen = 10)
       .orderBy("piece")
+  }
+
+  /** Unigram tokenization APPLIED at corpus scale
+    * ([[graft.ext.Unigram.segment]]) — q241's BPE-apply census with the
+    * q272 vocabulary: the corpus's trainable words segment ONCE on the
+    * distinct-word dictionary (the vocab rides along as a one-row
+    * broadcast map), then per-word subword counts broadcast-join back
+    * onto the full token stream for the per-document census — the
+    * token-budget accounting a pretraining pipeline runs, with the
+    * corpus never leaving the one explode + join + aggregate shape.
+    * The oracle replays TRAINING AND APPLICATION end to end.
+    */
+  val q273UnigramApply: QuerySpec = QuerySpec.oracled(
+    "q273_unigram_apply",
+    q272OracleSql(rounds = 2, multiKeep = 120, maxPieceLen = 3,
+      maxWordLen = 10, applyCensus = true)) { (spark, dir) =>
+    import graft.ext.Unigram
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val trained = Unigram.train(docs, "text",
+      rounds = 2, multiKeep = 120, maxPieceLen = 3, maxWordLen = 10)
+    val aw = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 10)
+    val vn = Unigram.segment(aw.select("w").distinct(), trained,
+      maxPieceLen = 3)
+      .select(col("w"), size(split(col("seg"), " ")).cast("long")
+        .as("n_sub"))
+    aw.join(vn, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("sub_per_word_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .orderBy("doc_id")
   }
 
   /** Bigram conditional surprisal
@@ -2316,5 +2381,5 @@ object TextQueries {
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
       q242VocabGrowth, q264DsirSelection, q265BigramSurprisal,
-      q270DsirStream, q272UnigramVocab)
+      q270DsirStream, q272UnigramVocab, q273UnigramApply)
 }
