@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication family for large-scale training-data pipelines:
@@ -553,6 +554,75 @@ object Dedup {
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
       .select(col(idCol), col("n_windows"), col("n_dup"),
         expr("n_dup * 1000000 DIV n_windows").as("dup_ppm"))
+  }
+
+  /** Exact duplicated-span REMOVAL (the cleanup counterpart of
+    * [[duplicatedSpanFraction]]'s signal — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr policy
+    * re-shaped for hash windows): every aligned `width`-char window
+    * (stride `stride`) whose hash occurs in ≥ 2 DISTINCT documents is a
+    * duplicated span; overlapping/adjacent spans merge into maximal
+    * intervals per document (gaps-and-islands over the window starts),
+    * and each document is rewritten with those intervals excised — every
+    * occurrence corpus-wide is removed, the ExactSubstr rule. Documents
+    * with no duplicated window pass through unchanged.
+    *
+    * Everything is deterministic (md5 window hashes, integer intervals,
+    * right-to-left excision fold), so the oracle replays the rewrite
+    * hash-exactly — removing merged spans right-to-left equals
+    * concatenating the kept gaps, which is how the SQL twin phrases it.
+    *
+    * 100 TB shape: window rows are (id, start, hash) — text never rides
+    * the hash shuffle; the dup-hash filter is one groupBy + semi-join;
+    * interval merge is a per-doc window function over a handful of span
+    * rows; the rewrite joins ONE spans-array row back per document, so
+    * each text value moves exactly once.
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nCharsCol: String,
+      width: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val w = docs.filter(col(nCharsCol) >= width)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L),
+          ((col(nCharsCol) - width) / stride).cast("long"))).as("i"))
+      .select(col(idCol), (col("i") * stride).as("s"),
+        md5(expr(s"substring($textCol, CAST(i * $stride + 1 AS INT), $width)"))
+          .as("h"))
+    val dupH = w.groupBy("h").agg(countDistinct(idCol).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dupw = w.join(dupH, "h")
+      .select(col(idCol), col("s"), (col("s") + width).as("e"))
+    val wm = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(wm.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = dupw
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("g",
+        sum("brk").over(wm.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("g"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val spans = merged.groupBy(idCol)
+      .agg(
+        expr("reverse(array_sort(collect_list(struct(s, e))))").as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("removed_chars"))
+    docs.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("clean",
+        when(col("spans").isNull, col(textCol)).otherwise(expr(
+          s"""aggregate(spans, $textCol, (acc, sp) -> concat(
+             |  substring(acc, 1, CAST(sp.s AS INT)),
+             |  substring(acc, CAST(sp.e AS INT) + 1)))""".stripMargin)))
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
   }
 
   /** Jaccard threshold-sensitivity curve — the audit a practitioner runs

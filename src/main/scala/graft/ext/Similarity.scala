@@ -292,13 +292,16 @@ object Similarity {
   /** The PQ codebook: `numSub` independent sub-space codebooks of
     * `codebookSize` codewords each, components md5-derived in a distinct
     * namespace (k/1000 rationals — exactly representable as decimal
-    * literals in any engine, the [[mdComponent]] discipline).
+    * literals in any engine, the [[mdComponent]] discipline). `tag`
+    * separates independent codebook families (plain PQ vs IVF-PQ residual
+    * codebooks) without sharing seeds; the default preserves the q180
+    * family bit-for-bit.
     */
   def pqCodebook(
       numSub: Int, codebookSize: Int,
-      subDim: Int): Seq[(Int, Int, Seq[Double])] =
+      subDim: Int, tag: String = "pq"): Seq[(Int, Int, Seq[Double])] =
     for { m <- 0 until numSub; c <- 0 until codebookSize }
-      yield (m, c, (0 until subDim).map(d => mdComponent(s"pq$m|", c, d)))
+      yield (m, c, (0 until subDim).map(d => mdComponent(s"$tag$m|", c, d)))
 
   /** Product-quantization ANN (ADC scan): the memory-bound scale path the
     * float-vector families can't offer — each corpus vector compresses to
@@ -366,10 +369,22 @@ object Similarity {
     import spark.implicits._
     val seed = pqCodebook(numSub, codebookSize, subDim)
       .toDF("m", "cw", "cvec")
+    pqTrainCore(
+      pqSubRows(corpus, idCol, vecCol, "cid", numSub, subDim), seed, subDim)
+  }
+
+  /** One deterministic k-means step over pre-sliced sub-vector rows
+    * (`cid`, `m`, `sub`) against `seed` (`m`, `cw`, `cvec`) — the shared
+    * training core of [[pqTrainedCodebook]] (float corpus slices) and
+    * [[ivfPqTopK]] (double residual slices); `pqD2u` casts elements, so
+    * both input element types train identically.
+    */
+  private def pqTrainCore(
+      subRows: DataFrame, seed: DataFrame, subDim: Int): DataFrame = {
     val wEnc = Window.partitionBy("cid", "m").orderBy(col("d2u"), col("cw"))
     // the winning row CARRIES its sub-vector, so no re-join (and no
     // shared-lineage ambiguity) is needed for the member means
-    val asg = pqSubRows(corpus, idCol, vecCol, "cid", numSub, subDim)
+    val asg = subRows
       .join(broadcast(seed), "m")
       .withColumn("d2u", pqD2u)
       .withColumn("rk", row_number().over(wEnc))
@@ -426,6 +441,113 @@ object Similarity {
     val cand = enc
       .join(broadcast(qt),
         col("m") === col("qm") && col("cw") === col("qcw"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid")
+      .agg(sum("qd2u").as("ad2u"))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= candidates)
+      .select(col("qid"), col("cid"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("v_c"), selfNormFast(vecCol).as("n_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("v_q"), selfNormFast(vecCol).as("n_q"))
+    val scored = cand
+      .join(c, col("cid") === col("neighbor_id"))
+      .join(broadcast(q), col("qid") === col("query_id"))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
+    topK(scored, k)
+  }
+
+  /** IVF-PQ with ADC (the FAISS IVFPQ composition — Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", §IV): the Lloyd
+    * coarse quantizer partitions the corpus into inverted lists, each
+    * vector stores only the PQ CODES of its RESIDUAL (v − centroid), and
+    * a query prices a distance table per probed cell over its own
+    * residual, scans codes in probed cells only, and exact-re-ranks the
+    * top `candidates`. This composes the repo's two ANN scale paths:
+    * q55's cell pruning (a query never touches unprobed lists) × q180's
+    * 32× code compression (the scanned index is bytes, not floats).
+    *
+    * Residual quantization is what makes the composition better than
+    * either part: residuals within a cell are centered near zero, so one
+    * codebook family shared across cells quantizes them far better than
+    * it quantizes raw vectors. Codebooks train on residuals with the
+    * same one-step fixed-point k-means as [[pqTrainedCodebook]] (distinct
+    * md5 namespace `ivfpq`).
+    *
+    * Engine-replayable end-to-end: the Lloyd mean is the q55 exact
+    * int64-sum fixed point; residuals are element-wise double subtraction
+    * of identical doubles; sub-space d² folds fix to int64 immediately
+    * (`floor(d²·1e6 + 0.5)`), so ADC sums are integer sums and every
+    * argmin/rank ties on (integer, id). The oracle replays training,
+    * encode, probe, scan, and re-rank bit-for-bit.
+    *
+    * 100 TB shape: centroids and codebooks are tiny broadcasts (≤ 16
+    * rows, numSub·codebookSize rows); encode is one narrow pass over the
+    * corpus; the ADC scan joins the codes table against a broadcast
+    * (queries × probes × numSub × codebookSize) distance table ON THE
+    * CELL, so only probed lists are scanned (a cell-partitioned codes
+    * layout prunes the scan at the file level, the [[AnnIndex]]
+    * discipline); float vectors move only for the `candidates`-sized
+    * re-rank.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      dim: Int = 64,
+      numProbes: Int = 2,
+      numSub: Int = 8,
+      codebookSize: Int = 16,
+      candidates: Int = 50): DataFrame = {
+    require(dim % numSub == 0, s"ivfPqTopK: dim $dim not divisible by $numSub")
+    require(numProbes >= 1 && numProbes <= numCentroids,
+      s"ivfPqTopK: numProbes must be in [1, numCentroids], got $numProbes")
+    val subDim = dim / numSub
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.HyperplaneExpressions.register(spark)
+    import spark.implicits._
+    val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
+    // assignment + per-cell residual; probes > 1 yields one residual row
+    // per (vector, probed cell), each against THAT cell's centroid
+    def withResidual(df: DataFrame, probes: Int): DataFrame =
+      assignCells(df, idCol, vecCol, cent, probes)
+        .join(broadcast(cent), Seq("__cell"))
+        .withColumn("__resid", expr(
+          s"zip_with(`$vecCol`, __cvec, (x, y) -> CAST(x AS DOUBLE) - y)"))
+    def subRows(df: DataFrame, idAs: String): DataFrame = df.select(
+      col(idCol).as(idAs), col("__cell").as("cell"),
+      explode(expr(s"transform(sequence(0, ${numSub - 1}), " +
+        s"mi -> struct(mi AS m, " +
+        s"slice(__resid, mi * $subDim + 1, $subDim) AS sub))")).as("e"))
+      .select(col(idAs), col("cell"), col("e.m").as("m"),
+        col("e.sub").as("sub"))
+    val cSub = subRows(withResidual(corpus, 1), "cid")
+    val seed = pqCodebook(numSub, codebookSize, subDim, tag = "ivfpq")
+      .toDF("m", "cw", "cvec")
+    val cb = broadcast(
+      pqTrainCore(cSub.select("cid", "m", "sub"), seed, subDim))
+    val wEnc = Window.partitionBy("cid", "m").orderBy(col("d2u"), col("cw"))
+    val enc = cSub.join(cb, "m")
+      .withColumn("d2u", pqD2u)
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("cell"), col("m"), col("cw"))
+    // the full per-(query, probed cell) ADC distance table: one priced
+    // row per codeword, NOT an argmin — codes look their distance up
+    val qt = subRows(withResidual(queries, numProbes), "qid")
+      .join(cb, "m")
+      .withColumn("qd2u", pqD2u)
+      .select(col("qid"), col("cell").as("qcell"), col("m").as("qm"),
+        col("cw").as("qcw"), col("qd2u"))
+    val wCand = Window.partitionBy("qid").orderBy(col("ad2u"), col("cid"))
+    val cand = enc.join(broadcast(qt),
+        col("cell") === col("qcell") && col("m") === col("qm") &&
+          col("cw") === col("qcw"))
       .filter(col("cid") =!= col("qid"))
       .groupBy("qid", "cid")
       .agg(sum("qd2u").as("ad2u"))

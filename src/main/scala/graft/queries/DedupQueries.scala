@@ -455,6 +455,82 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-span removal
+    * ([[graft.ext.Dedup.removeDuplicatedSpans]] — Lee et al. 2022
+    * ExactSubstr, hash-window form): q177 SCORES span duplication; this
+    * REWRITES the corpus — 64-char windows (stride 32) whose hash occurs
+    * in ≥ 2 distinct documents merge into maximal per-doc intervals
+    * (gaps-and-islands) and are excised from every document. The oracle
+    * rebuilds each cleaned text as the concatenation of kept gaps —
+    * provably equal to the Spark side's right-to-left excision fold —
+    * and both sides report the rewrite as (span count, removed chars,
+    * clean length, clean md5), hash-exact.
+    */
+  val q275DupSpanRemoval: QuerySpec = QuerySpec.oracled(
+    "q275_dup_span_removal",
+    """WITH d AS (SELECT doc_id, text, n_chars FROM documents),
+      |ix AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (n_chars - 64) // 32 + 1)) AS i
+      |  FROM d WHERE n_chars >= 64),
+      |w AS (
+      |  SELECT doc_id, (i * 32)::BIGINT AS s,
+      |    md5(substr(text, (i * 32 + 1)::INT, 64)) AS h
+      |  FROM ix),
+      |nd AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |dw AS (SELECT w.doc_id, w.s, w.s + 64 AS e FROM w JOIN nd USING (h)),
+      |mk AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+      |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM dw),
+      |gi AS (
+      |  SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM mk),
+      |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM gi
+      |       GROUP BY doc_id, g),
+      |ag AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e - s) AS BIGINT) AS removed_chars
+      |  FROM mg GROUP BY doc_id),
+      |gaps AS (
+      |  SELECT doc_id,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+      |    s AS ge
+      |  FROM mg
+      |  UNION ALL
+      |  SELECT m2.doc_id, m2.gs, d.n_chars AS ge
+      |  FROM (SELECT doc_id, max(e) AS gs FROM mg GROUP BY doc_id) m2
+      |  JOIN d ON d.doc_id = m2.doc_id),
+      |cl AS (
+      |  SELECT g.doc_id,
+      |    string_agg(substr(d.text, (g.gs + 1)::INT, (g.ge - g.gs)::INT),
+      |      '' ORDER BY g.gs) AS clean
+      |  FROM gaps g JOIN d ON d.doc_id = g.doc_id
+      |  WHERE g.ge > g.gs
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(ag.n_spans, 0) AS n_spans,
+      |  coalesce(ag.removed_chars, 0) AS removed_chars,
+      |  CAST(length(CASE WHEN ag.doc_id IS NULL THEN d.text
+      |    ELSE coalesce(cl.clean, '') END) AS BIGINT) AS clean_len,
+      |  md5(CASE WHEN ag.doc_id IS NULL THEN d.text
+      |    ELSE coalesce(cl.clean, '') END) AS clean_md5
+      |FROM d
+      |LEFT JOIN ag ON ag.doc_id = d.doc_id
+      |LEFT JOIN cl ON cl.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.removeDuplicatedSpans(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", nCharsCol = "n_chars",
+      width = 64, stride = 32)
+      .orderBy("doc_id")
+  }
+
   /** Dedup-ablation report: the artifact a data team publishes after a
     * dedup pass — per language, how many documents and characters the
     * near-dup pipeline (q18 pairs → q57 clusters → min-id survivors)
@@ -561,7 +637,7 @@ object DedupQueries {
       q155IncrementalNearDup, q161StreamIncrementalDedup,
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
-      q236ThresholdCurve)
+      q236ThresholdCurve, q275DupSpanRemoval)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

@@ -409,6 +409,152 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ with ADC ([[graft.ext.Similarity.ivfPqTopK]] — the FAISS
+    * IVFPQ composition): Lloyd cells prune the scan (a query touches only
+    * its 2 probed inverted lists) while residual PQ codes compress what
+    * is scanned 32×; the top-50 ADC candidates re-rank exactly. The
+    * oracle replays the ENTIRE structure — fixed-point Lloyd means,
+    * per-cell residuals, residual-codebook training (one fixed-point
+    * k-means step in the `ivfpq` md5 namespace), encode, per-probe
+    * distance tables, the integer ADC sum, and the exact re-rank —
+    * bit-for-bit.
+    */
+  val q274AnnIvfPq: QuerySpec = QuerySpec.oracled(
+    "q274_ann_ivfpq",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell0
+       |  FROM nv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM cv, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.embedding, v.nrm, e.cell, e.cvec,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM cv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, embedding, nrm, cell, cvec,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |corp AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> embedding[i]::DOUBLE - cvec[i]) AS resid
+       |  FROM rnk WHERE rk = 1),
+       |qp AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> embedding[i]::DOUBLE - cvec[i]) AS resid
+       |  FROM rnk WHERE rk <= 2 AND vec_id < 20),
+       |cs AS (
+       |  SELECT vec_id AS cid, cell, CAST(t.mi AS INT) AS m,
+       |    list_slice(resid, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
+       |  FROM corp CROSS JOIN range(8) t(mi)),
+       |${pqCbSql("ivfpq")},
+       |sd0 AS (
+       |  SELECT cs.cid, cs.m, seed.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - seed.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - seed.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN seed USING (m)),
+       |sasg AS (
+       |  SELECT cid, m, cw FROM (
+       |    SELECT cid, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM sd0) WHERE rk = 1),
+       |fx2 AS (
+       |  SELECT sasg.m, sasg.cw, t.i,
+       |    sum(CAST(floor(cs.sub[t.i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM sasg
+       |  JOIN cs ON cs.cid = sasg.cid AND cs.m = sasg.m
+       |  CROSS JOIN range(1, 9) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cent2 AS (
+       |  SELECT m, cw,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS tvec
+       |  FROM fx2 GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT seed.m, seed.cw, coalesce(cent2.tvec, seed.cvec) AS cvec
+       |  FROM seed LEFT JOIN cent2
+       |    ON cent2.m = seed.m AND cent2.cw = seed.cw),
+       |d0 AS (
+       |  SELECT cs.cid, cs.cell, cs.m, cb.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - cb.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - cb.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN cb USING (m)),
+       |enc AS (
+       |  SELECT cid, cell, m, cw FROM (
+       |    SELECT cid, cell, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |qs AS (
+       |  SELECT vec_id AS qid, cell, CAST(t.mi AS INT) AS m,
+       |    list_slice(resid, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
+       |  FROM qp CROSS JOIN range(8) t(mi)),
+       |qt AS (
+       |  SELECT qs.qid, qs.cell, qs.m, cb.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (qs.sub[i]::DOUBLE - cb.cvec[i]) *
+       |             (qs.sub[i]::DOUBLE - cb.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS qd2u
+       |  FROM qs JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT qt.qid, enc.cid, CAST(sum(qt.qd2u) AS BIGINT) AS ad2u
+       |  FROM enc JOIN qt
+       |    ON enc.cell = qt.cell AND enc.m = qt.m AND enc.cw = qt.cw
+       |  WHERE enc.cid <> qt.qid
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ad2u, cid) AS crk
+       |    FROM adc) WHERE crk <= 50),
+       |scored AS (
+       |  SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.qid
+       |  JOIN nv c ON c.vec_id = cand.cid),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfPqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      numCentroids = NumCentroids, dim = Dim, numProbes = 2,
+      numSub = 8, codebookSize = 16, candidates = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -474,8 +620,8 @@ object SimilarityQueries {
 
   /** The PQ codebook (8 sub-spaces × 16 codewords × 8 dims) as literal
     * SQL VALUES rows — k/1000 rationals print exactly. */
-  private def pqCbSql: String = {
-    val rows = Similarity.pqCodebook(8, 16, 8).map { case (m, c, v) =>
+  private def pqCbSql(tag: String = "pq"): String = {
+    val rows = Similarity.pqCodebook(8, 16, 8, tag).map { case (m, c, v) =>
       s"($m, $c, ${v.mkString("[", ", ", "]")})"
     }.mkString(", ")
     s"seed(m, cw, cvec) AS (VALUES $rows)"
@@ -496,7 +642,7 @@ object SimilarityQueries {
   val q180AnnPq: QuerySpec = QuerySpec.oracled(
     "q180_ann_pq",
     s"""$normCte,
-       |$pqCbSql,
+       |${pqCbSql()},
        |cs AS (
        |  SELECT vec_id AS cid, CAST(t.mi AS INT) AS m,
        |    list_slice(embedding, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
@@ -727,7 +873,8 @@ object SimilarityQueries {
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
-      q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold)
+      q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
+      q274AnnIvfPq)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

@@ -54,4 +54,85 @@ class DupSpansSpec extends AnyFunSuite with SparkSpec {
     assert(!out.contains(1L))
     assert(run(rows, parts = 1) == run(rows, parts = 7))
   }
+
+  // ---- removeDuplicatedSpans (oracle twin: q275) ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def runRemove(rows: Seq[(Long, String)], parts: Int = 3) = {
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(parts)
+    Dedup.removeDuplicatedSpans(df, "doc_id", "text", "n_chars")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("a planted cross-doc span is excised from EVERY doc; unique text kept") {
+    val shared = block(1) + block(2) // 128 chars, duplicated across docs
+    val u1 = block(7) + block(8)
+    val u2 = block(11) + block(12)
+    val out = runRemove(Seq(
+      1L -> (u1 + shared), 2L -> (shared + u2), 3L -> u2))
+    // doc 1: windows at 0..128 step 32; the shared block spans chars
+    // 128..256 but only ALIGNED windows fully inside dup text hash-match
+    // doc 2's copy (doc 2 has it at offset 0) — windows are aligned to
+    // the DOC, so matching hashes require equal 64-char content at both
+    // stride positions. Here window [128,192) of doc1 = shared[0,64) =
+    // window [0,64) of doc2, and [160,224) = shared[32,96) = [32,96) of
+    // doc2, and [192,256) = shared[64,128) = [64,128) of doc2 — all
+    // three dup windows merge to one [128, 256) span in doc 1.
+    assert(out(1L)._1 == 1L)
+    assert(out(1L)._2 == 128L)
+    assert(out(1L)._3 == 128L)
+    assert(out(1L)._4 == md5hex(u1))
+    // doc 2 keeps its unique suffix; doc 3 untouched — but doc 3 shares
+    // u2 with doc 2's suffix, so BOTH lose u2 (the ExactSubstr rule:
+    // every occurrence goes)
+    assert(out(2L)._4 == md5hex(""))
+    assert(out(3L)._4 == md5hex(""))
+  }
+
+  test("intra-doc repetition alone is not removed") {
+    val rep = block(3) + block(3)
+    val out = runRemove(Seq(1L -> rep, 2L -> (block(9) + block(10))))
+    assert(out(1L) == ((0L, 0L, 128L, md5hex(rep))))
+  }
+
+  test("overlapping dup windows merge into one maximal span") {
+    val p = block(4) + block(5) // 128 shared chars → 3 overlapping windows
+    val t1 = p + block(6)
+    val t2 = p + block(13)
+    val out = runRemove(Seq(1L -> t1, 2L -> t2))
+    // one merged span [0, 128): spans=1, removed=128, remainder kept
+    assert(out(1L) == ((1L, 128L, 64L, md5hex(block(6)))))
+    assert(out(2L) == ((1L, 128L, 64L, md5hex(block(13)))))
+  }
+
+  test("short docs pass through unchanged; partition-invariant") {
+    val tiny = block(1).take(63)
+    val rows = Seq(1L -> tiny, 2L -> (block(1) + block(2)),
+      3L -> (block(1) + block(14)))
+    val out = runRemove(rows)
+    assert(out(1L) == ((0L, 0L, 63L, md5hex(tiny))))
+    // docs 2 and 3 share the aligned prefix block → both lose [0, 64)
+    assert(out(2L) == ((1L, 64L, 64L, md5hex(block(2)))))
+    assert(runRemove(rows, parts = 1) == runRemove(rows, parts = 7))
+  }
+
+  test("removal agrees with the q177 signal: spans exist iff dup windows do") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val frac = Dedup.duplicatedSpanFraction(
+        docs, "doc_id", "text", "n_chars")
+      .filter(col("n_dup") > 0).select("doc_id")
+      .as[Long].collect().toSet
+    val rem = Dedup.removeDuplicatedSpans(
+        docs, "doc_id", "text", "n_chars")
+      .filter(col("n_spans") > 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(frac == rem)
+  }
 }
