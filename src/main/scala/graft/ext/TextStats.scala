@@ -381,6 +381,91 @@ object TextStats {
         expr("bigram_bits * 1000 div n_bigrams"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4 — the web-scale LM smoothing that
+    * needs no discounting pass) in whole bits: each trigram position in a
+    * SCORED document costs
+    *
+    *   c(w₁w₂w₃) > 0:  ⌊log₂(c(w₁w₂·) div c(w₁w₂w₃))⌋          (hit)
+    *   c(w₂w₃)   > 0:  2 + ⌊log₂(c(w₂·) div c(w₂w₃))⌋          (backoff)
+    *   otherwise:      4 + ⌊log₂(N div max(c(w₃), 1))⌋          (unigram)
+    *
+    * with counts from a separate TRAIN corpus — the split is what makes
+    * backoff real (train = score would make every trigram a hit). The
+    * backoff penalty is 2 bits per level: α = 1/4, a power of two, so the
+    * whole score stays in the exact `length(bin(a div b)) − 1` integer
+    * discipline (the paper's α = 0.4 is a free constant; the quantized
+    * choice is what any engine replays bit-for-bit). Unseen unigrams
+    * floor at count 1 (add-one, the q272 smoothing discipline). This is
+    * the CCNet-style perplexity filter one step up from [[surprisalBits]]
+    * / [[bigramSurprisalBits]]: held-out documents whose n-grams the
+    * train corpus predicts poorly score HIGH bits — likely garbage or
+    * out-of-domain.
+    *
+    * Scale shape: n-gram positions explode once per order (narrow);
+    * count tables are map-side-combinable aggregates; scoring is five
+    * string-keyed equi-joins (AQE splits the hot "the …" contexts) and
+    * the total-count N rides a 1-row broadcast. Nothing keys wider than
+    * a trigram string.
+    */
+  def trigramBackoffBits(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = filter(tokensCol(textCol), t => t =!= "")
+    def triRows(df: DataFrame): DataFrame = df
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2, " +
+          "toks[i + 2] AS w3))")).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    def bgRows(df: DataFrame): DataFrame = df
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w2, toks[i + 1] AS w3))")).as("b"))
+      .select(col("b.w2").as("w2"), col("b.w3").as("w3"))
+    val unRows = train.select(explode(toks).as("w"))
+    val tTri = triRows(train)
+    val c123 = tTri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = tTri.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val tBg = bgRows(train)
+    val c23 = tBg.groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+    val c2 = tBg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val c3 = unRows.groupBy("w").agg(count(lit(1)).as("c3"))
+      .withColumnRenamed("w", "w3")
+    val nn = unRows.agg(count(lit(1)).as("n"))
+    triRows(docs)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col(idCol),
+        when(col("c123").isNotNull, lit(0L))
+          .when(col("c23").isNotNull, lit(1L)).otherwise(lit(2L)).as("lvl"),
+        when(col("c123").isNotNull,
+          (length(bin(expr("c12 div c123"))) - 1).cast("long"))
+          .when(col("c23").isNotNull,
+            lit(2L) + (length(bin(expr("c2 div c23"))) - 1).cast("long"))
+          .otherwise(lit(4L) +
+            (length(bin(expr("n div greatest(coalesce(c3, 0L), 1L)"))) - 1)
+              .cast("long"))
+          .as("bits"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_uni"),
+        sum("bits").as("backoff_bits"))
+      .withColumn("avg_millibits",
+        expr("backoff_bits * 1000 div n_trigrams"))
+  }
+
   def surprisalBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokensCol(textCol)).as("tok"))

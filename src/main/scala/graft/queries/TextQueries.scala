@@ -2367,6 +2367,69 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Stupid-backoff trigram scoring
+    * ([[graft.ext.TextStats.trigramBackoffBits]] — Brants et al. 2007):
+    * counts train on the even-id half of the corpus, ALL documents score
+    * against them, so held-out odd-id documents genuinely exercise the
+    * trigram → bigram → unigram backoff ladder (2 exact bits per level,
+    * α = 1/4). The oracle replays counts, the three-way CASE, and the
+    * per-doc rollup in pure integer arithmetic.
+    */
+  val q276TrigramBackoff: QuerySpec = QuerySpec.oracled(
+    "q276_trigram_backoff",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id, toks[t.p + 1] AS w1, toks[t.p + 2] AS w2,
+       |    toks[t.p + 3] AS w3
+       |  FROM tk, UNNEST(range(len(toks) - 2)) AS t(p)),
+       |ttg AS (SELECT * FROM tg WHERE doc_id % 2 = 0),
+       |tbg AS (
+       |  SELECT toks[t.p + 1] AS w2, toks[t.p + 2] AS w3
+       |  FROM tk, UNNEST(range(len(toks) - 1)) AS t(p)
+       |  WHERE doc_id % 2 = 0),
+       |tun AS (
+       |  SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0),
+       |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ttg
+       |         GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM ttg GROUP BY 1, 2),
+       |c23 AS (SELECT w2, w3, count(*) AS c23 FROM tbg GROUP BY 1, 2),
+       |c2 AS (SELECT w2, count(*) AS c2 FROM tbg GROUP BY 1),
+       |c3 AS (SELECT w AS w3, count(*) AS c3 FROM tun GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM tun),
+       |sc AS (
+       |  SELECT tg.doc_id,
+       |    CASE WHEN c123.c123 IS NOT NULL THEN 0
+       |         WHEN c23.c23 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+       |    CASE WHEN c123.c123 IS NOT NULL
+       |           THEN length(bin(c12.c12 // c123.c123)) - 1
+       |         WHEN c23.c23 IS NOT NULL
+       |           THEN 2 + length(bin(c2.c2 // c23.c23)) - 1
+       |         ELSE 4 + length(bin(nn.n //
+       |           greatest(coalesce(c3.c3, 0), 1))) - 1 END AS bits
+       |  FROM tg
+       |  LEFT JOIN c123 ON tg.w1 = c123.w1 AND tg.w2 = c123.w2
+       |    AND tg.w3 = c123.w3
+       |  LEFT JOIN c12 ON tg.w1 = c12.w1 AND tg.w2 = c12.w2
+       |  LEFT JOIN c23 ON tg.w2 = c23.w2 AND tg.w3 = c23.w3
+       |  LEFT JOIN c2 ON tg.w2 = c2.w2
+       |  LEFT JOIN c3 ON tg.w3 = c3.w3
+       |  CROSS JOIN nn)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+       |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+       |  CAST(sum(bits) AS BIGINT) AS backoff_bits,
+       |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ext.TextStats.trigramBackoffBits(
+      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -2381,5 +2444,6 @@ object TextQueries {
       q224PhraseIndex, q231BpeMerges, q232SurprisalBits,
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
       q242VocabGrowth, q264DsirSelection, q265BigramSurprisal,
-      q270DsirStream, q272UnigramVocab, q273UnigramApply)
+      q270DsirStream, q272UnigramVocab, q273UnigramApply,
+      q276TrigramBackoff)
 }

@@ -165,4 +165,69 @@ class TextScoringSpec extends AnyFunSuite with SparkSpec {
     val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  // ---- trigramBackoffBits (oracle twin: q276) ----
+
+  private def backoff(train: Seq[(Long, String)], score: Seq[(Long, String)]) =
+    TextStats.trigramBackoffBits(
+      train.toDF("doc_id", "text"), score.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("backoff ladder: trigram hit, bigram backoff, unigram backoff, OOV") {
+    val train = Seq(1L -> "a b c a b d")
+    // train trigrams: (a b c), (b c a), (c a b), (a b d)
+    // train bigrams:  a b (x2), b c, c a, b d
+    // train unigrams: a=2 b=2 c=1 d=1, N=6
+    val out = backoff(train,
+      Seq(10L -> "a b c",   // trigram hit: c12(a b)=2, c123=1 → 1 bit
+        11L -> "c a b d",   // (c a b) hit: c12(c a)=1,c123=1 → 0 bits;
+                            // (a b d) hit: c12(a b)=2, c123=1 → 1 bit
+        12L -> "b c d",     // (b c d) unseen tri; bigram (c d) unseen;
+                            // unigram d: 2+2+floor(log2(6 div 1))=... lvl2:
+                            // 4 + floor(log2(6)) = 4 + 2 = 6 bits
+        13L -> "a b z"))    // (a b z) unseen tri, (b z) unseen bigram,
+                            // z OOV: 4 + floor(log2(6 div max(0,1))) =
+                            // 4 + 2 = 6 bits
+    assert(out(10L) == ((1L, 1L, 0L, 0L, 1L, 1000L)))
+    assert(out(11L) == ((2L, 2L, 0L, 0L, 1L, 500L)))
+    assert(out(12L) == ((1L, 0L, 0L, 1L, 6L, 6000L)))
+    assert(out(13L) == ((1L, 0L, 0L, 1L, 6L, 6000L)))
+  }
+
+  test("bigram-level backoff pays 2 bits plus the conditional cost") {
+    // train: bigram (b e) exists only via trigram (x b e); score (a b e):
+    // trigram (a b e) unseen (train has no "a b e"), bigram (b e) seen:
+    // c2(b·) counts bigrams starting with b = 1 (b e), c23(b e) = 1 →
+    // 2 + floor(log2(1)) = 2 bits, lvl 1
+    val out = backoff(Seq(1L -> "x b e"), Seq(20L -> "a b e"))
+    assert(out(20L) == ((1L, 0L, 1L, 0L, 2L, 2000L)))
+  }
+
+  test("held-out docs score higher than in-train docs on the gate corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextStats.trigramBackoffBits(
+      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+    val m = got
+      .groupBy((col("doc_id") % 2 === 0).as("in_train"))
+      .agg(avg(col("avg_millibits")).as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    info(s"avg millibits in-train=${m(true)} held-out=${m(false)}")
+    assert(m(false) > m(true),
+      "held-out text must be less predictable than training text")
+  }
+
+  test("trigram backoff is partition-invariant") {
+    val train = Seq(1L -> "a b c a b d", 2L -> "e f g")
+    val score = Seq(10L -> "a b c e f g z", 11L -> "q r s")
+    val base = backoff(train, score)
+    val a = TextStats.trigramBackoffBits(
+      train.toDF("doc_id", "text").repartition(7),
+      score.toDF("doc_id", "text").repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(a == base)
+  }
 }
