@@ -1254,6 +1254,159 @@ object EventQueries {
       .orderBy("event_type")
   }.withSetup((s, d) => { stageQ267(s, d); () })
 
+  /** Deterministic mergeable quantile sketch
+    * ([[graft.ext.QuantileSketch]] — bottom-k-by-hash uniform row
+    * sample): per event type, value quantiles (p10/p50/p90/p99 in
+    * cents) estimated from a 256-row deterministic sample, reported
+    * BESIDE the exact order statistics (the q56 sketch-beside-exact
+    * discipline). Complementary to q158's fixed-bin histograms: rank
+    * error O(1/√k) independent of the value universe, and the sketch
+    * merges EXACTLY (bottom-k of a union = bottom-k of bottom-ks), so
+    * q278 maintains it over a stream bit-for-bit. The oracle replays
+    * the hash, the per-group bottom-256, and both rank picks.
+    */
+  val q277QuantileSketch: QuerySpec = QuerySpec.oracled(
+    "q277_quantile_sketch",
+    """WITH w AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (
+      |  SELECT *, ('0x' || substr(md5('qsk:' || event_id::VARCHAR),
+      |      1, 15))::BIGINT AS rh
+      |  FROM w),
+      |sk AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY rh, event_id) AS rk
+      |    FROM h) WHERE rk <= 256),
+      |pp(pct) AS (VALUES (10), (50), (90), (99)),
+      |se AS (
+      |  SELECT event_type, cents, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS vr,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM sk),
+      |est AS (
+      |  SELECT s.event_type, p.pct, s.n AS sample_n, s.cents AS est_cents
+      |  FROM se s JOIN pp p ON s.vr = (p.pct * s.n + 99) // 100),
+      |fe AS (
+      |  SELECT event_type, cents, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS vr,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |ex AS (
+      |  SELECT f.event_type, p.pct, f.n AS group_n, f.cents AS exact_cents
+      |  FROM fe f JOIN pp p ON f.vr = (p.pct * f.n + 99) // 100)
+      |SELECT est.event_type, CAST(est.pct AS BIGINT) AS pct,
+      |  CAST(ex.group_n AS BIGINT) AS group_n,
+      |  CAST(est.sample_n AS BIGINT) AS sample_n,
+      |  est.est_cents, ex.exact_cents
+      |FROM est JOIN ex
+      |  ON est.event_type = ex.event_type AND est.pct = ex.pct
+      |ORDER BY est.event_type, est.pct""".stripMargin) { (spark, dir) =>
+    import graft.ext.QuantileSketch
+    val pcts = Seq(10, 50, 90, 99)
+    val ev = CoreQueries.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val ann = QuantileSketch.annotate(ev, "event_id")
+    val sk = QuantileSketch.sketch(ann, Seq("event_type"), "event_id", 256)
+    val est = QuantileSketch.estimates(
+        sk, Seq("event_type"), "event_id", "cents", pcts)
+      .withColumnRenamed("q_value", "est_cents")
+    val exact = QuantileSketch.estimates(
+        ann, Seq("event_type"), "event_id", "cents", pcts)
+      .select(col("event_type"), col("pct"),
+        col("sample_n").as("group_n"), col("q_value").as("exact_cents"))
+    est.join(exact, Seq("event_type", "pct"))
+      .select(col("event_type"), col("pct"), col("group_n"),
+        col("sample_n"), col("est_cents"), col("exact_cents"))
+      .orderBy("event_type", "pct")
+  }
+
+  /** q277's sketch MAINTAINED over a micro-batch stream (the q256 fold
+    * loop: state ∪ sketched batch → re-top-k, temp-write + swap).
+    * Bottom-k by a deterministic hash is a pure top-k, so the maintained
+    * sketch equals the one-shot build EXACTLY and the oracle is q277's
+    * replay restricted to the staged (w > 0) stream — stream ≡ batch
+    * down to the last estimate cent. This is how a 100 TB ingest keeps
+    * live per-group quantiles: k rows of state per group per fold,
+    * never a rescan.
+    */
+  val q278QuantileSketchStream: QuerySpec = QuerySpec.oracled(
+    "q278_quantile_sketch_stream",
+    """WITH w AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE value IS NOT NULL AND round(value * 100) > 0),
+      |h AS (
+      |  SELECT *, ('0x' || substr(md5('qsk:' || event_id::VARCHAR),
+      |      1, 15))::BIGINT AS rh
+      |  FROM w),
+      |sk AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY rh, event_id) AS rk
+      |    FROM h) WHERE rk <= 128),
+      |pp(pct) AS (VALUES (25), (50), (75)),
+      |se AS (
+      |  SELECT event_type, cents, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS vr,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM sk)
+      |SELECT s.event_type, CAST(p.pct AS BIGINT) AS pct,
+      |  CAST(s.n AS BIGINT) AS sample_n, s.cents AS est_cents
+      |FROM se s JOIN pp p ON s.vr = (p.pct * s.n + 99) // 100
+      |ORDER BY s.event_type, pct""".stripMargin) { (spark, dir) =>
+    import graft.ext.QuantileSketch
+    val k = 128
+    val staged = stageQ256(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q278_state", dir)
+    val ckpt = QuerySpec.stagedPath("q278_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q278_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q278_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ann = QuantileSketch.annotate(
+          batch.withColumnRenamed("w", "cents"), "event_id")
+        val state = new java.io.File(stateDir)
+        val unioned =
+          if (state.exists())
+            ann.unionByName(batch.sparkSession.read.parquet(stateDir))
+          else ann
+        val next = QuantileSketch.sketch(
+          unioned, Seq("event_type"), "event_id", k)
+        val tmp = s"${stateDir}__next"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        next.coalesce(1).write.parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(state)
+        if (!new java.io.File(tmp).renameTo(state))
+          throw new IllegalStateException(s"state swap failed: $tmp")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    QuantileSketch.estimates(
+        spark.read.parquet(stateDir), Seq("event_type"), "event_id",
+        "cents", Seq(25, 50, 75))
+      .select(col("event_type"), col("pct"), col("sample_n"),
+        col("q_value").as("est_cents"))
+      .orderBy("event_type", "pct")
+  }.withSetup((s, d) => { stageQ256(s, d); () })
+
   /** Streaming quality gate: the q233 linear classifier applied to a
     * DOCUMENT stream — stateless per-row scoring (the filter stays a
     * narrow projection even as a stream) feeding one running per-lang
@@ -3210,7 +3363,8 @@ object EventQueries {
       q251SingerMultiStream, q252SingerStateBookmarks,
       q261SingerSchemaEvolution, q255PrioritySample,
       q256PrioritySampleStream, q266PrioritySampleWide,
-      q267PrioritySampleWideStream,
+      q267PrioritySampleWideStream, q277QuantileSketch,
+      q278QuantileSketchStream,
       q75WindowedDedup, q77StreamStreamJoin, q84StreamStaticJoin,
       q89StreamLeftOuter, q100StreamingSnapshot, q118StreamingTopk,
       q124ChainedWindows, q130DedupWindow, q150TransformWithState,
