@@ -703,6 +703,59 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(__i, __v))), " +
         "p -> p.__v)").as("__cvec"))
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning" — the
+    * self-supervised prune metric): each vector's prototypicality is its
+    * cosine to its Lloyd-cell centroid; within every cell the HARDEST
+    * `keepHardestPct`% (lowest cosine — the examples far from the
+    * prototype) are kept and the rest marked pruned. The paper's core
+    * finding — with abundant data, keeping hard examples beats random —
+    * makes this the embedding-side companion to the DSIR/classifier text
+    * filters. The per-cell quota (⌈n·pct/100⌉, ranks tie on id) keeps
+    * the selection stratified: no cell is emptied wholesale, which a
+    * global threshold would do to tight clusters.
+    *
+    * Deterministic end to end (fixed-point Lloyd means, double-fold
+    * cosines, total rank order), so the oracle replays the full prune
+    * decision. 100 TB shape: one centroid broadcast + a per-cell rank
+    * window — no pairwise anything; the output is corpus-sized but
+    * narrow (id, cell, score, rank, flag).
+    */
+  def prototypicalityPrune(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepHardestPct: Int,
+      numCentroids: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(keepHardestPct >= 1 && keepHardestPct <= 100,
+      s"prototypicalityPrune: keepHardestPct must be in [1, 100], " +
+        s"got $keepHardestPct")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    graft.functions.HyperplaneExpressions.register(corpus.sparkSession)
+    val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
+    val asg = assignCells(corpus, idCol, vecCol, cent, probes = 1)
+      .join(broadcast(cent), Seq("__cell"))
+      .withColumn("__cn", expr(
+        "sqrt(aggregate(zip_with(__cvec, __cvec, (x, y) -> x * y), " +
+          "0.0D, (acc, v) -> acc + v))"))
+      .withColumn("__proto",
+        expr(s"aggregate(zip_with(`$vecCol`, __cvec, (x, y) -> " +
+          "CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)") /
+          (selfNormFast(vecCol) * col("__cn")))
+    val w = Window.partitionBy(col("__cell"))
+      .orderBy(col("__proto").asc, col(idCol).asc)
+    val wn = Window.partitionBy(col("__cell"))
+    asg
+      .withColumn("hard_rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .select(col(idCol), col("__cell").as("cell"),
+        round(col("__proto"), 6).as("proto_cos"),
+        col("hard_rank"),
+        (col("hard_rank") <=
+          expr(s"(__n * $keepHardestPct + 99) div 100")).as("kept"))
+  }
+
   /** Banded-LSH embedding near-dup pairs — the bucketed replacement for
     * [[cosineNearDupPairs]]'s all-pairs crossJoin: `numBands` independent
     * `bandBits`-plane signatures per vector (one fused-expression pass),

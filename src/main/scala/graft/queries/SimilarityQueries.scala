@@ -555,6 +555,68 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Prototypicality pruning
+    * ([[graft.ext.Similarity.prototypicalityPrune]] — Sorscher et al.
+    * 2022): every vector scored by cosine to its Lloyd-cell centroid;
+    * the hardest 30% per cell (lowest cosine, ties on id) are kept, the
+    * prototypical rest pruned — the data-pruning recipe that beats
+    * random selection when data is abundant. Per-cell quotas keep the
+    * prune stratified. The oracle replays the fixed-point Lloyd fit,
+    * assignment, centroid-norm cosine, rank, and quota exactly.
+    */
+  val q279ProtoPrune: QuerySpec = QuerySpec.oracled(
+    "q279_proto_prune",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell0
+       |  FROM nv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM cv, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.nrm, e.cell, e.cvec,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM cv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, nrm, cell, cvec, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |pr AS (
+       |  SELECT vec_id, cell,
+       |    d / (nrm * sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> cvec[i] * cvec[i])), (x, y) -> x + y))) AS proto
+       |  FROM rnk WHERE rk = 1),
+       |rkp AS (
+       |  SELECT vec_id, cell, proto,
+       |    row_number() OVER (PARTITION BY cell ORDER BY proto, vec_id)
+       |      AS hard_rank,
+       |    count(*) OVER (PARTITION BY cell) AS n
+       |  FROM pr)
+       |SELECT vec_id, cell, round(proto, 6) AS proto_cos,
+       |  CAST(hard_rank AS INTEGER) AS hard_rank,
+       |  hard_rank <= (n * 30 + 99) // 100 AS kept
+       |FROM rkp
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Similarity.prototypicalityPrune(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      idCol = "vec_id", vecCol = "embedding", keepHardestPct = 30,
+      numCentroids = NumCentroids, dim = Dim)
+      .orderBy("vec_id")
+  }
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -874,7 +936,7 @@ object SimilarityQueries {
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
-      q274AnnIvfPq)
+      q274AnnIvfPq, q279ProtoPrune)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched
