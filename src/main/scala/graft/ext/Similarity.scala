@@ -703,6 +703,51 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(__i, __v))), " +
         "p -> p.__v)").as("__cvec"))
 
+  /** Embedding-truncation recall audit (the Matryoshka serving question
+    * — Kusupati et al. 2022: how much of full-dimension retrieval
+    * survives if only the first d′ components are stored/scanned): for
+    * each prefix length, exact top-k under prefix-cosine is compared
+    * against the full-dimension top-k, one recall row per prefix. The
+    * audit a team runs BEFORE picking a truncation for the 100 TB
+    * serving index — bandwidth scales linearly with d′, recall does not.
+    *
+    * Exact and deterministic at every prefix (double left-folds over the
+    * slice, ties on id), so the oracle replays each ladder rung. The
+    * full-dimension rung rides along as the 1.0-recall sanity row.
+    * Scale shape: each rung is the [[bruteForceTopK]] broadcast pattern
+    * (query batch broadcast, corpus scanned map-side); rungs union into
+    * one plan, and the recall rollup is |prefixes| rows.
+    */
+  def truncationRecallAudit(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixes: Seq[Int],
+      dim: Int = 64): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(d => d >= 1 && d <= dim),
+      s"truncationRecallAudit: prefixes must be in [1, $dim], got $prefixes")
+    require(prefixes.distinct.size == prefixes.size,
+      s"truncationRecallAudit: duplicate prefixes, got $prefixes")
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__m"))
+    val per = prefixes.map { d =>
+      val c = corpus.select(col(idCol),
+        expr(s"slice(`$vecCol`, 1, $d)").as(vecCol))
+      val q = queries.select(col(idCol),
+        expr(s"slice(`$vecCol`, 1, $d)").as(vecCol))
+      bruteForceTopK(c, q, idCol, vecCol, k)
+        .select(lit(d.toLong).as("dim_prefix"), col("query_id"),
+          col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    per.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dim_prefix")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_matched"))
+      .withColumn("recall_ppm", expr("n_matched * 1000000 div n_pairs"))
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws: beating power law scaling via data pruning" — the
     * self-supervised prune metric): each vector's prototypicality is its

@@ -555,6 +555,63 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Prefix-d dot product — the truncation ladder's scoring fold. */
+  private def dotSqlPrefix(a: String, b: String, d: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** Embedding-truncation recall audit
+    * ([[graft.ext.Similarity.truncationRecallAudit]] — the Matryoshka
+    * serving question): exact top-3 under the first 8/16/32/64
+    * components vs the full-dimension top-3, one recall row per rung
+    * (the 64 rung is the 1.0 sanity row). The oracle replays every
+    * rung's prefix-cosine ranking exactly.
+    */
+  val q280TruncationRecall: QuerySpec = QuerySpec.oracled(
+    "q280_truncation_recall", {
+      val rungs = Seq(8, 16, 32, 64)
+      val ctes = rungs.map { d =>
+        s"""nv$d AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(${dotSqlPrefix("embedding", "embedding", d)}) AS nrm
+           |  FROM embeddings),
+           |r$d AS (
+           |  SELECT CAST($d AS BIGINT) AS dim_prefix,
+           |    q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${dotSqlPrefix("q.embedding", "c.embedding", d)}
+           |        / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+           |  FROM nv$d q JOIN nv$d c
+           |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val union = rungs
+        .map(d => s"SELECT dim_prefix, query_id, neighbor_id FROM r$d " +
+          "WHERE rank <= 3")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $ctes,
+         |per AS (
+         |  $union),
+         |tr AS (SELECT query_id, neighbor_id FROM r64 WHERE rank <= 3)
+         |SELECT per.dim_prefix, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM per LEFT JOIN tr
+         |  ON per.query_id = tr.query_id
+         |  AND per.neighbor_id = tr.neighbor_id
+         |GROUP BY per.dim_prefix
+         |ORDER BY per.dim_prefix""".stripMargin
+    }) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.truncationRecallAudit(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      prefixes = Seq(8, 16, 32, 64), dim = Dim)
+      .orderBy("dim_prefix")
+  }
+
   /** Prototypicality pruning
     * ([[graft.ext.Similarity.prototypicalityPrune]] — Sorscher et al.
     * 2022): every vector scored by cosine to its Lloyd-cell centroid;
@@ -936,7 +993,7 @@ object SimilarityQueries {
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
-      q274AnnIvfPq, q279ProtoPrune)
+      q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched
