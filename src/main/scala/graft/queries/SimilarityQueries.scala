@@ -674,6 +674,119 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  private val q281Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the odd-id embedding half as TWO parquet files so the index
+    * maintenance loop sees two micro-batches. Memoized per sf dir.
+    */
+  private def stageQ281(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q281Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q281_emb", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val odd = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 2 === 1)
+      odd.filter(col("vec_id") % 4 === 1).coalesce(1)
+        .write.parquet(s"$staged/00")
+      QuerySpec.flattenPart(spark, staged.toString, "00", "a.parquet")
+      odd.filter(col("vec_id") % 4 === 3).coalesce(1)
+        .write.parquet(s"$staged/01")
+      QuerySpec.flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** q271's persisted index MAINTAINED over a real micro-batch stream:
+    * the quantizer trains once on the even-id half (batch build), then
+    * each streamed micro-batch of new vectors FOLDS into the index via
+    * `foreachBatch` — append-only, assignment against the frozen
+    * centroids, so the maintained index is independent of fold order and
+    * count and equals a one-shot assignment of the full corpus exactly
+    * (the q256 stream ≡ batch discipline applied to an INDEX artifact
+    * rather than a sample). The oracle is q271's full replay with a
+    * wider query set. This is how a 100 TB ANN serving index ingests a
+    * live embedding feed: delta-sized fold IO per trigger, no retrain,
+    * no rescan.
+    */
+  val q281AnnIndexStream: QuerySpec = QuerySpec.oracled(
+    "q281_ann_index_stream",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell0
+       |  FROM nv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM cv, range(1, ${Dim + 1}) t(i)
+       |  WHERE vec_id % 2 = 0
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.embedding, v.nrm, e.cell,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM cv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, embedding, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |corp AS (SELECT * FROM rnk WHERE rk = 1),
+       |qp AS (SELECT * FROM rnk WHERE rk <= 2 AND vec_id >= 20
+       |       AND vec_id < 50),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM qp q JOIN corp c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.ext.AnnIndex
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ281(spark, dir)
+    val idxDir = QuerySpec.stagedPath("q281_index", dir)
+    val ckpt = QuerySpec.stagedPath("q281_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    new java.io.File(idxDir).mkdirs()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    AnnIndex.build(spark, emb.filter(col("vec_id") % 2 === 0),
+      idxDir, "emb", "vec_id", "embedding",
+      numCentroids = NumCentroids, dim = Dim)
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q281_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q281_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.fold(batch.sparkSession, batch, idxDir, "emb",
+          "vec_id", "embedding")
+      }
+      .start()
+    q.awaitTermination()
+    AnnIndex.topK(spark,
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 50),
+      idxDir, "emb", "vec_id", "embedding", k = 3, numProbes = 2)
+      .orderBy("query_id", "rank")
+  }.withSetup((s, d) => { stageQ281(s, d); () })
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -993,7 +1106,8 @@ object SimilarityQueries {
       q48QuantizeInt8, q53EmbeddingNearDupHi, q55AnnIvfLloyd,
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
-      q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall)
+      q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall,
+      q281AnnIndexStream)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

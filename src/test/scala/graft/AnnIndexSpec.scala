@@ -59,6 +59,31 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(names.contains("v2") && !names.contains("v1"), names.toString)
   }
 
+  test("fold order and granularity do not change the maintained answer") {
+    // the q281 streaming contract: folds are append-only assignments
+    // against FROZEN centroids, so many small folds in any order must
+    // answer identically to one big fold
+    val train = vecs(1L to 50L)
+    val d1 = vecs(51L to 70L)
+    val d2 = vecs(71L to 90L)
+    val q = vecs(3L to 8L)
+    def answer(dir: String, folds: Seq[org.apache.spark.sql.DataFrame]) = {
+      AnnIndex.build(spark, train, dir, "e", "vec_id", "embedding",
+        Cent, Dim)
+      folds.foreach(f =>
+        AnnIndex.fold(spark, f, dir, "e", "vec_id", "embedding"))
+      AnnIndex.topK(spark, q, dir, "e", "vec_id", "embedding",
+          k = 3, numProbes = 2)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect.toSeq
+    }
+    val oneFold = answer(tmpDir("annidx_one"), Seq(d1.unionByName(d2)))
+    val twoFolds = answer(tmpDir("annidx_two"), Seq(d1, d2))
+    val reversed = answer(tmpDir("annidx_rev"), Seq(d2, d1))
+    assert(twoFolds == oneFold)
+    assert(reversed == oneFold)
+  }
+
   test("a fold never reads stored postings (delta-sized IO)") {
     val dir = tmpDir("annidx_noscan")
     AnnIndex.build(spark, vecs(1L to 50L), dir, "e", "vec_id", "embedding",
