@@ -405,18 +405,21 @@ object Similarity {
         coalesce(col("tvec"), col("cvec")).as("cvec"))
   }
 
-  def pqTopK(
+  /** The shared PQ machinery: encode the corpus, price the query
+    * tables, ADC-rank every candidate — returns (qid, cid, crk), the
+    * per-query ADC rank, unfiltered. [[pqTopK]] cuts it at one budget;
+    * [[pqRerankCurve]] cuts the SAME ranking at a ladder of budgets.
+    */
+  private def pqAdcRanked(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      numSub: Int = 8,
-      codebookSize: Int = 16,
-      dim: Int = 64,
-      candidates: Int = 10,
-      train: Boolean = true): DataFrame = {
-    require(dim % numSub == 0, s"pqTopK: dim $dim not divisible by $numSub")
+      numSub: Int,
+      codebookSize: Int,
+      dim: Int,
+      train: Boolean): DataFrame = {
+    require(dim % numSub == 0, s"pq: dim $dim not divisible by $numSub")
     val subDim = dim / numSub
     val spark = corpus.sparkSession
     graft.functions.VectorExpressions.register(spark)
@@ -438,13 +441,29 @@ object Similarity {
       .select(col("qid"), col("m").as("qm"), col("cw").as("qcw"),
         col("qd2u"))
     val wCand = Window.partitionBy("qid").orderBy(col("ad2u"), col("cid"))
-    val cand = enc
+    enc
       .join(broadcast(qt),
         col("m") === col("qm") && col("cw") === col("qcw"))
       .filter(col("cid") =!= col("qid"))
       .groupBy("qid", "cid")
       .agg(sum("qd2u").as("ad2u"))
       .withColumn("crk", row_number().over(wCand))
+      .select(col("qid"), col("cid"), col("crk"))
+  }
+
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSub: Int = 8,
+      codebookSize: Int = 16,
+      dim: Int = 64,
+      candidates: Int = 10,
+      train: Boolean = true): DataFrame = {
+    val cand = pqAdcRanked(corpus, queries, idCol, vecCol, numSub,
+        codebookSize, dim, train)
       .filter(col("crk") <= candidates)
       .select(col("qid"), col("cid"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -456,6 +475,61 @@ object Similarity {
       .join(broadcast(q), col("qid") === col("query_id"))
       .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
     topK(scored, k)
+  }
+
+  /** PQ re-rank budget curve — the audit a team runs BEFORE picking the
+    * `candidates` budget (the jaccardThresholdCurve discipline applied
+    * to ANN): ONE encode + ADC ranking + exact re-rank at the LARGEST
+    * budget, then every smaller budget is a prefix cut of the same
+    * ranking (budgets are nested by construction: ADC rank ≤ 10 ⊂
+    * ≤ 25 ⊂ ≤ 50), scored against the exact brute-force top-k. One row
+    * per budget: pairs, matches, recall ppm. At 100 TB the whole ladder
+    * costs one scan more than a single-budget run — the re-rank join
+    * runs once at max(budgets) and cuts are window filters.
+    */
+  def pqRerankCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      budgets: Seq[Int],
+      numSub: Int = 8,
+      codebookSize: Int = 16,
+      dim: Int = 64,
+      train: Boolean = true): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"pqRerankCurve: budgets must be >= 1, got $budgets")
+    require(budgets.distinct.size == budgets.size,
+      s"pqRerankCurve: duplicate budgets would duplicate rows: $budgets")
+    val maxB = budgets.max
+    val cand = pqAdcRanked(corpus, queries, idCol, vecCol, numSub,
+        codebookSize, dim, train)
+      .filter(col("crk") <= maxB)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("v_c"), selfNormFast(vecCol).as("n_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("v_q"), selfNormFast(vecCol).as("n_q"))
+    val scored = cand
+      .join(c, col("cid") === col("neighbor_id"))
+      .join(broadcast(q), col("qid") === col("query_id"))
+      .withColumn("cosine", dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
+      .select(col("query_id"), col("neighbor_id"), col("crk"),
+        col("cosine"))
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__m"))
+    val wB = Window.partitionBy(col("budget"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("budget", explode(array(budgets.map(b => lit(b.toLong)): _*)))
+      .filter(col("crk") <= col("budget"))
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_matched"))
+      .withColumn("recall_ppm", expr("n_matched * 1000000 div n_pairs"))
   }
 
   /** IVF-PQ with ADC (the FAISS IVFPQ composition — Jégou et al. 2011,

@@ -958,6 +958,121 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ re-rank budget curve ([[graft.ext.Similarity.pqRerankCurve]]):
+    * recall@3 of the trained-PQ ADC pipeline at candidate budgets
+    * 10/25/50, against the exact brute-force top-3 — the audit that
+    * justifies a re-rank budget before the 100 TB run. One encode + one
+    * ADC ranking + one exact re-rank at the largest budget; smaller
+    * budgets are prefix cuts of the same ranking (nested by
+    * construction). The oracle replays the whole ladder.
+    */
+  val q283PqRerankCurve: QuerySpec = QuerySpec.oracled(
+    "q283_pq_rerank_curve",
+    s"""$normCte,
+       |${pqCbSql()},
+       |cs AS (
+       |  SELECT vec_id AS cid, CAST(t.mi AS INT) AS m,
+       |    list_slice(embedding, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
+       |  FROM embeddings CROSS JOIN range(8) t(mi)),
+       |sd0 AS (
+       |  SELECT cs.cid, cs.m, seed.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - seed.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - seed.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN seed USING (m)),
+       |sasg AS (
+       |  SELECT cid, m, cw FROM (
+       |    SELECT cid, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM sd0) WHERE rk = 1),
+       |fx AS (
+       |  SELECT sasg.m, sasg.cw, t.i,
+       |    sum(CAST(floor(cs.sub[t.i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM sasg
+       |  JOIN cs ON cs.cid = sasg.cid AND cs.m = sasg.m
+       |  CROSS JOIN range(1, 9) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cent AS (
+       |  SELECT m, cw,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS tvec
+       |  FROM fx GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT seed.m, seed.cw, coalesce(cent.tvec, seed.cvec) AS cvec
+       |  FROM seed LEFT JOIN cent
+       |    ON cent.m = seed.m AND cent.cw = seed.cw),
+       |d0 AS (
+       |  SELECT cs.cid, cs.m, cb.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - cb.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - cb.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN cb USING (m)),
+       |enc AS (
+       |  SELECT cid, m, cw FROM (
+       |    SELECT cid, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |qt AS (SELECT cid AS qid, m, cw, d2u FROM d0 WHERE cid < 20),
+       |adc AS (
+       |  SELECT qt.qid, enc.cid, CAST(sum(qt.d2u) AS BIGINT) AS ad2u
+       |  FROM enc JOIN qt ON enc.m = qt.m AND enc.cw = qt.cw
+       |  WHERE enc.cid <> qt.qid
+       |  GROUP BY 1, 2),
+       |rkc AS (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ad2u, cid) AS crk
+       |  FROM adc),
+       |pp(b) AS (VALUES (10), (25), (50)),
+       |sc AS (
+       |  SELECT CAST(p.b AS BIGINT) AS budget, r.qid AS query_id,
+       |    r.cid AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM rkc r JOIN pp p ON r.crk <= p.b
+       |  JOIN nv q ON q.vec_id = r.qid
+       |  JOIN nv c ON c.vec_id = r.cid),
+       |rk2 AS (
+       |  SELECT budget, query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY budget, query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc),
+       |got AS (SELECT budget, query_id, neighbor_id FROM rk2
+       |        WHERE rank <= 3),
+       |tsc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM nv q JOIN nv c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |tr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM tsc) WHERE rank <= 3)
+       |SELECT got.budget, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matched,
+       |  CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |FROM got LEFT JOIN tr
+       |  ON got.query_id = tr.query_id
+       |  AND got.neighbor_id = tr.neighbor_id
+       |GROUP BY got.budget
+       |ORDER BY got.budget""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.pqRerankCurve(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 20),
+      idCol = "vec_id", vecCol = "embedding", k = 3,
+      budgets = Seq(10, 25, 50), numSub = 8, codebookSize = 16, dim = Dim)
+      .orderBy("budget")
+  }
+
   /** kNN label-agreement audit ([[graft.ext.Similarity.labelAudit]]): each
     * vector's LSH-bucket top-5 neighbors vote on its class; disagreement
     * flags likely labeling errors (the confident-learning signal for
@@ -1107,7 +1222,7 @@ object SimilarityQueries {
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
       q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall,
-      q281AnnIndexStream)
+      q281AnnIndexStream, q283PqRerankCurve)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

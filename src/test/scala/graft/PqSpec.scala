@@ -67,6 +67,26 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("rerank curve rows equal independent single-budget runs") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = pairs(Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", k = 3))
+    val curve = Similarity.pqRerankCurve(
+      emb, queries, "vec_id", "embedding", k = 3,
+      budgets = Seq(10, 50))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    for (b <- Seq(10, 50)) {
+      val single = pairs(Similarity.pqTopK(
+        emb, queries, "vec_id", "embedding", k = 3, candidates = b))
+      assert(curve(b.toLong) == ((single.size.toLong,
+        (truth & single).size.toLong)),
+        s"curve row at budget $b diverges from the single-budget run")
+    }
+    // nested budgets: recall can only grow with the candidate budget
+    assert(curve(50L)._2 >= curve(10L)._2)
+  }
+
   test("codebook is the declared shape with bounded components") {
     val cb = Similarity.pqCodebook(8, 16, 8)
     assert(cb.size == 8 * 16)
