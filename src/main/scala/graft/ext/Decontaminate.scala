@@ -50,4 +50,41 @@ object Decontaminate {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap)
           .as("contaminated"))
   }
+
+  /** Decontamination sensitivity curve — the audit a team runs BEFORE
+    * picking the n-gram size (the q236 threshold-curve discipline
+    * applied to contamination): for each candidate gram length, how many
+    * documents the [[flagContaminated]] rule would flag and how much
+    * total overlap it sees. Small grams over-flag (common phrases hit
+    * the benchmark by chance); long grams under-flag (paraphrase slips
+    * through) — the curve shows where the corpus actually sits. One row
+    * per gram length: docs, flagged count, flagged ppm (exact floor
+    * division), total overlapping distinct grams.
+    *
+    * Scale shape: each rung is the q58 broadcast semi-join (benchmark
+    * gram set broadcast, corpus grams never shuffled); the ladder adds
+    * one corpus pass per rung, and rung outputs are 1-row aggregates.
+    */
+  def sensitivityCurve(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ks: Seq[Int],
+      minOverlap: Int = 3): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"sensitivityCurve: gram lengths must be >= 1, got $ks")
+    require(ks.distinct.size == ks.size,
+      s"sensitivityCurve: duplicate gram lengths would duplicate rows: $ks")
+    ks.map { k =>
+      flagContaminated(corpus, benchmark, idCol, textCol, k, minOverlap)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_flagged"),
+          sum("n_overlap").as("total_overlap"))
+        .select(lit(k.toLong).as("gram_k"), col("n_docs"),
+          col("n_flagged"),
+          expr("n_flagged * 1000000 div n_docs").as("flagged_ppm"),
+          col("total_overlap"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -2367,6 +2367,62 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Decontamination sensitivity curve
+    * ([[graft.ext.Decontaminate.sensitivityCurve]]): the q58 rule
+    * evaluated at gram lengths 3/5/8 against the same benchmark split —
+    * the audit that justifies a gram size before the production
+    * decontamination pass (short grams over-flag, long grams miss
+    * paraphrase). One broadcast semi-join per rung; the oracle replays
+    * each rung's gram build, overlap counts, and the exact-ppm rollup.
+    */
+  val q284DecontamCurve: QuerySpec = QuerySpec.oracled(
+    "q284_decontam_curve", {
+      def gramExpr(k: Int): String =
+        (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      val rungs = Seq(3, 5, 8)
+      val ctes = rungs.map { k =>
+        s"""g$k AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, len(toks) - ${k - 2}), i -> ${gramExpr(k)})) AS s
+           |  FROM tk),
+           |bg$k AS (SELECT DISTINCT unnest(s) AS gram FROM g$k
+           |         WHERE doc_id % 20 = 0),
+           |cg$k AS (SELECT doc_id, unnest(s) AS gram FROM g$k
+           |         WHERE doc_id % 20 <> 0),
+           |h$k AS (
+           |  SELECT cg$k.doc_id, count(*) AS n_overlap
+           |  FROM cg$k JOIN bg$k USING (gram) GROUP BY 1),
+           |r$k AS (
+           |  SELECT CAST($k AS BIGINT) AS gram_k,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN coalesce(h$k.n_overlap, 0) >= 3
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           |    CAST(sum(CASE WHEN coalesce(h$k.n_overlap, 0) >= 3
+           |      THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           |      AS flagged_ppm,
+           |    CAST(sum(coalesce(h$k.n_overlap, 0)) AS BIGINT)
+           |      AS total_overlap
+           |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+           |  LEFT JOIN h$k ON h$k.doc_id = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val union = rungs.map(k => s"SELECT * FROM r$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+         |  FROM documents),
+         |$ctes
+         |$union
+         |ORDER BY gram_k""".stripMargin
+    }) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ext.Decontaminate.sensitivityCurve(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 20 === 0),
+      idCol = "doc_id", textCol = "text", ks = Seq(3, 5, 8),
+      minOverlap = 3)
+      .orderBy("gram_k")
+  }
+
   /** Stupid-backoff trigram scoring
     * ([[graft.ext.TextStats.trigramBackoffBits]] — Brants et al. 2007):
     * counts train on the even-id half of the corpus, ALL documents score
@@ -2445,5 +2501,5 @@ object TextQueries {
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
       q242VocabGrowth, q264DsirSelection, q265BigramSurprisal,
       q270DsirStream, q272UnigramVocab, q273UnigramApply,
-      q276TrigramBackoff)
+      q276TrigramBackoff, q284DecontamCurve)
 }

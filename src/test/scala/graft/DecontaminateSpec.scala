@@ -44,6 +44,31 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     assert(flag(corpus, bench, minOverlap = 1)(1L) == ((1L, true)))
   }
 
+  test("sensitivity curve rows equal independent per-k runs; short grams flag more") {
+    val bench = Seq(
+      1000L -> "the quick brown fox jumps over the lazy dog daily")
+    val corpus = Seq(
+      1L -> "a quick brown fox jumps over things sometimes here today",
+      2L -> "the lazy dog naps all day long in the big warm sun",
+      3L -> "completely different content with no shared phrases around")
+    val curve = Decontaminate.sensitivityCurve(
+      corpus.toDF("id", "text"), bench.toDF("id", "text"),
+      "id", "text", ks = Seq(3, 5), minOverlap = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (k <- Seq(3, 5)) {
+      val single = flag(corpus, bench, k = k, minOverlap = 2)
+      val flagged = single.values.count(_._2).toLong
+      val overlap = single.values.map(_._1).sum
+      assert(curve(k.toLong) ==
+        ((3L, flagged, flagged * 1000000L / 3L, overlap)),
+        s"curve row k=$k diverges from the single-k run")
+    }
+    // shorter grams can only see MORE overlap on the same corpus
+    assert(curve(3L)._4 >= curve(5L)._4)
+  }
+
   test("docs shorter than k report zero and survive") {
     val bench = Seq(1000L -> "x y z w")
     val corpus = Seq(1L -> "x y")
