@@ -50,6 +50,26 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val sm = bm25ScoresMicro(docs, queryTerms, idCol, textCol, k1, b)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col(idCol))
+    sm.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+
+  /** The BM25 scoring stage without the rank cut: exact integer
+    * micro-unit scores per (query, unit) — [[bm25TopK]] ranks whole
+    * documents off it; [[maxPassageTopK]] scores CHUNKS off it and
+    * max-pools per document.
+    */
+  private def bm25ScoresMicro(
+      docs: DataFrame,
+      queryTerms: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double,
+      b: Double): DataFrame = {
     val tk = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
     val dl = tk.filter(size(col("toks")) > 0)
       .select(col(idCol), size(col("toks")).cast("long").as("dl"))
@@ -78,13 +98,69 @@ object Retrieval {
       // integer micro-units: the per-doc SUM is exact and order-free
       .withColumn("cmicro",
         floor(col("contrib") * lit(1000000.0) + lit(0.5)).cast("long"))
-    val sm = scored.groupBy("query_id", idCol)
+    scored.groupBy("query_id", idCol)
       .agg(sum("cmicro").as("score_micro"))
+  }
+
+  /** Passage-level BM25 with MaxP document ranking (Dai & Callan 2019,
+    * "Deeper Text Understanding for IR with Contextual Neural Language
+    * Modeling" — the passage-scoring trick that transfers to lexical
+    * ranking): documents are cut into fixed token windows, every CHUNK
+    * is BM25-scored as its own unit (chunk-level lengths and statistics,
+    * so a long document's one relevant passage is not diluted by its
+    * length), and each document's score is its BEST chunk's score
+    * (max-pooling; ties prefer the earliest chunk). Long-document
+    * retrieval quality is the reason real pipelines index passages, not
+    * documents.
+    *
+    * Deterministic end to end: chunking is an arithmetic slice; chunk
+    * scores are the [[bm25TopK]] exact integer micro-units; max-pooling
+    * and both rank cuts tie on (chunk index, doc id). 100 TB shape:
+    * chunks explode once (narrow, ids-only after tokenization); scoring
+    * inherits the postings-prune-before-shuffle BM25 plan with the
+    * chunk key replacing the doc key; max-pool is one map-side-
+    * combinable aggregate back to doc granularity.
+    */
+  def maxPassageTopK(
+      docs: DataFrame,
+      queryTerms: DataFrame, // (query_id, term)
+      idCol: String,
+      textCol: String,
+      k: Int,
+      chunkSize: Int = 32,
+      stride: Int = 32,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"maxPassageTopK: chunkSize/stride must be > 0, got $chunkSize/$stride")
+    val chunks = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__start", explode(expr(s"sequence(1, __n, $stride)")))
+      .select(col(idCol),
+        expr(s"CAST((__start - 1) div $stride AS BIGINT)").as("chunk_idx"),
+        concat_ws(" ", expr(
+          s"slice(__toks, __start, least($chunkSize, __n - __start + 1))"))
+          .as("__ctext"))
+      .withColumn("__ckey", concat(col(idCol).cast("string"), lit("#"),
+        col("chunk_idx").cast("string")))
+    val scores = bm25ScoresMicro(
+      chunks.select(col("__ckey"), col("__ctext")),
+      queryTerms, "__ckey", "__ctext", k1, b)
+    val wBest = Window.partitionBy(col("query_id"), col(idCol))
+      .orderBy(col("score_micro").desc, col("chunk_idx").asc)
+    val best = scores
+      .join(chunks.select(col("__ckey"), col(idCol), col("chunk_idx")),
+        "__ckey")
+      .withColumn("__wr", row_number().over(wBest))
+      .filter(col("__wr") === 1)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micro").desc, col(idCol))
-    sm.withColumn("rank", row_number().over(w))
+    best.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("chunk_idx").as("best_chunk_idx"), col("score_micro"))
   }
 
   /** Reciprocal-rank fusion of a lexical and a semantic ranking — the

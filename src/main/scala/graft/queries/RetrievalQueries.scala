@@ -90,6 +90,77 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Passage-level BM25 with MaxP document ranking
+    * ([[graft.ext.Retrieval.maxPassageTopK]] — Dai & Callan 2019):
+    * documents cut into 32-token windows, every chunk BM25-scored as
+    * its own unit (chunk-level df/length statistics), each document
+    * ranked by its BEST chunk — the passage-indexing recipe that keeps
+    * one relevant paragraph from being diluted by document length. The
+    * oracle replays chunking, chunk-level BM25 (exact micro-units),
+    * max-pooling (ties to the earliest chunk), and the rank cut.
+    */
+  val q285MaxPassage: QuerySpec = QuerySpec.oracled(
+    "q285_maxp_bm25",
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |ck AS (
+       |  SELECT doc_id, (s.st - 1) // 32 AS chunk_idx,
+       |    doc_id::VARCHAR || '#' || ((s.st - 1) // 32)::VARCHAR AS ckey,
+       |    list_slice(toks, s.st, least(s.st + 31, len(toks))) AS ctoks
+       |  FROM tk, UNNEST(range(1, len(toks) + 1, 32)) AS s(st)
+       |  WHERE len(toks) > 0),
+       |dl AS (
+       |  SELECT ckey, CAST(len(ctoks) AS BIGINT) AS dl FROM ck
+       |  WHERE len(ctoks) > 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS total FROM dl),
+       |qt AS (SELECT * FROM $queryTermsSql),
+       |tc AS (SELECT ckey, unnest(ctoks) AS term FROM ck),
+       |tf AS (
+       |  SELECT q.query_id, q.term, t.ckey, CAST(count(*) AS BIGINT) AS c
+       |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT term, CAST(count(DISTINCT ckey) AS BIGINT) AS df FROM tc
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (
+       |  SELECT f.query_id, f.ckey,
+       |    CAST(floor(
+       |      ln(1.0 + ((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+       |      ((f.c * ${K1 + 1}) / (f.c + $K1 * (${1 - B} +
+       |        $B * (l.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cmicro
+       |  FROM tf f JOIN df d ON f.term = d.term
+       |  JOIN dl l ON f.ckey = l.ckey
+       |  CROSS JOIN st s),
+       |sm AS (
+       |  SELECT query_id, ckey, CAST(sum(cmicro) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY 1, 2),
+       |wn AS (
+       |  SELECT sm.query_id, ck.doc_id, ck.chunk_idx, sm.score_micro,
+       |    row_number() OVER (PARTITION BY sm.query_id, ck.doc_id
+       |                       ORDER BY sm.score_micro DESC, ck.chunk_idx)
+       |      AS wr
+       |  FROM sm JOIN ck ON sm.ckey = ck.ckey),
+       |bp AS (SELECT * FROM wn WHERE wr = 1),
+       |r AS (
+       |  SELECT query_id, doc_id, chunk_idx, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM bp)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id,
+       |  chunk_idx AS best_chunk_idx, score_micro
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Retrieval.maxPassageTopK(
+      docs = spark.read.parquet(s"$dir/documents.parquet"),
+      queryTerms = QueryTerms.toDF("query_id", "term"),
+      idCol = "doc_id", textCol = "text", k = 10,
+      chunkSize = 32, stride = 32, k1 = K1, b = B)
+      .orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of a token-set-Jaccard
     * lexical ranking and an embedding-cosine semantic ranking over the
     * SAME candidate universe (ids present in BOTH `documents` and
@@ -350,5 +421,6 @@ object RetrievalQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement, q243MrrEval)
+    Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement, q243MrrEval,
+      q285MaxPassage)
 }

@@ -49,6 +49,50 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("maxPassageTopK surfaces a buried relevant passage BM25 dilutes") {
+    // doc 1: one dense relevant chunk buried in a long document;
+    // doc 2: short, mildly relevant throughout. Whole-doc BM25's length
+    // normalization punishes doc 1; MaxP scores the buried chunk as its
+    // own unit, so doc 1 must win under MaxP.
+    val filler = (1 to 300).map(i => s"filler$i").mkString(" ")
+    val buried = filler + " spark merge window spark merge window spark " +
+      "merge window spark merge window " + filler.replace("filler", "pad")
+    val mild = "spark runs here and the merge happens on a window later"
+    val docs = Seq((1L, buried), (2L, mild)).toDF("doc_id", "text")
+    val qt = Seq((1, "spark"), (1, "merge"), (1, "window"))
+      .toDF("query_id", "term")
+    val whole = Retrieval.bm25TopK(docs, qt, "doc_id", "text", k = 2)
+      .filter(col("rank") === 1).select("doc_id").as[Long].collect().head
+    val maxp = Retrieval.maxPassageTopK(
+        docs, qt, "doc_id", "text", k = 2, chunkSize = 32, stride = 32)
+      .filter(col("rank") === 1).select("doc_id").as[Long].collect().head
+    assert(whole == 2L, "whole-doc BM25 should prefer the short doc")
+    assert(maxp == 1L, "MaxP should surface the buried passage")
+    // the winning chunk is inside the relevant region (tokens 300..312
+    // → chunk indexes 9..10 at size 32), not the filler
+    val best = Retrieval.maxPassageTopK(
+        docs, qt, "doc_id", "text", k = 2, chunkSize = 32, stride = 32)
+      .filter(col("doc_id") === 1L)
+      .select("best_chunk_idx").as[Long].collect().head
+    assert(best == 9L || best == 10L, s"winning chunk $best not in region")
+  }
+
+  test("maxPassageTopK is partition-invariant and max-pools per doc") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val qt = Seq((1, "data"), (1, "merge"), (2, "spark"), (2, "window"))
+      .toDF("query_id", "term")
+    def run(parts: Int) = Retrieval.maxPassageTopK(
+      docs.repartition(parts), qt, "doc_id", "text", k = 5)
+      .collect().map(_.toSeq).toSet
+    val a = run(2)
+    assert(a == run(9))
+    // one row per (query, doc): max-pooling collapsed chunk granularity
+    val dup = Retrieval.maxPassageTopK(docs, qt, "doc_id", "text", k = 5)
+      .groupBy("query_id", "doc_id").count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+  }
+
   test("rrfFuse is exact integer arithmetic") {
     val lex = Seq((1, 10L, 1), (1, 20L, 2), (1, 30L, 3))
       .toDF("query_id", "id", "r_lex")
