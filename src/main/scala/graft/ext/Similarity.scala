@@ -424,12 +424,18 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.functions.VectorExpressions.register(spark)
     import spark.implicits._
+    // corpus sub-rows feed both codebook training and the encode pass —
+    // checkpoint once (the q274 lineage-cut discipline; values unchanged)
+    val cSub = pqSubRows(corpus, idCol, vecCol, "cid", numSub, subDim)
+      .localCheckpoint()
     val cb = broadcast(
       if (train)
-        pqTrainedCodebook(corpus, idCol, vecCol, numSub, codebookSize, dim)
+        pqTrainCore(cSub,
+          pqCodebook(numSub, codebookSize, subDim).toDF("m", "cw", "cvec"),
+          subDim)
       else pqCodebook(numSub, codebookSize, subDim).toDF("m", "cw", "cvec"))
     val wEnc = Window.partitionBy("cid", "m").orderBy(col("d2u"), col("cw"))
-    val enc = pqSubRows(corpus, idCol, vecCol, "cid", numSub, subDim)
+    val enc = cSub
       .join(cb, "m")
       .withColumn("d2u", pqD2u)
       .withColumn("rk", row_number().over(wEnc))
@@ -585,7 +591,16 @@ object Similarity {
     graft.functions.VectorExpressions.register(spark)
     graft.functions.HyperplaneExpressions.register(spark)
     import spark.implicits._
+    // the centroid table is referenced by THREE subtrees (corpus
+    // assignment, query assignment, residual join) and the corpus
+    // residual sub-rows by two (codebook training, encode) — without
+    // lineage cuts each reference re-derives its whole upstream
+    // (audited: 14 corpus scans in the uncut plan). localCheckpoint is
+    // the ext/Bfs / nnDescent truncation discipline; the materialized
+    // sub-row table is corpus×numSub narrow rows — the codes-build
+    // working set any PQ trainer materializes.
     val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
+      .localCheckpoint()
     // assignment + per-cell residual; probes > 1 yields one residual row
     // per (vector, probed cell), each against THAT cell's centroid
     def withResidual(df: DataFrame, probes: Int): DataFrame =
@@ -600,7 +615,7 @@ object Similarity {
         s"slice(__resid, mi * $subDim + 1, $subDim) AS sub))")).as("e"))
       .select(col(idAs), col("cell"), col("e.m").as("m"),
         col("e.sub").as("sub"))
-    val cSub = subRows(withResidual(corpus, 1), "cid")
+    val cSub = subRows(withResidual(corpus, 1), "cid").localCheckpoint()
     val seed = pqCodebook(numSub, codebookSize, subDim, tag = "ivfpq")
       .toDF("m", "cw", "cvec")
     val cb = broadcast(
@@ -776,6 +791,81 @@ object Similarity {
       .groupBy("__cell")
       .agg(expr("transform(array_sort(collect_list(struct(__i, __v))), " +
         "p -> p.__v)").as("__cvec"))
+
+  /** Margin-based aligned-pair mining (Artetxe & Schwenk 2019, "Margin
+    * based Parallel Corpus Mining with Multilingual Sentence Embeddings"
+    * — the ratio-margin criterion behind CCMatrix-style mined corpora):
+    * a source item's best target is scored not by raw cosine but by the
+    * cosine RELATIVE to both items' neighborhoods,
+    * `margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2)`, which kills
+    * the hub vectors that are "close to everything"; pairs where the two
+    * directions pick each other are flagged `mutual` (the
+    * precision-grade subset real pipelines keep).
+    *
+    * Integerized so every engine replays it exactly: cosines fix to
+    * 1e-9 units and CLAMP AT ZERO (a negative cosine is never a
+    * candidate alignment, and clamping keeps every later division
+    * non-negative — floor-division semantics diverge across engines on
+    * negatives); neighborhood averages stay as top-k integer SUMS, so
+    * `margin_ppm = cfix · 2k · 10⁶ div (Σₖ(x) + Σₖ(y))` is one exact
+    * division. Sources whose combined neighborhood sum is zero have no
+    * defined margin and emit no row.
+    *
+    * Gate-scale shape is the brute cross join; at 100 TB the candidate
+    * pairs come from the ANN families (IVF probes / LSH buckets) and
+    * this scoring runs unchanged on (src, tgt, cfix) candidate rows —
+    * the margin algebra never touches vectors again after the cosine.
+    */
+  def marginMiningPairs(
+      source: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"marginMiningPairs: k must be >= 1, got $k")
+    graft.functions.VectorExpressions.register(source.sparkSession)
+    val s = source.select(col(idCol).as("src_id"), col(vecCol).as("v_s"),
+      selfNormFast(vecCol).as("n_s"))
+    val t = target.select(col(idCol).as("tgt_id"), col(vecCol).as("v_t"),
+      selfNormFast(vecCol).as("n_t"))
+    val pairs = s.crossJoin(t)
+      .withColumn("cfix", greatest(
+        floor(dotFast("v_s", "v_t") / (col("n_s") * col("n_t")) *
+          lit(1000000000.0) + lit(0.5)).cast("long"),
+        lit(0L)))
+      .select(col("src_id"), col("tgt_id"), col("cfix"))
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("cfix").desc, col("tgt_id").asc)
+    val sumS = pairs.withColumn("__r", row_number().over(wS))
+      .filter(col("__r") <= k)
+      .groupBy("src_id").agg(sum("cfix").as("sum_s"))
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("cfix").desc, col("src_id").asc)
+    val sumT = pairs.withColumn("__r", row_number().over(wT))
+      .filter(col("__r") <= k)
+      .groupBy("tgt_id").agg(sum("cfix").as("sum_t"))
+    val m = pairs.join(sumS, "src_id").join(sumT, "tgt_id")
+      .filter(col("sum_s") + col("sum_t") > 0)
+      .withColumn("margin_ppm",
+        expr(s"cfix * ${2L * k} * 1000000 div (sum_s + sum_t)"))
+    val wBestS = Window.partitionBy("src_id")
+      .orderBy(col("margin_ppm").desc, col("tgt_id").asc)
+    val fwd = m.withColumn("__br", row_number().over(wBestS))
+      .filter(col("__br") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cfix").as("cos_fix"),
+        col("margin_ppm"))
+    val wBestT = Window.partitionBy("tgt_id")
+      .orderBy(col("margin_ppm").desc, col("src_id").asc)
+    val bwd = m.withColumn("__tr", row_number().over(wBestT))
+      .filter(col("__tr") === 1)
+      .select(col("src_id").as("__bs"), col("tgt_id").as("__bt"),
+        lit(true).as("__mu"))
+    fwd.join(bwd,
+        fwd("src_id") === bwd("__bs") && fwd("tgt_id") === bwd("__bt"),
+        "left")
+      .select(col("src_id"), col("tgt_id"), col("cos_fix"),
+        col("margin_ppm"), coalesce(col("__mu"), lit(false)).as("mutual"))
+  }
 
   /** Embedding-truncation recall audit (the Matryoshka serving question
     * — Kusupati et al. 2022: how much of full-dimension retrieval

@@ -787,6 +787,72 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }.withSetup((s, d) => { stageQ281(s, d); () })
 
+  /** Margin-based aligned-pair mining
+    * ([[graft.ext.Similarity.marginMiningPairs]] — Artetxe & Schwenk
+    * 2019 ratio margin, the CCMatrix criterion): even-id vectors mine
+    * their best odd-id partner by cosine relative to both items' top-4
+    * neighborhoods (hub suppression), with mutual-best pairs flagged —
+    * the precision-grade subset a mined corpus keeps. Cosines fix to
+    * 1e-9 units clamped at zero; neighborhood averages stay integer
+    * top-4 sums, so the margin is one exact division the oracle
+    * replays bit-for-bit.
+    */
+  val q286MarginMining: QuerySpec = QuerySpec.oracled(
+    "q286_margin_mining",
+    s"""$normCte,
+       |sv AS (SELECT vec_id AS src_id, embedding, nrm FROM nv
+       |       WHERE vec_id % 2 = 0),
+       |tv AS (SELECT vec_id AS tgt_id, embedding, nrm FROM nv
+       |       WHERE vec_id % 2 = 1),
+       |pr AS (
+       |  SELECT s.src_id, t.tgt_id,
+       |    CAST(greatest(CAST(floor(
+       |      ${dotSql("s.embedding", "t.embedding")} / (s.nrm * t.nrm)
+       |      * 1000000000.0 + 0.5) AS BIGINT), 0) AS BIGINT) AS cfix
+       |  FROM sv s CROSS JOIN tv t),
+       |ss AS (
+       |  SELECT src_id, CAST(sum(cfix) AS BIGINT) AS sum_s FROM (
+       |    SELECT src_id, cfix,
+       |      row_number() OVER (PARTITION BY src_id
+       |        ORDER BY cfix DESC, tgt_id) AS r
+       |    FROM pr) WHERE r <= 4 GROUP BY src_id),
+       |st2 AS (
+       |  SELECT tgt_id, CAST(sum(cfix) AS BIGINT) AS sum_t FROM (
+       |    SELECT tgt_id, cfix,
+       |      row_number() OVER (PARTITION BY tgt_id
+       |        ORDER BY cfix DESC, src_id) AS r
+       |    FROM pr) WHERE r <= 4 GROUP BY tgt_id),
+       |m AS (
+       |  SELECT pr.src_id, pr.tgt_id, pr.cfix,
+       |    CAST(pr.cfix * 8 * 1000000 // (ss.sum_s + st2.sum_t) AS BIGINT)
+       |      AS margin_ppm
+       |  FROM pr
+       |  JOIN ss ON pr.src_id = ss.src_id
+       |  JOIN st2 ON pr.tgt_id = st2.tgt_id
+       |  WHERE ss.sum_s + st2.sum_t > 0),
+       |fwd AS (
+       |  SELECT * FROM (
+       |    SELECT m.*, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY margin_ppm DESC, tgt_id) AS br
+       |    FROM m) WHERE br = 1),
+       |bwd AS (
+       |  SELECT src_id, tgt_id FROM (
+       |    SELECT m.*, row_number() OVER (PARTITION BY tgt_id
+       |      ORDER BY margin_ppm DESC, src_id) AS tr
+       |    FROM m) WHERE tr = 1)
+       |SELECT f.src_id, f.tgt_id, f.cfix AS cos_fix, f.margin_ppm,
+       |  (b.src_id IS NOT NULL) AS mutual
+       |FROM fwd f LEFT JOIN bwd b
+       |  ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+       |ORDER BY f.src_id""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.marginMiningPairs(
+      source = emb.filter(col("vec_id") % 2 === 0),
+      target = emb.filter(col("vec_id") % 2 === 1),
+      idCol = "vec_id", vecCol = "embedding", k = 4)
+      .orderBy("src_id")
+  }
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -1222,7 +1288,7 @@ object SimilarityQueries {
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
       q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall,
-      q281AnnIndexStream, q283PqRerankCurve)
+      q281AnnIndexStream, q283PqRerankCurve, q286MarginMining)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched
