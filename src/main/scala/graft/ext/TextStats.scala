@@ -155,6 +155,44 @@ object TextStats {
           regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           UrlRe, "<URL>"))
 
+  /** PII audit card — the detector battery a release review runs BEFORE
+    * redaction decides anything: per-document counts of email addresses,
+    * 16-digit card-number candidates split by the Luhn checksum
+    * (ISO/IEC 7812 — the check that separates a real PAN shape from a
+    * random digit run), and IPv4 candidates split by octet-range
+    * validity. Everything is exact integer arithmetic over extracted
+    * candidates (the Luhn fold is a 16-step integer aggregate), so any
+    * engine replays it bit-for-bit. Pure per-row projection — zero
+    * shuffles at any scale. [[redact]] is the matching scrubber.
+    */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Luhn over a 16-char digit string: from the left in even length,
+    // odd positions double (they sit at even offsets from the right)
+    val luhnOk = "aggregate(sequence(1, 16), 0, (a, j) -> a + " +
+      "if(j % 2 = 1, " +
+      "if(cast(substr(c, j, 1) as int) * 2 > 9, " +
+      "cast(substr(c, j, 1) as int) * 2 - 9, " +
+      "cast(substr(c, j, 1) as int) * 2), " +
+      "cast(substr(c, j, 1) as int))) % 10 = 0"
+    val ipOk = "forall(split(ip, '\\\\.'), o -> cast(o as int) <= 255)"
+    df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit(EmailRe), lit(0))
+          .as("__em"),
+        regexp_extract_all(col(textCol), lit("\\d{16}"), lit(0))
+          .as("__cc"),
+        regexp_extract_all(col(textCol),
+          lit("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"), lit(0))
+          .as("__ip"))
+      .select(col(idCol),
+        size(col("__em")).cast("long").as("n_emails"),
+        size(col("__cc")).cast("long").as("n_cards"),
+        expr(s"size(filter(__cc, c -> $luhnOk))").cast("long")
+          .as("n_cards_valid"),
+        size(col("__ip")).cast("long").as("n_ips"),
+        expr(s"size(filter(__ip, ip -> $ipOk))").cast("long")
+          .as("n_ips_valid"))
+  }
+
   /** Deterministic stratified sampling for training-mix construction: keep
     * a row iff `md5_60(salt || ':' || id) % 10000 < rate(stratum) * 10000`.
     * Hash-based (not `df.sample`): the same row is kept or dropped
@@ -464,6 +502,236 @@ object TextStats {
         sum("bits").as("backoff_bits"))
       .withColumn("avg_millibits",
         expr("backoff_bits * 1000 div n_trigrams"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: head /
+    * middle / tail language tertiles of LM perplexity — the filter that
+    * decides which crawl slice trains and which gets dropped): every doc
+    * scores against the [[trigramBackoffBits]] LM, then per-language
+    * tertile THRESHOLD VALUES are fit and each doc is assigned by value.
+    *
+    * Thresholds are the avg_millibits values at ranks ⌈n/3⌉ and ⌈2n/3⌉
+    * in (avg_millibits, id) order; assignment is `bits ≤ t1 → head`,
+    * `≤ t2 → middle`, else tail — value-based, so ties straddling a
+    * boundary all land on the lower bucket (deterministic, and exactly
+    * what a threshold fit on a sample gives at scale).
+    *
+    * 100 TB shape: fit and assignment are SEPARATE stages on purpose —
+    * assignment is a broadcast join of a ≤(2 rows × #langs) threshold
+    * table against the scored corpus (map-side, no per-language global
+    * sort of the assignment pass). The exact rank-extraction fit used
+    * here puts each language's scores through one window — swap in
+    * [[graft.ext.QuantileSketch]] thresholds past the point a language's
+    * docs overflow a partition; the assignment stage is unchanged.
+    * Docs with fewer than 3 tokens have no trigram score and emit no
+    * row (CCNet drops them before the LM too).
+    */
+  def perplexityBuckets(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the scored table feeds the rank window, the per-lang count, and
+    // the assignment join — cut the 6-join LM-scoring lineage once
+    val scored = trigramBackoffBits(train, docs, idCol, textCol)
+      .select(col(idCol), col("avg_millibits"))
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint()
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("avg_millibits").asc, col(idCol).asc)
+    val thresholds = scored
+      .withColumn("__r", row_number().over(w))
+      .join(scored.groupBy(langCol).agg(count(lit(1)).as("__n")), langCol)
+      .filter(col("__r") === expr("(__n + 2) div 3") ||
+        col("__r") === expr("(2 * __n + 2) div 3"))
+      .groupBy(langCol)
+      .agg(min(when(col("__r") === expr("(__n + 2) div 3"),
+          col("avg_millibits"))).as("t1"),
+        min(when(col("__r") === expr("(2 * __n + 2) div 3"),
+          col("avg_millibits"))).as("t2"))
+    scored.join(broadcast(thresholds), langCol)
+      .withColumn("bucket",
+        when(col("avg_millibits") <= col("t1"), "head")
+          .when(col("avg_millibits") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("avg_millibits"),
+        col("bucket"))
+  }
+
+  /** Gopher's English stop-word presence list (Rae et al. 2021,
+    * App. A1.1: a doc must contain ≥2 of these).
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule card (Rae et al. 2021, App. A1.1 — the named
+    * quality-rule battery behind MassiveText and most corpora since):
+    * one INDEPENDENT boolean verdict per rule per document, not a
+    * first-fail verdict (that is q149's funnel) — the per-rule matrix is
+    * what rule-threshold tuning and marginal attribution need.
+    *
+    * Rules, all in exact integer cross-multiplication (no ratios):
+    *  - ok_word_count: 50 ≤ words ≤ 100000
+    *  - ok_mean_len:   mean word length in [3, 10] ⇔ 3n ≤ Σlen ≤ 10n
+    *  - ok_symbols:    (# + "...") to word ratio ≤ 0.1
+    *  - ok_bullets:    ≤ 90% of lines start with a bullet (-, *, •)
+    *  - ok_ellipsis:   ≤ 30% of lines end with "..." / "…"
+    *  - ok_alpha:      ≥ 80% of words contain an [a-z] letter
+    *  - ok_stops:      ≥ 2 distinct [[GopherStopWords]] present
+    *
+    * Pure per-row projection — zero shuffles, embarrassingly parallel at
+    * any scale; the card is the input to [[gopherRuleReport]].
+    */
+  def gopherRuleCard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    val stops = array(stopWords.map(lit): _*)
+    docs
+      .withColumn("__w", filter(tokensCol(textCol), t => t =!= ""))
+      .withColumn("__l", split(col(textCol), "\n"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__sumlen", expr(
+        "aggregate(__w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("__alpha",
+        size(filter(col("__w"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("__sym",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", ""))).cast("long") +
+        size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))
+          .cast("long"))
+      .withColumn("__nl", size(col("__l")).cast("long"))
+      .withColumn("__bull",
+        size(filter(col("__l"), l => trim(l).rlike("^[-*•]")))
+          .cast("long"))
+      .withColumn("__elin",
+        size(filter(col("__l"),
+          l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"))
+      .withColumn("__stops",
+        size(array_intersect(array_distinct(col("__w")), stops))
+          .cast("long"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .as("ok_word_count"),
+        (col("__sumlen") >= col("n_words") * 3 &&
+          col("__sumlen") <= col("n_words") * 10).as("ok_mean_len"),
+        (col("__sym") * 10 <= col("n_words")).as("ok_symbols"),
+        (col("__bull") * 10 <= col("__nl") * 9).as("ok_bullets"),
+        (col("__elin") * 10 <= col("__nl") * 3).as("ok_ellipsis"),
+        (col("__alpha") * 5 >= col("n_words") * 4).as("ok_alpha"),
+        (col("__stops") >= 2).as("ok_stops"))
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stops"))
+  }
+
+  /** Per-rule failure report with MARGINAL attribution over a
+    * [[gopherRuleCard]]: for each rule, how many docs fail it at all
+    * (`n_fail`) and how many fail ONLY it (`n_only_fail` — the docs that
+    * relaxing exactly this rule would recover). One stack-unpivot + one
+    * aggregation; O(#rules) output rows.
+    */
+  def gopherRuleReport(card: DataFrame): DataFrame = {
+    val rules = Seq("ok_word_count", "ok_mean_len", "ok_symbols",
+      "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stops")
+    val nFailed = rules.map(r => when(col(r), 0L).otherwise(1L))
+      .reduce(_ + _)
+    val stackSql = rules.map(r => s"'$r', $r").mkString(
+      s"stack(${rules.length}, ", ", ", ") AS (rule, ok)")
+    card.withColumn("__nf", nFailed)
+      .select(expr(stackSql), col("__nf"))
+      .groupBy("rule")
+      .agg(sum(when(!col("ok"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(!col("ok") && col("__nf") === 1L, 1L).otherwise(0L))
+          .as("n_only_fail"))
+  }
+
+  /** Vocabulary coverage curve: what fraction of corpus token
+    * OCCURRENCES the top-N vocabulary types cover, at several N rungs —
+    * the Zipf-tail audit behind every vocab-size decision (tokenizers,
+    * embedding tables, OOV budgets).
+    *
+    * 100 TB shape: the corpus collapses to one (token, count) table;
+    * the only ordered step is a `TakeOrdered(max rung)` of THAT table
+    * (never a global sort of it), and ranks are assigned inside the
+    * bounded top set. Rung totals are exact integer ppm.
+    */
+  def vocabCoverageCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rungs: Seq[Int]): DataFrame = {
+    require(rungs.nonEmpty && rungs.forall(_ >= 1),
+      s"vocabCoverageCurve: rungs must be >= 1, got $rungs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(filter(tokensCol(textCol), t => t =!= ""))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      // feeds both the corpus total and the top-rung extraction
+      .localCheckpoint()
+    val total = counts.agg(sum("c").as("total_tokens"))
+    // TakeOrdered bounds the ordered set to max(rungs) rows; the rank
+    // window then runs over that bounded set only
+    val top = counts.orderBy(col("c").desc, col("tok").asc)
+      .limit(rungs.max)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)))
+    val rungDf = rungs.map(_.toLong).toDF("rung")
+    top.crossJoin(broadcast(rungDf))
+      .filter(col("rk") <= col("rung"))
+      .groupBy("rung")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm",
+        expr("covered_tokens * 1000000 div total_tokens"))
+  }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data" — the
+    * original domain-targeted corpus filter): every doc scores under an
+    * IN-DOMAIN LM and a GENERAL LM (both [[trigramBackoffBits]]), and
+    * the n docs with the lowest `in − general` millibit difference are
+    * selected — "looks like the domain, not just easy text".
+    *
+    * The selected flag comes from a TakeOrdered(n) THRESHOLD
+    * (max (diff, id) struct of the top-n, broadcast back), not a global
+    * row_number — docs never sort globally. Ties cannot occur (ids are
+    * part of the order), so threshold-selection ≡ rank-selection
+    * exactly. Only docs with ≥3 tokens score (no trigram otherwise).
+    */
+  def crossEntropySelect(
+      inDomainTrain: DataFrame,
+      generalTrain: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"crossEntropySelect: n must be >= 1, got $n")
+    val inB = trigramBackoffBits(inDomainTrain, docs, idCol, textCol)
+      .select(col(idCol), col("avg_millibits").as("in_millibits"))
+    val genB = trigramBackoffBits(generalTrain, docs, idCol, textCol)
+      .select(col(idCol), col("avg_millibits").as("gen_millibits"))
+    // scored table feeds both the threshold fit and the flag join
+    val j = inB.join(genB, Seq(idCol))
+      .withColumn("diff_millibits",
+        col("in_millibits") - col("gen_millibits"))
+      .localCheckpoint()
+    val th = j
+      .select(struct(col("diff_millibits"), col(idCol)).as("k"))
+      .orderBy(col("k").asc).limit(n)
+      .agg(max("k").as("k"))
+    j.crossJoin(broadcast(th))
+      .withColumn("selected", coalesce(
+        struct(col("diff_millibits"), col(idCol)) <= col("k"),
+        lit(false)))
+      .drop("k")
   }
 
   def surprisalBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

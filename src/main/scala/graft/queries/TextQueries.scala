@@ -2423,38 +2423,44 @@ object TextQueries {
       .orderBy("gram_k")
   }
 
-  /** Stupid-backoff trigram scoring
-    * ([[graft.ext.TextStats.trigramBackoffBits]] — Brants et al. 2007):
-    * counts train on the even-id half of the corpus, ALL documents score
-    * against them, so held-out odd-id documents genuinely exercise the
-    * trigram → bigram → unigram backoff ladder (2 exact bits per level,
-    * α = 1/4). The oracle replays counts, the three-way CASE, and the
-    * per-doc rollup in pure integer arithmetic.
+  /** q276's stupid-backoff scoring as a reusable WITH-body: per-trigram
+    * (doc_id, lvl, bits) rows in `sc`, trained on the even-id half —
+    * shared by q276 (per-doc rollup) and q287 (CCNet bucketing on top).
     */
-  val q276TrigramBackoff: QuerySpec = QuerySpec.oracled(
-    "q276_trigram_backoff",
-    s"""WITH tk AS (
+  /** The shared token/trigram CTEs every backoff replay starts from. */
+  private val backoffBaseCtes: String =
+    s"""tk AS (
        |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
        |  FROM documents),
        |tg AS (
        |  SELECT doc_id, toks[t.p + 1] AS w1, toks[t.p + 2] AS w2,
        |    toks[t.p + 3] AS w3
-       |  FROM tk, UNNEST(range(len(toks) - 2)) AS t(p)),
-       |ttg AS (SELECT * FROM tg WHERE doc_id % 2 = 0),
-       |tbg AS (
+       |  FROM tk, UNNEST(range(len(toks) - 2)) AS t(p))""".stripMargin
+
+  /** One trained backoff LM's count + scoring CTEs, name-prefixed with
+    * `p` so two LMs (q291's in-domain vs general) coexist in one WITH.
+    * `trainPred` is a boolean over `doc_id` selecting the training docs.
+    * With p = "" and the even-id predicate this is exactly q276's chain.
+    */
+  private def backoffLmCtes(p: String, trainPred: String): String =
+    s"""${p}ttg AS (SELECT * FROM tg WHERE $trainPred),
+       |${p}tbg AS (
        |  SELECT toks[t.p + 1] AS w2, toks[t.p + 2] AS w3
        |  FROM tk, UNNEST(range(len(toks) - 1)) AS t(p)
-       |  WHERE doc_id % 2 = 0),
-       |tun AS (
-       |  SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0),
-       |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ttg
+       |  WHERE $trainPred),
+       |${p}tun AS (
+       |  SELECT unnest(toks) AS w FROM tk WHERE $trainPred),
+       |${p}c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ${p}ttg
        |         GROUP BY 1, 2, 3),
-       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM ttg GROUP BY 1, 2),
-       |c23 AS (SELECT w2, w3, count(*) AS c23 FROM tbg GROUP BY 1, 2),
-       |c2 AS (SELECT w2, count(*) AS c2 FROM tbg GROUP BY 1),
-       |c3 AS (SELECT w AS w3, count(*) AS c3 FROM tun GROUP BY 1),
-       |nn AS (SELECT count(*) AS n FROM tun),
-       |sc AS (
+       |${p}c12 AS (SELECT w1, w2, count(*) AS c12 FROM ${p}ttg
+       |         GROUP BY 1, 2),
+       |${p}c23 AS (SELECT w2, w3, count(*) AS c23 FROM ${p}tbg
+       |         GROUP BY 1, 2),
+       |${p}c2 AS (SELECT w2, count(*) AS c2 FROM ${p}tbg GROUP BY 1),
+       |${p}c3 AS (SELECT w AS w3, count(*) AS c3 FROM ${p}tun
+       |         GROUP BY 1),
+       |${p}nn AS (SELECT count(*) AS n FROM ${p}tun),
+       |${p}sc AS (
        |  SELECT tg.doc_id,
        |    CASE WHEN c123.c123 IS NOT NULL THEN 0
        |         WHEN c23.c23 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
@@ -2465,13 +2471,28 @@ object TextQueries {
        |         ELSE 4 + length(bin(nn.n //
        |           greatest(coalesce(c3.c3, 0), 1))) - 1 END AS bits
        |  FROM tg
-       |  LEFT JOIN c123 ON tg.w1 = c123.w1 AND tg.w2 = c123.w2
+       |  LEFT JOIN ${p}c123 c123 ON tg.w1 = c123.w1 AND tg.w2 = c123.w2
        |    AND tg.w3 = c123.w3
-       |  LEFT JOIN c12 ON tg.w1 = c12.w1 AND tg.w2 = c12.w2
-       |  LEFT JOIN c23 ON tg.w2 = c23.w2 AND tg.w3 = c23.w3
-       |  LEFT JOIN c2 ON tg.w2 = c2.w2
-       |  LEFT JOIN c3 ON tg.w3 = c3.w3
-       |  CROSS JOIN nn)
+       |  LEFT JOIN ${p}c12 c12 ON tg.w1 = c12.w1 AND tg.w2 = c12.w2
+       |  LEFT JOIN ${p}c23 c23 ON tg.w2 = c23.w2 AND tg.w3 = c23.w3
+       |  LEFT JOIN ${p}c2 c2 ON tg.w2 = c2.w2
+       |  LEFT JOIN ${p}c3 c3 ON tg.w3 = c3.w3
+       |  CROSS JOIN ${p}nn nn)""".stripMargin
+
+  private val backoffScoreCtes: String =
+    backoffBaseCtes + ",\n" + backoffLmCtes("", "doc_id % 2 = 0")
+
+  /** Stupid-backoff trigram scoring
+    * ([[graft.ext.TextStats.trigramBackoffBits]] — Brants et al. 2007):
+    * counts train on the even-id half of the corpus, ALL documents score
+    * against them, so held-out odd-id documents genuinely exercise the
+    * trigram → bigram → unigram backoff ladder (2 exact bits per level,
+    * α = 1/4). The oracle replays counts, the three-way CASE, and the
+    * per-doc rollup in pure integer arithmetic.
+    */
+  val q276TrigramBackoff: QuerySpec = QuerySpec.oracled(
+    "q276_trigram_backoff",
+    s"""WITH $backoffScoreCtes
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
        |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
@@ -2483,6 +2504,255 @@ object TextQueries {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     graft.ext.TextStats.trigramBackoffBits(
       docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** CCNet perplexity bucketing
+    * ([[graft.ext.TextStats.perplexityBuckets]] — Wenzek et al. 2020
+    * head/middle/tail): per-language tertile thresholds fit on the
+    * q276 trigram-LM scores (values at ranks ⌈n/3⌉ and ⌈2n/3⌉ in
+    * (score, doc_id) order), every scored doc assigned BY VALUE against
+    * the broadcast threshold table — the fit-then-map-side-assign split
+    * that scales. The oracle replays the scoring CTEs, the rank
+    * extraction, and the value assignment in exact integers.
+    */
+  val q287PerplexityBuckets: QuerySpec = QuerySpec.oracled(
+    "q287_perplexity_buckets",
+    s"""WITH $backoffScoreCtes,
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+       |    AS avg_millibits
+       |  FROM sc GROUP BY doc_id),
+       |sl AS (
+       |  SELECT pd.doc_id, d.lang, pd.avg_millibits
+       |  FROM pd JOIN documents d ON pd.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT sl.*,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY avg_millibits, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM sl),
+       |th AS (
+       |  SELECT lang,
+       |    min(CASE WHEN r = (n + 2) // 3 THEN avg_millibits END) AS t1,
+       |    min(CASE WHEN r = (2 * n + 2) // 3 THEN avg_millibits END)
+       |      AS t2
+       |  FROM rk WHERE r = (n + 2) // 3 OR r = (2 * n + 2) // 3
+       |  GROUP BY lang)
+       |SELECT sl.doc_id, sl.lang, sl.avg_millibits,
+       |  CASE WHEN sl.avg_millibits <= th.t1 THEN 'head'
+       |       WHEN sl.avg_millibits <= th.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sl JOIN th ON sl.lang = th.lang
+       |ORDER BY sl.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ext.TextStats.perplexityBuckets(
+      docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Shared WITH-body replaying [[graft.ext.TextStats.gopherRuleCard]]:
+    * per-doc independent rule booleans in `gc`. Used by q288 (the card)
+    * and q289 (the attribution report).
+    */
+  private val gopherCardCtes: String = {
+    val stops = graft.ext.TextStats.GopherStopWords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks,
+       |    string_split(text, chr(10)) AS lns, text
+       |  FROM documents),
+       |gc AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    (len(toks) BETWEEN 50 AND 100000) AS ok_word_count,
+       |    (coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |      BETWEEN 3 * len(toks) AND 10 * len(toks)) AS ok_mean_len,
+       |    ((length(text) - length(replace(text, '#', ''))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.'))) * 10
+       |      <= len(toks)) AS ok_symbols,
+       |    (len(list_filter(lns, l -> regexp_matches(trim(l),
+       |      '^[-*•]'))) * 10 <= len(lns) * 9) AS ok_bullets,
+       |    (len(list_filter(lns, l -> regexp_matches(trim(l),
+       |      '(\\.\\.\\.|…)${"$"}'))) * 10 <= len(lns) * 3) AS ok_ellipsis,
+       |    (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 5
+       |      >= len(toks) * 4) AS ok_alpha,
+       |    (len(list_intersect(list_distinct(toks), $stops)) >= 2)
+       |      AS ok_stops
+       |  FROM tk)""".stripMargin
+  }
+
+  private val gopherRuleNames = Seq("ok_word_count", "ok_mean_len",
+    "ok_symbols", "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stops")
+
+  /** Gopher rule card ([[graft.ext.TextStats.gopherRuleCard]] — Rae et
+    * al. 2021 App. A1.1): the seven named quality rules as INDEPENDENT
+    * per-doc booleans (q149's funnel is first-fail; threshold tuning
+    * needs the full matrix). All arithmetic is integer
+    * cross-multiplication; the oracle replays every rule expression.
+    */
+  val q288GopherCard: QuerySpec = QuerySpec.oracled(
+    "q288_gopher_card",
+    s"""WITH $gopherCardCtes
+       |SELECT doc_id, n_words, ${gopherRuleNames.mkString(", ")},
+       |  (${gopherRuleNames.mkString(" AND ")}) AS pass
+       |FROM gc ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.ext.TextStats.gopherRuleCard(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-rule failure report with marginal attribution
+    * ([[graft.ext.TextStats.gopherRuleReport]]): n_fail per rule plus
+    * n_only_fail — docs that relaxing exactly that rule would recover.
+    * The report a rule-threshold review reads before changing anything.
+    */
+  val q289GopherReport: QuerySpec = QuerySpec.oracled(
+    "q289_gopher_report",
+    s"""WITH $gopherCardCtes,
+       |nf AS (
+       |  SELECT gc.*,
+       |    (${gopherRuleNames
+             .map(r => s"(CASE WHEN $r THEN 0 ELSE 1 END)")
+             .mkString(" + ")}) AS nfails
+       |  FROM gc),
+       |st AS (
+       |${gopherRuleNames
+           .map(r => s"  SELECT '$r' AS rule, $r AS ok, nfails FROM nf")
+           .mkString("", "\n  UNION ALL\n", "")})
+       |SELECT rule,
+       |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fail,
+       |  CAST(sum(CASE WHEN NOT ok AND nfails = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_only_fail
+       |FROM st GROUP BY rule ORDER BY rule""".stripMargin) {
+    (spark, dir) =>
+    graft.ext.TextStats.gopherRuleReport(
+      graft.ext.TextStats.gopherRuleCard(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      .orderBy("rule")
+  }
+
+  /** Vocabulary coverage curve
+    * ([[graft.ext.TextStats.vocabCoverageCurve]]): token-occurrence
+    * coverage of the top-4/16/64 vocabulary types — the Zipf-tail audit
+    * behind vocab-size decisions. The Spark side bounds the ordered set
+    * with TakeOrdered(max rung); the oracle replays the full ranking.
+    */
+  val q290VocabCoverage: QuerySpec = QuerySpec.oracled(
+    "q290_vocab_coverage",
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS tok
+       |  FROM documents),
+       |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT sum(c) AS total FROM cnt),
+       |rk AS (
+       |  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+       |  FROM cnt),
+       |rg AS (SELECT unnest([4, 16, 64]) AS rung)
+       |SELECT CAST(rg.rung AS BIGINT) AS rung,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(rk.c) AS BIGINT) AS covered_tokens,
+       |  CAST(tot.total AS BIGINT) AS total_tokens,
+       |  CAST(sum(rk.c) * 1000000 // tot.total AS BIGINT)
+       |    AS coverage_ppm
+       |FROM rg, rk, tot
+       |WHERE rk.rk <= rg.rung
+       |GROUP BY rg.rung, tot.total
+       |ORDER BY rung""".stripMargin) { (spark, dir) =>
+    graft.ext.TextStats.vocabCoverageCurve(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", rungs = Seq(4, 16, 64))
+      .orderBy("rung")
+  }
+
+  /** Moore–Lewis cross-entropy-difference selection
+    * ([[graft.ext.TextStats.crossEntropySelect]] — Moore & Lewis 2010):
+    * in-domain LM trains on one source's docs (src18), the general LM
+    * on the even-id half; the 50 docs with the lowest in − general
+    * millibit difference are selected. The oracle replays BOTH trained
+    * LMs (prefixed CTE chains), the difference, and the rank cut; the
+    * Spark side's broadcast threshold selection must agree row-for-row.
+    */
+  val q291CrossEntropySelect: QuerySpec = QuerySpec.oracled(
+    "q291_cross_entropy_select",
+    s"""WITH $backoffBaseCtes,
+       |${backoffLmCtes("i_",
+          "doc_id IN (SELECT doc_id FROM documents WHERE source = 'src18')")},
+       |${backoffLmCtes("g_", "doc_id % 2 = 0")},
+       |i_pd AS (
+       |  SELECT doc_id, CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+       |    AS in_millibits
+       |  FROM i_sc GROUP BY doc_id),
+       |g_pd AS (
+       |  SELECT doc_id, CAST(sum(bits) * 1000 // count(*) AS BIGINT)
+       |    AS gen_millibits
+       |  FROM g_sc GROUP BY doc_id),
+       |j AS (
+       |  SELECT i_pd.doc_id, in_millibits, gen_millibits,
+       |    CAST(in_millibits - gen_millibits AS BIGINT)
+       |      AS diff_millibits
+       |  FROM i_pd JOIN g_pd ON i_pd.doc_id = g_pd.doc_id)
+       |SELECT doc_id, in_millibits, gen_millibits, diff_millibits,
+       |  (row_number() OVER (ORDER BY diff_millibits, doc_id) <= 50)
+       |    AS selected
+       |FROM j ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ext.TextStats.crossEntropySelect(
+      inDomainTrain = docs.filter(col("source") === "src18"),
+      generalTrain = docs.filter(col("doc_id") % 2 === 0),
+      docs = docs, idCol = "doc_id", textCol = "text", n = 50)
+      .orderBy("doc_id")
+  }
+
+  /** PII audit card ([[graft.ext.TextStats.piiAudit]]): emails, 16-digit
+    * card candidates split by the Luhn checksum, IPv4 candidates split
+    * by octet-range validity. The corpus text carries no PII, so both
+    * sides append the SAME deterministic synthetic tail (an email, a
+    * doc_id-derived 16-digit number whose Luhn validity varies with the
+    * id, and an IP whose second octet walks past 255) — the detector
+    * arithmetic, not the fixture, is what the oracle adjudicates.
+    */
+  val q292PiiAudit: QuerySpec = QuerySpec.oracled(
+    "q292_pii_audit",
+    s"""WITH aug AS (
+       |  SELECT doc_id, text || ' u' || CAST(doc_id AS VARCHAR)
+       |    || '@ex.com '
+       |    || lpad(CAST(doc_id * 123456789 + 987654321 AS VARCHAR),
+       |         16, '0')
+       |    || ' 10.' || CAST(doc_id % 300 AS VARCHAR) || '.0.1' AS t
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(t, '${TextStats.EmailRe}') AS em,
+       |    regexp_extract_all(t, '\\d{16}') AS cc,
+       |    regexp_extract_all(t,
+       |      '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}') AS ip
+       |  FROM aug)
+       |SELECT doc_id,
+       |  CAST(len(em) AS BIGINT) AS n_emails,
+       |  CAST(len(cc) AS BIGINT) AS n_cards,
+       |  CAST(len(list_filter(cc, c ->
+       |    list_sum(list_transform(range(1, 17), j ->
+       |      CASE WHEN j % 2 = 1 THEN
+       |        CASE WHEN CAST(substr(c, j::INT, 1) AS INT) * 2 > 9
+       |          THEN CAST(substr(c, j::INT, 1) AS INT) * 2 - 9
+       |          ELSE CAST(substr(c, j::INT, 1) AS INT) * 2 END
+       |        ELSE CAST(substr(c, j::INT, 1) AS INT) END)) % 10 = 0))
+       |    AS BIGINT) AS n_cards_valid,
+       |  CAST(len(ip) AS BIGINT) AS n_ips,
+       |  CAST(len(list_filter(ip, p ->
+       |    len(list_filter(string_split(p, '.'),
+       |      o -> CAST(o AS INT) > 255)) = 0)) AS BIGINT) AS n_ips_valid
+       |FROM x ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val aug = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat(col("text"),
+        lit(" u"), col("doc_id").cast("string"), lit("@ex.com "),
+        lpad((col("doc_id") * 123456789L + 987654321L).cast("string"),
+          16, "0"),
+        lit(" 10."), (col("doc_id") % 300).cast("string"), lit(".0.1")))
+    graft.ext.TextStats.piiAudit(aug, "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -2501,5 +2771,7 @@ object TextQueries {
       q233ClassifierMargin, q235CurationPipeline, q241BpeApply,
       q242VocabGrowth, q264DsirSelection, q265BigramSurprisal,
       q270DsirStream, q272UnigramVocab, q273UnigramApply,
-      q276TrigramBackoff, q284DecontamCurve)
+      q276TrigramBackoff, q284DecontamCurve, q287PerplexityBuckets,
+      q288GopherCard, q289GopherReport, q290VocabCoverage,
+      q291CrossEntropySelect, q292PiiAudit)
 }

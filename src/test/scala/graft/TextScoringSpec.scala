@@ -230,4 +230,138 @@ class TextScoringSpec extends AnyFunSuite with SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
     assert(a == base)
   }
+
+  // ---- perplexityBuckets (oracle twin: q287) ----
+
+  test("perplexity buckets: tertiles are balanced and value-ordered") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = TextStats.perplexityBuckets(
+      docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text", "lang").cache()
+    try {
+      // within every language: max(head) ≤ min(middle) is NOT required
+      // (value ties straddle down), but max(head) ≤ max(middle) ≤
+      // max(tail) and min ordering per bucket must hold
+      val byLang = got.collect()
+        .groupBy(_.getString(1))
+        .view.mapValues(_.groupBy(_.getString(3))
+          .view.mapValues(_.map(_.getLong(2))).toMap).toMap
+      byLang.foreach { case (lang, b) =>
+        assert(b.keySet == Set("head", "middle", "tail"),
+          s"$lang missing a bucket: ${b.keySet}")
+        assert(b("head").max <= b("middle").min,
+          s"$lang: head must not exceed middle")
+        assert(b("middle").max <= b("tail").min,
+          s"$lang: middle must not exceed tail")
+        // tertile balance within ±1 modulo value ties at the boundary:
+        // head is at least ⌈n/3⌉ (ties only grow it)
+        val n = b.values.map(_.length).sum
+        assert(b("head").length >= (n + 2) / 3 - 1)
+      }
+    } finally got.unpersist()
+  }
+
+  test("boundary value ties all land on the lower bucket") {
+    // 6 docs, one language; scores engineered so ranks 2 and 3 tie in
+    // value: t1 = value at rank 2 → BOTH tied docs are head
+    val train = Seq(0L -> "a b c d e f g h")
+    // doc text controls trigram count & hits; simpler: score docs with
+    // identical text have identical avg_millibits and must share bucket
+    val score = (1L to 6L).map(i =>
+      i -> (if (i <= 3) "a b c" else s"z$i y$i x$i w$i"))
+    val docs = score.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = TextStats.perplexityBuckets(
+      train.toDF("doc_id", "text"), docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // docs 1-3 share one score (trigram hit), 4-6 share a higher one;
+    // t1 = the low value, t2 = the high value → 1-3 head, 4-6 middle
+    assert(Seq(1L, 2L, 3L).forall(got(_) == "head"), got.toString)
+    assert(Seq(4L, 5L, 6L).forall(got(_) == "middle"), got.toString)
+  }
+
+  // ---- vocabCoverageCurve (oracle twin: q290) ----
+
+  test("coverage curve: hand-computed rungs on a tiny corpus") {
+    val docs = Seq(1L -> "a a a b b c").toDF("doc_id", "text")
+    val got = TextStats.vocabCoverageCurve(docs, "doc_id", "text",
+      rungs = Seq(1, 2, 3, 10))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((1L, 3L, 6L, 500000L)))
+    assert(got(2L) == ((2L, 5L, 6L, 833333L)))
+    assert(got(3L) == ((3L, 6L, 6L, 1000000L)))
+    // rung past the vocabulary: covers everything, types cap at vocab
+    assert(got(10L) == ((3L, 6L, 6L, 1000000L)))
+  }
+
+  test("coverage ranking breaks count ties on token order") {
+    val docs = Seq(1L -> "z z y y").toDF("doc_id", "text")
+    val got = TextStats.vocabCoverageCurve(docs, "doc_id", "text",
+      rungs = Seq(1)).collect().head
+    // y and z tie at 2; rank 1 must be y (token asc)
+    assert(got.getLong(1) == 1L && got.getLong(2) == 2L)
+  }
+
+  test("coverage curve plans TakeOrdered, not a global sort") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextStats.vocabCoverageCurve(docs, "doc_id", "text",
+      rungs = Seq(4, 16)).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  // ---- crossEntropySelect (oracle twin: q291) ----
+
+  test("threshold selection equals the rank cut and is domain-shaped") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val n = 40
+    val got = TextStats.crossEntropySelect(
+      docs.filter(col("source") === "src18"),
+      docs.filter(col("doc_id") % 2 === 0),
+      docs, "doc_id", "text", n).cache()
+    try {
+      val rows = got.collect()
+      val sel = rows.filter(_.getBoolean(4))
+      assert(sel.length == n)
+      // lexicographic (diff, id) separation between the two classes
+      val maxSel = sel.map(r => (r.getLong(3), r.getLong(0))).max
+      val minUnsel = rows.filterNot(_.getBoolean(4))
+        .map(r => (r.getLong(3), r.getLong(0))).min
+      assert(Ordering[(Long, Long)].lt(maxSel, minUnsel))
+      // the in-domain source must be over-represented in the selection
+      val srcOf = docs.select("doc_id", "source").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val selShare = sel.count(r => srcOf(r.getLong(0)) == "src18")
+        .toDouble / n
+      val baseShare = srcOf.values.count(_ == "src18").toDouble /
+        srcOf.size
+      info(s"src18 share: selected=$selShare corpus=$baseShare")
+      assert(selShare > baseShare)
+    } finally got.unpersist()
+  }
+
+  test("cross-entropy threshold joins broadcast") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextStats.crossEntropySelect(
+      docs.filter(col("source") === "src18"),
+      docs.filter(col("doc_id") % 2 === 0),
+      docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("bucket assignment joins the threshold table broadcast") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextStats.perplexityBuckets(
+      docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text", "lang")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
