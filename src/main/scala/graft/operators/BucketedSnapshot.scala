@@ -438,6 +438,8 @@ object BucketedSnapshot {
         val base = dedupBatch(fresh, pk, buckets, tieBreak)
           .withColumn(GenCol, lit(1L))
         writeVersion(base, spark, snapshotDir, stream, pk, buckets, 1)
+        recordGen(spark, snapshotDir, stream, 1, 1L,
+          listDataFiles(spark, snapshotDir, stream, 1))
         writePointer(spark, snapshotDir, stream, 1, buckets, Some(1L))
       case Some(ptr) =>
         val v = ptr.version
@@ -464,14 +466,126 @@ object BucketedSnapshot {
         writePointer(spark, snapshotDir, stream, v, buckets, Some(nextGen))
         val delta = dedupBatch(fresh, pk, buckets, tieBreak)
           .withColumn(GenCol, lit(nextGen))
+        // the generation→file sidecar record is the listing DIFF around
+        // the append (single-writer layout; concurrent folds were never
+        // supported) — metadata-only, no data files are read
+        val before = listDataFiles(spark, snapshotDir, stream, v)
         // bucket-aligned append: delta-sized IO, no version rewrite
         delta.write.format("parquet")
           .bucketBy(buckets, pk.head, pk.tail: _*)
           .sortBy(pk.head, pk.tail: _*)
           .mode("append")
           .saveAsTable(tbl)
+        recordGen(spark, snapshotDir, stream, v, nextGen,
+          listDataFiles(spark, snapshotDir, stream, v) -- before)
     }
     readMor(spark, stream, snapshotDir, pk, buckets).get
+  }
+
+  // ---- generation→file sidecar (incremental reads) ----------------------
+
+  private def gensDir(
+      snapshotDir: String, stream: String, version: Int): String =
+    s"${layoutDir(snapshotDir, stream)}/v$version/_gens"
+
+  /** Data files currently in a version dir (top level; `_`/`.`-prefixed
+    * entries — `_gens`, `_SUCCESS` — excluded, matching Spark's own
+    * hidden-file convention).
+    */
+  private def listDataFiles(
+      spark: SparkSession, snapshotDir: String, stream: String,
+      version: Int): Set[String] = {
+    val dir = s"${layoutDir(snapshotDir, stream)}/v$version"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString).toSet
+  }
+
+  /** Record which data files one MOR generation appended: a tiny
+    * immutable parquet under `v{N}/_gens/g{gen}` (one dir per
+    * generation, overwrite-idempotent on retry). The sidecar is what
+    * lets [[readMorSince]] plan an incremental read over ONLY the new
+    * generations' files — no listing-by-footer, no scan of the base.
+    */
+  private def recordGen(
+      spark: SparkSession, snapshotDir: String, stream: String,
+      version: Int, gen: Long, files: Set[String]): Unit = {
+    import spark.implicits._
+    files.toSeq.sorted.map(f => (f, gen)).toDF("file", "gen")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${gensDir(snapshotDir, stream, version)}/g$gen")
+  }
+
+  /** Generations with a committed sidecar record in this version. */
+  private def recordedGens(
+      spark: SparkSession, snapshotDir: String, stream: String,
+      version: Int): Set[Long] = {
+    val dir = gensDir(snapshotDir, stream, version)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => """g(\d+)""".r
+        .unapplySeq(st.getPath.getName).flatMap(_.headOption))
+      .map(_.toLong).toSet
+  }
+
+  /** Incremental read off the MOR snapshot: every row APPENDED after
+    * `sinceGen` (the raw upsert feed, pre-resolution — a PK updated in a
+    * later generation appears with its new values; its superseded rows
+    * do not re-emit), with the generation exposed as `gen`. This is the
+    * consumer side of the layout's LSM story: q260 streams INTO the
+    * snapshot, this reads delta-sized increments OUT of it.
+    *
+    * Planning uses the `_gens` sidecar: the read lists ONE tiny parquet
+    * table and opens only the files of generations > sinceGen — IO
+    * proportional to the increment, never to the snapshot
+    * (MorSnapshotSpec proves it by deleting every earlier generation's
+    * files and reading anyway). If the sidecar does not cover every
+    * reserved generation (a pre-sidecar layout, or a crash between a
+    * reservation and its record), the read FALLS BACK to a filtered
+    * scan of the full table — correct, just not delta-sized; the next
+    * [[compactMor]] re-establishes sidecar coverage.
+    */
+  def readMorSince(
+      spark: SparkSession, stream: String, snapshotDir: String,
+      pk: Seq[String], buckets: Int, sinceGen: Long): Option[DataFrame] = {
+    require(sinceGen >= 0, s"sinceGen must be >= 0, got $sinceGen")
+    checkBuckets(spark, snapshotDir, stream, buckets)
+    readPointer(spark, snapshotDir, stream).map { ptr =>
+      val v = ptr.version
+      val tbl = ensureTable(spark, snapshotDir, stream, pk, buckets, v)
+      val t = spark.table(tbl)
+      require(t.columns.contains(GenCol),
+        s"snapshot '$stream' is not a MOR layout (no $GenCol column)")
+      val recorded = recordedGens(spark, snapshotDir, stream, v)
+      val covered = ptr.gen.exists(g => (1L to g).forall(recorded))
+      if (!covered) {
+        // honest fallback: correct rows, table-sized planning
+        t.filter(col(GenCol) > sinceGen)
+          .withColumnRenamed(GenCol, "gen")
+      } else {
+        val sidecar = spark.read
+          .parquet(s"${gensDir(snapshotDir, stream, v)}/g*")
+        val files = sidecar.filter(col("gen") > sinceGen)
+          .select("file").collect().map(_.getString(0)).sorted
+        if (files.isEmpty)
+          t.filter(lit(false)).withColumnRenamed(GenCol, "gen")
+        else
+          spark.read.schema(t.schema)
+            .parquet(files.toIndexedSeq: _*)
+            .filter(col(GenCol) > sinceGen)
+            .withColumnRenamed(GenCol, "gen")
+      }
+    }
   }
 
   /** The merge-on-read snapshot resolved to current state: keep-last by
@@ -506,6 +620,8 @@ object BucketedSnapshot {
     val resolved = readMor(spark, stream, snapshotDir, pk, buckets).get
       .withColumn(GenCol, lit(1L))
     writeVersion(resolved, spark, snapshotDir, stream, pk, buckets, v + 1)
+    recordGen(spark, snapshotDir, stream, v + 1, 1L,
+      listDataFiles(spark, snapshotDir, stream, v + 1))
     writePointer(spark, snapshotDir, stream, v + 1, buckets, Some(1L))
     dropVersion(spark, snapshotDir, stream, v)
     readMor(spark, stream, snapshotDir, pk, buckets).get

@@ -493,6 +493,89 @@ object EtlQueries {
       .orderBy("t_key", "match_key")
   }
 
+  /** Field-level golden-record survivorship
+    * ([[graft.ext.RecordLinkage.goldenRecord]] — the MDM consolidation
+    * step after linkage): three simulated source systems emit
+    * overlapping customer records with different priorities, recencies,
+    * and null patterns; each golden field picks by its own rule —
+    * `name` by source priority, `seg` by recency, `cents` by majority
+    * vote. The oracle replays every pick order (nulls always lose,
+    * final ties on the stringified value) row-for-row.
+    */
+  val q294GoldenRecord: QuerySpec = QuerySpec.oracled(
+    "q294_golden_record",
+    """WITH recs AS (
+      |  SELECT c_custkey AS ent, 1 AS prio, CAST(100 AS BIGINT) AS rec,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+      |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+      |         ELSE c_mktsegment END AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 200, c_name || '-B', 'B-' || c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT)
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 3, 150, c_name || '-C', NULL,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) + 7
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |nm AS (
+      |  SELECT ent, name FROM (
+      |    SELECT ent, name, row_number() OVER (PARTITION BY ent
+      |      ORDER BY (name IS NULL), prio, rec DESC,
+      |        coalesce(CAST(name AS VARCHAR), '')) AS rn
+      |    FROM recs) WHERE rn = 1),
+      |sg AS (
+      |  SELECT ent, seg FROM (
+      |    SELECT ent, seg, row_number() OVER (PARTITION BY ent
+      |      ORDER BY (seg IS NULL), rec DESC, prio,
+      |        coalesce(seg, '')) AS rn
+      |    FROM recs) WHERE rn = 1),
+      |ct AS (
+      |  SELECT ent, cents FROM (
+      |    SELECT ent, cents, row_number() OVER (PARTITION BY ent
+      |      ORDER BY cnt DESC, CAST(cents AS VARCHAR)) AS rn
+      |    FROM (SELECT ent, cents, count(*) AS cnt FROM recs
+      |          WHERE cents IS NOT NULL GROUP BY ent, cents))
+      |  WHERE rn = 1),
+      |agg AS (
+      |  SELECT ent, CAST(count(*) AS BIGINT) AS n_records,
+      |    CAST(max(rec) AS BIGINT) AS last_recency
+      |  FROM recs GROUP BY ent)
+      |SELECT agg.ent, nm.name, sg.seg, ct.cents, agg.n_records,
+      |  agg.last_recency
+      |FROM agg JOIN nm USING (ent) JOIN sg USING (ent)
+      |LEFT JOIN ct USING (ent)
+      |ORDER BY agg.ent""".stripMargin) { (spark, dir) =>
+    import graft.ext.RecordLinkage
+    val cust = t(spark, dir, "customer")
+    def cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val a = cust.select(col("c_custkey").as("ent"),
+      lit(1).as("prio"), lit(100L).as("rec"),
+      when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 3 === 0, lit(null))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      cents.as("cents"))
+    val b = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("ent"),
+        lit(2).as("prio"), lit(200L).as("rec"),
+        concat(col("c_name"), lit("-B")).as("name"),
+        concat(lit("B-"), col("c_mktsegment")).as("seg"),
+        cents.as("cents"))
+    val c = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("ent"),
+        lit(3).as("prio"), lit(150L).as("rec"),
+        concat(col("c_name"), lit("-C")).as("name"),
+        lit(null).cast("string").as("seg"),
+        (cents + 7).as("cents"))
+    RecordLinkage.goldenRecord(
+      a.unionByName(b).unionByName(c), "ent", "prio", "rec",
+      Seq("name" -> "priority", "seg" -> "recent",
+        "cents" -> "majority"))
+      .orderBy("ent")
+  }
+
   /** q262's oracle, generated: the EM fit unrolled round by round in
     * DuckDB HUGEINT arithmetic — the same nano-unit fixed point, the
     * same per-field fold order, the same floor divisions as
@@ -880,6 +963,44 @@ object EtlQueries {
   }
 
   /** The shared base/update batches for the MOR chain (q249/q250). */
+  /** Incremental read off the MOR snapshot
+    * ([[graft.operators.BucketedSnapshot.readMorSince]]): after q249's
+    * three folds, `readMorSince(1)` must return exactly the rows the
+    * SECOND and THIRD folds appended (the raw upsert feed, generation
+    * exposed) — the consumer side of the layout: q260 streams in, this
+    * reads delta-sized increments out via the `_gens` sidecar, never
+    * scanning the base generation (MorSnapshotSpec deletes the base
+    * files and reads anyway). The oracle rebuilds both deltas.
+    */
+  val q293SnapshotIncremental: QuerySpec = QuerySpec.oracled(
+    "q293_snapshot_incremental",
+    """WITH u1 AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |u2 AS (
+      |  SELECT c_custkey AS k, c_name || '-v3' AS name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewMor#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0)
+      |SELECT k, name, CAST(2 AS BIGINT) AS gen FROM u1
+      |UNION ALL
+      |SELECT k, name, CAST(3 AS BIGINT) AS gen FROM u2
+      |ORDER BY gen, k""".stripMargin) { (spark, dir) =>
+    import graft.operators.BucketedSnapshot
+    val (base, u1, u2) = morBatches(spark, dir)
+    val stateDir = graft.queries.QuerySpec.stagedPath("q293_state", dir)
+    BucketedSnapshot.reset(spark, "cust", stateDir)
+    BucketedSnapshot.foldMor(spark, base, "cust", stateDir, Seq("k"), 8)
+    BucketedSnapshot.foldMor(spark, u1, "cust", stateDir, Seq("k"), 8)
+    BucketedSnapshot.foldMor(spark, u2, "cust", stateDir, Seq("k"), 8)
+    BucketedSnapshot
+      .readMorSince(spark, "cust", stateDir, Seq("k"), 8, sinceGen = 1L)
+      .get
+      .orderBy("gen", "k")
+  }
+
   private def morBatches(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val base = t(spark, dir, "customer")
@@ -1316,8 +1437,9 @@ object EtlQueries {
     Seq(q85QualityAudit, q86Scd2History, q87FuzzyMatch, q88CdcApply,
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
-      q250SnapshotCompaction, q254RecordLinkage, q262LinkageEm,
-      q269LinkageBands,
+      q250SnapshotCompaction, q293SnapshotIncremental,
+      q254RecordLinkage, q262LinkageEm,
+      q269LinkageBands, q294GoldenRecord,
       q121KAnonymity,
       q125ProfileApprox,
       q128TableChecksum, q134ErasurePropagate, q165LDiversity,

@@ -62,6 +62,69 @@ class MorSnapshotSpec extends AnyFunSuite with SparkSpec {
     assert(after.size > before.size)
   }
 
+  test("readMorSince returns exactly the later generations' appends") {
+    val dir = tmpDir("mor_since")
+    val base = (1L to 300L).map(k => (k, s"v0-$k")).toDF("k", "name")
+    val u1 = (1L to 300L).filter(_ % 3 == 0)
+      .map(k => (k, s"v1-$k")).toDF("k", "name")
+    val u2 = Seq((5L, "v2-5"), (901L, "new")).toDF("k", "name")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark, u1, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark, u2, "s", dir, Seq("k"), 4)
+    def since(g: Long): Set[(Long, String, Long)] =
+      BucketedSnapshot.readMorSince(spark, "s", dir, Seq("k"), 4, g)
+        .get.as[(Long, String, Long)].collect().toSet
+    val want2 = u1.as[(Long, String)].collect().map {
+      case (k, n) => (k, n, 2L) }.toSet
+    val want3 = u2.as[(Long, String)].collect().map {
+      case (k, n) => (k, n, 3L) }.toSet
+    assert(since(2L) == want3)
+    assert(since(1L) == want2 ++ want3)
+    assert(since(0L).size == 300 + want2.size + want3.size)
+    assert(since(3L).isEmpty)
+  }
+
+  test("an incremental read never opens earlier generations' files") {
+    val dir = tmpDir("mor_since_noscan")
+    val base = (1L to 500L).map(k => (k, s"v0-$k")).toDF("k", "name")
+    BucketedSnapshot.foldMor(spark, base, "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark,
+      Seq((7L, "v1-7"), (600L, "new")).toDF("k", "name"),
+      "s", dir, Seq("k"), 4)
+    // destroy every gen-1 data file; only the _gens sidecar knows which
+    // files belong to gen 2, so a correct read can't have touched gen 1
+    val vdir = new java.io.File(s"$dir/s.snapshot.bucketed/v1")
+    val gen2Names = spark.read
+      .parquet(s"$dir/s.snapshot.bucketed/v1/_gens/g2")
+      .as[(String, Long)].collect()
+      .map(p => p._1.split('/').last).toSet
+    vdir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !gen2Names.contains(f.getName))
+      .foreach(f => assert(f.delete(), s"could not delete ${f.getName}"))
+    val got = BucketedSnapshot
+      .readMorSince(spark, "s", dir, Seq("k"), 4, 1L)
+      .get.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((7L, "v1-7", 2L), (600L, "new", 2L)))
+  }
+
+  test("a reserve-without-record gap falls back to a correct full scan") {
+    val dir = tmpDir("mor_since_fallback")
+    BucketedSnapshot.foldMor(spark,
+      (1L to 100L).map(k => (k, s"v0-$k")).toDF("k", "name"),
+      "s", dir, Seq("k"), 4)
+    BucketedSnapshot.foldMor(spark,
+      Seq((3L, "v1-3")).toDF("k", "name"), "s", dir, Seq("k"), 4)
+    // simulate a crash between the gen-2 append and its sidecar record
+    val g2 = new java.io.File(s"$dir/s.snapshot.bucketed/v1/_gens/g2")
+    assert(g2.exists)
+    org.apache.commons.io.FileUtils.deleteDirectory(g2)
+    val got = BucketedSnapshot
+      .readMorSince(spark, "s", dir, Seq("k"), 4, 1L)
+      .get.as[(Long, String, Long)].collect().toSet
+    assert(got == Set((3L, "v1-3", 2L)))
+  }
+
   test("compaction collapses generations and preserves state") {
     val dir = tmpDir("mor_compact")
     val base = (1L to 300L).map(k => (k, s"v0-$k")).toDF("k", "name")

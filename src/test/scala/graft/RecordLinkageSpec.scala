@@ -114,4 +114,71 @@ class RecordLinkageSpec extends AnyFunSuite with SparkSpec {
     assert(lax.forall(_.decision != "review"))
     assert(lax.map(_.gamma).toSet == bands.map(_.gamma).toSet)
   }
+
+  // ---- goldenRecord (oracle twin: q294) ----
+
+  private def golden(rows: Seq[(Long, Int, Long, String, String)],
+      rules: Seq[(String, String)]) =
+    RecordLinkage.goldenRecord(
+      rows.toDF("ent", "prio", "rec", "f1", "f2"),
+      "ent", "prio", "rec", rules)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("priority rule: best source wins, nulls fall through") {
+    val g = golden(Seq(
+      (1L, 1, 100L, null, "a"),   // f1 null at prio 1
+      (1L, 2, 300L, "fromB", "b"),
+      (1L, 3, 200L, "fromC", "c"),
+      (2L, 1, 100L, "keep", "x"),
+      (2L, 2, 900L, "newer-but-lower-prio", "y")),
+      Seq("f1" -> "priority"))
+    assert(g(1L).getString(1) == "fromB")
+    assert(g(2L).getString(1) == "keep")
+    assert(g(2L).getLong(2) == 2L)   // n_records
+    assert(g(2L).getLong(3) == 900L) // last_recency
+  }
+
+  test("recent rule: freshest non-null wins regardless of priority") {
+    val g = golden(Seq(
+      (1L, 1, 100L, "old", "a"),
+      (1L, 3, 500L, "fresh", "b"),
+      (1L, 2, 500L, "fresh-tie-higher-prio", "c")),
+      Seq("f1" -> "recent"))
+    // recency ties break on priority asc
+    assert(g(1L).getString(1) == "fresh-tie-higher-prio")
+  }
+
+  test("majority rule: consensus wins; count ties break on the value") {
+    val g = golden(Seq(
+      (1L, 1, 100L, "v", "x"),
+      (1L, 2, 200L, "v", "y"),
+      (1L, 3, 300L, "w", "y"),
+      (2L, 1, 100L, "b", "x"),
+      (2L, 2, 200L, "a", "x")),
+      Seq("f1" -> "majority", "f2" -> "majority"))
+    assert(g(1L).getString(1) == "v")   // 2 votes beat 1
+    assert(g(1L).getString(2) == "y")
+    assert(g(2L).getString(1) == "a")   // 1-1 tie → value asc
+  }
+
+  test("an all-null field yields a null golden value, not a crash") {
+    val g = golden(Seq(
+      (1L, 1, 100L, null, null),
+      (1L, 2, 200L, null, null)),
+      Seq("f1" -> "priority", "f2" -> "majority"))
+    assert(g(1L).isNullAt(1) && g(1L).isNullAt(2))
+    assert(g(1L).getLong(3) == 2L)
+  }
+
+  test("goldenRecord is partition-invariant") {
+    val rows = (1L to 40L).flatMap(e => Seq(
+      (e, 1, 100L, s"a$e", "x"),
+      (e, 2, 200L, s"b$e", if (e % 2 == 0) "x" else "y")))
+    def run(parts: Int) = RecordLinkage.goldenRecord(
+      rows.toDF("ent", "prio", "rec", "f1", "f2").repartition(parts),
+      "ent", "prio", "rec",
+      Seq("f1" -> "recent", "f2" -> "majority"))
+      .collect().map(_.toSeq).toSet
+    assert(run(2) == run(17))
+  }
 }
