@@ -210,6 +210,66 @@ object RecordLinkage {
     * Driver-sized by the same argument as [[emEstimate]]: ≤ 3^K
     * patterns. Returned in gamma order for stable presentation.
     */
+  /** Field-level golden-record survivorship — the MDM step AFTER linkage
+    * decides who is the same entity: matched source records consolidate
+    * into ONE record per entity, each field independently picked by a
+    * named rule (classic survivorship: trust the best source, trust the
+    * freshest value, or trust the consensus). [[classify]]/
+    * [[decisionBands]] produce the links; this builds the master record.
+    *
+    * Rules per field:
+    *  - `"priority"`: first NON-NULL value by (priority asc, recency
+    *    desc) — "the billing system's value beats the CRM's".
+    *  - `"recent"`: first NON-NULL value by (recency desc, priority
+    *    asc) — "whoever touched it last".
+    *  - `"majority"`: the most frequent non-null value — "consensus
+    *    across systems"; count ties break on the value itself.
+    *
+    * Everything is deterministic: every pick-order ends with the value
+    * (as a string) so equal-keyed duplicates cannot flip the pick, and
+    * nulls always lose to non-nulls (entities with only nulls for a
+    * field get a null golden value). Priority/recent rules ride ONE
+    * min_by aggregation over the records (a single entity-keyed
+    * shuffle); each majority field adds one (entity, value) count pass —
+    * all partial-aggregated, nothing entity-skew-fragile beyond the
+    * aggregation itself.
+    */
+  def goldenRecord(
+      records: DataFrame,
+      entityCol: String,
+      priorityCol: String,
+      recencyCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecord: at least one field rule")
+    val bad = rules.filterNot(r =>
+      Set("priority", "recent", "majority").contains(r._2))
+    require(bad.isEmpty, s"goldenRecord: unknown rules $bad")
+    def pick(f: String, order: String): Column =
+      expr(s"min_by($f, struct(cast(isnull($f) as int), $order, " +
+        s"coalesce(cast($f as string), '')))").as(f)
+    val direct = rules.collect {
+      case (f, "priority") =>
+        pick(f, s"$priorityCol, -$recencyCol")
+      case (f, "recent") =>
+        pick(f, s"-$recencyCol, $priorityCol")
+    }
+    val base = records.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_records"),
+        (direct :+ max(col(recencyCol)).as("last_recency")): _*)
+    rules.collect { case (f, "majority") => f }
+      .foldLeft(base) { (acc, f) =>
+        val maj = records.filter(col(f).isNotNull)
+          .groupBy(col(entityCol), col(f))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col(entityCol))
+          .agg(expr(
+            s"min_by($f, struct(-__c, cast($f as string)))").as(f))
+        acc.join(maj, Seq(entityCol), "left")
+      }
+      .select(col(entityCol) +: rules.map(r => col(r._1)) :+
+        col("n_records") :+ col("last_recency"): _*)
+  }
+
   def decisionBands(
       em: EmResult, muNano: Long, lambdaNano: Long): Seq[BandDecision] = {
     require(muNano >= 0 && muNano <= Nano, s"muNano in [0, Nano]: $muNano")

@@ -867,6 +867,74 @@ object Similarity {
         col("margin_ppm"), coalesce(col("__mu"), lit(false)).as("mutual"))
   }
 
+  /** k-center greedy (farthest-point) coreset selection — Gonzalez 1985's
+    * 2-approximation, the diversity-first data-selection rule of Sener &
+    * Savarese 2018 ("Active Learning for CNNs: A Core-Set Approach"):
+    * start from the lowest id, then repeatedly add the point whose
+    * distance TO the selected set (min over centers) is LARGEST — the
+    * pick that maximally covers the embedding space, the opposite end of
+    * the spectrum from prototypicality pruning ([[prototypicalityPrune]]
+    * keeps cluster cores; this keeps the frontier).
+    *
+    * Squared L2 distances `|a|²+|b|²−2a·b` fix to 1e-6 units (clamped at
+    * zero — fp cancellation on near-identical vectors can dip epsilon
+    * negative) at EACH round, and the running min-distance column folds
+    * with integer `least`, so every round's pick — and therefore the
+    * whole trajectory — replays exactly in any engine. Ties break on id.
+    *
+    * Scale shape: the running min-distance table is maintained
+    * incrementally — each round joins ONE broadcast center row against
+    * the corpus and folds with `least` (k passes of map-side work, the
+    * canonical k-center cost), with a localCheckpoint per round (the
+    * ext/Bfs round-truncation discipline). The driver holds only the k
+    * selected ids, never vectors-at-large.
+    */
+  def kCenterGreedy(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCenterGreedy: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val base = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        dotFast("v", "v").as("n2"))
+      .localCheckpoint()
+    val dfix = greatest(
+      floor((col("n2") + col("c_n2") - lit(2.0) * dotFast("v", "c_v")) *
+        lit(1000000.0) + lit(0.5)).cast("long"),
+      lit(0L))
+    def centerRow(id: Long) = broadcast(
+      base.filter(col("vec_id") === id)
+        .select(col("v").as("c_v"), col("n2").as("c_n2")))
+    val seed = base.agg(min("vec_id")).head.getLong(0)
+    val picks = scala.collection.mutable.ListBuffer((1, seed, 0L))
+    var cur = base.crossJoin(centerRow(seed))
+      .withColumn("md", dfix)
+      .select("vec_id", "v", "n2", "md")
+      .localCheckpoint()
+    (2 to k).foreach { r =>
+      val chosen = picks.map(_._2).toSeq
+      val top = cur.filter(!col("vec_id").isInCollection(chosen))
+        .orderBy(col("md").desc, col("vec_id").asc)
+        .select("vec_id", "md").limit(1).collect()
+      if (top.nonEmpty) {
+        val (id, md) = (top(0).getLong(0), top(0).getLong(1))
+        picks += ((r, id, md))
+        if (r < k)
+          cur = cur.crossJoin(centerRow(id))
+            .withColumn("md", least(col("md"), dfix))
+            .select("vec_id", "v", "n2", "md")
+            .localCheckpoint()
+      }
+    }
+    picks.toSeq.toDF("round", "vec_id", "dist_fix")
+      .select(col("round").cast("long").as("round"),
+        col("vec_id"), col("dist_fix"))
+  }
+
   /** Embedding-truncation recall audit (the Matryoshka serving question
     * — Kusupati et al. 2022: how much of full-dimension retrieval
     * survives if only the first d′ components are stored/scanned): for

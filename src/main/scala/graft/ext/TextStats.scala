@@ -298,6 +298,59 @@ object TextStats {
           .as("block_last"))
   }
 
+  /** Packing-efficiency curve — the audit behind choosing a training
+    * context length: for each candidate block size, how many blocks the
+    * packed corpus needs ([[packSequences]]'s contiguous-stream packing),
+    * what fraction of block capacity is padding waste (exact ppm), and
+    * how many documents get SPLIT across a block boundary (the
+    * attention-mask / quality cost of packing tighter). One cumulative
+    * pass over the corpus serves every rung — per-bucket running
+    * offsets are block-size-independent, so rungs differ only in the
+    * final integer divisions.
+    */
+  def packingCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSizes: Seq[Int],
+      buckets: Int = 32): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 1),
+      s"packingCurve: block sizes must be >= 1, got $blockSizes")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one cumulative pass, shared by every rung and both aggregates
+    val cum = docs
+      .select(col(idCol),
+        size(graft.ext.Dedup.tokens(col(textCol))).cast("long")
+          .as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bucket", (col(idCol) % buckets).cast("long"))
+      .withColumn("__cum", sum("n_toks").over(w))
+      .localCheckpoint()
+    val rungs = broadcast(blockSizes.map(_.toLong).toDF("block_size"))
+    val split = cum.crossJoin(rungs)
+      .filter(expr(
+        "(__cum - n_toks) div block_size <> (__cum - 1) div block_size"))
+      .groupBy("block_size")
+      .agg(count(lit(1)).as("n_split_docs"))
+    cum.groupBy("bucket").agg(max("__cum").as("t"))
+      .crossJoin(rungs)
+      .groupBy("block_size")
+      .agg(sum(expr("(t + block_size - 1) div block_size"))
+          .as("n_blocks"),
+        sum("t").as("total_tokens"))
+      .join(split, Seq("block_size"), "left")
+      .na.fill(0L, Seq("n_split_docs"))
+      .withColumn("waste_ppm", expr(
+        "(n_blocks * block_size - total_tokens) * 1000000 div " +
+          "(n_blocks * block_size)"))
+      .select(col("block_size"), col("n_blocks"), col("total_tokens"),
+        col("waste_ppm"), col("n_split_docs"))
+  }
+
   /** Intra-document repetition signals (the Gopher-family quality rules a
     * training-data pass thresholds on): duplicate-token fraction and the
     * most-frequent-bigram share of all bigram slots. Tokens are the

@@ -853,6 +853,61 @@ object SimilarityQueries {
       .orderBy("src_id")
   }
 
+  /** q295's oracle, generated: the k-center greedy trajectory unrolled
+    * round by round — each round's pick (max running min-distance, ties
+    * on id), center extraction, and integer `least` fold of the
+    * min-distance table, in the same 1e-6 fixed point as the operator.
+    */
+  private def kCenterSql(k: Int): String = {
+    def d2(m: String, c: String): String =
+      s"CAST(greatest(floor(($m.n2 + $c.n2 - 2 * " +
+        dotSql(s"$m.embedding", s"$c.embedding") +
+        ") * 1000000.0 + 0.5), 0) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH nv AS (SELECT vec_id, embedding, " +
+      s"${dotSql("embedding", "embedding")} AS n2 FROM embeddings),\n"
+    sb ++= "c1 AS (SELECT nv.* FROM nv " +
+      "WHERE vec_id = (SELECT min(vec_id) FROM nv)),\n"
+    sb ++= s"m1 AS (SELECT nv.vec_id, ${d2("nv", "c1")} AS md " +
+      "FROM nv, c1)"
+    (2 to k).foreach { r =>
+      val excl = (Seq("SELECT vec_id FROM c1") ++
+        (2 until r).map(i => s"SELECT vec_id FROM p$i"))
+        .mkString(" UNION ALL ")
+      sb ++= s",\np$r AS (SELECT vec_id, md FROM m${r - 1} " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY md DESC, vec_id LIMIT 1)"
+      if (r < k) {
+        sb ++= s",\nc$r AS (SELECT nv.* FROM nv, p$r " +
+          s"WHERE nv.vec_id = p$r.vec_id)"
+        sb ++= s",\nm$r AS (SELECT m.vec_id, " +
+          s"least(m.md, ${d2("nv", s"c$r")}) AS md " +
+          s"FROM m${r - 1} m JOIN nv ON nv.vec_id = m.vec_id, c$r)"
+      }
+    }
+    sb ++= "\nSELECT CAST(1 AS BIGINT) AS round, " +
+      "(SELECT vec_id FROM c1) AS vec_id, CAST(0 AS BIGINT) AS dist_fix"
+    (2 to k).foreach { r =>
+      sb ++= s"\nUNION ALL SELECT CAST($r AS BIGINT), vec_id, md FROM p$r"
+    }
+    sb ++= "\nORDER BY round"
+    sb.toString
+  }
+
+  /** k-center greedy coreset ([[graft.ext.Similarity.kCenterGreedy]] —
+    * Gonzalez 1985 / Sener & Savarese 2018 farthest-point selection):
+    * six diversity-first picks over the embedding corpus, every round's
+    * pick and integer-fixed min-distance fold replayed by the generated
+    * oracle. The frontier-keeping complement of q279's core-keeping
+    * prototypicality prune.
+    */
+  val q295KCenterCoreset: QuerySpec = QuerySpec.oracled(
+    "q295_kcenter_coreset", kCenterSql(6)) { (spark, dir) =>
+    Similarity.kCenterGreedy(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", k = 6)
+      .orderBy("round")
+  }
+
   /** Int8 embedding quantization: the oracle replays the abs-max reduction
     * and floor(x + 0.5) rounding element-wise. The registered output carries
     * the quantized vector as a CSV string (`qvec_csv`), not the raw array:
@@ -1288,7 +1343,8 @@ object SimilarityQueries {
       q97SemanticDedup, q140CentroidPool, q180AnnPq, q202AnnInt8,
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
       q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall,
-      q281AnnIndexStream, q283PqRerankCurve, q286MarginMining)
+      q281AnnIndexStream, q283PqRerankCurve, q286MarginMining,
+      q295KCenterCoreset)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

@@ -422,6 +422,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency curve ([[graft.ext.TextStats.packingCurve]]):
+    * blocks needed, exact padding-waste ppm, and boundary-split doc
+    * counts at context lengths 128/512/2048, all off q67's ONE
+    * cumulative packing pass — the audit behind choosing a training
+    * context length. The oracle replays the cumsum and every rung's
+    * integer divisions.
+    */
+  val q296PackingCurve: QuerySpec = QuerySpec.oracled(
+    "q296_packing_curve",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    len(list_filter($toksSql, x -> x <> '')) AS n_toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, doc_id % 32 AS bucket, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM tk WHERE n_toks > 0),
+       |rg AS (SELECT unnest([128, 512, 2048]) AS block_size),
+       |sp AS (
+       |  SELECT block_size, CAST(count(*) AS BIGINT) AS n_split_docs
+       |  FROM w, rg
+       |  WHERE (cum - n_toks) // block_size <> (cum - 1) // block_size
+       |  GROUP BY block_size),
+       |bt AS (SELECT bucket, max(cum) AS t FROM w GROUP BY bucket),
+       |ag AS (
+       |  SELECT block_size,
+       |    CAST(sum((t + block_size - 1) // block_size) AS BIGINT)
+       |      AS n_blocks,
+       |    CAST(sum(t) AS BIGINT) AS total_tokens
+       |  FROM bt, rg GROUP BY block_size)
+       |SELECT CAST(ag.block_size AS BIGINT) AS block_size, n_blocks,
+       |  total_tokens,
+       |  CAST((n_blocks * ag.block_size - total_tokens) * 1000000 //
+       |    (n_blocks * ag.block_size) AS BIGINT) AS waste_ppm,
+       |  coalesce(sp.n_split_docs, 0) AS n_split_docs
+       |FROM ag LEFT JOIN sp ON ag.block_size = sp.block_size
+       |ORDER BY block_size""".stripMargin) { (spark, dir) =>
+    TextStats.packingCurve(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      blockSizes = Seq(128, 512, 2048), buckets = 32)
+      .orderBy("block_size")
+  }
+
   /** Cross-document boilerplate detection (the paragraph-dedup family,
     * CCNet-style, on 8-token segments): a segment appearing in ≥ 2
     * distinct documents is boilerplate; each doc reports its boilerplate
@@ -2773,5 +2817,5 @@ object TextQueries {
       q270DsirStream, q272UnigramVocab, q273UnigramApply,
       q276TrigramBackoff, q284DecontamCurve, q287PerplexityBuckets,
       q288GopherCard, q289GopherReport, q290VocabCoverage,
-      q291CrossEntropySelect, q292PiiAudit)
+      q291CrossEntropySelect, q292PiiAudit, q296PackingCurve)
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.TextStats
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class ChunkPackSpec extends AnyFunSuite with SparkSpec {
@@ -50,5 +51,37 @@ class ChunkPackSpec extends AnyFunSuite with SparkSpec {
     }
     // straddlers exist in this fixture (spans of 2+ blocks)
     assert(rows.exists(r => r._6 > r._5))
+  }
+
+  // ---- packingCurve (oracle twin: q296) ----
+
+  test("packing curve: hand-computed blocks, waste, and splits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),   // 5 tokens
+      (2L, (1 to 4).map(i => s"w$i").mkString(" ")),   // 4
+      (3L, (1 to 3).map(i => s"w$i").mkString(" ")))   // 3 → T = 12
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats.packingCurve(
+      docs, "doc_id", "text", blockSizes = Seq(4, 8), buckets = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // rung 4: 3 blocks, zero waste, docs 1 and 2 straddle a boundary
+    assert(got(4L) == ((3L, 12L, 0L, 2L)))
+    // rung 8: 2 blocks, 4 of 16 slots padded, doc 2 straddles
+    assert(got(8L) == ((2L, 12L, 250000L, 1L)))
+  }
+
+  test("curve split counts agree with packSequences block spans") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val fromPack = graft.ext.TextStats.packSequences(
+      docs, "doc_id", "text", blockSize = 256, buckets = 32)
+      .filter(col("block_first") =!= col("block_last")).count()
+    val fromCurve = graft.ext.TextStats.packingCurve(
+      docs, "doc_id", "text", blockSizes = Seq(64, 256), buckets = 32)
+      .filter(col("block_size") === 256)
+      .collect().head.getLong(4)
+    assert(fromCurve == fromPack)
   }
 }
