@@ -351,6 +351,102 @@ object TextStats {
         col("waste_ppm"), col("n_split_docs"))
   }
 
+  /** T5-style span-corruption example builder (Raffel et al. 2020, the
+    * C4/T5 denoising objective): masked spans leave a sentinel
+    * `<extra_id_k>` in the INPUT and re-emit as `<extra_id_k> tokens…`
+    * in the TARGET, closed by a final sentinel — the step that turns a
+    * curated corpus into model-ready (input, target) pairs.
+    *
+    * Span starts are hash-decided per (salt, doc, position) — md5-based
+    * like every sampling rule here, so the same doc corrupts identically
+    * on any engine, partitioning, or rerun (no RNG state); a start
+    * inside an active span is suppressed by the left fold (spans never
+    * overlap), which is the only sequential dependency and it lives
+    * INSIDE one row — the operator is a zero-shuffle projection at any
+    * scale. Expected mask rate is spanLen/rate tokens.
+    *
+    * Tokens must not contain `'|'` (the fold's state separator; the
+    * whitespace tokenizer never emits one from natural text).
+    */
+  def spanCorrupt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Int = 20,
+      spanLen: Int = 3,
+      salt: String = "t5"): DataFrame = {
+    require(rate >= 1 && spanLen >= 1,
+      s"spanCorrupt: rate/spanLen must be >= 1, got $rate/$spanLen")
+    val le = "CAST(split_part(a, '|', 1) AS INT)"
+    val k = "split_part(a, '|', 2)"
+    val inp = "split_part(a, '|', 3)"
+    val tgt = "split_part(a, '|', 4)"
+    val tok = "element_at(__w, i)"
+    val flag = s"conv(substring(md5(concat('$salt:', " +
+      s"cast($idCol as string), ':', cast(i as string))), 1, 15), " +
+      s"16, 10) % $rate = 0"
+    val fold =
+      s"""aggregate(sequence(1, size(__w)), '0|0||', (a, i) -> CASE
+         |  WHEN i <= $le THEN concat(split_part(a, '|', 1), '|', $k,
+         |    '|', $inp, '|', $tgt, ' ', $tok)
+         |  WHEN $flag THEN concat(
+         |    cast(i + ${spanLen - 1} as string), '|',
+         |    cast(cast($k as int) + 1 as string), '|',
+         |    $inp, ' <extra_id_', $k, '>', '|',
+         |    $tgt, ' <extra_id_', $k, '> ', $tok)
+         |  ELSE concat(split_part(a, '|', 1), '|', $k, '|',
+         |    $inp, ' ', $tok, '|', $tgt)
+         |END)""".stripMargin.replaceAll("\n", " ")
+    docs
+      .withColumn("__w", filter(tokensCol(textCol), t => t =!= ""))
+      .filter(size(col("__w")) >= 1)
+      .withColumn("__f", expr(fold))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        expr("CAST(split_part(__f, '|', 2) AS BIGINT)").as("n_spans"),
+        expr("ltrim(split_part(__f, '|', 3))").as("input_text"),
+        expr("ltrim(concat(split_part(__f, '|', 4), ' <extra_id_', " +
+          "split_part(__f, '|', 2), '>'))").as("target_text"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle" — the OpenAI FIM
+    * recipe): each document splits at two hash-decided cut points into
+    * prefix / middle / suffix and re-serializes in PSM order
+    * (`<fim_prefix> P <fim_suffix> S <fim_middle> M`), teaching a causal
+    * LM to infill. Cut points are md5-derived per (salt, doc) — engine-
+    * and partitioning-independent, no RNG state; empty parts are legal
+    * (cuts may coincide), exactly as in the paper's uniform split.
+    * Zero-shuffle projection. [[spanCorrupt]] is the T5-family sibling.
+    */
+  def fimTransform(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String = "fim"): DataFrame = {
+    def h(tag: String): String =
+      s"conv(substring(md5(concat('$salt$tag:', " +
+        s"cast($idCol as string))), 1, 15), 16, 10)"
+    docs
+      .withColumn("__w", filter(tokensCol(textCol), t => t =!= ""))
+      .filter(size(col("__w")) >= 1)
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__c1", expr(s"cast(${h("1")} % (__n + 1) as int)"))
+      .withColumn("__c2",
+        expr(s"cast(__c1 + ${h("2")} % (__n - __c1 + 1) as int)"))
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        col("__c1").cast("long").as("cut1"),
+        col("__c2").cast("long").as("cut2"),
+        expr("concat('<fim_prefix> ', " +
+          "array_join(slice(__w, 1, __c1), ' '), " +
+          "' <fim_suffix> ', " +
+          "array_join(slice(__w, __c2 + 1, __n - __c2), ' '), " +
+          "' <fim_middle> ', " +
+          "array_join(slice(__w, __c1 + 1, __c2 - __c1), ' '))")
+          .as("fim_text"))
+  }
+
   /** Intra-document repetition signals (the Gopher-family quality rules a
     * training-data pass thresholds on): duplicate-token fraction and the
     * most-frequent-bigram share of all bigram slots. Tokens are the

@@ -370,8 +370,11 @@ object BucketedSnapshot {
       spark: SparkSession, fresh: DataFrame, stream: String,
       snapshotDir: String, pk: Seq[String], buckets: Int,
       tieBreak: Seq[String] = Nil,
-      oldTransform: DataFrame => DataFrame = identity): DataFrame = {
+      oldTransform: DataFrame => DataFrame = identity,
+      retainVersions: Int = 1): DataFrame = {
     require(pk.nonEmpty, "bucketed snapshot requires a primary key")
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     checkBuckets(spark, snapshotDir, stream, buckets)
     // persist: the delta feeds BOTH merge branches (anti-join probe and
     // union tail); without the cache, column pruning specializes the two
@@ -393,9 +396,40 @@ object BucketedSnapshot {
       }
       writeVersion(merged, spark, snapshotDir, stream, pk, buckets, nextV)
       writePointer(spark, snapshotDir, stream, nextV, buckets)
-      if (nextV > 1) dropVersion(spark, snapshotDir, stream, nextV - 1)
+      // retention window: keep the last `retainVersions` version dirs
+      // for time-travel reads ([[readVersion]]); default 1 = GC the
+      // superseded version immediately (the original behavior)
+      if (nextV > retainVersions)
+        dropVersion(spark, snapshotDir, stream, nextV - retainVersions)
       spark.table(tableName(snapshotDir, stream, nextV))
     } finally { delta.unpersist(); () }
+  }
+
+  /** Time-travel read of a RETAINED snapshot version ([[fold]] with
+    * `retainVersions` > 1 keeps a trailing window of version dirs): the
+    * rollback/debug/diff read every lakehouse keeps — "what did the
+    * table say before last night's fold". Fails loudly when the asked
+    * version was never written or has been GC'd past the retention
+    * window (a silent empty frame would read as "table was empty").
+    * The returned scan is bucketed like any current-version read.
+    */
+  def readVersion(
+      spark: SparkSession, stream: String, snapshotDir: String,
+      pk: Seq[String], buckets: Int, version: Int): DataFrame = {
+    checkBuckets(spark, snapshotDir, stream, buckets)
+    val cur = currentVersion(spark, snapshotDir, stream).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot '$stream' at $snapshotDir"))
+    require(version >= 1 && version <= cur,
+      s"version $version out of range [1, $cur] for '$stream'")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${layoutDir(snapshotDir, stream)}/v$version")
+    if (!fs(spark, p.toString).exists(p))
+      throw new IllegalStateException(
+        s"version $version of '$stream' has been GC'd past the " +
+          "retention window (fold with retainVersions > 1 to keep it)")
+    spark.table(ensureTable(spark, snapshotDir, stream, pk, buckets,
+      version))
   }
 
   /** Generation column for the merge-on-read layout: which fold a row

@@ -1001,6 +1001,61 @@ object EtlQueries {
       .orderBy("gen", "k")
   }
 
+  /** Snapshot time travel ([[graft.operators.BucketedSnapshot
+    * .readVersion]] + `retainVersions`): three rewrite folds keeping a
+    * 2-version retention window, then BOTH the current state and the
+    * pre-last-fold state read back and labeled — the rollback/diff read.
+    * The oracle replays both keep-last chains; versions past the window
+    * fail loudly (spec'd), never silently empty.
+    */
+  val q299SnapshotTimeTravel: QuerySpec = QuerySpec.oracled(
+    "q299_snapshot_time_travel",
+    """WITH u1 AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |u2 AS (
+      |  SELECT c_custkey AS k, c_name || '-v3' AS name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewMor#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |s1 AS (
+      |  SELECT k, name FROM (
+      |    SELECT k, name, row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC) AS rn
+      |    FROM (SELECT c_custkey AS k, c_name AS name, 0 AS seq
+      |          FROM customer
+      |          UNION ALL SELECT k, name, 1 FROM u1))
+      |  WHERE rn = 1),
+      |s2 AS (
+      |  SELECT k, name FROM (
+      |    SELECT k, name, row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC) AS rn
+      |    FROM (SELECT k, name, 0 AS seq FROM s1
+      |          UNION ALL SELECT k, name, 1 FROM u2))
+      |  WHERE rn = 1)
+      |SELECT 'current' AS snap, k, name FROM s2
+      |UNION ALL
+      |SELECT 'previous' AS snap, k, name FROM s1
+      |ORDER BY snap, k""".stripMargin) { (spark, dir) =>
+    import graft.operators.BucketedSnapshot
+    val (base, u1, u2) = morBatches(spark, dir)
+    val stateDir = graft.queries.QuerySpec.stagedPath("q299_state", dir)
+    BucketedSnapshot.reset(spark, "cust", stateDir)
+    Seq(base, u1, u2).foreach { b =>
+      BucketedSnapshot.fold(spark, b, "cust", stateDir, Seq("k"), 8,
+        retainVersions = 2)
+    }
+    val cur = BucketedSnapshot
+      .readVersion(spark, "cust", stateDir, Seq("k"), 8, 3)
+      .select(lit("current").as("snap"), col("k"), col("name"))
+    val prev = BucketedSnapshot
+      .readVersion(spark, "cust", stateDir, Seq("k"), 8, 2)
+      .select(lit("previous").as("snap"), col("k"), col("name"))
+    cur.unionByName(prev).orderBy("snap", "k")
+  }
+
   private def morBatches(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val base = t(spark, dir, "customer")
@@ -1438,6 +1493,7 @@ object EtlQueries {
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
       q250SnapshotCompaction, q293SnapshotIncremental,
+      q299SnapshotTimeTravel,
       q254RecordLinkage, q262LinkageEm,
       q269LinkageBands, q294GoldenRecord,
       q121KAnonymity,

@@ -466,6 +466,98 @@ object TextQueries {
       .orderBy("block_size")
   }
 
+  /** T5 span-corruption builder ([[graft.ext.TextStats.spanCorrupt]] —
+    * Raffel et al. 2020): every document becomes a model-ready
+    * (input, target) denoising pair with hash-decided sentinel spans.
+    * The oracle replays the md5 start decisions and the entire
+    * span-suppressing left fold string-for-string — input and target
+    * texts hash-compare exactly.
+    */
+  val q297SpanCorrupt: QuerySpec = QuerySpec.oracled(
+    "q297_span_corrupt",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 1),
+       |f AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |    list_reduce(list_prepend('0|0||',
+       |      list_transform(range(1, len(toks) + 1),
+       |        x -> CAST(x AS VARCHAR))),
+       |      (a, i) -> CASE
+       |        WHEN CAST(i AS INT) <= CAST(split_part(a, '|', 1) AS INT)
+       |          THEN split_part(a, '|', 1) || '|' ||
+       |            split_part(a, '|', 2) || '|' ||
+       |            split_part(a, '|', 3) || '|' ||
+       |            split_part(a, '|', 4) || ' ' || toks[CAST(i AS INT)]
+       |        WHEN ('0x' || substr(md5('t5:' ||
+       |            CAST(doc_id AS VARCHAR) || ':' || i), 1, 15))::BIGINT
+       |            % 20 = 0
+       |          THEN CAST(CAST(i AS INT) + 2 AS VARCHAR) || '|' ||
+       |            CAST(CAST(split_part(a, '|', 2) AS INT) + 1
+       |              AS VARCHAR) || '|' ||
+       |            split_part(a, '|', 3) || ' <extra_id_' ||
+       |            split_part(a, '|', 2) || '>' || '|' ||
+       |            split_part(a, '|', 4) || ' <extra_id_' ||
+       |            split_part(a, '|', 2) || '> ' || toks[CAST(i AS INT)]
+       |        ELSE split_part(a, '|', 1) || '|' ||
+       |          split_part(a, '|', 2) || '|' ||
+       |          split_part(a, '|', 3) || ' ' || toks[CAST(i AS INT)] ||
+       |          '|' || split_part(a, '|', 4)
+       |      END) AS st
+       |  FROM w)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(split_part(st, '|', 2) AS BIGINT) AS n_spans,
+       |  ltrim(split_part(st, '|', 3)) AS input_text,
+       |  ltrim(split_part(st, '|', 4) || ' <extra_id_' ||
+       |    split_part(st, '|', 2) || '>') AS target_text
+       |FROM f ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.spanCorrupt(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      rate = 20, spanLen = 3, salt = "t5")
+      .orderBy("doc_id")
+  }
+
+  /** Fill-in-the-middle transformation
+    * ([[graft.ext.TextStats.fimTransform]] — Bavarian et al. 2022 PSM
+    * format): hash-decided prefix/middle/suffix cuts, re-serialized for
+    * infill training. The oracle replays the md5 cut points and the
+    * three slices string-for-string.
+    */
+  val q298FimTransform: QuerySpec = QuerySpec.oracled(
+    "q298_fim_transform",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, toks, len(toks) AS n FROM tk
+       |      WHERE len(toks) >= 1),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    CAST(('0x' || substr(md5('fim1:' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % (n + 1)
+       |      AS INT) AS c1
+       |  FROM w),
+       |c2t AS (
+       |  SELECT *, CAST(c1 + ('0x' || substr(md5('fim2:' ||
+       |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % (n - c1 + 1)
+       |    AS INT) AS c2
+       |  FROM c)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+       |  '<fim_prefix> ' ||
+       |  coalesce(array_to_string(list_slice(toks, 1, c1), ' '), '')
+       |  || ' <fim_suffix> ' ||
+       |  coalesce(array_to_string(list_slice(toks, c2 + 1, n), ' '), '')
+       |  || ' <fim_middle> ' ||
+       |  coalesce(array_to_string(list_slice(toks, c1 + 1, c2), ' '), '')
+       |    AS fim_text
+       |FROM c2t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    TextStats.fimTransform(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      salt = "fim")
+      .orderBy("doc_id")
+  }
+
   /** Cross-document boilerplate detection (the paragraph-dedup family,
     * CCNet-style, on 8-token segments): a segment appearing in ≥ 2
     * distinct documents is boilerplate; each doc reports its boilerplate
@@ -2817,5 +2909,6 @@ object TextQueries {
       q270DsirStream, q272UnigramVocab, q273UnigramApply,
       q276TrigramBackoff, q284DecontamCurve, q287PerplexityBuckets,
       q288GopherCard, q289GopherReport, q290VocabCoverage,
-      q291CrossEntropySelect, q292PiiAudit, q296PackingCurve)
+      q291CrossEntropySelect, q292PiiAudit, q296PackingCurve,
+      q297SpanCorrupt, q298FimTransform)
 }

@@ -224,4 +224,56 @@ class BucketedSnapshotSpec extends AnyFunSuite with SparkSpec {
     // nothing was promoted
     assert(BucketedSnapshot.read(spark, "s", dir, Seq("k"), 2).isEmpty)
   }
+
+  // ---- retention window + time travel (oracle twin: q299) ----
+
+  test("retention keeps a trailing version window; older dirs are GC'd") {
+    val dir = tmpDir("bs_retain")
+    def vdirs() = {
+      val d = new java.io.File(s"$dir/s.snapshot.bucketed")
+      if (!d.exists) Set.empty[String]
+      else d.listFiles().filter(_.getName.startsWith("v"))
+        .map(_.getName).toSet
+    }
+    def fold(rows: Seq[(Long, String)]) = BucketedSnapshot.fold(
+      spark, rows.toDF("k", "name"), "s", dir, Seq("k"), 2,
+      retainVersions = 2)
+    fold((1L to 50L).map(k => (k, s"v0-$k")))
+    fold((1L to 50L).filter(_ % 3 == 0).map(k => (k, s"v1-$k")))
+    assert(vdirs() == Set("v1", "v2"))
+    fold(Seq((7L, "v2-7")))
+    assert(vdirs() == Set("v2", "v3"), "v1 must be GC'd, v2 retained")
+    // time travel: v2 state is the keepLast of the first two batches
+    val prev = BucketedSnapshot
+      .readVersion(spark, "s", dir, Seq("k"), 2, 2)
+      .as[(Long, String)].collect().toMap
+    assert(prev(3L) == "v1-3" && prev(7L) == "v0-7")
+    assert(prev.size == 50)
+    val cur = BucketedSnapshot
+      .readVersion(spark, "s", dir, Seq("k"), 2, 3)
+      .as[(Long, String)].collect().toMap
+    assert(cur(7L) == "v2-7" && cur.size == 50)
+    // past the window → loud failure, never a silent empty frame
+    val e = intercept[IllegalStateException] {
+      BucketedSnapshot.readVersion(spark, "s", dir, Seq("k"), 2, 1)
+    }
+    assert(e.getMessage.contains("retention window"))
+    // out of range is a different, equally loud error
+    intercept[IllegalArgumentException] {
+      BucketedSnapshot.readVersion(spark, "s", dir, Seq("k"), 2, 9)
+    }
+    ()
+  }
+
+  test("default retention is 1 — the superseded version drops at once") {
+    val dir = tmpDir("bs_retain1")
+    BucketedSnapshot.fold(spark,
+      Seq((1L, "a")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    BucketedSnapshot.fold(spark,
+      Seq((2L, "b")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    val d = new java.io.File(s"$dir/s.snapshot.bucketed")
+    val vs = d.listFiles().filter(_.getName.startsWith("v"))
+      .map(_.getName).toSet
+    assert(vs == Set("v2"))
+  }
 }
