@@ -1001,6 +1001,25 @@ object EtlQueries {
       .orderBy("gen", "k")
   }
 
+  private val q299Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q299/q300 retained-version snapshot once per JVM: three
+    * rewrite folds of the q249 batches with a 2-version window.
+    */
+  private def stageRetained(
+      spark: SparkSession, dir: String): String =
+    q299Staging.getOrStage(dir) {
+      import graft.operators.BucketedSnapshot
+      val (base, u1, u2) = morBatches(spark, dir)
+      val stateDir = graft.queries.QuerySpec.stagedPath("q299_state", dir)
+      BucketedSnapshot.reset(spark, "cust", stateDir)
+      Seq(base, u1, u2).foreach { b =>
+        BucketedSnapshot.fold(spark, b, "cust", stateDir, Seq("k"), 8,
+          retainVersions = 2)
+      }
+      stateDir
+    }
+
   /** Snapshot time travel ([[graft.operators.BucketedSnapshot
     * .readVersion]] + `retainVersions`): three rewrite folds keeping a
     * 2-version retention window, then BOTH the current state and the
@@ -1040,13 +1059,7 @@ object EtlQueries {
       |SELECT 'previous' AS snap, k, name FROM s1
       |ORDER BY snap, k""".stripMargin) { (spark, dir) =>
     import graft.operators.BucketedSnapshot
-    val (base, u1, u2) = morBatches(spark, dir)
-    val stateDir = graft.queries.QuerySpec.stagedPath("q299_state", dir)
-    BucketedSnapshot.reset(spark, "cust", stateDir)
-    Seq(base, u1, u2).foreach { b =>
-      BucketedSnapshot.fold(spark, b, "cust", stateDir, Seq("k"), 8,
-        retainVersions = 2)
-    }
+    val stateDir = stageRetained(spark, dir)
     val cur = BucketedSnapshot
       .readVersion(spark, "cust", stateDir, Seq("k"), 8, 3)
       .select(lit("current").as("snap"), col("k"), col("name"))
@@ -1054,7 +1067,64 @@ object EtlQueries {
       .readVersion(spark, "cust", stateDir, Seq("k"), 8, 2)
       .select(lit("previous").as("snap"), col("k"), col("name"))
     cur.unionByName(prev).orderBy("snap", "k")
-  }
+  }.withSetup((s, d) => { stageRetained(s, d); () })
+
+  /** Snapshot version diff ([[graft.ext.TableDiff.diffSummary]] over
+    * two [[graft.operators.BucketedSnapshot.readVersion]] reads): what
+    * last night's fold actually did — keys added / changed / unchanged
+    * between the retained previous version and the current one, as one
+    * summary row. The release-gate use of q299's time travel; the
+    * oracle recomputes both chain states and the diff.
+    */
+  val q300SnapshotDiff: QuerySpec = QuerySpec.oracled(
+    "q300_snapshot_diff",
+    """WITH u1 AS (
+      |  SELECT c_custkey AS k, c_name || '-v2' AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |u2 AS (
+      |  SELECT c_custkey AS k, c_name || '-v3' AS name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000,
+      |    'NewMor#' || CAST(c_custkey + 1000000000 AS VARCHAR)
+      |  FROM customer WHERE c_custkey % 101 = 0),
+      |s1 AS (
+      |  SELECT k, name FROM (
+      |    SELECT k, name, row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC) AS rn
+      |    FROM (SELECT c_custkey AS k, c_name AS name, 0 AS seq
+      |          FROM customer
+      |          UNION ALL SELECT k, name, 1 FROM u1))
+      |  WHERE rn = 1),
+      |s2 AS (
+      |  SELECT k, name FROM (
+      |    SELECT k, name, row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC) AS rn
+      |    FROM (SELECT k, name, 0 AS seq FROM s1
+      |          UNION ALL SELECT k, name, 1 FROM u2))
+      |  WHERE rn = 1),
+      |j AS (
+      |  SELECT s1.k AS ak, s2.k AS bk, s1.name AS an, s2.name AS bn
+      |  FROM s1 FULL JOIN s2 ON s1.k = s2.k)
+      |SELECT
+      |  count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NULL)
+      |    AS n_removed,
+      |  count(*) FILTER (WHERE ak IS NULL AND bk IS NOT NULL)
+      |    AS n_added,
+      |  count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |    AND an <> bn) AS n_changed,
+      |  count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |    AND an = bn) AS n_same
+      |FROM j""".stripMargin) { (spark, dir) =>
+    import graft.operators.BucketedSnapshot
+    val stateDir = stageRetained(spark, dir)
+    val prev = BucketedSnapshot
+      .readVersion(spark, "cust", stateDir, Seq("k"), 8, 2)
+    val cur = BucketedSnapshot
+      .readVersion(spark, "cust", stateDir, Seq("k"), 8, 3)
+    graft.ext.TableDiff.diffSummary(prev, cur,
+      keyCol = "k", compareCols = Seq("name"))
+  }.withSetup((s, d) => { stageRetained(s, d); () })
 
   private def morBatches(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -1493,7 +1563,7 @@ object EtlQueries {
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
       q250SnapshotCompaction, q293SnapshotIncremental,
-      q299SnapshotTimeTravel,
+      q299SnapshotTimeTravel, q300SnapshotDiff,
       q254RecordLinkage, q262LinkageEm,
       q269LinkageBands, q294GoldenRecord,
       q121KAnonymity,
