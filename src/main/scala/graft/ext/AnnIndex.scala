@@ -167,9 +167,20 @@ object AnnIndex {
     writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
       dim, v)
     commitVersion(spark, dir, name, v)
-    if (v > 1)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"${layoutDir(dir, name)}/v${v - 1}"))
+    if (v > 1) dropVersionDir(spark, dir, name, v - 1)
+    ()
+  }
+
+  /** GC one version dir through the Hadoop FS API (the
+    * BucketedSnapshot.dropVersion pattern) — a java.io.File delete is a
+    * silent no-op on any non-local or scheme-qualified filesystem and
+    * would leak every superseded version's centroids + postings.
+    */
+  private def dropVersionDir(
+      spark: SparkSession, dir: String, name: String, v: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${layoutDir(dir, name)}/v$v")
+    val f = fs(spark, p.toString)
+    if (f.exists(p)) f.delete(p, true)
     ()
   }
 
@@ -206,8 +217,7 @@ object AnnIndex {
     writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
       dim, v + 1)
     commitVersion(spark, dir, name, v + 1)
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"${layoutDir(dir, name)}/v$v"))
+    dropVersionDir(spark, dir, name, v)
     ()
   }
 

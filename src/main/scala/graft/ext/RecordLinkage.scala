@@ -210,6 +210,61 @@ object RecordLinkage {
     * Driver-sized by the same argument as [[emEstimate]]: ≤ 3^K
     * patterns. Returned in gamma order for stable presentation.
     */
+  def decisionBands(
+      em: EmResult, muNano: Long, lambdaNano: Long): Seq[BandDecision] = {
+    require(muNano >= 0 && muNano <= Nano, s"muNano in [0, Nano]: $muNano")
+    require(lambdaNano >= 0 && lambdaNano <= Nano,
+      s"lambdaNano in [0, Nano]: $lambdaNano")
+    val k = em.fields.size
+    val rows = em.patterns.map { case (gamma, cnt, g) =>
+      var aM = BigInt(em.p)
+      var aU = BigInt(Nano - em.p)
+      var i = 0
+      while (i < k) {
+        gamma(i) match {
+          case Some(1) =>
+            aM = aM * em.m(i) / Nano; aU = aU * em.u(i) / Nano
+          case Some(0) =>
+            aM = aM * (Nano - em.m(i)) / Nano
+            aU = aU * (Nano - em.u(i)) / Nano
+          case _ => ()
+        }
+        i += 1
+      }
+      val ratio = (aM * Nano / aU.max(1)).toLong
+      (gamma, cnt, g, ratio)
+    }
+    import scala.math.Ordering.Implicits.seqOrdering
+    val topOrder = rows.sortBy { case (gamma, _, _, ratio) =>
+      (-ratio, gamma.map(_.getOrElse(-1)))
+    }
+    val totM = rows.map { case (_, c, g, _) => BigInt(g) * c }.sum
+    val totU = rows.map { case (_, c, g, _) => BigInt(Nano - g) * c }.sum
+    val muMass = BigInt(muNano) * totU / Nano
+    val lambdaMass = BigInt(lambdaNano) * totM / Nano
+    val inLink = scala.collection.mutable.Set[Seq[Option[Int]]]()
+    var cumU = BigInt(0)
+    topOrder.foreach { case (gamma, c, g, _) =>
+      cumU += BigInt(Nano - g) * c
+      if (cumU <= muMass) { inLink += gamma; () }
+    }
+    val inNonlink = scala.collection.mutable.Set[Seq[Option[Int]]]()
+    var cumM = BigInt(0)
+    topOrder.reverse.foreach { case (gamma, c, g, _) =>
+      cumM += BigInt(g) * c
+      if (cumM <= lambdaMass) { inNonlink += gamma; () }
+    }
+    rows
+      .map { case (gamma, c, g, ratio) =>
+        val d =
+          if (inLink(gamma)) "link"
+          else if (inNonlink(gamma)) "nonlink"
+          else "review"
+        BandDecision(gamma, c, g, ratio, d)
+      }
+      .sortBy(_.gamma.map(_.getOrElse(-1)))
+  }
+
   /** Field-level golden-record survivorship — the MDM step AFTER linkage
     * decides who is the same entity: matched source records consolidate
     * into ONE record per entity, each field independently picked by a
@@ -270,58 +325,4 @@ object RecordLinkage {
         col("n_records") :+ col("last_recency"): _*)
   }
 
-  def decisionBands(
-      em: EmResult, muNano: Long, lambdaNano: Long): Seq[BandDecision] = {
-    require(muNano >= 0 && muNano <= Nano, s"muNano in [0, Nano]: $muNano")
-    require(lambdaNano >= 0 && lambdaNano <= Nano,
-      s"lambdaNano in [0, Nano]: $lambdaNano")
-    val k = em.fields.size
-    val rows = em.patterns.map { case (gamma, cnt, g) =>
-      var aM = BigInt(em.p)
-      var aU = BigInt(Nano - em.p)
-      var i = 0
-      while (i < k) {
-        gamma(i) match {
-          case Some(1) =>
-            aM = aM * em.m(i) / Nano; aU = aU * em.u(i) / Nano
-          case Some(0) =>
-            aM = aM * (Nano - em.m(i)) / Nano
-            aU = aU * (Nano - em.u(i)) / Nano
-          case _ => ()
-        }
-        i += 1
-      }
-      val ratio = (aM * Nano / aU.max(1)).toLong
-      (gamma, cnt, g, ratio)
-    }
-    import scala.math.Ordering.Implicits.seqOrdering
-    val topOrder = rows.sortBy { case (gamma, _, _, ratio) =>
-      (-ratio, gamma.map(_.getOrElse(-1)))
-    }
-    val totM = rows.map { case (_, c, g, _) => BigInt(g) * c }.sum
-    val totU = rows.map { case (_, c, g, _) => BigInt(Nano - g) * c }.sum
-    val muMass = BigInt(muNano) * totU / Nano
-    val lambdaMass = BigInt(lambdaNano) * totM / Nano
-    val inLink = scala.collection.mutable.Set[Seq[Option[Int]]]()
-    var cumU = BigInt(0)
-    topOrder.foreach { case (gamma, c, g, _) =>
-      cumU += BigInt(Nano - g) * c
-      if (cumU <= muMass) { inLink += gamma; () }
-    }
-    val inNonlink = scala.collection.mutable.Set[Seq[Option[Int]]]()
-    var cumM = BigInt(0)
-    topOrder.reverse.foreach { case (gamma, c, g, _) =>
-      cumM += BigInt(g) * c
-      if (cumM <= lambdaMass) { inNonlink += gamma; () }
-    }
-    rows
-      .map { case (gamma, c, g, ratio) =>
-        val d =
-          if (inLink(gamma)) "link"
-          else if (inNonlink(gamma)) "nonlink"
-          else "review"
-        BandDecision(gamma, c, g, ratio, d)
-      }
-      .sortBy(_.gamma.map(_.getOrElse(-1)))
-  }
 }

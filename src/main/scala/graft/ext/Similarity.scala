@@ -964,14 +964,22 @@ object Similarity {
       s"truncationRecallAudit: duplicate prefixes, got $prefixes")
     val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__m"))
-    val per = prefixes.map { d =>
-      val c = corpus.select(col(idCol),
-        expr(s"slice(`$vecCol`, 1, $d)").as(vecCol))
-      val q = queries.select(col(idCol),
-        expr(s"slice(`$vecCol`, 1, $d)").as(vecCol))
-      bruteForceTopK(c, q, idCol, vecCol, k)
-        .select(lit(d.toLong).as("dim_prefix"), col("query_id"),
+      // truth feeds the full-dim sanity rung AND the recall join below
+      .localCheckpoint()
+    val per = prefixes.map {
+      // the full-dimension rung IS the truth ranking — reuse it instead
+      // of running the most expensive brute-force scan a second time
+      case d if d == dim =>
+        truth.select(lit(d.toLong).as("dim_prefix"), col("query_id"),
           col("neighbor_id"))
+      case d =>
+        val c = corpus.select(col(idCol),
+          expr(s"slice(`$vecCol`, 1, $d)").as(vecCol))
+        val q = queries.select(col(idCol),
+          expr(s"slice(`$vecCol`, 1, $d)").as(vecCol))
+        bruteForceTopK(c, q, idCol, vecCol, k)
+          .select(lit(d.toLong).as("dim_prefix"), col("query_id"),
+            col("neighbor_id"))
     }.reduce(_ unionByName _)
     per.join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy("dim_prefix")

@@ -382,9 +382,12 @@ object TextStats {
     val inp = "split_part(a, '|', 3)"
     val tgt = "split_part(a, '|', 4)"
     val tok = "element_at(__w, i)"
-    val flag = s"conv(substring(md5(concat('$salt:', " +
+    // explicit BIGINT cast on conv's string result (the Dedup.hash60
+    // discipline): without it, ANSI-off sessions coerce the 60-bit hex
+    // to DOUBLE and the mod silently picks different spans
+    val flag = s"CAST(conv(substring(md5(concat('$salt:', " +
       s"cast($idCol as string), ':', cast(i as string))), 1, 15), " +
-      s"16, 10) % $rate = 0"
+      s"16, 10) AS BIGINT) % $rate = 0"
     val fold =
       s"""aggregate(sequence(1, size(__w)), '0|0||', (a, i) -> CASE
          |  WHEN i <= $le THEN concat(split_part(a, '|', 1), '|', $k,
@@ -424,9 +427,10 @@ object TextStats {
       idCol: String,
       textCol: String,
       salt: String = "fim"): DataFrame = {
+    // BIGINT cast for ANSI-off sessions — see spanCorrupt's flag note
     def h(tag: String): String =
-      s"conv(substring(md5(concat('$salt$tag:', " +
-        s"cast($idCol as string))), 1, 15), 16, 10)"
+      s"CAST(conv(substring(md5(concat('$salt$tag:', " +
+        s"cast($idCol as string))), 1, 15), 16, 10) AS BIGINT)"
     docs
       .withColumn("__w", filter(tokensCol(textCol), t => t =!= ""))
       .filter(size(col("__w")) >= 1)

@@ -274,7 +274,7 @@ object SingerSource {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
       case Some(spark) if files.size >= threshold =>
-        mergedSchemaFromFilesDistributed(spark, files, stream)
+        mergedSchemaFromFilesDistributed(spark, files, conf, stream)
       case _ => mergedSchemaFromFiles(files, conf, stream)
     }
 
@@ -359,11 +359,14 @@ object SingerSource {
     */
   private[sources] def mergedSchemaFromFilesDistributed(
       spark: org.apache.spark.sql.SparkSession, files: Seq[String],
-      stream: Option[String]): StructType = {
+      conf: Configuration, stream: Option[String]): StructType = {
     if (files.isEmpty)
       throw new IllegalArgumentException("graft-singer: no files to infer from")
+    // broadcast the SAME conf the driver path probes with (the session
+    // conf carries credentials/FS impls the bare SparkContext conf can
+    // miss) — file count must never change which filesystem we reach
     val confB = org.apache.spark.graftbench.HadoopConfBroadcast(
-      spark.sparkContext)
+      spark.sparkContext, conf)
     val slices = math.max(1,
       math.min(files.size / 8 + 1, spark.sparkContext.defaultParallelism * 4))
     val perFile: Map[String, Seq[(String, String)]] =

@@ -20,4 +20,11 @@ final class HadoopConfBroadcast private (
 object HadoopConfBroadcast {
   def apply(sc: SparkContext): HadoopConfBroadcast =
     new HadoopConfBroadcast(SerializableConfiguration.broadcast(sc))
+
+  /** Broadcast a CALLER-SUPPLIED Configuration (e.g. the SESSION conf
+    * from `sessionState.newHadoopConf()`, which carries session-scoped
+    * `spark.hadoop.*` overrides the bare SparkContext conf lacks).
+    */
+  def apply(sc: SparkContext, conf: Configuration): HadoopConfBroadcast =
+    new HadoopConfBroadcast(sc.broadcast(new SerializableConfiguration(conf)))
 }

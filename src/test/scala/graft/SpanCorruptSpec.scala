@@ -100,6 +100,26 @@ class SpanCorruptSpec extends AnyFunSuite with SparkSpec {
       "no empty suffix seen")
   }
 
+  test("hash decisions are identical with ANSI off (BIGINT cast guard)") {
+    // without the explicit CAST, conv()'s string result coerces to
+    // DOUBLE under ansi=false and the 60-bit hash loses its low bits —
+    // silently different masks/cuts than the oracle
+    val ansiOn = TextStats.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val fimOn = TextStats.fimTransform(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ansiOff = TextStats.spanCorrupt(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      val fimOff = TextStats.fimTransform(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(ansiOff == ansiOn, "spanCorrupt diverged under ansi=false")
+      assert(fimOff == fimOn, "fimTransform diverged under ansi=false")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("FIM is deterministic across partitionings") {
     val a = TextStats.fimTransform(docs.repartition(5), "doc_id", "text")
       .collect().map(_.toSeq).toSet
