@@ -2892,6 +2892,73 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q289's Gopher rule report MAINTAINED over a micro-batch document
+    * stream (the q256 fold loop): per-doc verdicts are independent, so
+    * per-batch reports are integer sums that fold exactly — the
+    * maintained report equals the one-shot q289 report row-for-row
+    * (stream ≡ batch), which is how a continuously-ingesting corpus
+    * keeps a live rule-attribution dashboard without rescans.
+    */
+  val q301GopherReportStream: QuerySpec = QuerySpec.oracled(
+    "q301_gopher_report_stream",
+    s"""WITH $gopherCardCtes,
+       |nf AS (
+       |  SELECT gc.*,
+       |    (${gopherRuleNames
+             .map(r => s"(CASE WHEN $r THEN 0 ELSE 1 END)")
+             .mkString(" + ")}) AS nfails
+       |  FROM gc),
+       |st AS (
+       |${gopherRuleNames
+           .map(r => s"  SELECT '$r' AS rule, $r AS ok, nfails FROM nf")
+           .mkString("", "\n  UNION ALL\n", "")})
+       |SELECT rule,
+       |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fail,
+       |  CAST(sum(CASE WHEN NOT ok AND nfails = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_only_fail
+       |FROM st GROUP BY rule ORDER BY rule""".stripMargin) {
+    (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ270(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q301_state", dir)
+    val ckpt = QuerySpec.stagedPath("q301_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q301_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q301_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val report = graft.ext.TextStats.gopherRuleReport(
+          graft.ext.TextStats.gopherRuleCard(batch, "doc_id", "text"))
+        val state = new java.io.File(stateDir)
+        val next =
+          if (state.exists())
+            report
+              .unionByName(batch.sparkSession.read.parquet(stateDir))
+              .groupBy("rule")
+              .agg(sum("n_fail").as("n_fail"),
+                sum("n_only_fail").as("n_only_fail"))
+          else report
+        val tmp = s"${stateDir}__next"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        next.coalesce(1).write.parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteQuietly(state)
+        if (!new java.io.File(tmp).renameTo(state))
+          throw new IllegalStateException(s"state swap failed: $tmp")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(stateDir).orderBy("rule")
+  }.withSetup((s, d) => { stageQ270(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -2910,5 +2977,5 @@ object TextQueries {
       q276TrigramBackoff, q284DecontamCurve, q287PerplexityBuckets,
       q288GopherCard, q289GopherReport, q290VocabCoverage,
       q291CrossEntropySelect, q292PiiAudit, q296PackingCurve,
-      q297SpanCorrupt, q298FimTransform)
+      q297SpanCorrupt, q298FimTransform, q301GopherReportStream)
 }

@@ -97,6 +97,26 @@ class GopherRuleSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 7)
   }
 
+  test("the report is batch-additive (the q301 stream-fold algebra)") {
+    import org.apache.spark.sql.functions.sum
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def report(df: org.apache.spark.sql.DataFrame) =
+      TextStats.gopherRuleReport(
+        TextStats.gopherRuleCard(df, "doc_id", "text"))
+    val whole = report(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val folded = report(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(report(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("rule")
+      .agg(sum("n_fail").as("n_fail"),
+        sum("n_only_fail").as("n_only_fail"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(folded == whole)
+  }
+
   test("the card is a pure projection — no shuffle in its plan") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
