@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNDECORATED: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which is why the
+// driver's JSON-tail parse of the bench headline failed four rounds
+// straight ("parsed": null) even after the headline reprint fix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
