@@ -21,15 +21,23 @@ import org.apache.spark.sql.functions._
   *    SHARED [[Similarity.assignCells]], so drift is impossible by
   *    construction).
   *  - `v<N>/postings`   — (id, vector) parquet PARTITIONED BY CELL: the
-  *    inverted lists. A fold APPENDS its delta's files into the probed
-  *    layout (delta-sized IO — AnnIndexSpec proves a fold plans no scan
-  *    of stored postings by deleting them first); a query joins postings
-  *    to its probed cells, so only probed partitions' files are read.
+  *    inverted lists from the build/retrain. A query joins postings to
+  *    its probed cells, so only probed partitions' files are read.
+  *  - `v<N>/deltas/g<G>` — one cell-partitioned delta dir PER FOLD,
+  *    committed by a create-only `v<N>/_folds/g<G>.ok` marker (single
+  *    PUT). Readers union the base with COMMITTED deltas only, so a
+  *    crash mid-fold leaves an invisible orphan dir — never a
+  *    partially-visible delta — and the retry recomputes the same
+  *    generation and overwrites the orphan before committing (no
+  *    double-insert). Fold IO stays delta-sized (AnnIndexSpec proves a
+  *    fold plans no scan of stored postings by deleting them first).
   *
   * Contract: fold ids must be NEW (an ANN corpus is append-only; updates
-  * are a retrain concern). [[retrain]] re-trains the quantizer over the
-  * accumulated corpus into version N+1 with a pointer promote and GC of
-  * version N — the amortized rewrite, exactly the MOR compaction
+  * are a retrain concern), and the index is single-writer (the foldMor
+  * contract). [[retrain]] re-trains the quantizer over the accumulated
+  * corpus (base + committed deltas) into version N+1 with a pointer
+  * promote and GC of version N — the amortized rewrite that also
+  * compacts the delta dirs back to one base, exactly the MOR compaction
   * tradeoff.
   *
   * Scale shape: build/fold cost is the assignment broadcast join (cent
@@ -42,83 +50,22 @@ object AnnIndex {
   private def layoutDir(dir: String, name: String): String =
     s"$dir/$name.annindex"
 
-  private val ManifestRe = """_current\.(\d{9})""".r
-
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Newest committed version, if the index exists. Manifest records are
-    * `<version> ok` — the terminator makes any torn write unparseable, so
-    * readers fall back to the previous committed manifest; manifests
-    * present but none parseable after retries fails loudly (a reader must
-    * never mistake a present-but-unreadable pointer for "no index").
+  /** Newest committed version, if the index exists — the shared
+    * [[graft.io.VersionPointer]] contract: `<version> ok` records,
+    * create-only PUTs, torn manifests skipped, present-but-unreadable
+    * pointers fail loudly.
     */
   def currentVersion(
-      spark: SparkSession, dir: String, name: String): Option[Int] = {
-    val layout = layoutDir(dir, name)
-    val dirPath = new org.apache.hadoop.fs.Path(layout)
-    val f = fs(spark, layout)
-    def parse(text: String): Option[Int] = {
-      val parts = text.trim.split("\\s+")
-      if (parts.length == 2 && parts(1) == "ok")
-        scala.util.Try(parts(0).toInt).toOption
-      else None
-    }
-    var attempt = 0
-    while (attempt < 5) {
-      if (!f.exists(dirPath)) return None
-      val manifests = f.listStatus(dirPath).toSeq
-        .flatMap(st => st.getPath.getName match {
-          case ManifestRe(seq) => Some(seq.toLong -> st.getPath)
-          case _ => None
-        })
-        .sortBy(-_._1)
-      if (manifests.isEmpty) return None
-      val resolved = manifests.view.flatMap { case (_, p) =>
-        scala.util.Try {
-          val in = f.open(p)
-          try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          finally in.close()
-        }.toOption.flatMap(parse)
-      }.headOption
-      if (resolved.isDefined) return resolved
-      attempt += 1
-      if (attempt < 5) Thread.sleep(50L * attempt)
-    }
-    throw new IllegalStateException(
-      s"ann index '$name' at $dir: pointer manifests exist but none " +
-        "parsed after retries — refusing to treat a present-but-" +
-        "unreadable pointer as an absent index")
-  }
+      spark: SparkSession, dir: String, name: String): Option[Int] =
+    graft.io.VersionPointer.current(spark, layoutDir(dir, name))
 
-  /** Commit `version`: CREATE `_current.<maxSeq+1>` (single PUT), then
-    * best-effort GC keeping the newest two manifests.
-    */
   private def commitVersion(
-      spark: SparkSession, dir: String, name: String, version: Int): Unit = {
-    val layout = layoutDir(dir, name)
-    val dirPath = new org.apache.hadoop.fs.Path(layout)
-    val f = fs(spark, layout)
-    val maxSeq =
-      if (!f.exists(dirPath)) 0L
-      else f.listStatus(dirPath).toSeq.flatMap(_.getPath.getName match {
-        case ManifestRe(seq) => Some(seq.toLong)
-        case _ => None
-      }).foldLeft(0L)(math.max)
-    val next = new org.apache.hadoop.fs.Path(
-      f"$layout/_current.${maxSeq + 1}%09d")
-    val out = f.create(next, false)
-    try out.write(s"$version ok".getBytes("UTF-8")) finally out.close()
-    f.listStatus(dirPath).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case ManifestRe(seq) => Some(seq.toLong -> st.getPath)
-        case _ => None
-      })
-      .sortBy(-_._1).drop(2)
-      .foreach { case (_, p) => scala.util.Try(f.delete(p, false)); () }
-  }
+      spark: SparkSession, dir: String, name: String, version: Int): Unit =
+    graft.io.VersionPointer.commit(spark, layoutDir(dir, name), version)
 
   private def centroidsPath(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/centroids"
@@ -139,6 +86,11 @@ object AnnIndex {
       spark: SparkSession, corpus: DataFrame, dir: String, name: String,
       idCol: String, vecCol: String, numCentroids: Int, dim: Int,
       version: Int): Unit = {
+    // `version` is by construction uncommitted (callers pass
+    // currentVersion+1): drop any orphan dir a failed predecessor left,
+    // or its errorifexists writes below would fail permanently until
+    // someone hand-deleted the orphan
+    dropVersionDir(spark, dir, name, version)
     // lloydCentroids' seed assignment uses the fused graft_ivf_cells —
     // register here so a fresh session can build without having run an
     // ivfTopK* query first
@@ -177,17 +129,52 @@ object AnnIndex {
     * would leak every superseded version's centroids + postings.
     */
   private def dropVersionDir(
-      spark: SparkSession, dir: String, name: String, v: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${layoutDir(dir, name)}/v$v")
+      spark: SparkSession, dir: String, name: String, v: Int): Unit =
+    graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
+
+  private def foldsDir(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/_folds"
+
+  private def deltaPath(dir: String, name: String, v: Int, g: Long): String =
+    s"${layoutDir(dir, name)}/v$v/deltas/g$g"
+
+  private val FoldMarkerRe = """g(\d+)\.ok""".r
+
+  /** Generations with a committed fold marker in this version. */
+  private def committedFolds(
+      spark: SparkSession, dir: String, name: String, v: Int): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(foldsDir(dir, name, v))
     val f = fs(spark, p.toString)
-    if (f.exists(p)) f.delete(p, true)
-    ()
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+      case FoldMarkerRe(g) => Some(g.toLong)
+      case _ => None
+    }).sorted
   }
+
+  /** All committed postings of version `v`: the base plus every
+    * committed fold delta. Uncommitted (orphan) delta dirs are invisible
+    * — the marker is the commit. Each root is read on its own (they are
+    * sibling partitioned layouts, which a single multi-path read rejects
+    * as conflicting directory structures) and unioned by name; the cell
+    * partition column prunes per branch exactly as it does on one root.
+    */
+  private def readPostings(
+      spark: SparkSession, dir: String, name: String, v: Int): DataFrame =
+    (postingsPath(dir, name, v) +:
+      committedFolds(spark, dir, name, v).map(deltaPath(dir, name, v, _)))
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
 
   /** Fold new vectors into the current version: assign against the
     * FROZEN centroids (numCentroids-row broadcast — stored postings are
-    * never read, the IO is delta-sized) and append into the partitioned
-    * postings layout. Ids must be new to the index.
+    * never read, the IO is delta-sized), write them as this fold's OWN
+    * cell-partitioned delta dir, then commit it with one create-only
+    * marker PUT. A crash before the marker leaves an orphan dir no
+    * reader sees; the retry recomputes the same generation, overwrites
+    * the orphan, and commits — idempotent, never double-inserted. Ids
+    * must be new to the index; writers are single (the marker create
+    * fails loudly if a concurrent fold won the generation).
     */
   def fold(
       spark: SparkSession, fresh: DataFrame, dir: String, name: String,
@@ -195,11 +182,21 @@ object AnnIndex {
     val v = currentVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"ann index '$name' at $dir does not exist — build() it first"))
+    require(!hasCodebooks(spark, dir, name, v),
+      s"ann index '$name' at $dir is a PQ index — fold() would leave its " +
+        "code postings stale; use foldPq()")
     val cent = spark.read.parquet(centroidsPath(dir, name, v))
+    val g = committedFolds(spark, dir, name, v).lastOption.getOrElse(0L) + 1L
     Similarity.assignCells(fresh, idCol, vecCol, cent, probes = 1)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(postingsPath(dir, name, v))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(deltaPath(dir, name, v, g))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${foldsDir(dir, name, v)}/g$g.ok")
+    val f = fs(spark, marker.toString)
+    val out = f.create(marker, false)
+    try out.write("ok".getBytes("UTF-8")) finally out.close()
+    ()
   }
 
   /** Re-train the quantizer over the accumulated corpus into version
@@ -212,13 +209,247 @@ object AnnIndex {
     val v = currentVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"ann index '$name' at $dir does not exist — build() it first"))
-    val corpus = spark.read.parquet(postingsPath(dir, name, v))
+    require(!hasCodebooks(spark, dir, name, v),
+      s"ann index '$name' at $dir is a PQ index — retrain() would drop " +
+        "its codebooks and codes; use retrainPq()")
+    val corpus = readPostings(spark, dir, name, v)
       .select(col(idCol), col(vecCol))
+      // materialize before the promote: the lazy plan reads version v,
+      // which is GC'd right after
+      .localCheckpoint()
     writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
       dim, v + 1)
     commitVersion(spark, dir, name, v + 1)
     dropVersionDir(spark, dir, name, v)
     ()
+  }
+
+  // ---- persisted IVF-PQ: codebooks + packed code postings ----------------
+
+  private def codebooksPath(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/codebooks"
+
+  private def codesPath(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/codes"
+
+  private def codesDeltaPath(
+      dir: String, name: String, v: Int, g: Long): String =
+    s"${layoutDir(dir, name)}/v$v/codes_deltas/g$g"
+
+  private def hasCodebooks(
+      spark: SparkSession, dir: String, name: String, v: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(codebooksPath(dir, name, v))
+    fs(spark, p.toString).exists(p)
+  }
+
+  /** All committed code postings of version `v` (base + committed fold
+    * deltas), UNPACKED to (cid, cell, m, cw) rows for the ADC join.
+    */
+  private def readCodes(
+      spark: SparkSession, dir: String, name: String, v: Int,
+      idCol: String): DataFrame =
+    (codesPath(dir, name, v) +:
+      committedFolds(spark, dir, name, v).map(codesDeltaPath(dir, name, v, _)))
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .select(col(idCol).as("cid"), col("cell"),
+        posexplode(col("codes")).as(Seq("m", "cw")))
+
+  /** Encode `df` against FROZEN centroids + codebooks into packed code
+    * rows (id, codes: array<int> ordered by sub-space, cell) — the
+    * 8-bytes-per-vector artifact at the default 8 sub-spaces. Shared by
+    * [[buildPq]] and [[foldPq]]: the encode is
+    * [[Similarity.pqResidualSubRows]] + the same argmin as the one-shot
+    * [[Similarity.ivfPqTopK]], so maintained codes can never diverge
+    * from a one-shot encode under the same artifacts.
+    */
+  private def encodePacked(
+      df: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
+      cb: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid", "m").orderBy(col("d2u"), col("cw"))
+    Similarity
+      .pqResidualSubRows(df, idCol, vecCol, cent, 1, numSub, subDim, "cid")
+      .join(broadcast(cb), "m")
+      .withColumn("d2u", Similarity.pqD2u)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("cid"), col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, cw))), " +
+        "t -> t.cw)").as("codes"))
+      .select(col("cid").as(idCol), col("codes"), col("cell"))
+  }
+
+  /** Sub-space count and sub-vector width, derived from the persisted
+    * codebooks artifact (two scalar aggregates over a
+    * numSub×codebookSize-row table — metadata, not data).
+    */
+  private def codebookShape(cb: DataFrame): (Int, Int) = {
+    val row = cb.agg(max("m"), max(size(col("cvec")))).head()
+    (row.getInt(0) + 1, row.getInt(1))
+  }
+
+  /** Train + write an IVF-PQ version: the plain-IVF artifacts (frozen
+    * Lloyd quantizer + cell-partitioned float postings, so [[topK]]'s
+    * exact re-rank works unchanged) PLUS residual PQ codebooks (frozen
+    * between retrains, trained with the one-shot's md5 seed + one
+    * fixed-point k-means step) and packed code postings. [[topKPq]]
+    * ADC-scans the codes — at 100 TB the codes table is what fits in
+    * memory (8 bytes/vector at the defaults) while the float postings
+    * ride on disk for the candidates-sized exact re-rank.
+    */
+  def buildPq(
+      spark: SparkSession, corpus: DataFrame, dir: String, name: String,
+      idCol: String, vecCol: String, numCentroids: Int = 16,
+      dim: Int = 64, numSub: Int = 8, codebookSize: Int = 16): Unit = {
+    val v = currentVersion(spark, dir, name).getOrElse(0) + 1
+    buildPqAt(spark, corpus, dir, name, idCol, vecCol, numCentroids, dim,
+      numSub, codebookSize, v)
+    commitVersion(spark, dir, name, v)
+    if (v > 1) dropVersionDir(spark, dir, name, v - 1)
+    ()
+  }
+
+  /** Writes (uncommitted) PQ version `version`: IVF artifacts via
+    * [[writeVersion]] (which first drops any orphan dir), then the
+    * frozen-seed codebooks and the packed code postings.
+    */
+  private def buildPqAt(
+      spark: SparkSession, corpus: DataFrame, dir: String, name: String,
+      idCol: String, vecCol: String, numCentroids: Int, dim: Int,
+      numSub: Int, codebookSize: Int, version: Int): Unit = {
+    require(dim % numSub == 0,
+      s"buildPq: dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
+      dim, version)
+    val cent = spark.read.parquet(centroidsPath(dir, name, version))
+    val cSub = Similarity.pqResidualSubRows(
+      corpus, idCol, vecCol, cent, 1, numSub, subDim, "cid")
+    val seed = {
+      import spark.implicits._
+      Similarity.pqCodebook(numSub, codebookSize, subDim, tag = "ivfpq")
+        .toDF("m", "cw", "cvec")
+    }
+    Similarity.pqTrainCore(cSub.select("cid", "m", "sub"), seed, subDim)
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(codebooksPath(dir, name, version))
+    val cb = spark.read.parquet(codebooksPath(dir, name, version))
+    encodePacked(corpus, idCol, vecCol, cent, cb, numSub, subDim)
+      .write.mode("errorifexists").partitionBy("cell")
+      .parquet(codesPath(dir, name, version))
+  }
+
+  /** Fold new vectors into a PQ index: assign + encode against the
+    * FROZEN centroids and codebooks (two tiny broadcasts — stored
+    * postings and codes are never read), write the float delta AND the
+    * code delta, then commit BOTH with the one marker PUT — a crash
+    * leaves both invisible, never a codes/postings split-brain.
+    */
+  def foldPq(
+      spark: SparkSession, fresh: DataFrame, dir: String, name: String,
+      idCol: String, vecCol: String): Unit = {
+    val v = currentVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ann index '$name' at $dir does not exist — build() it first"))
+    require(hasCodebooks(spark, dir, name, v),
+      s"ann index '$name' at $dir has no PQ codebooks — buildPq() it, " +
+        "or use fold() for a plain IVF index")
+    val cent = spark.read.parquet(centroidsPath(dir, name, v))
+    val cb = spark.read.parquet(codebooksPath(dir, name, v))
+    val (numSub, subDim) = codebookShape(cb)
+    val g = committedFolds(spark, dir, name, v).lastOption.getOrElse(0L) + 1L
+    Similarity.assignCells(fresh, idCol, vecCol, cent, probes = 1)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(deltaPath(dir, name, v, g))
+    encodePacked(fresh, idCol, vecCol, cent, cb, numSub, subDim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(codesDeltaPath(dir, name, v, g))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${foldsDir(dir, name, v)}/g$g.ok")
+    val f = fs(spark, marker.toString)
+    val out = f.create(marker, false)
+    try out.write("ok".getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  /** Re-train quantizer AND codebooks over the accumulated corpus into
+    * version N+1 (pointer promote, GC N) — also the compaction that
+    * folds the delta dirs back into one base.
+    */
+  def retrainPq(
+      spark: SparkSession, dir: String, name: String, idCol: String,
+      vecCol: String, numCentroids: Int = 16, dim: Int = 64,
+      numSub: Int = 8, codebookSize: Int = 16): Unit = {
+    val v = currentVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ann index '$name' at $dir does not exist — build() it first"))
+    val corpus = readPostings(spark, dir, name, v)
+      .select(col(idCol), col(vecCol))
+    // materialize before the destination version is written: the plan
+    // reads version v, which is GC'd after the promote
+    val staged = corpus.localCheckpoint()
+    buildPqAt(spark, staged, dir, name, idCol, vecCol, numCentroids, dim,
+      numSub, codebookSize, v + 1)
+    commitVersion(spark, dir, name, v + 1)
+    dropVersionDir(spark, dir, name, v)
+    ()
+  }
+
+  /** ADC top-k against the persisted PQ index: queries price per-probe
+    * distance tables against the FROZEN codebooks (broadcast), the
+    * packed code postings are scanned cell-pruned and summed to integer
+    * ADC distances, the best `candidates` ids per query are re-ranked
+    * exactly against the float postings. Same output contract as
+    * [[Similarity.ivfPqTopK]]: (query_id, rank, neighbor_id, cos_sim) —
+    * and bit-identical to it when the index holds the same corpus the
+    * one-shot trained on (AnnIndexSpec pins this).
+    */
+  def topKPq(
+      spark: SparkSession, queries: DataFrame, dir: String, name: String,
+      idCol: String, vecCol: String, k: Int, numProbes: Int = 2,
+      candidates: Int = 50): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val v = currentVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ann index '$name' at $dir does not exist — build() it first"))
+    require(hasCodebooks(spark, dir, name, v),
+      s"ann index '$name' at $dir has no PQ codebooks — buildPq() it, " +
+        "or use topK() for a plain IVF index")
+    val cent = spark.read.parquet(centroidsPath(dir, name, v))
+    val cb = spark.read.parquet(codebooksPath(dir, name, v))
+    val (numSub, subDim) = codebookShape(cb)
+    val qt = Similarity
+      .pqResidualSubRows(queries, idCol, vecCol, cent, numProbes, numSub,
+        subDim, "qid")
+      .join(broadcast(cb), "m")
+      .withColumn("qd2u", Similarity.pqD2u)
+      .select(col("qid"), col("cell").as("qcell"), col("m").as("qm"),
+        col("cw").as("qcw"), col("qd2u"))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ad2u"), col("cid"))
+    val cand = readCodes(spark, dir, name, v, idCol)
+      .join(broadcast(qt),
+        col("cell") === col("qcell") && col("m") === col("qm") &&
+          col("cw") === col("qcw"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid")
+      .agg(sum("qd2u").as("ad2u"))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= candidates)
+      .select(col("qid"), col("cid"))
+    val c = readPostings(spark, dir, name, v)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
+        Similarity.selfNormFast(vecCol).as("n_c"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("v_q"), Similarity.selfNormFast(vecCol).as("n_q"))
+    val scored = cand
+      .join(c, col("cid") === col("neighbor_id"))
+      .join(broadcast(q), col("qid") === col("query_id"))
+      .withColumn("cosine",
+        Similarity.dotFast("v_q", "v_c") / (col("n_q") * col("n_c")))
+    Similarity.topK(scored, k)
   }
 
   /** Probe + exact re-rank against the persisted index: queries assign
@@ -241,7 +472,7 @@ object AnnIndex {
       .select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
         Similarity.selfNormFast(vecCol).as("n_q"),
         col("__cell").as("cell"))
-    val c = spark.read.parquet(postingsPath(dir, name, v))
+    val c = readPostings(spark, dir, name, v)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
         Similarity.selfNormFast(vecCol).as("n_c"), col("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))

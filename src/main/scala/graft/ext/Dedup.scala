@@ -625,6 +625,88 @@ object Dedup {
         md5(col("clean").cast("binary")).as("clean_md5"))
   }
 
+  /** Variable-length exact-substring dedup (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr — the suffix-array policy, re-expressed distributed):
+    * any TOKEN run of length ≥ `minLen` that occurs twice anywhere in
+    * the corpus (another document OR the same one) is excised from every
+    * occurrence. The sequential implementation builds a corpus suffix
+    * array and scans neighbors for ≥ minLen shared prefixes; the
+    * shuffle-friendly equivalence this uses instead: a maximal
+    * duplicated run of length M ≥ minLen is exactly the union of its
+    * M − minLen + 1 duplicated minLen-grams, so marking every token
+    * position whose minLen-gram hash occurs ≥ 2 times and merging
+    * overlaps (gaps-and-islands) recovers precisely the ≥ minLen
+    * duplicated-run coverage — variable-length removal from fixed-length
+    * probes, no suffix array, no n².
+    *
+    * Differences from [[removeDuplicatedSpans]] (the q275 hash-window
+    * form): token units with stride 1 (so runs of ANY length ≥ minLen
+    * are caught exactly, not just stride-aligned windows), and ≥ 2
+    * OCCURRENCES rather than ≥ 2 distinct documents (within-document
+    * repetition is duplication too — the published policy).
+    *
+    * Cleaned text is the kept tokens space-joined (canonical token
+    * form, like the published token-level rewrite). Deterministic
+    * throughout: md5 gram hashes, integer token intervals — the oracle
+    * replays the rewrite hash-exactly.
+    *
+    * 100 TB shape: gram rows are (id, pos, hash) — stride 1 means one
+    * row per corpus token, linear, never quadratic; text never rides
+    * the hash shuffle; the dup filter is one groupBy + semi-join; the
+    * rewrite joins ONE spans-array row back per document.
+    */
+  def removeExactSubstr(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 12): DataFrame = {
+    require(minLen >= 2, s"removeExactSubstr: minLen must be >= 2, got $minLen")
+    val arr = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+    val grams = arr.filter(col("nt") >= minLen)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), col("nt") - minLen)).as("p"))
+      .select(col(idCol), col("p"),
+        // \u0001 separator: tokens never contain it (non-space runs),
+        // so gram boundaries are unambiguous under the hash
+        md5(concat_ws("\u0001",
+          expr(s"slice(toks, CAST(p + 1 AS INT), $minLen)"))
+          .cast("binary")).as("h"))
+    val dupH = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val dupw = grams.join(dupH, "h")
+      .select(col(idCol), col("p").as("s"), (col("p") + minLen).as("e"))
+    val wm = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(wm.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = dupw
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("g",
+        sum("brk").over(wm.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("g"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val spans = merged.groupBy(idCol)
+      .agg(expr("array_sort(collect_list(struct(s, e)))").as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("removed_toks"))
+    arr.join(spans, Seq(idCol), "left")
+      .withColumn("clean",
+        when(col("spans").isNull, concat_ws(" ", col("toks")))
+          .otherwise(expr(
+            """concat_ws(' ', filter(toks, (t, q) ->
+              |  NOT exists(spans, sp -> q >= sp.s AND q < sp.e)))"""
+              .stripMargin)))
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_toks"), lit(0L)).as("removed_toks"),
+        (col("nt") - coalesce(col("removed_toks"), lit(0L)))
+          .as("clean_ntoks"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
+  }
+
   /** Jaccard threshold-sensitivity curve — the audit a practitioner runs
     * BEFORE picking a dedup threshold: for each candidate threshold
     * (percent), how many pairs qualify and how many documents they touch.

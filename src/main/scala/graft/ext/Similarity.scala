@@ -329,7 +329,7 @@ object Similarity {
     * The corpus float vectors move only for the `candidates`-sized
     * re-rank join.
     */
-  private def pqSubRows(
+  private[graft] def pqSubRows(
       df: DataFrame, idCol: String, vecCol: String, idAs: String,
       numSub: Int, subDim: Int): DataFrame = df.select(
     col(idCol).as(idAs),
@@ -341,7 +341,7 @@ object Similarity {
   /** Squared L2 between `sub` and `cvec` in 1e-6 fixed point: ordered
     * left-fold (bit-exact both engines), floored IMMEDIATELY to int64 so
     * every downstream sum/compare is integer arithmetic. */
-  private val pqD2u: Column = expr(
+  private[graft] val pqD2u: Column = expr(
     "CAST(floor(aggregate(zip_with(sub, cvec, " +
       "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
       "0.0D, (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT)")
@@ -379,7 +379,7 @@ object Similarity {
     * [[ivfPqTopK]] (double residual slices); `pqD2u` casts elements, so
     * both input element types train identically.
     */
-  private def pqTrainCore(
+  private[graft] def pqTrainCore(
       subRows: DataFrame, seed: DataFrame, subDim: Int): DataFrame = {
     val wEnc = Window.partitionBy("cid", "m").orderBy(col("d2u"), col("cw"))
     // the winning row CARRIES its sub-vector, so no re-join (and no
@@ -601,21 +601,10 @@ object Similarity {
     // working set any PQ trainer materializes.
     val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
       .localCheckpoint()
-    // assignment + per-cell residual; probes > 1 yields one residual row
-    // per (vector, probed cell), each against THAT cell's centroid
-    def withResidual(df: DataFrame, probes: Int): DataFrame =
-      assignCells(df, idCol, vecCol, cent, probes)
-        .join(broadcast(cent), Seq("__cell"))
-        .withColumn("__resid", expr(
-          s"zip_with(`$vecCol`, __cvec, (x, y) -> CAST(x AS DOUBLE) - y)"))
-    def subRows(df: DataFrame, idAs: String): DataFrame = df.select(
-      col(idCol).as(idAs), col("__cell").as("cell"),
-      explode(expr(s"transform(sequence(0, ${numSub - 1}), " +
-        s"mi -> struct(mi AS m, " +
-        s"slice(__resid, mi * $subDim + 1, $subDim) AS sub))")).as("e"))
-      .select(col(idAs), col("cell"), col("e.m").as("m"),
-        col("e.sub").as("sub"))
-    val cSub = subRows(withResidual(corpus, 1), "cid").localCheckpoint()
+    def subRows(df: DataFrame, probes: Int, idAs: String): DataFrame =
+      pqResidualSubRows(df, idCol, vecCol, cent, probes, numSub, subDim,
+        idAs)
+    val cSub = subRows(corpus, 1, "cid").localCheckpoint()
     val seed = pqCodebook(numSub, codebookSize, subDim, tag = "ivfpq")
       .toDF("m", "cw", "cvec")
     val cb = broadcast(
@@ -628,7 +617,7 @@ object Similarity {
       .select(col("cid"), col("cell"), col("m"), col("cw"))
     // the full per-(query, probed cell) ADC distance table: one priced
     // row per codeword, NOT an argmin — codes look their distance up
-    val qt = subRows(withResidual(queries, numProbes), "qid")
+    val qt = subRows(queries, numProbes, "qid")
       .join(cb, "m")
       .withColumn("qd2u", pqD2u)
       .select(col("qid"), col("cell").as("qcell"), col("m").as("qm"),
@@ -741,6 +730,29 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-cell residual sub-vector rows (`idAs`, `cell`, `m`, `sub`):
+    * assign `df` to its `probes` nearest centroids, subtract THAT cell's
+    * centroid, slice the residual into `numSub` sub-vectors. The shared
+    * front half of IVF-PQ — [[ivfPqTopK]] (one-shot) and
+    * [[AnnIndex]]'s persisted-PQ build/fold/query all call this, so a
+    * maintained index can never residualize differently from the
+    * one-shot operator.
+    */
+  private[graft] def pqResidualSubRows(
+      df: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
+      probes: Int, numSub: Int, subDim: Int, idAs: String): DataFrame =
+    assignCells(df, idCol, vecCol, cent, probes)
+      .join(broadcast(cent), Seq("__cell"))
+      .withColumn("__resid", expr(
+        s"zip_with(`$vecCol`, __cvec, (x, y) -> CAST(x AS DOUBLE) - y)"))
+      .select(
+        col(idCol).as(idAs), col("__cell").as("cell"),
+        explode(expr(s"transform(sequence(0, ${numSub - 1}), " +
+          s"mi -> struct(mi AS m, " +
+          s"slice(__resid, mi * $subDim + 1, $subDim) AS sub))")).as("e"))
+      .select(col(idAs), col("cell"), col("e.m").as("m"),
+        col("e.sub").as("sub"))
+
   /** Nearest-centroid assignment against an explicit (`__cell`,
     * `__cvec: array<double>`) centroid frame: dot(float vec, double
     * centroid) as the portable HOF fold — numCentroids rows per vector
@@ -811,29 +823,100 @@ object Similarity {
     * division. Sources whose combined neighborhood sum is zero have no
     * defined margin and emit no row.
     *
-    * Gate-scale shape is the brute cross join; at 100 TB the candidate
-    * pairs come from the ANN families (IVF probes / LSH buckets) and
-    * this scoring runs unchanged on (src, tgt, cfix) candidate rows —
-    * the margin algebra never touches vectors again after the cosine.
+    * The 100 TB entry point is [[marginFromCandidates]]: the margin
+    * algebra never touches vectors again after the cosine, so it runs
+    * unchanged on (src_id, tgt_id, cfix) candidate rows from the ANN
+    * families — [[marginCandidatesIvf]] for the IVF cell-join form. This
+    * brute form IS `marginFromCandidates(marginCandidatesBrute(...))`,
+    * kept as the exact oracle twin (cross join — only run it when one
+    * side is small enough to broadcast).
     */
   def marginMiningPairs(
       source: DataFrame,
       target: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int = 4): DataFrame = {
-    require(k >= 1, s"marginMiningPairs: k must be >= 1, got $k")
+      k: Int = 4): DataFrame =
+    marginFromCandidates(
+      marginCandidatesBrute(source, target, idCol, vecCol), k)
+
+  /** Exhaustive (src_id, tgt_id, cfix) candidate pairs — the cross join.
+    * The exact twin for [[marginFromCandidates]]; a scale-forbidden shape
+    * unless one side broadcasts. cfix = cosine in 1e-9 units, clamped at
+    * zero (see [[marginMiningPairs]] for why).
+    */
+  def marginCandidatesBrute(
+      source: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(source.sparkSession)
     val s = source.select(col(idCol).as("src_id"), col(vecCol).as("v_s"),
       selfNormFast(vecCol).as("n_s"))
     val t = target.select(col(idCol).as("tgt_id"), col(vecCol).as("v_t"),
       selfNormFast(vecCol).as("n_t"))
-    val pairs = s.crossJoin(t)
+    s.crossJoin(t)
       .withColumn("cfix", greatest(
         floor(dotFast("v_s", "v_t") / (col("n_s") * col("n_t")) *
           lit(1000000000.0) + lit(0.5)).cast("long"),
         lit(0L)))
       .select(col("src_id"), col("tgt_id"), col("cfix"))
+  }
+
+  /** IVF-bucketed (src_id, tgt_id, cfix) candidate pairs — the scale
+    * path for margin mining. Lloyd-refined centroids are trained on the
+    * TARGET corpus (the indexed side, as in production); each target
+    * lands in its 1 nearest cell, each source probes its `numProbes`
+    * nearest cells, and candidates are the cell-equi-join — an ids+cell
+    * shuffle, never n². A (src, tgt) pair appears at most once (the
+    * target side is assigned exactly one cell). Shares
+    * [[assignCells]]/[[lloydCentroids]] with [[ivfTopKLloyd]] and
+    * [[AnnIndex]], so candidates here are exactly the pairs an IVF
+    * retrieval at the same probe count would score.
+    *
+    * Recall semantics: with `numProbes < numCentroids` the candidate set
+    * is approximate; margins computed over it equal the brute twin's
+    * exactly when each item's decisive neighbors fall in probed cells
+    * (the gate pins this at its corpus/parameters — q41's banded≡exact
+    * discipline).
+    */
+  def marginCandidatesIvf(
+      source: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      dim: Int = 64,
+      numProbes: Int = 8): DataFrame = {
+    require(numProbes >= 1,
+      s"marginCandidatesIvf: numProbes must be >= 1, got $numProbes")
+    graft.functions.VectorExpressions.register(source.sparkSession)
+    graft.functions.HyperplaneExpressions.register(source.sparkSession)
+    val cent = lloydCentroids(target, idCol, vecCol, numCentroids, dim)
+    val t = assignCells(target, idCol, vecCol, cent, 1).select(
+      col(idCol).as("tgt_id"), col(vecCol).as("v_t"),
+      selfNormFast(vecCol).as("n_t"), col("__cell").as("cell"))
+    val s = assignCells(source, idCol, vecCol, cent, numProbes).select(
+      col(idCol).as("src_id"), col(vecCol).as("v_s"),
+      selfNormFast(vecCol).as("n_s"), col("__cell").as("cell"))
+    t.join(s, Seq("cell"))
+      .withColumn("cfix", greatest(
+        floor(dotFast("v_s", "v_t") / (col("n_s") * col("n_t")) *
+          lit(1000000000.0) + lit(0.5)).cast("long"),
+        lit(0L)))
+      .select(col("src_id"), col("tgt_id"), col("cfix"))
+  }
+
+  /** The margin algebra over candidate rows (src_id, tgt_id, cfix):
+    * per-side top-k neighborhood sums, one exact integer division per
+    * pair, forward best-margin pick, mutuality flag. Pure relational ops
+    * on ids — no vectors — so it runs identically on brute pairs (the
+    * oracle twin) and on ANN candidates (the 100 TB path). Pairs absent
+    * from the candidate set can neither be picked nor count toward a
+    * neighborhood sum — candidate recall IS the approximation.
+    */
+  def marginFromCandidates(pairs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"marginFromCandidates: k must be >= 1, got $k")
     val wS = Window.partitionBy("src_id")
       .orderBy(col("cfix").desc, col("tgt_id").asc)
     val sumS = pairs.withColumn("__r", row_number().over(wS))
@@ -909,7 +992,12 @@ object Similarity {
     def centerRow(id: Long) = broadcast(
       base.filter(col("vec_id") === id)
         .select(col("v").as("c_v"), col("n2").as("c_n2")))
-    val seed = base.agg(min("vec_id")).head.getLong(0)
+    // agg(min) on an empty corpus yields one null row — guard before the
+    // getLong unboxes it into an opaque NPE
+    val seedRow = base.agg(min("vec_id")).head()
+    require(!seedRow.isNullAt(0),
+      "kCenterGreedy: corpus is empty — no seed point to select")
+    val seed = seedRow.getLong(0)
     val picks = scala.collection.mutable.ListBuffer((1, seed, 0L))
     var cur = base.crossJoin(centerRow(seed))
       .withColumn("md", dfix)

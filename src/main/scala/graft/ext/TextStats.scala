@@ -316,6 +316,9 @@ object TextStats {
       buckets: Int = 32): DataFrame = {
     require(blockSizes.nonEmpty && blockSizes.forall(_ >= 1),
       s"packingCurve: block sizes must be >= 1, got $blockSizes")
+    require(blockSizes.distinct.size == blockSizes.size,
+      s"packingCurve: block sizes must be distinct, got $blockSizes — " +
+        "duplicate rungs would merge in the groupBy and double-count")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._

@@ -188,6 +188,12 @@ object Unigram {
 
   /** Segment arbitrary words with a trained vocab (apply side): returns
     * (`w`, `seg`). No word-length cap — the DP is linear in the word.
+    *
+    * A word containing any character the trained vocab cannot cover has
+    * NO segmentation — the DP's candidate set goes empty and its best
+    * state is null. That fails LOUDLY here (raise_error naming the word)
+    * instead of emitting a silent null seg row that downstream
+    * piece-splitting consumers would miscount.
     */
   def segment(
       words: DataFrame, trained: DataFrame, maxPieceLen: Int = 4)
@@ -195,5 +201,11 @@ object Unigram {
     viterbiSegment(
       words.select(col("w"), lit(1L).as("freq")),
       trained.select(col("piece"), col("bits")), maxPieceLen)
-      .select(col("w"), col("seg"))
+      .select(col("w"),
+        when(col("seg").isNotNull, col("seg"))
+          .otherwise(raise_error(concat(
+            lit("unigram segment: word '"), col("w"),
+            lit("' is not segmentable under the trained vocab " +
+              "(character not covered) — refusing to emit a null seg"))))
+          .as("seg"))
 }

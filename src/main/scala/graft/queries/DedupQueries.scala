@@ -531,6 +531,107 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Variable-length exact-substring dedup
+    * ([[graft.ext.Dedup.removeExactSubstr]] — Lee et al. 2022
+    * ExactSubstr, the suffix-array policy as duplicated-L-gram
+    * coverage): duplicates are PLANTED deterministically — docs 0–19
+    * each get the first 24 tokens of doc (id+100) appended — so
+    * variable-length duplicated runs (the 24-token splices plus whatever
+    * natural repetition exists) must be found at every occurrence,
+    * merged into maximal token intervals, and excised; both engines
+    * replay the plant, the stride-1 gram marking, the islands merge,
+    * and the token rewrite hash-exactly. q275's fixed-window form
+    * remains the stride-aligned char-level sibling.
+    */
+  val q305ExactSubstr: QuerySpec = QuerySpec.oracled(
+    "q305_exact_substr",
+    """WITH d0 AS (SELECT doc_id, text FROM documents),
+      |sp AS (
+      |  SELECT doc_id - 100 AS doc_id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        t -> t <> ''), 1, 24), ' ') AS splice
+      |  FROM d0 WHERE doc_id >= 100 AND doc_id < 120),
+      |d AS (
+      |  SELECT d0.doc_id,
+      |    CASE WHEN sp.splice IS NULL THEN d0.text
+      |         ELSE d0.text || ' ' || sp.splice END AS text
+      |  FROM d0 LEFT JOIN sp ON sp.doc_id = d0.doc_id),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM d),
+      |ta AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM tk),
+      |gr AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, nt - 12 + 1)) AS p
+      |  FROM ta WHERE nt >= 12),
+      |g2 AS (
+      |  SELECT doc_id, p::BIGINT AS p,
+      |    md5(array_to_string(
+      |      list_slice(toks, (p + 1)::INT, (p + 12)::INT), chr(1))) AS h
+      |  FROM gr),
+      |nd AS (SELECT h FROM g2 GROUP BY h HAVING count(*) >= 2),
+      |dw AS (SELECT g2.doc_id, g2.p AS s, g2.p + 12 AS e
+      |       FROM g2 JOIN nd USING (h)),
+      |mk AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+      |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM dw),
+      |gi AS (
+      |  SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM mk),
+      |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM gi
+      |       GROUP BY doc_id, g),
+      |ag AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e - s) AS BIGINT) AS removed_toks
+      |  FROM mg GROUP BY doc_id),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(0, nt))::BIGINT AS q FROM ta),
+      |kept AS (
+      |  SELECT p.doc_id, p.q
+      |  FROM pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM mg
+      |    WHERE mg.doc_id = p.doc_id AND p.q >= mg.s AND p.q < mg.e)),
+      |kt AS (
+      |  SELECT k.doc_id, k.q, ta.toks[(k.q + 1)::INT] AS tok
+      |  FROM kept k JOIN ta ON ta.doc_id = k.doc_id),
+      |cl AS (
+      |  SELECT ta.doc_id,
+      |    coalesce(string_agg(kt.tok, ' ' ORDER BY kt.q), '') AS clean
+      |  FROM ta LEFT JOIN kt ON kt.doc_id = ta.doc_id
+      |  GROUP BY ta.doc_id)
+      |SELECT ta.doc_id,
+      |  coalesce(ag.n_spans, 0) AS n_spans,
+      |  coalesce(ag.removed_toks, 0) AS removed_toks,
+      |  ta.nt - coalesce(ag.removed_toks, 0) AS clean_ntoks,
+      |  md5(cl.clean) AS clean_md5
+      |FROM ta
+      |JOIN cl ON cl.doc_id = ta.doc_id
+      |LEFT JOIN ag ON ag.doc_id = ta.doc_id
+      |ORDER BY ta.doc_id""".stripMargin) { (spark, dir) =>
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sp = d0.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select((col("doc_id") - 100).as("doc_id"),
+        concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 1, 24)).as("splice"))
+    val planted = d0.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("splice").isNull, col("text"))
+          .otherwise(concat(col("text"), lit(" "), col("splice")))
+          .as("text"))
+    Dedup.removeExactSubstr(planted, "doc_id", "text", minLen = 12)
+      .orderBy("doc_id")
+  }
+
   /** Dedup-ablation report: the artifact a data team publishes after a
     * dedup pass — per language, how many documents and characters the
     * near-dup pipeline (q18 pairs → q57 clusters → min-id survivors)
@@ -637,7 +738,7 @@ object DedupQueries {
       q155IncrementalNearDup, q161StreamIncrementalDedup,
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
-      q236ThresholdCurve, q275DupSpanRemoval)
+      q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

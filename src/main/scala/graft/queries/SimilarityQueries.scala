@@ -797,8 +797,54 @@ object SimilarityQueries {
     * top-4 sums, so the margin is one exact division the oracle
     * replays bit-for-bit.
     */
-  val q286MarginMining: QuerySpec = QuerySpec.oracled(
-    "q286_margin_mining",
+  /** The margin algebra tail over a `pr(src_id, tgt_id, cfix)` CTE —
+    * [[graft.ext.Similarity.marginFromCandidates]] replayed in SQL. Pure
+    * relational ops on ids, so it composes with ANY candidate CTE: the
+    * brute cross join (q286), the exhaustive-probe IVF cell join (q302),
+    * and the partial-probe IVF cell join (q303) all share it verbatim.
+    */
+  private val marginTailSql =
+    """ss AS (
+      |  SELECT src_id, CAST(sum(cfix) AS BIGINT) AS sum_s FROM (
+      |    SELECT src_id, cfix,
+      |      row_number() OVER (PARTITION BY src_id
+      |        ORDER BY cfix DESC, tgt_id) AS r
+      |    FROM pr) WHERE r <= 4 GROUP BY src_id),
+      |st2 AS (
+      |  SELECT tgt_id, CAST(sum(cfix) AS BIGINT) AS sum_t FROM (
+      |    SELECT tgt_id, cfix,
+      |      row_number() OVER (PARTITION BY tgt_id
+      |        ORDER BY cfix DESC, src_id) AS r
+      |    FROM pr) WHERE r <= 4 GROUP BY tgt_id),
+      |m AS (
+      |  SELECT pr.src_id, pr.tgt_id, pr.cfix,
+      |    CAST(pr.cfix * 8 * 1000000 // (ss.sum_s + st2.sum_t) AS BIGINT)
+      |      AS margin_ppm
+      |  FROM pr
+      |  JOIN ss ON pr.src_id = ss.src_id
+      |  JOIN st2 ON pr.tgt_id = st2.tgt_id
+      |  WHERE ss.sum_s + st2.sum_t > 0),
+      |fwd AS (
+      |  SELECT * FROM (
+      |    SELECT m.*, row_number() OVER (PARTITION BY src_id
+      |      ORDER BY margin_ppm DESC, tgt_id) AS br
+      |    FROM m) WHERE br = 1),
+      |bwd AS (
+      |  SELECT src_id, tgt_id FROM (
+      |    SELECT m.*, row_number() OVER (PARTITION BY tgt_id
+      |      ORDER BY margin_ppm DESC, src_id) AS tr
+      |    FROM m) WHERE tr = 1)
+      |SELECT f.src_id, f.tgt_id, f.cfix AS cos_fix, f.margin_ppm,
+      |  (b.src_id IS NOT NULL) AS mutual
+      |FROM fwd f LEFT JOIN bwd b
+      |  ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+      |ORDER BY f.src_id""".stripMargin
+
+  /** The brute margin-mining SQL: cross-join candidates + the shared
+    * algebra tail. q286's own oracle, and — because exhaustive-probe IVF
+    * candidates are the same pair set — q302's too.
+    */
+  private val marginBruteSql =
     s"""$normCte,
        |sv AS (SELECT vec_id AS src_id, embedding, nrm FROM nv
        |       WHERE vec_id % 2 = 0),
@@ -810,47 +856,264 @@ object SimilarityQueries {
        |      ${dotSql("s.embedding", "t.embedding")} / (s.nrm * t.nrm)
        |      * 1000000000.0 + 0.5) AS BIGINT), 0) AS BIGINT) AS cfix
        |  FROM sv s CROSS JOIN tv t),
-       |ss AS (
-       |  SELECT src_id, CAST(sum(cfix) AS BIGINT) AS sum_s FROM (
-       |    SELECT src_id, cfix,
-       |      row_number() OVER (PARTITION BY src_id
-       |        ORDER BY cfix DESC, tgt_id) AS r
-       |    FROM pr) WHERE r <= 4 GROUP BY src_id),
-       |st2 AS (
-       |  SELECT tgt_id, CAST(sum(cfix) AS BIGINT) AS sum_t FROM (
-       |    SELECT tgt_id, cfix,
-       |      row_number() OVER (PARTITION BY tgt_id
-       |        ORDER BY cfix DESC, src_id) AS r
-       |    FROM pr) WHERE r <= 4 GROUP BY tgt_id),
-       |m AS (
-       |  SELECT pr.src_id, pr.tgt_id, pr.cfix,
-       |    CAST(pr.cfix * 8 * 1000000 // (ss.sum_s + st2.sum_t) AS BIGINT)
-       |      AS margin_ppm
-       |  FROM pr
-       |  JOIN ss ON pr.src_id = ss.src_id
-       |  JOIN st2 ON pr.tgt_id = st2.tgt_id
-       |  WHERE ss.sum_s + st2.sum_t > 0),
-       |fwd AS (
-       |  SELECT * FROM (
-       |    SELECT m.*, row_number() OVER (PARTITION BY src_id
-       |      ORDER BY margin_ppm DESC, tgt_id) AS br
-       |    FROM m) WHERE br = 1),
-       |bwd AS (
-       |  SELECT src_id, tgt_id FROM (
-       |    SELECT m.*, row_number() OVER (PARTITION BY tgt_id
-       |      ORDER BY margin_ppm DESC, src_id) AS tr
-       |    FROM m) WHERE tr = 1)
-       |SELECT f.src_id, f.tgt_id, f.cfix AS cos_fix, f.margin_ppm,
-       |  (b.src_id IS NOT NULL) AS mutual
-       |FROM fwd f LEFT JOIN bwd b
-       |  ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
-       |ORDER BY f.src_id""".stripMargin) { (spark, dir) =>
+       |$marginTailSql""".stripMargin
+
+  val q286MarginMining: QuerySpec = QuerySpec.oracled(
+    "q286_margin_mining", marginBruteSql) { (spark, dir) =>
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     Similarity.marginMiningPairs(
       source = emb.filter(col("vec_id") % 2 === 0),
       target = emb.filter(col("vec_id") % 2 === 1),
       idCol = "vec_id", vecCol = "embedding", k = 4)
       .orderBy("src_id")
+  }.correctnessOnly // deliberate all-pairs oracle twin of q302/q303 —
+  // the cross-join candidate generator is the scale-forbidden shape the
+  // library exists to avoid; its margins verify the candidate-fed rows
+
+  /** Candidate-fed margin mining, exhaustive probes
+    * ([[graft.ext.Similarity.marginFromCandidates]] over
+    * [[graft.ext.Similarity.marginCandidatesIvf]] at
+    * numProbes = numCentroids): every (src, tgt) pair appears exactly
+    * once in the IVF cell join when sources probe all surviving cells,
+    * so the candidate-fed plumbing — Lloyd assignment, cell equi-join,
+    * id-only margin algebra — must reproduce the brute cross join
+    * BIT-FOR-BIT, and the oracle is exactly q286's brute SQL. This is
+    * the algebra-equivalence gate; q303 exercises genuinely partial
+    * probing.
+    */
+  val q302MarginAnnExhaustive: QuerySpec = QuerySpec.oracled(
+    "q302_margin_ann_exhaustive", marginBruteSql) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.marginFromCandidates(
+      Similarity.marginCandidatesIvf(
+        source = emb.filter(col("vec_id") % 2 === 0),
+        target = emb.filter(col("vec_id") % 2 === 1),
+        idCol = "vec_id", vecCol = "embedding",
+        numCentroids = NumCentroids, dim = Dim,
+        numProbes = NumCentroids), k = 4)
+      .orderBy("src_id")
+  }.correctnessOnly // exhaustive probes make the cell join deliberately
+  // all-pairs — an adjudication twin (algebra ≡ brute), not a shape to
+  // time; q303's partial probes are the timed scale path
+
+  /** Candidate-fed margin mining at PARTIAL probes — the 100 TB shape:
+    * Lloyd centroids trained on the target corpus, targets in 1 cell,
+    * sources probing their 6 of 16 nearest cells, margins computed only
+    * over cell-join candidates. The gate corpus is isotropic-random
+    * (ANN-hostile: decisive neighbors sit at cosine ≈ 0.21 vs a ≈ 0
+    * bulk), so partial-probe margins deliberately differ from brute —
+    * the oracle therefore replays the ENTIRE candidate-fed computation
+    * (fixed-point Lloyd means, dot-ranked assignment, cell join, margin
+    * algebra) in DuckDB, q55's discipline: the scale path itself is
+    * what's verified bit-for-bit. On clustered production embeddings the
+    * same partial-probe setting recovers brute picks because decisive
+    * neighbors share cells; q302 pins that equivalence exactly at
+    * exhaustive probes.
+    */
+  val q303MarginAnnIvf: QuerySpec = QuerySpec.oracled(
+    "q303_margin_ann_ivf",
+    s"""$normCte,
+       |tv AS (SELECT vec_id, embedding, nrm FROM nv WHERE vec_id % 2 = 1),
+       |hc AS (
+       |  SELECT vec_id, embedding, (${ivfCellsSql("embedding")})[1] AS cell0
+       |  FROM tv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM hc, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.embedding, v.nrm, e.cell,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM nv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, embedding, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |tb AS (SELECT vec_id AS tgt_id, embedding, nrm, cell FROM rnk
+       |       WHERE rk = 1 AND vec_id % 2 = 1),
+       |sb AS (SELECT vec_id AS src_id, embedding, nrm, cell FROM rnk
+       |       WHERE rk <= 6 AND vec_id % 2 = 0),
+       |pr AS (
+       |  SELECT s.src_id, t.tgt_id,
+       |    CAST(greatest(CAST(floor(
+       |      ${dotSql("s.embedding", "t.embedding")} / (s.nrm * t.nrm)
+       |      * 1000000000.0 + 0.5) AS BIGINT), 0) AS BIGINT) AS cfix
+       |  FROM sb s JOIN tb t ON s.cell = t.cell),
+       |$marginTailSql""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.marginFromCandidates(
+      Similarity.marginCandidatesIvf(
+        source = emb.filter(col("vec_id") % 2 === 0),
+        target = emb.filter(col("vec_id") % 2 === 1),
+        idCol = "vec_id", vecCol = "embedding",
+        numCentroids = NumCentroids, dim = Dim,
+        numProbes = 6), k = 4)
+      .orderBy("src_id")
+  }
+
+  /** Maintained IVF-PQ index ([[graft.ext.AnnIndex.buildPq]] /
+    * [[graft.ext.AnnIndex.foldPq]] / [[graft.ext.AnnIndex.topKPq]]): the
+    * quantizer and residual codebooks train on the EVEN half and freeze;
+    * the odd half arrives later as a fold — encoded against the frozen
+    * artifacts with no scan of stored codes — and ADC top-k runs over
+    * base + committed delta codes with a candidates-sized exact re-rank.
+    * The oracle replays the whole maintained lifecycle (q274's one-shot
+    * replay with train CTEs restricted to evens, encode over everyone) —
+    * a persisted-index bit drift from the one-shot algebra fails here.
+    */
+  val q304AnnIndexPq: QuerySpec = QuerySpec.oracled(
+    "q304_ann_index_pq",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell0
+       |  FROM nv),
+       |fx AS (
+       |  SELECT cell0, i,
+       |    sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM cv, range(1, ${Dim + 1}) t(i)
+       |  WHERE vec_id % 2 = 0
+       |  GROUP BY cell0, i),
+       |cent AS (
+       |  SELECT cell0 AS cell,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+       |         ORDER BY i) AS cvec
+       |  FROM fx GROUP BY cell0),
+       |asg AS (
+       |  SELECT v.vec_id, v.embedding, v.nrm, e.cell, e.cvec,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> v.embedding[i]::DOUBLE * e.cvec[i])), (x, y) -> x + y) AS d
+       |  FROM cv v CROSS JOIN cent e),
+       |rnk AS (
+       |  SELECT vec_id, embedding, nrm, cell, cvec,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell)
+       |      AS rk
+       |  FROM asg),
+       |corp AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> embedding[i]::DOUBLE - cvec[i]) AS resid
+       |  FROM rnk WHERE rk = 1),
+       |qp AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> embedding[i]::DOUBLE - cvec[i]) AS resid
+       |  FROM rnk WHERE rk <= 2 AND vec_id < 20),
+       |cs AS (
+       |  SELECT vec_id AS cid, cell, CAST(t.mi AS INT) AS m,
+       |    list_slice(resid, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
+       |  FROM corp CROSS JOIN range(8) t(mi)),
+       |${pqCbSql("ivfpq")},
+       |sd0 AS (
+       |  SELECT cs.cid, cs.m, seed.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - seed.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - seed.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN seed USING (m)
+       |  WHERE cs.cid % 2 = 0),
+       |sasg AS (
+       |  SELECT cid, m, cw FROM (
+       |    SELECT cid, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM sd0) WHERE rk = 1),
+       |fx2 AS (
+       |  SELECT sasg.m, sasg.cw, t.i,
+       |    sum(CAST(floor(cs.sub[t.i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM sasg
+       |  JOIN cs ON cs.cid = sasg.cid AND cs.m = sasg.m
+       |  CROSS JOIN range(1, 9) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cent2 AS (
+       |  SELECT m, cw,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS tvec
+       |  FROM fx2 GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT seed.m, seed.cw, coalesce(cent2.tvec, seed.cvec) AS cvec
+       |  FROM seed LEFT JOIN cent2
+       |    ON cent2.m = seed.m AND cent2.cw = seed.cw),
+       |d0 AS (
+       |  SELECT cs.cid, cs.cell, cs.m, cb.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (cs.sub[i]::DOUBLE - cb.cvec[i]) *
+       |             (cs.sub[i]::DOUBLE - cb.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS d2u
+       |  FROM cs JOIN cb USING (m)),
+       |enc AS (
+       |  SELECT cid, cell, m, cw FROM (
+       |    SELECT cid, cell, m, cw,
+       |      row_number() OVER (PARTITION BY cid, m ORDER BY d2u, cw) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |qs AS (
+       |  SELECT vec_id AS qid, cell, CAST(t.mi AS INT) AS m,
+       |    list_slice(resid, t.mi * 8 + 1, t.mi * 8 + 8) AS sub
+       |  FROM qp CROSS JOIN range(8) t(mi)),
+       |qt AS (
+       |  SELECT qs.qid, qs.cell, qs.m, cb.cw,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 9),
+       |        i -> (qs.sub[i]::DOUBLE - cb.cvec[i]) *
+       |             (qs.sub[i]::DOUBLE - cb.cvec[i]))),
+       |      (a, v) -> a + v) * 1000000 + 0.5) AS BIGINT) AS qd2u
+       |  FROM qs JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT qt.qid, enc.cid, CAST(sum(qt.qd2u) AS BIGINT) AS ad2u
+       |  FROM enc JOIN qt
+       |    ON enc.cell = qt.cell AND enc.m = qt.m AND enc.cw = qt.cw
+       |  WHERE enc.cid <> qt.qid
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ad2u, cid) AS crk
+       |    FROM adc) WHERE crk <= 50),
+       |scored AS (
+       |  SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.qid
+       |  JOIN nv c ON c.vec_id = cand.cid),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cosine, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.ext.AnnIndex
+    val idxDir = QuerySpec.stagedPath("q304_index", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    new java.io.File(idxDir).mkdirs()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    AnnIndex.buildPq(spark, emb.filter(col("vec_id") % 2 === 0),
+      idxDir, "emb", "vec_id", "embedding",
+      numCentroids = NumCentroids, dim = Dim, numSub = 8,
+      codebookSize = 16)
+    AnnIndex.foldPq(spark, emb.filter(col("vec_id") % 2 === 1),
+      idxDir, "emb", "vec_id", "embedding")
+    AnnIndex.topKPq(spark, emb.filter(col("vec_id") < 20),
+      idxDir, "emb", "vec_id", "embedding", k = 3, numProbes = 2,
+      candidates = 50)
+      .orderBy("query_id", "rank")
   }
 
   /** q295's oracle, generated: the k-center greedy trajectory unrolled
@@ -1344,7 +1607,8 @@ object SimilarityQueries {
       q220AnnRecall, q234LabelAudit, q253NnDescent, q271AnnIndexFold,
       q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall,
       q281AnnIndexStream, q283PqRerankCurve, q286MarginMining,
-      q295KCenterCoreset)
+      q295KCenterCoreset, q302MarginAnnExhaustive, q303MarginAnnIvf,
+      q304AnnIndexPq)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched

@@ -2923,7 +2923,7 @@ object TextQueries {
     val staged = stageQ270(spark, dir)
     val stateDir = QuerySpec.stagedPath("q301_state", dir)
     val ckpt = QuerySpec.stagedPath("q301_ckpt", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    graft.ext.Reports.reset(spark, stateDir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val schema = spark.read.parquet(s"$staged/a.parquet").schema
     val stream = spark.readStream.schema(schema)
@@ -2935,28 +2935,18 @@ object TextQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val report = graft.ext.TextStats.gopherRuleReport(
-          graft.ext.TextStats.gopherRuleCard(batch, "doc_id", "text"))
-        val state = new java.io.File(stateDir)
-        val next =
-          if (state.exists())
-            report
-              .unionByName(batch.sparkSession.read.parquet(stateDir))
-              .groupBy("rule")
-              .agg(sum("n_fail").as("n_fail"),
-                sum("n_only_fail").as("n_only_fail"))
-          else report
-        val tmp = s"${stateDir}__next"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        next.coalesce(1).write.parquet(tmp)
-        org.apache.commons.io.FileUtils.deleteQuietly(state)
-        if (!new java.io.File(tmp).renameTo(state))
-          throw new IllegalStateException(s"state swap failed: $tmp")
+        // the library fold: versioned state behind a create-only
+        // manifest commit (ext/Reports) — no renames, object-store safe
+        graft.ext.Reports.foldSummed(
+          batch.sparkSession, stateDir,
+          graft.ext.TextStats.gopherRuleReport(
+            graft.ext.TextStats.gopherRuleCard(batch, "doc_id", "text")),
+          keys = Seq("rule"))
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(stateDir).orderBy("rule")
+    graft.ext.Reports.current(spark, stateDir).get.orderBy("rule")
   }.withSetup((s, d) => { stageQ270(s, d); () })
 
   val all: Seq[QuerySpec] =

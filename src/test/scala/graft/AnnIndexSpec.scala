@@ -89,7 +89,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     AnnIndex.build(spark, vecs(1L to 50L), dir, "e", "vec_id", "embedding",
       Cent, Dim)
     // delete every stored postings FILE — a fold that scanned them would
-    // fail; one that only appends cannot notice
+    // fail; one that writes only its own delta dir cannot notice
     val postings = new java.io.File(s"$dir/e.annindex/v1/postings")
     def parquetFiles(d: java.io.File): Seq[java.io.File] = {
       val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
@@ -101,12 +101,136 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(stored.nonEmpty)
     stored.foreach(f => assert(f.delete()))
     AnnIndex.fold(spark, vecs(51L to 70L), dir, "e", "vec_id", "embedding")
-    val after = parquetFiles(postings).filter(_.getName.endsWith(".parquet"))
-    assert(after.nonEmpty, "fold appended no files")
-    // reading back sees exactly the folded delta (stored files deleted)
-    val ids = spark.read.parquet(postings.toString)
+    // the fold landed as its own committed delta dir, not an append into
+    // the base layout
+    val delta = new java.io.File(s"$dir/e.annindex/v1/deltas/g1")
+    assert(parquetFiles(delta).exists(_.getName.endsWith(".parquet")),
+      "fold wrote no delta files")
+    assert(new java.io.File(s"$dir/e.annindex/v1/_folds/g1.ok").isFile,
+      "fold did not commit its marker")
+    val ids = spark.read.parquet(delta.toString)
       .select("vec_id").as[Long].collect.toSet
     assert(ids == (51L to 70L).toSet, ids.toString)
+  }
+
+  test("an uncommitted fold delta is invisible; the retry overwrites it") {
+    val dir = tmpDir("annidx_crash")
+    AnnIndex.build(spark, vecs(1L to 30L), dir, "e", "vec_id", "embedding",
+      Cent, Dim)
+    AnnIndex.fold(spark, vecs(31L to 40L), dir, "e", "vec_id", "embedding")
+    // simulate a crash between the delta write and the marker PUT by
+    // deleting the marker: the delta dir is now an orphan
+    val marker = new java.io.File(s"$dir/e.annindex/v1/_folds/g1.ok")
+    assert(marker.isFile)
+    assert(marker.delete())
+    val q = vecs(31L to 33L)
+    val blind = AnnIndex.topK(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = Cent)
+      .select("neighbor_id").as[Long].collect.toSet
+    assert(blind.intersect((31L to 40L).toSet).isEmpty,
+      s"orphan delta leaked into topK: $blind")
+    // the RETRY recomputes the same generation, overwrites the orphan,
+    // and commits — the rows appear exactly once
+    AnnIndex.fold(spark, vecs(31L to 40L), dir, "e", "vec_id", "embedding")
+    val seen = spark.read
+      .parquet(s"$dir/e.annindex/v1/deltas/g1")
+      .groupBy("vec_id").count()
+      .filter(col("count") > 1).count()
+    assert(seen == 0L, "retried fold double-inserted rows")
+    val after = AnnIndex.topK(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = Cent)
+      .select("neighbor_id").as[Long].collect.toSet
+    assert(after.intersect((31L to 40L).toSet).nonEmpty)
+  }
+
+  test("maintained PQ index ADC top-k equals the one-shot operator") {
+    // same corpus, same params: the persisted build trains the same
+    // fixed-point Lloyd quantizer + md5-seeded codebooks the one-shot
+    // trains, so the maintained ADC answer must be BIT-identical
+    val dir = tmpDir("annidx_pq_eq")
+    val corpus = vecs(1L to 100L)
+    val q = vecs(1L to 5L)
+    AnnIndex.buildPq(spark, corpus, dir, "e", "vec_id", "embedding",
+      numCentroids = Cent, dim = Dim, numSub = 4, codebookSize = 8)
+    val maintained = AnnIndex.topKPq(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = 2,
+      candidates = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    val oneShot = Similarity.ivfPqTopK(
+      corpus, q, "vec_id", "embedding", k = 3,
+      numCentroids = Cent, dim = Dim, numProbes = 2, numSub = 4,
+      codebookSize = 8, candidates = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    assert(maintained == oneShot)
+  }
+
+  test("a PQ fold never reads stored codes or postings; plain fold refuses") {
+    val dir = tmpDir("annidx_pq_fold")
+    AnnIndex.buildPq(spark, vecs(1L to 60L), dir, "e", "vec_id",
+      "embedding", numCentroids = Cent, dim = Dim, numSub = 4,
+      codebookSize = 8)
+    // fold() on a PQ index would leave codes stale — must refuse
+    intercept[IllegalArgumentException] {
+      AnnIndex.fold(spark, vecs(61L to 70L), dir, "e", "vec_id",
+        "embedding")
+    }
+    // delete every stored code AND posting file — a fold that scanned
+    // either would fail; one that encodes only its delta cannot notice
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory)
+        .flatMap(parquetFiles)
+    }
+    for (sub <- Seq("codes", "postings")) {
+      val stored = parquetFiles(new java.io.File(s"$dir/e.annindex/v1/$sub"))
+        .filter(_.getName.endsWith(".parquet"))
+      assert(stored.nonEmpty)
+      stored.foreach(f => assert(f.delete()))
+    }
+    AnnIndex.foldPq(spark, vecs(61L to 70L), dir, "e", "vec_id",
+      "embedding")
+    // both deltas landed under the one committed generation
+    assert(new java.io.File(s"$dir/e.annindex/v1/_folds/g1.ok").isFile)
+    val codeIds = spark.read
+      .parquet(s"$dir/e.annindex/v1/codes_deltas/g1")
+      .select("vec_id").as[Long].collect.toSet
+    assert(codeIds == (61L to 70L).toSet, codeIds.toString)
+    val vecIds = spark.read
+      .parquet(s"$dir/e.annindex/v1/deltas/g1")
+      .select("vec_id").as[Long].collect.toSet
+    assert(vecIds == (61L to 70L).toSet, vecIds.toString)
+  }
+
+  test("PQ fold + retrainPq equal a one-shot over the accumulated corpus") {
+    val dir = tmpDir("annidx_pq_retrain")
+    AnnIndex.buildPq(spark, vecs(1L to 60L), dir, "e", "vec_id",
+      "embedding", numCentroids = Cent, dim = Dim, numSub = 4,
+      codebookSize = 8)
+    AnnIndex.foldPq(spark, vecs(61L to 100L), dir, "e", "vec_id",
+      "embedding")
+    val q = vecs(2L to 6L)
+    // folded state answers (codebooks frozen on the build corpus)
+    assert(AnnIndex.topKPq(spark, q, dir, "e", "vec_id", "embedding",
+      k = 3, numProbes = 2, candidates = 10).count() > 0)
+    // retrainPq re-fits everything over base + deltas: from there the
+    // index must answer exactly like the one-shot over the full corpus
+    AnnIndex.retrainPq(spark, dir, "e", "vec_id", "embedding",
+      numCentroids = Cent, dim = Dim, numSub = 4, codebookSize = 8)
+    assert(AnnIndex.currentVersion(spark, dir, "e").contains(2))
+    val maintained = AnnIndex.topKPq(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = 2,
+      candidates = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    val oneShot = Similarity.ivfPqTopK(
+      vecs(1L to 100L), q, "vec_id", "embedding", k = 3,
+      numCentroids = Cent, dim = Dim, numProbes = 2, numSub = 4,
+      codebookSize = 8, candidates = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    assert(maintained == oneShot)
   }
 
   test("pointer: torn manifests are skipped; missing index fails fast") {

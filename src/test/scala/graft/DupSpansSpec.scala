@@ -135,4 +135,61 @@ class DupSpansSpec extends AnyFunSuite with SparkSpec {
       .as[Long].collect().toSet
     assert(frac == rem)
   }
+
+  // ---- removeExactSubstr (oracle twin: q305) ----
+
+  private def runExact(rows: Seq[(Long, String)], minLen: Int) = {
+    val df = rows.toDF("doc_id", "text").repartition(3)
+    Dedup.removeExactSubstr(df, "doc_id", "text", minLen)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("exact-substr: a planted variable-length run is excised everywhere") {
+    def w(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    // a 7-token run shared between docs 1 and 2; minLen 5 → variable
+    // length > minLen caught whole; doc 3 untouched
+    val shared = "dup1 dup2 dup3 dup4 dup5 dup6 dup7"
+    val out = runExact(Seq(
+      1L -> s"${w(1, 10)} $shared ${w(11, 20)}",
+      2L -> s"${w(31, 36)} $shared",
+      3L -> w(41, 60)), minLen = 5)
+    // both occurrences removed, as ONE merged span of 7 tokens each
+    assert(out(1L)._1 == 1L && out(1L)._2 == 7L && out(1L)._3 == 20L)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 7L && out(2L)._3 == 6L)
+    assert(out(3L) == ((0L, 0L, 20L, md5hex(w(41, 60)))))
+    // the cleaned text is exactly the kept tokens space-joined
+    assert(out(2L)._4 == md5hex(w(31, 36)))
+    assert(out(1L)._4 == md5hex(s"${w(1, 10)} ${w(11, 20)}"))
+  }
+
+  test("exact-substr: within-document repetition counts (unlike q275)") {
+    val run5 = "r1 r2 r3 r4 r5"
+    val out = runExact(Seq(
+      1L -> s"$run5 a1 a2 a3 a4 a5 a6 $run5",
+      2L -> "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"), minLen = 5)
+    assert(out(1L)._1 == 2L && out(1L)._2 == 10L, out(1L).toString)
+    assert(out(2L)._1 == 0L)
+  }
+
+  test("exact-substr: runs shorter than minLen survive") {
+    val short = "s1 s2 s3"
+    val out = runExact(Seq(
+      1L -> s"$short x1 x2 x3 x4 x5",
+      2L -> s"$short y1 y2 y3 y4 y5"), minLen = 5)
+    assert(out.values.forall(_._1 == 0L), out.toString)
+  }
+
+  test("exact-substr: overlapping duplicated grams merge to one maximal span") {
+    // a 9-token duplicated run with minLen 4: grams at starts 0..5 all
+    // duplicated → ONE island of 9, not six spans
+    val run9 = "m1 m2 m3 m4 m5 m6 m7 m8 m9"
+    val out = runExact(Seq(
+      1L -> s"$run9 p1 p2 p3 p4",
+      2L -> s"q1 q2 q3 q4 $run9"), minLen = 4)
+    assert(out(1L)._1 == 1L && out(1L)._2 == 9L)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 9L)
+    assert(out(1L)._4 == md5hex("p1 p2 p3 p4"))
+    assert(out(2L)._4 == md5hex("q1 q2 q3 q4"))
+  }
 }
