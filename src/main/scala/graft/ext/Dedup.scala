@@ -656,15 +656,12 @@ object Dedup {
     * the hash shuffle; the dup filter is one groupBy + semi-join; the
     * rewrite joins ONE spans-array row back per document.
     */
-  def removeExactSubstr(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      minLen: Int = 12): DataFrame = {
-    require(minLen >= 2, s"removeExactSubstr: minLen must be >= 2, got $minLen")
-    val arr = docs
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .withColumn("nt", size(col("toks")).cast("long"))
+  /** Merged duplicated-token intervals (id, s, e) at one gram length —
+    * the shared core of [[removeExactSubstr]] and [[exactSubstrCurve]].
+    * Input: (idCol, toks, nt) rows.
+    */
+  private def exactSubstrMergedSpans(
+      arr: DataFrame, idCol: String, minLen: Int): DataFrame = {
     val grams = arr.filter(col("nt") >= minLen)
       .select(col(idCol), col("toks"),
         explode(sequence(lit(0L), col("nt") - minLen)).as("p"))
@@ -681,13 +678,25 @@ object Dedup {
     val wm = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
     val prevMax = max(col("e"))
       .over(wm.rowsBetween(Window.unboundedPreceding, -1))
-    val merged = dupw
+    dupw
       .withColumn("brk",
         when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
       .withColumn("g",
         sum("brk").over(wm.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("g"))
       .agg(min("s").as("s"), max("e").as("e"))
+  }
+
+  def removeExactSubstr(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 12): DataFrame = {
+    require(minLen >= 2, s"removeExactSubstr: minLen must be >= 2, got $minLen")
+    val arr = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+    val merged = exactSubstrMergedSpans(arr, idCol, minLen)
     val spans = merged.groupBy(idCol)
       .agg(expr("array_sort(collect_list(struct(s, e)))").as("spans"),
         count(lit(1)).as("n_spans"),
@@ -705,6 +714,46 @@ object Dedup {
         (col("nt") - coalesce(col("removed_toks"), lit(0L)))
           .as("clean_ntoks"),
         md5(col("clean").cast("binary")).as("clean_md5"))
+  }
+
+  /** Exact-substring minLen sensitivity curve — the audit a practitioner
+    * runs BEFORE picking [[removeExactSubstr]]'s gram length (Lee et al.
+    * 2022 use 50 tokens; the right value depends on the corpus): one row
+    * per candidate length with documents hit, merged spans, tokens
+    * removed, and the corpus-wide removal rate in exact floor-div ppm.
+    * Coverage at different lengths is NOT derivable from one pass (a
+    * longer gram probes different runs), so each rung is its own
+    * linear gram pass — the q284 decontamination-curve discipline; at
+    * 100 TB the curve runs on a sample, the chosen rung on the corpus.
+    */
+  def exactSubstrCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLens: Seq[Int]): DataFrame = {
+    require(minLens.nonEmpty && minLens.forall(_ >= 2),
+      s"exactSubstrCurve: minLens must be >= 2, got $minLens")
+    require(minLens.distinct.size == minLens.size,
+      s"exactSubstrCurve: minLens must be distinct, got $minLens")
+    val arr = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .localCheckpoint()
+    val tot = arr.agg(sum("nt").as("__tot"))
+    minLens.sorted.map { L =>
+      exactSubstrMergedSpans(arr, idCol, L)
+        .groupBy()
+        .agg(countDistinct(idCol).as("n_docs_hit"),
+          count(lit(1)).as("n_spans"),
+          coalesce(sum(col("e") - col("s")), lit(0L)).as("removed_toks"))
+        .select(lit(L.toLong).as("min_len"), col("n_docs_hit"),
+          col("n_spans"), col("removed_toks"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(tot))
+      .withColumn("removed_ppm",
+        expr("removed_toks * 1000000 div __tot"))
+      .drop("__tot")
+      .orderBy("min_len")
   }
 
   /** Jaccard threshold-sensitivity curve — the audit a practitioner runs

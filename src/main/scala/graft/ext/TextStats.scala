@@ -454,6 +454,50 @@ object TextStats {
           .as("fim_text"))
   }
 
+  /** Preference-pair builder — the DPO/RLHF training-example shape: per
+    * group (a prompt, a source, a topic bucket), pair the BEST-scoring
+    * candidate (chosen) with the WORST (rejected), keeping the pair only
+    * when the score gap clears `minGap` (a pair the reward signal can't
+    * separate teaches nothing). Scores are caller-supplied integers (a
+    * quality score, a reward-model output bucketed to ppm, an exact
+    * ratio), so the pick is deterministic: ties break on ascending id at
+    * both ends, and a group whose best and worst are the same row emits
+    * nothing.
+    *
+    * 100 TB shape: ONE shuffle — both row_number windows share the group
+    * partitioning, so best and worst resolve in the same exchange; the
+    * pair join is group-key equi (1 row per group per side).
+    */
+  def preferencePairs(
+      scored: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      minGap: Long = 1L): DataFrame = {
+    require(groupCols.nonEmpty, "preferencePairs: at least one group column")
+    require(minGap >= 0, s"preferencePairs: minGap must be >= 0, got $minGap")
+    val part = groupCols.map(col)
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wWorst = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ranked = scored
+      .withColumn("__rb", row_number().over(wBest))
+      .withColumn("__rw", row_number().over(wWorst))
+    val chosen = ranked.filter(col("__rb") === 1)
+      .select(part :+ col(idCol).as("chosen_id") :+
+        col(scoreCol).as("chosen_score"): _*)
+    val rejected = ranked.filter(col("__rw") === 1)
+      .select(part :+ col(idCol).as("rejected_id") :+
+        col(scoreCol).as("rejected_score"): _*)
+    chosen.join(rejected, groupCols)
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= minGap)
+      .select(part ++ Seq(col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("gap")): _*)
+  }
+
   /** Intra-document repetition signals (the Gopher-family quality rules a
     * training-data pass thresholds on): duplicate-token fraction and the
     * most-frequent-bigram share of all bigram slots. Tokens are the

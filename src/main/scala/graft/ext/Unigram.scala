@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *    keeps ALL single characters (the coverage guarantee — every word
   *    stays segmentable forever) plus the top `multiKeep` multi-char
   *    pieces by (count desc, piece asc).
-  *  - **Hard-EM rounds** (Viterbi E-step — the `--hard_em` variant;
-  *    SentencePiece's soft expected counts need float forward-backward,
-  *    which no SQL oracle could replay bit-exact): each round derives a
+  *  - **Hard-EM rounds** ([[train]], Viterbi E-step — the `--hard_em`
+  *    variant) and **soft-EM rounds** ([[trainSoft]], the true
+  *    forward-backward expected counts, replayable after all: the DP's
+  *    floats are ordered IEEE chains, the per-occurrence posteriors are
+  *    fixed-pointed before any cross-word sum): each round derives a
   *    piece cost in WHOLE BITS from its current count with add-one
   *    smoothing, `cost = 21 − length(bin((cnt+1)·2²⁰ div (tot+|V|)))` —
   *    the libm-free floor-log₂ surprisal q232/q264 established — then
@@ -146,6 +148,113 @@ object Unigram {
     words.crossJoin(broadcast(vmap))
       .withColumn("seg", expr(dp))
       .drop("__vmap")
+  }
+
+  /** Soft-EM expected piece counts (the true SentencePiece E-step, not
+    * the Viterbi approximation): per word, forward masses
+    * `α(j) = Σᵢ α(i)·p(w[i..j])` and backward masses
+    * `β(i) = Σⱼ p(w[i..j])·β(j)` with `p = 2^(−bits)`, then each piece
+    * occurrence (i, j) contributes `freq·α(i)·p·β(j)/Z` — its posterior
+    * probability over ALL segmentations — to the piece's count.
+    *
+    * Cross-engine exactness WITHOUT integers: every float is produced by
+    * a fixed, explicitly-parenthesized chain of IEEE operations — the α
+    * sum adds its ≤ maxPieceLen terms in ascending-i order, β in
+    * ascending-j order, the occurrence weight multiplies/divides
+    * left-to-right — so an oracle replaying the same chains gets the
+    * same bits (the dot-product left-fold discipline applied to a DP),
+    * and each occurrence weight is fixed-pointed to 2²⁰ units
+    * IMMEDIATELY, making the cross-word aggregation an integer sum that
+    * no partial-aggregation order can perturb.
+    *
+    * Input: (w, freq) words (every char covered by the vocab — the
+    * train-side invariant; an uncovered word would have Z = 0 and is the
+    * caller's error) and a scored (piece, bits) vocab. Output:
+    * (piece, cnt) with cnt in 2²⁰ fixed point.
+    */
+  def softCounts(
+      words: DataFrame, scored: DataFrame, maxPieceLen: Int): DataFrame = {
+    val vmap = scored.agg(
+      map_from_arrays(collect_list("piece"), collect_list("bits"))
+        .as("__vmap"))
+    // α terms at position j, ascending i = j-d (d descending); invalid
+    // predecessors contribute an exact leading 0.0
+    val aTerms = (maxPieceLen to 1 by -1).map { d =>
+      s"""IF(j - $d >= 0 AND element_at(__vmap,
+         |     substring(w, j - $d + 1, $d)) IS NOT NULL,
+         |   element_at(acc, j - $d + 1) *
+         |     power(2.0D, -CAST(element_at(__vmap,
+         |       substring(w, j - $d + 1, $d)) AS DOUBLE)),
+         |   CAST(0.0 AS DOUBLE))""".stripMargin
+    }.reduce((a, b) => s"($a\n + $b)")
+    val alpha =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(CAST(1.0 AS DOUBLE)),
+         |  (acc, j) -> concat(acc, array($aTerms)))""".stripMargin
+    // β terms at i = length(w) - s, ascending d (= ascending j = i+d);
+    // element_at(acc, d) is β(i+d)
+    val bTerms = (1 to maxPieceLen).map { d =>
+      s"""IF($d <= s AND element_at(__vmap,
+         |     substring(w, length(w) - s + 1, $d)) IS NOT NULL,
+         |   power(2.0D, -CAST(element_at(__vmap,
+         |       substring(w, length(w) - s + 1, $d)) AS DOUBLE)) *
+         |     element_at(acc, $d),
+         |   CAST(0.0 AS DOUBLE))""".stripMargin
+    }.reduce((a, b) => s"($a\n + $b)")
+    val beta =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(CAST(1.0 AS DOUBLE)),
+         |  (acc, s) -> concat(array($bTerms), acc))""".stripMargin
+    words.crossJoin(broadcast(vmap))
+      .withColumn("__a", expr(alpha))
+      .withColumn("__b", expr(beta))
+      .withColumn("__z", expr("element_at(__a, length(w) + 1)"))
+      .select(col("freq"), col("w"), col("__vmap"), col("__a"),
+        col("__b"), col("__z"),
+        explode(expr("sequence(0, length(w) - 1)")).as("i"))
+      .select(col("freq"), col("w"), col("__vmap"), col("__a"),
+        col("__b"), col("__z"), col("i"),
+        explode(expr(
+          s"sequence(1, least($maxPieceLen, length(w) - i))")).as("d"))
+      .withColumn("piece", expr("substring(w, i + 1, d)"))
+      .withColumn("bits", expr("element_at(__vmap, piece)"))
+      .filter(col("bits").isNotNull)
+      .withColumn("ec", expr(
+        "CAST(floor(CAST(freq AS DOUBLE) * element_at(__a, i + 1) * " +
+          "power(2.0D, -CAST(bits AS DOUBLE)) * " +
+          "element_at(__b, i + d + 1) / __z * 1048576.0D + 0.5D) " +
+          "AS BIGINT)"))
+      .groupBy("piece")
+      .agg(sum("ec").as("cnt"))
+  }
+
+  /** Soft-EM unigram training — [[train]] with the TRUE expected-count
+    * E-step ([[softCounts]]) instead of Viterbi counts: each round
+    * scores the vocab, accumulates every piece's posterior mass over all
+    * segmentations (2²⁰ fixed point), and prunes on those masses. Counts
+    * in the returned (piece, cnt, bits) are the scaled expected counts;
+    * `bits` (what [[segment]] consumes) is scale-invariant because the
+    * cost formula divides count by total. Apply-side segmentation stays
+    * Viterbi — the standard SentencePiece split.
+    */
+  def trainSoft(
+      docs: DataFrame, textCol: String, rounds: Int, multiKeep: Int,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    require(rounds >= 1, s"unigram: rounds must be >= 1, got $rounds")
+    require(multiKeep >= 1, s"unigram: multiKeep must be >= 1, got $multiKeep")
+    val words = wordFreq(docs, textCol, maxWordLen).localCheckpoint()
+    var vocab = prune(seedCounts(words, maxPieceLen), multiKeep)
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val counts = softCounts(words, costs(vocab), maxPieceLen)
+      val recounted = vocab.select("piece")
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      vocab = prune(recounted, multiKeep).localCheckpoint()
+    }
+    costs(vocab).select(col("piece"), col("cnt"), col("bits"))
   }
 
   /** Piece counts from best segmentations: explode, weight by word

@@ -632,6 +632,98 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The planted-corpus + tokenized-array CTE prefix shared by q305's
+    * oracle and q306's generated per-rung chains. */
+  private val exactSubstrBaseCtes =
+    """d0 AS (SELECT doc_id, text FROM documents),
+      |sp AS (
+      |  SELECT doc_id - 100 AS doc_id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        t -> t <> ''), 1, 24), ' ') AS splice
+      |  FROM d0 WHERE doc_id >= 100 AND doc_id < 120),
+      |d AS (
+      |  SELECT d0.doc_id,
+      |    CASE WHEN sp.splice IS NULL THEN d0.text
+      |         ELSE d0.text || ' ' || sp.splice END AS text
+      |  FROM d0 LEFT JOIN sp ON sp.doc_id = d0.doc_id),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS toks
+      |  FROM d),
+      |ta AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM tk)"""
+      .stripMargin
+
+  /** One rung's gram → dup → islands chain, CTE-prefixed `r<L>_`. */
+  private def exactSubstrRungCtes(l: Int): String =
+    s"""r${l}_gr AS (
+       |  SELECT doc_id, toks, unnest(range(0, nt - $l + 1)) AS p
+       |  FROM ta WHERE nt >= $l),
+       |r${l}_g2 AS (
+       |  SELECT doc_id, p::BIGINT AS p,
+       |    md5(array_to_string(
+       |      list_slice(toks, (p + 1)::INT, (p + $l)::INT), chr(1))) AS h
+       |  FROM r${l}_gr),
+       |r${l}_nd AS (SELECT h FROM r${l}_g2 GROUP BY h HAVING count(*) >= 2),
+       |r${l}_dw AS (SELECT g.doc_id, g.p AS s, g.p + $l AS e
+       |             FROM r${l}_g2 g JOIN r${l}_nd USING (h)),
+       |r${l}_mk AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+       |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM r${l}_dw),
+       |r${l}_gi AS (
+       |  SELECT doc_id, s, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM r${l}_mk),
+       |r${l}_mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM r${l}_gi
+       |             GROUP BY doc_id, g)""".stripMargin
+
+  /** Exact-substring minLen sensitivity curve
+    * ([[graft.ext.Dedup.exactSubstrCurve]] — the audit behind choosing
+    * the q305 gram length, the q284/q296 curve discipline): rungs
+    * 8/16/32 over the SAME planted corpus — the 24-token splices are
+    * caught whole at 8 and 16 and vanish at 32, so the curve's shape is
+    * the planted signal; every rung's full gram → dup → islands chain
+    * replays in the generated oracle, removal rates in exact
+    * floor-div ppm of the corpus token count.
+    */
+  val q306ExactSubstrCurve: QuerySpec = QuerySpec.oracled(
+    "q306_exact_substr_curve",
+    s"""WITH $exactSubstrBaseCtes,
+       |${Seq(8, 16, 32).map(exactSubstrRungCtes).mkString(",\n")},
+       |tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tot FROM ta),
+       |rows0 AS (
+       |${Seq(8, 16, 32).map(l =>
+           s"""  SELECT CAST($l AS BIGINT) AS min_len,
+              |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+              |    CAST(count(*) AS BIGINT) AS n_spans,
+              |    CAST(coalesce(sum(e - s), 0) AS BIGINT) AS removed_toks
+              |  FROM r${l}_mg""".stripMargin)
+         .mkString("", "\n  UNION ALL\n", "")})
+       |SELECT min_len, n_docs_hit, n_spans, removed_toks,
+       |  CAST(removed_toks * 1000000 // tt.tot AS BIGINT) AS removed_ppm
+       |FROM rows0, tt
+       |ORDER BY min_len""".stripMargin) { (spark, dir) =>
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sp = d0.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select((col("doc_id") - 100).as("doc_id"),
+        concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 1, 24)).as("splice"))
+    val planted = d0.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("splice").isNull, col("text"))
+          .otherwise(concat(col("text"), lit(" "), col("splice")))
+          .as("text"))
+    Dedup.exactSubstrCurve(planted, "doc_id", "text", Seq(8, 16, 32))
+      .orderBy("min_len")
+  }
+
   /** Dedup-ablation report: the artifact a data team publishes after a
     * dedup pass — per language, how many documents and characters the
     * near-dup pipeline (q18 pairs → q57 clusters → min-id survivors)
@@ -738,7 +830,8 @@ object DedupQueries {
       q155IncrementalNearDup, q161StreamIncrementalDedup,
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
-      q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr)
+      q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
+      q306ExactSubstrCurve)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

@@ -2949,6 +2949,215 @@ object TextQueries {
     graft.ext.Reports.current(spark, stateDir).get.orderBy("rule")
   }.withSetup((s, d) => { stageQ270(s, d); () })
 
+  /** q308's oracle, generated: the SOFT-EM unigram training loop
+    * ([[graft.ext.Unigram.trainSoft]]) unrolled in DuckDB — seeding and
+    * prune as q272, but each round's E-step is the true
+    * forward-backward: α per word position (each an EXPLICITLY
+    * PARENTHESIZED ascending-i chain of IEEE additions — the same order
+    * the Spark HOF folds, so the doubles match bit-for-bit), β per
+    * position descending, Z = α(len), and every piece occurrence's
+    * posterior `freq·α·p·β/Z` fixed-pointed to 2²⁰ units by the same
+    * left-to-right multiply/divide chain before the integer recount.
+    */
+  private def q308OracleSql(
+      rounds: Int, multiKeep: Int, maxPieceLen: Int,
+      maxWordLen: Int): String = {
+    val scale = 1L << 20
+    def costCtes(r: Int, vocab: String): String =
+      s"""t$r AS MATERIALIZED (
+         |  SELECT sum(cnt) + count(*) AS d FROM $vocab),
+         |c$r AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(21 - length(bin(((cnt + 1) * $scale) // t.d)) AS BIGINT)
+         |      AS bits
+         |  FROM $vocab, t$r t)""".stripMargin
+    def fwdCtes(r: Int): String = {
+      val perPos = (1 to maxWordLen).map { j =>
+        val is = (math.max(0, j - maxPieceLen) until j).toSeq
+        val joins = is.map { i =>
+          s"""  LEFT JOIN fa${r}_$i f$i ON f$i.w = w.w
+             |  LEFT JOIN c$r ca$i
+             |    ON ca$i.piece = substr(w.w, ${i + 1}, ${j - i})"""
+            .stripMargin
+        }.mkString("\n")
+        val terms = is.map { i =>
+          s"""CASE WHEN ca$i.piece IS NULL THEN CAST(0.0 AS DOUBLE)
+             |     ELSE f$i.a * power(2.0, -CAST(ca$i.bits AS DOUBLE))
+             |     END""".stripMargin
+        }.reduce((a, b) => s"($a\n + $b)")
+        s"""fa${r}_$j AS MATERIALIZED (
+           |  SELECT w.w, w.freq,
+           |$terms AS a
+           |  FROM wf w
+           |$joins
+           |  WHERE len(w.w) >= $j)""".stripMargin
+      }.mkString(",\n")
+      s"""fa${r}_0 AS MATERIALIZED (
+         |  SELECT w, freq, CAST(1.0 AS DOUBLE) AS a FROM wf),
+         |$perPos""".stripMargin
+    }
+    def bwdCtes(r: Int): String =
+      (maxWordLen to 0 by -1).map { i =>
+        val ds = (1 to maxPieceLen).filter(i + _ <= maxWordLen)
+        val joins = ds.map { d =>
+          s"""  LEFT JOIN fb${r}_${i + d} b$d ON b$d.w = w.w
+             |  LEFT JOIN c$r cb$d
+             |    ON cb$d.piece = substr(w.w, ${i + 1}, $d)""".stripMargin
+        }.mkString("\n")
+        val terms =
+          if (ds.isEmpty) "CAST(0.0 AS DOUBLE)"
+          else ds.map { d =>
+            s"""CASE WHEN $i + $d > len(w.w) OR cb$d.piece IS NULL
+               |       THEN CAST(0.0 AS DOUBLE)
+               |     ELSE power(2.0, -CAST(cb$d.bits AS DOUBLE)) * b$d.b
+               |     END""".stripMargin
+          }.reduce((a, b) => s"($a\n + $b)")
+        s"""fb${r}_$i AS MATERIALIZED (
+           |  SELECT w.w,
+           |    CASE WHEN len(w.w) = $i THEN CAST(1.0 AS DOUBLE)
+           |         ELSE
+           |$terms
+           |         END AS b
+           |  FROM wf w
+           |$joins
+           |  WHERE len(w.w) >= $i)""".stripMargin
+      }.mkString(",\n")
+    def roundCtes(r: Int, prevVocab: String): String = {
+      val fz = (1 to maxWordLen)
+        .map(j => s"  SELECT w, freq, a AS z FROM fa${r}_$j WHERE len(w) = $j")
+        .mkString("\n  UNION ALL\n")
+      val branches = (for {
+        i <- 0 until maxWordLen
+        d <- 1 to maxPieceLen if i + d <= maxWordLen
+      } yield
+        s"""  SELECT c.piece,
+           |    CAST(floor(w.freq::DOUBLE * f.a *
+           |      power(2.0, -CAST(c.bits AS DOUBLE)) * b.b / z.z *
+           |      1048576.0 + 0.5) AS BIGINT) AS ec
+           |  FROM wf w
+           |  JOIN fa${r}_$i f ON f.w = w.w
+           |  JOIN fb${r}_${i + d} b ON b.w = w.w
+           |  JOIN fz$r z ON z.w = w.w
+           |  JOIN c$r c ON c.piece = substr(w.w, ${i + 1}, $d)
+           |  WHERE len(w.w) >= ${i + d}""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""${costCtes(r, prevVocab)},
+         |${fwdCtes(r)},
+         |${bwdCtes(r)},
+         |fz$r AS MATERIALIZED (
+         |$fz),
+         |n$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(ec) AS BIGINT) AS cnt FROM (
+         |$branches)
+         |  GROUP BY piece),
+         |rc$r AS MATERIALIZED (
+         |  SELECT v.piece, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS cnt
+         |  FROM $prevVocab v LEFT JOIN n$r n USING (piece)),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM rc$r WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |    FROM rc$r WHERE len(piece) > 1 AND cnt > 0)
+         |  WHERE rk <= $multiKeep)""".stripMargin
+    }
+    val body = (1 to rounds)
+      .map(r => roundCtes(r, if (r == 1) "v0" else s"v${r - 1}"))
+      .mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) <= $maxWordLen
+       |  GROUP BY w),
+       |seed AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wf, range(1, ${maxWordLen + 1}) t1(i),
+       |    range(1, ${maxPieceLen + 1}) t2(l)
+       |  WHERE i + l - 1 <= len(w)
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM seed WHERE len(piece) > 1 AND cnt > 0)
+       |  WHERE rk <= $multiKeep),
+       |$body,
+       |tfin AS MATERIALIZED (SELECT sum(cnt) + count(*) AS d FROM v$rounds)
+       |SELECT piece, cnt,
+       |  CAST(21 - length(bin(((cnt + 1) * $scale) // t.d)) AS BIGINT)
+       |    AS bits
+       |FROM v$rounds, tfin t
+       |ORDER BY piece""".stripMargin
+  }
+
+  /** Soft-EM unigram training ([[graft.ext.Unigram.trainSoft]] — the
+    * true SentencePiece E-step, closing the hard-EM-only deviation):
+    * expected piece counts over ALL segmentations via forward-backward,
+    * made oracle-replayable by the ordered-IEEE-chain + immediate
+    * fixed-point discipline. The oracle unrolls both rounds' α/β tables
+    * position by position and must match the learned vocabulary, every
+    * scaled expected count, and every score hash-exact.
+    */
+  val q308UnigramSoft: QuerySpec = QuerySpec.oracled(
+    "q308_unigram_soft",
+    q308OracleSql(rounds = 2, multiKeep = 120, maxPieceLen = 3,
+      maxWordLen = 10)) { (spark, dir) =>
+    graft.ext.Unigram.trainSoft(
+      spark.read.parquet(s"$dir/documents.parquet"), "text",
+      rounds = 2, multiKeep = 120, maxPieceLen = 3, maxWordLen = 10)
+      .orderBy("piece")
+  }
+
+  /** Preference-pair builder ([[graft.ext.TextStats.preferencePairs]] —
+    * the DPO/RLHF training-example shape beside q297/q298): per
+    * (lang, source) group, the best uniq-ratio document (exact ppm,
+    * raw-split counting convention) pairs with the worst, kept only when
+    * the gap is positive; ties at both ends break on ascending doc_id.
+    * Both picks ride ONE group-partitioned exchange.
+    */
+  val q307PreferencePairs: QuerySpec = QuerySpec.oracled(
+    "q307_preference_pairs",
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(list_distinct(string_split_regex(lower(trim(text)),
+      |      '\s+'))) * 1000000 //
+      |      len(string_split_regex(lower(trim(text)), '\s+'))
+      |      AS BIGINT) AS score
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, source, doc_id AS chosen_id, score AS chosen_score,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY score DESC, doc_id) AS rb
+      |  FROM t),
+      |r AS (
+      |  SELECT lang, source, doc_id AS rejected_id,
+      |    score AS rejected_score,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY score ASC, doc_id) AS rw
+      |  FROM t)
+      |SELECT c.lang, c.source, c.chosen_id, r.rejected_id,
+      |  c.chosen_score, r.rejected_score,
+      |  c.chosen_score - r.rejected_score AS gap
+      |FROM c JOIN r ON c.lang = r.lang AND c.source = r.source
+      |WHERE c.rb = 1 AND r.rw = 1 AND c.chosen_id <> r.rejected_id
+      |  AND c.chosen_score - r.rejected_score >= 1
+      |ORDER BY c.lang, c.source""".stripMargin) { (spark, dir) =>
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(size(array_distinct(split(lower(trim(text)), " +
+          "'\\\\s+'))) AS BIGINT) * 1000000L div " +
+          "CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT)")
+          .as("score"))
+    TextStats.preferencePairs(
+      scored, groupCols = Seq("lang", "source"), idCol = "doc_id",
+      scoreCol = "score", minGap = 1L)
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -2967,5 +3176,6 @@ object TextQueries {
       q276TrigramBackoff, q284DecontamCurve, q287PerplexityBuckets,
       q288GopherCard, q289GopherReport, q290VocabCoverage,
       q291CrossEntropySelect, q292PiiAudit, q296PackingCurve,
-      q297SpanCorrupt, q298FimTransform, q301GopherReportStream)
+      q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
+      q307PreferencePairs, q308UnigramSoft)
 }

@@ -180,6 +180,33 @@ class DupSpansSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.forall(_._1 == 0L), out.toString)
   }
 
+  test("exact-substr curve rows equal independent per-rung runs") {
+    def w(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val shared = (1 to 10).map(i => s"d$i").mkString(" ") // 10-token run
+    val rows = Seq(
+      1L -> s"${w(1, 10)} $shared",
+      2L -> s"$shared ${w(21, 30)}",
+      3L -> w(41, 70))
+    val df = rows.toDF("doc_id", "text").repartition(3)
+    val curve = Dedup.exactSubstrCurve(df, "doc_id", "text", Seq(4, 8, 16))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (l <- Seq(4, 8, 16)) {
+      val run = Dedup.removeExactSubstr(df, "doc_id", "text", l)
+        .filter(col("n_spans") > 0)
+        .agg(count(lit(1)), coalesce(sum("n_spans"), lit(0L)),
+          coalesce(sum("removed_toks"), lit(0L)))
+        .as[(Long, Long, Long)].head()
+      assert(curve(l.toLong) == run, s"rung $l: ${curve(l.toLong)} vs $run")
+    }
+    // the 10-token plant is visible at 4 and 8, gone at 16
+    assert(curve(4L)._1 == 2L && curve(8L)._1 == 2L && curve(16L)._1 == 0L)
+    assert(curve(4L)._3 == 20L)
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrCurve(df, "doc_id", "text", Seq(4, 4))
+    }
+  }
+
   test("exact-substr: overlapping duplicated grams merge to one maximal span") {
     // a 9-token duplicated run with minLen 4: grams at starts 0..5 all
     // duplicated → ONE island of 9, not six spans
