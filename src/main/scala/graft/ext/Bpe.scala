@@ -162,4 +162,83 @@ object Bpe {
       .createDataFrame(rules.result())
       .toDF("merge_rank", "left_tok", "right_tok", "pair_count")
   }
+
+  /** The best pair by WORDPIECE likelihood score (Schuster & Nakajima
+    * 2012; Wu et al. 2016 §3): maximize `count(ab) / (count(a)·count(b))`
+    * — the pair whose merge most increases the unigram-LM corpus
+    * likelihood — instead of BPE's raw `count(ab)`. The score fixes to
+    * integer 1e9 units via one exact integer division
+    * (`cnt·10⁹ div (ua·ub)`); ties break on raw count desc, then pair
+    * lex order. Unit counts come from the SAME dictionary state as pair
+    * counts (one extra vocabulary-sized aggregate per iteration). Exact
+    * for corpora up to ~3·10⁹ unit occurrences (`ua·ub < 2⁶³`).
+    */
+  private def bestPairWordpiece(state: DataFrame): DataFrame = {
+    val t = split(col("ts"), Sep)
+    val pairs = state
+      .select(
+        col("freq"),
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a: Column, b: Column) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+      .groupBy("a", "b")
+      .agg(sum("freq").as("cnt"))
+    val units = state
+      .select(col("freq"), explode(split(col("ts"), Sep)).as("u"))
+      .groupBy("u")
+      .agg(sum("freq").as("uc"))
+    pairs
+      .join(units.select(col("u").as("a"), col("uc").as("__ua")), "a")
+      .join(units.select(col("u").as("b"), col("uc").as("__ub")), "b")
+      .withColumn("score", expr("cnt * 1000000000 div (__ua * __ub)"))
+      .orderBy(col("score").desc, col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+      .select("a", "b", "cnt", "score")
+  }
+
+  /** WordPiece merge-rule induction: [[trainMerges]]' loop with the
+    * likelihood-gain selection rule — the third tokenizer-training family
+    * beside BPE ([[trainMerges]]) and unigram-LM ([[Unigram]]). Output
+    * adds `score_fix` (the winning likelihood score in 1e9 units) to the
+    * BPE rule schema; [[applyMerges]] applies the rules unchanged (both
+    * families tokenize by leftmost-greedy merge replay).
+    */
+  def trainWordpiece(
+      docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    import org.apache.spark.storage.StorageLevel
+    var state = wordFreq(docs, textCol)
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + Sep)).as("ts"),
+        col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rules = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var rank = 1
+    var exhausted = false
+    try {
+      while (rank <= numMerges && !exhausted) {
+        val best = bestPairWordpiece(state).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt, score) = (best(0).getString(0),
+            best(0).getString(1), best(0).getLong(2), best(0).getLong(3))
+          rules += ((rank, a, b, cnt, score))
+          if (rank < numMerges) {
+            val next = state
+              .select(mergeFold(lit(a), lit(b)).as("ts"), col("freq"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            state.unpersist()
+            state = next
+          }
+          rank += 1
+        }
+      }
+    } finally state.unpersist()
+    docs.sparkSession
+      .createDataFrame(rules.result())
+      .toDF("merge_rank", "left_tok", "right_tok", "pair_count", "score_fix")
+  }
 }

@@ -824,4 +824,79 @@ object Dedup {
     pairCounts.join(docCounts, "threshold_pct")
       .orderBy("threshold_pct")
   }
+
+  /** All-pairs set-cosine similarity join with LOSSLESS prefix filtering
+    * (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
+    * Search"; prefix-filter soundness per Chaudhuri, Ganti & Kaushik
+    * 2006): every unordered document pair whose distinct-k-shingle-set
+    * cosine `|A∩B| / sqrt(|A|·|B|)` reaches `thresholdPermil/1000` —
+    * WITHOUT forming the all-pairs grid. Complements the family's
+    * probabilistic members: MinHash (q18) trades recall for speed; this
+    * is the exact join, pruned instead of sampled. Runs on the family's
+    * 60-bit shingle-hash sets (set sizes identical to string sets — both
+    * engines hash before the set ops).
+    *
+    * Why the pruning is exact: order all shingles by one global total
+    * order (df ASC, hash ASC — rarest first). A qualifying pair has
+    * overlap `c ≥ t·sqrt(|A|·|B|) ≥ t²·|A|` (since `|B| ≥ c`), so each
+    * side needs `c ≥ o = ceil(t²·n)` shared shingles; if the
+    * globally-smallest shared shingle sat outside A's first
+    * `n_A − o_A + 1`, all shared shingles would fit in A's last
+    * `o_A − 1` — contradiction. Hence the smallest shared shingle lies
+    * in BOTH prefixes and the prefix equi-join misses nothing. Every
+    * arithmetic step is integer (`o` by ceil division, the threshold
+    * test cross-multiplied as `c²·10⁶ ≥ tpm²·n_A·n_B`), so a brute
+    * all-pairs SQL oracle adjudicates the pruned result bit-for-bit.
+    *
+    * Scale shape: candidate generation joins ONLY prefix shingles — the
+    * rarest-first order makes a doc's prefix its lowest-df shingles, so
+    * per-key join fanout is bounded by rare-shingle df, never the
+    * boilerplate hot shingles (which sit in suffixes and are never join
+    * keys). All rows crossing shuffles are (id, hash) pairs; the
+    * verification join is candidate-sized. Integer guards are exact for
+    * docs up to ~3M distinct shingles (`c²·10⁶ < 2⁶³`).
+    */
+  def apssCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPermil: Int,
+      k: Int = 3): DataFrame = {
+    require(thresholdPermil >= 1 && thresholdPermil <= 1000,
+      s"apssCosinePairs: thresholdPermil must be in [1, 1000], " +
+        s"got $thresholdPermil")
+    val tpm2 = thresholdPermil.toLong * thresholdPermil
+    val hs = withShingleHashSets(docs, idCol, textCol, k)
+    val n = hs.select(col("doc_id"), size(col("hsh")).cast("long").as("n"))
+    val tc = shingleHashes(hs)
+    val dfreq = tc.groupBy("h").agg(count(lit(1)).as("__df"))
+    val pos = tc.join(dfreq, "h")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("__df"), col("h"))))
+    // minimum overlap o = ceil(t²·n) per side; prefix = first n − o + 1
+    val pre = pos.join(n, "doc_id")
+      .withColumn("__o", expr(s"($tpm2 * n + 999999) div 1000000"))
+      .filter(col("__pos") <= col("n") - col("__o") + 1)
+      .select("doc_id", "h")
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ov = cand
+      .join(tc.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(tc.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("overlap"))
+    ov
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("overlap") * col("overlap") * 1000000L >=
+        lit(tpm2) * col("n_a") * col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("overlap"),
+        col("n_a"), col("n_b"),
+        floor(col("overlap").cast("double") * 1e9 /
+          sqrt((col("n_a") * col("n_b")).cast("double")) + lit(0.5))
+          .cast("long").as("cos_ppb"))
+  }
 }

@@ -266,4 +266,67 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("idot"), col("approx_dot_micro"))
   }
+
+  /** The nDCG discount `1/log2(rank+1)` in integer micro-units — computed
+    * ONCE here in Scala and interpolated literally into the SQL oracle, so
+    * both engines share bit-identical weights and no libm log runs inside
+    * either engine's query.
+    */
+  def ndcgWeightMicro(rank: Int): Long =
+    math.floor(1e6 / (math.log(rank + 1.0) / math.log(2.0)) + 0.5).toLong
+
+  /** nDCG@k (Järvelin & Kekäläinen 2002) of a ranking against GRADED
+    * relevance — the position-discounted eval metric beside the binary
+    * family (MRR/prec@10 q243, recall@k q220, RBO q203).
+    *
+    *  - `ranking`: (query_id, rank, <idCol>) — e.g. [[bm25TopK]] output;
+    *  - `grades`:  (query_id, <idCol>, grade INT ≥ 1) — graded relevance,
+    *    absent pairs grade 0;
+    *  - `queries`: (query_id) — the eval universe, so a query with no
+    *    relevant document reports ndcg_ppm = 0, not an absent row.
+    *
+    * Gains are `2^grade − 1`; discounts enter as the precomputed integer
+    * [[ndcgWeightMicro]] weights broadcast as a k-row table, so DCG and
+    * ideal-DCG are EXACT integer sums (`Σ gain·w_micro`) and
+    * `ndcg_ppm = dcg·10⁶ div idcg` is one exact integer division — the
+    * whole metric replays bit-for-bit in SQL. The ideal ranking orders
+    * grades desc with id tie-breaks. Scale shape: one bounded window per
+    * side (top-k each), the grade join is rank-bounded, weights broadcast.
+    */
+  def ndcgAtK(
+      ranking: DataFrame, // (query_id, rank, idCol)
+      grades: DataFrame, // (query_id, idCol, grade)
+      queries: DataFrame, // (query_id)
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
+    val sess = ranking.sparkSession
+    import sess.implicits._
+    val w = broadcast(
+      (1 to k).map(r => (r, ndcgWeightMicro(r))).toDF("rank", "w_micro"))
+    // gain 2^grade − 1 as an exact integer shift (grades are small ints)
+    val gain =
+      expr("shiftleft(1L, CAST(coalesce(grade, 0) AS INT)) - 1L")
+    val dcg = ranking.filter(col("rank") <= k)
+      .join(grades, Seq("query_id", idCol), "left")
+      .join(w, "rank")
+      .groupBy("query_id")
+      .agg(sum(gain * col("w_micro")).as("dcg_micro"))
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("grade").desc, col(idCol))
+    val idcg = grades.filter(col("grade") >= 1)
+      .withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= k)
+      .join(w.withColumnRenamed("rank", "irank"), "irank")
+      .groupBy("query_id")
+      .agg(sum(gain * col("w_micro")).as("idcg_micro"))
+    queries.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        coalesce(expr("dcg_micro * 1000000 div idcg_micro"), lit(0L))
+          .as("ndcg_ppm"))
+  }
 }

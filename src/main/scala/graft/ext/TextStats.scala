@@ -1011,6 +1011,57 @@ object TextStats {
     * weight constants — the evaluation plan (narrow projection, zero
     * shuffles) is the part that matters at 100 TB.
     */
+  /** Calibration reliability report (Guo et al. 2017, "On Calibration of
+    * Modern Neural Networks" — the ECE binning): is the q233 linear
+    * quality classifier's confidence honest? Per confidence bin:
+    * population, mean confidence, observed accuracy, and the bin's exact
+    * ECE numerator — all in integer basis points, so the whole diagram
+    * replays bit-for-bit in SQL.
+    *
+    *  - confidence: the classifier margin affinely squashed to [0,10000]
+    *    bp (`least(greatest(margin div confDiv, 0), 10000)` — a
+    *    deterministic monotone proxy for a sigmoid);
+    *  - outcome: the INDEPENDENT quality signal — q232's integer unigram
+    *    surprisal, positive when `avg_millibits < posMillibitsBelow`
+    *    (the q235 curation-band boundary);
+    *  - `ece_num = |Σconf_bp − 10000·n_pos|` per bin: summing these over
+    *    bins and dividing by `10000·N` yields exactly Guo's
+    *    `Σ (n_b/N)·|acc_b − conf_b|`, with the division deferred so every
+    *    reported number is an exact integer.
+    *
+    * Scale shape: the margin is a zero-shuffle projection; surprisal is
+    * q232's vocab join; the report is one `nBins`-row aggregate.
+    */
+  def calibrationBins(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBins: Int = 10,
+      confDiv: Int = 80,
+      posMillibitsBelow: Long = 4250L): DataFrame = {
+    require(nBins >= 2, s"calibrationBins: nBins must be >= 2, got $nBins")
+    require(confDiv >= 1, s"calibrationBins: confDiv must be >= 1")
+    val m = classifierMargin(docs, idCol, textCol)
+      .select(col(idCol), col("margin"))
+    val sb = surprisalBits(docs, idCol, textCol)
+      .select(col(idCol), col("avg_millibits"))
+    m.join(sb, idCol)
+      .withColumn("conf_bp",
+        expr(s"least(greatest(margin div $confDiv, 0), 10000)"))
+      .withColumn("pos",
+        (col("avg_millibits") < posMillibitsBelow).cast("long"))
+      .withColumn("bin",
+        expr(s"least(conf_bp * $nBins div 10000, ${nBins - 1})"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("conf_bp").as("__conf_sum"),
+        sum("pos").as("n_pos"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("__conf_sum div n_docs").as("avg_conf_bp"),
+        expr("n_pos * 10000 div n_docs").as("acc_bp"),
+        abs(col("__conf_sum") - lit(10000L) * col("n_pos")).as("ece_num"))
+  }
+
   def classifierMargin(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil): DataFrame = {
     val stops = ClassifierStopwords.map(s => s"'$s'").mkString(", ")

@@ -824,6 +824,43 @@ object DedupQueries {
       .orderBy("threshold_pct")
   }
 
+  /** Exact all-pairs set-cosine join with lossless prefix filtering
+    * ([[graft.ext.Dedup.apssCosinePairs]] — Bayardo, Ma & Srikant 2007):
+    * every pair whose distinct-trigram-shingle-set cosine reaches 0.55,
+    * found by joining only each doc's rarest `n − ceil(t²n) + 1`
+    * shingles (a global df-asc total order), then verifying candidates
+    * with exact integer overlap counts. The pruning is provably
+    * lossless, so the ORACLE is the brute all-pairs definition — the
+    * Spark side runs the pruned scale shape, DuckDB the exhaustive one,
+    * and they must agree row-for-row (q41's banded≡exact discipline).
+    * All comparisons are cross-multiplied integers; the reported cosine
+    * fixes to ppb with one correctly-rounded division.
+    */
+  val q309ApssCosine: QuerySpec = QuerySpec.oracled(
+    "q309_apss_cosine",
+    s"""$shingleCte,
+       |nn AS (
+       |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n FROM hs),
+       |tc AS (SELECT doc_id, unnest(h) AS h FROM hs),
+       |ov AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS overlap
+       |  FROM tc a JOIN tc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT o.doc_a, o.doc_b, o.overlap, na.n AS n_a, nb.n AS n_b,
+       |  CAST(floor(o.overlap * 1000000000.0 /
+       |    sqrt((na.n * nb.n)::DOUBLE) + 0.5) AS BIGINT) AS cos_ppb
+       |FROM ov o
+       |JOIN nn na ON o.doc_a = na.doc_id
+       |JOIN nn nb ON o.doc_b = nb.doc_id
+       |WHERE o.overlap * o.overlap * 1000000 >= 302500 * na.n * nb.n
+       |ORDER BY o.doc_a, o.doc_b""".stripMargin) { (spark, dir) =>
+    graft.ext.Dedup.apssCosinePairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text", thresholdPermil = 550)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
@@ -831,7 +868,7 @@ object DedupQueries {
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
-      q306ExactSubstrCurve)
+      q306ExactSubstrCurve, q309ApssCosine)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

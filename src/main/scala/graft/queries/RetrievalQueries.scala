@@ -320,8 +320,12 @@ object RetrievalQueries {
     * relevance join prunes against the broadcast term list exactly like
     * the ranking it audits.
     */
-  val q243MrrEval: QuerySpec = QuerySpec.oracled(
-    "q243_mrr_eval",
+  /** The shared oracle prefix of q243/q310: tokenization, query terms,
+    * graded term-match counts (`relc.m` — q243 binarizes at full-AND,
+    * q310 uses it as the nDCG grade), and the exact-integer BM25 top
+    * ranking `r` the two metrics both audit.
+    */
+  private val bm25RankCtes =
     s"""WITH tk AS (
        |  SELECT doc_id, $toksSql AS toks FROM documents),
        |qt AS (SELECT * FROM $queryTermsSql),
@@ -333,9 +337,6 @@ object RetrievalQueries {
        |  SELECT q.query_id, t.doc_id,
        |    CAST(count(DISTINCT t.term) AS BIGINT) AS m
        |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2),
-       |rel AS (
-       |  SELECT relc.query_id, relc.doc_id
-       |  FROM relc JOIN nq USING (query_id) WHERE relc.m = nq.nt),
        |dl AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk
        |  WHERE len(toks) > 0),
@@ -365,7 +366,14 @@ object RetrievalQueries {
        |  SELECT query_id, doc_id,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY score_micro DESC, doc_id) AS rnk
-       |  FROM sm),
+       |  FROM sm)""".stripMargin
+
+  val q243MrrEval: QuerySpec = QuerySpec.oracled(
+    "q243_mrr_eval",
+    s"""$bm25RankCtes,
+       |rel AS (
+       |  SELECT relc.query_id, relc.doc_id
+       |  FROM relc JOIN nq USING (query_id) WHERE relc.m = nq.nt),
        |hit AS (
        |  SELECT r.query_id, r.rnk FROM r
        |  JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
@@ -420,7 +428,67 @@ object RetrievalQueries {
       .orderBy("query_id")
   }
 
+  /** nDCG@10 ([[graft.ext.Retrieval.ndcgAtK]] — Järvelin & Kekäläinen
+    * 2002) of the q198 BM25 ranking against GRADED relevance: the grade
+    * of (query, doc) is how many distinct query terms the doc contains
+    * (q243's `relc.m`, used as the 0..3 grade instead of binarized).
+    * Gains are `2^grade − 1`; the `1/log2(rank+1)` discounts enter as
+    * integer micro-weights computed once in Scala and interpolated
+    * literally into this SQL, so DCG/IDCG are exact integer sums and
+    * `ndcg_ppm` one exact division — no libm log in either engine.
+    */
+  val q310NdcgEval: QuerySpec = QuerySpec.oracled(
+    "q310_ndcg_eval",
+    s"""$bm25RankCtes,
+       |wts AS (SELECT * FROM (VALUES ${(1 to 10).map(r =>
+              s"($r, ${Retrieval.ndcgWeightMicro(r)})").mkString(", ")})
+       |  AS t(rnk, w)),
+       |dcg AS (
+       |  SELECT r.query_id,
+       |    CAST(sum(((1 << coalesce(relc.m, 0)) - 1) * wts.w) AS BIGINT)
+       |      AS dcg_micro
+       |  FROM r JOIN wts ON r.rnk = wts.rnk
+       |  LEFT JOIN relc
+       |    ON r.query_id = relc.query_id AND r.doc_id = relc.doc_id
+       |  WHERE r.rnk <= 10 GROUP BY 1),
+       |ideal AS (
+       |  SELECT query_id, m,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY m DESC, doc_id) AS irank
+       |  FROM relc WHERE m >= 1),
+       |idcg AS (
+       |  SELECT query_id,
+       |    CAST(sum(((1 << m) - 1) * wts.w) AS BIGINT) AS idcg_micro
+       |  FROM ideal JOIN wts ON ideal.irank = wts.rnk
+       |  WHERE irank <= 10 GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(coalesce(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       |  CAST(coalesce(idcg.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+       |  CAST(coalesce(dcg.dcg_micro * 1000000 // idcg.idcg_micro, 0)
+       |    AS BIGINT) AS ndcg_ppm
+       |FROM (SELECT DISTINCT query_id FROM qt) q
+       |LEFT JOIN dcg USING (query_id)
+       |LEFT JOIN idcg USING (query_id)
+       |ORDER BY q.query_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qt = QueryTerms.toDF("query_id", "term")
+    val topk = Retrieval.bm25TopK(
+      docs = docs, queryTerms = qt,
+      idCol = "doc_id", textCol = "text", k = 10, k1 = K1, b = B)
+    // graded relevance: distinct query terms contained (q243's relc.m)
+    val grades = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct("term").as("grade"))
+    Retrieval.ndcgAtK(
+        ranking = topk, grades = grades,
+        queries = qt.select("query_id"), idCol = "doc_id", k = 10)
+      .orderBy("query_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement, q243MrrEval,
-      q285MaxPassage)
+      q285MaxPassage, q310NdcgEval)
 }

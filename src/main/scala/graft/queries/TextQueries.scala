@@ -3158,6 +3158,113 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** Calibration reliability report of the q233 classifier
+    * ([[graft.ext.TextStats.calibrationBins]] — Guo et al. 2017 ECE
+    * binning): margin squashed to confidence bp, outcome = q232 unigram
+    * surprisal under the q235 band boundary, per-bin population / mean
+    * confidence / accuracy / exact ECE numerator, all integer bp.
+    */
+  val q311CalibrationBins: QuerySpec = QuerySpec.oracled(
+    "q311_calibration_bins",
+    s"""WITH f AS (
+       |  ${TextStats.classifierFeatureSql("doc_id")}),
+       |bp AS (
+       |  ${TextStats.classifierBpSql}),
+       |mg AS (
+       |  SELECT doc_id, ${TextStats.classifierMarginSqlExpr} AS margin
+       |  FROM bp),
+       |tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(tot.n // vc.c)) - 1 AS BIGINT) AS bits
+       |  FROM tok t JOIN vc ON t.tok = vc.tok CROSS JOIN tot),
+       |sb AS (
+       |  SELECT doc_id,
+       |    CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |  FROM sc GROUP BY doc_id),
+       |sc2 AS (
+       |  SELECT mg.doc_id,
+       |    least(greatest(mg.margin // 80, 0), 10000) AS conf_bp,
+       |    CASE WHEN sb.avg_millibits < 4250 THEN 1 ELSE 0 END AS pos
+       |  FROM mg JOIN sb USING (doc_id)),
+       |b AS (
+       |  SELECT least(conf_bp * 10 // 10000, 9) AS bin,
+       |    conf_bp, pos
+       |  FROM sc2)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(conf_bp) // count(*) AS BIGINT) AS avg_conf_bp,
+       |  CAST(sum(pos) * 10000 // count(*) AS BIGINT) AS acc_bp,
+       |  CAST(abs(sum(conf_bp) - 10000 * sum(pos)) AS BIGINT) AS ece_num
+       |FROM b GROUP BY bin
+       |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    TextStats.calibrationBins(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("bin")
+  }
+
+  /** One WORDPIECE merge iteration as oracle CTEs: pair counts AND unit
+    * counts from `srcCte`, the likelihood-best pair
+    * (`cnt·10⁹ // (ua·ub)`, ties cnt desc then lex), fold-applied merge —
+    * mirrors [[graft.ext.Bpe.trainWordpiece]] exactly.
+    */
+  private def wpIterSql(
+      src: String, p: String, u: String, b: String, out: String): String =
+    s"""$p AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(ts, ' ') AS t, freq FROM $src),
+       |    UNNEST(range(1, len(t))) AS uu(i)
+       |  GROUP BY 1, 2),
+       |$u AS (SELECT u, CAST(sum(freq) AS BIGINT) AS uc
+       |  FROM (SELECT unnest(string_split(ts, ' ')) AS u, freq FROM $src)
+       |  GROUP BY 1),
+       |$b AS (SELECT a, b, cnt,
+       |    CAST(cnt * 1000000000 // (ua.uc * ub.uc) AS BIGINT) AS score
+       |  FROM $p JOIN $u ua ON $p.a = ua.u JOIN $u ub ON $p.b = ub.u
+       |  ORDER BY score DESC, cnt DESC, a, b LIMIT 1),
+       |$out AS (SELECT list_reduce(list_prepend('', string_split(ts, ' ')),
+       |    (acc, x) -> CASE
+       |      WHEN acc <> '' AND (acc = $b.a OR ends_with(acc, ' ' || $b.a))
+       |        AND x = $b.b THEN acc || x
+       |      WHEN acc = '' THEN x
+       |      ELSE acc || ' ' || x END) AS ts, freq
+       |  FROM $src CROSS JOIN $b)""".stripMargin
+
+  /** WordPiece merge-rule induction ([[graft.ext.Bpe.trainWordpiece]] —
+    * Schuster & Nakajima 2012 likelihood-gain selection, the third
+    * tokenizer family beside BPE q231 and unigram-LM q272/q308): the
+    * first 3 merges learned by maximizing `count(ab)/(count(a)·count(b))`
+    * in exact 1e9 fixed point, the oracle replaying TRAINING itself —
+    * pair+unit counting, likelihood best-pair, merge fold — as chained
+    * CTEs. Same scale story as q231: one corpus scan, then
+    * vocabulary-sized iterations.
+    */
+  val q312WordpieceMerges: QuerySpec = QuerySpec.oracled(
+    "q312_wordpiece_merges",
+    s"""WITH tok AS (
+       |  SELECT unnest($toksSql) AS w FROM documents),
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok
+       |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+       |s0 AS (
+       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ts, freq
+       |  FROM wf),
+       |${wpIterSql("s0", "p1", "u1", "b1", "s1")},
+       |${wpIterSql("s1", "p2", "u2", "b2", "s2")},
+       |${wpIterSql("s2", "p3", "u3", "b3", "s3")}
+       |SELECT 1 AS merge_rank, a AS left_tok, b AS right_tok,
+       |  cnt AS pair_count, score AS score_fix FROM b1
+       |UNION ALL SELECT 2, a, b, cnt, score FROM b2
+       |UNION ALL SELECT 3, a, b, cnt, score FROM b3
+       |ORDER BY merge_rank""".stripMargin) { (spark, dir) =>
+    graft.ext.Bpe.trainWordpiece(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", numMerges = 3)
+      .orderBy("merge_rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3177,5 +3284,6 @@ object TextQueries {
       q288GopherCard, q289GopherReport, q290VocabCoverage,
       q291CrossEntropySelect, q292PiiAudit, q296PackingCurve,
       q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
-      q307PreferencePairs, q308UnigramSoft)
+      q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
+      q312WordpieceMerges)
 }

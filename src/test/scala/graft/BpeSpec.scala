@@ -87,4 +87,37 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect.toMap
     assert(wf == Map("the" -> 3L, "cat" -> 1L))
   }
+
+  test("wordpiece picks the likelihood-best pair, not the most frequent") {
+    // (a,b): cnt 10, units a=10 b=10 → score 10·1e9/100 = 1e8
+    // (c,d): cnt 2,  units c=2  d=2  → score 2·1e9/4   = 5e8 → wins
+    // BPE on the same corpus would pick (a,b) first.
+    val docs = Seq(("ab " * 10 + "cd cd").trim).toDF("text")
+    val got = Bpe.trainWordpiece(docs, "text", numMerges = 2)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long, Long)].collect.toSeq
+    assert(got == Seq(
+      (1, "c", "d", 2L, 500000000L),
+      (2, "a", "b", 10L, 100000000L)))
+    val bpe = Bpe.trainMerges(docs, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].collect.toSeq
+    assert(bpe == Seq((1, "a", "b", 10L)), "BPE diverges by design")
+  }
+
+  test("wordpiece score ties break on count then pair lex order") {
+    // (a,b) and (c,d) both: cnt 4, units 4/4 → score 4·1e9/16 = 2.5e8
+    val docs = Seq(("ab " * 4 + "cd " * 4).trim).toDF("text")
+    val got = Bpe.trainWordpiece(docs, "text", numMerges = 1)
+      .as[(Int, String, String, Long, Long)].collect.toSeq
+    assert(got == Seq((1, "a", "b", 4L, 250000000L)))
+  }
+
+  test("wordpiece rules apply through the shared merge fold") {
+    val docs = Seq(("ab " * 10 + "cd cd").trim).toDF("text")
+    val rules = Bpe.trainWordpiece(docs, "text", numMerges = 2)
+    val got = Bpe.applyMerges(
+        Seq("abcd", "dcba").toDF("w"), rules, numMerges = 2)
+      .as[(String, String)].collect.toMap
+    assert(got == Map("abcd" -> "ab cd", "dcba" -> "d c b a"))
+  }
 }
