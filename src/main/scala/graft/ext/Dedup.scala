@@ -139,7 +139,7 @@ object Dedup {
     * join restores them with inter_size 0, so thresholds of 0 keep exact
     * semantics. Extra candidate columns (e.g. block keys) pass through.
     */
-  private def withOverlapExploded(
+  private[ext] def withOverlapExploded(
       candidates: DataFrame, hashSets: DataFrame): DataFrame = {
     val rows = shingleHashes(hashSets)
     val sizes = hashSets.select(

@@ -1,0 +1,281 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained MinHash-LSH dedup index — the
+  * artifact form of [[Dedup.minhashNearDupPairsIncremental]]. That
+  * operator's scaladoc already names this shape: "a production deployment
+  * persists the banded corpus AND the incoming bands/sets between
+  * batches". This is that artifact, under the same commit discipline as
+  * [[AnnIndex]] (shared [[graft.io.VersionPointer]]: create-only manifest
+  * PUTs, `ok` terminator, newest-2 retention, no renames — object-store
+  * safe).
+  *
+  * Layout, one version dir per build/compact:
+  *  - `v<N>/params` — one row (k, num_hashes, band_rows): the banding
+  *    scheme, FROZEN for the index's lifetime. [[fold]] reads it instead
+  *    of taking parameters, so a fold can never band differently than
+  *    the stored corpus (bucket equality across generations is the whole
+  *    correctness argument).
+  *  - `v<N>/sets`  — (doc_id, hsh): each indexed doc's distinct 60-bit
+  *    shingle-hash set — the exact-verification side.
+  *  - `v<N>/bands` — (doc_id, band, bucket): the LSH candidate-join side.
+  *  - `v<N>/deltas/g<G>/{sets,bands}` — one delta pair PER FOLD,
+  *    committed by a create-only `v<N>/_folds/g<G>.ok` marker. A crash
+  *    mid-fold leaves an invisible orphan; the retry recomputes the same
+  *    generation, overwrites it, and commits — never double-inserted.
+  *
+  * [[fold]] is the per-ingest-batch dedup step a 100 TB pipeline runs
+  * daily: shingle+sign ONLY the fresh docs (the fused one-pass exprs —
+  * write IO is delta-sized), join fresh bands against stored ∪ fresh
+  * bands (ids-only equi-join; the asymmetric join's skew exposure is
+  * bounded by the batch side's bucket width), verify candidates with the
+  * exact integer Jaccard against stored ∪ fresh sets, RETURN the
+  * qualifying pairs (every pair involves ≥ 1 fresh doc), and commit the
+  * fresh delta so the next batch sees it. Maintained pair sets are
+  * identical to a one-shot [[Dedup.minhashNearDupPairs]] over the
+  * accumulated corpus restricted to fresh involvement — same fused
+  * signature expr, same banding, same verify arithmetic (q313
+  * adjudicates; DedupIndexSpec pins fold ≡ the in-memory incremental
+  * operator).
+  *
+  * Contract: fold ids must be NEW (dedup corpora are append-only;
+  * reprocessing is a rebuild concern) and the index is single-writer
+  * (the marker create fails loudly if a concurrent fold wins the
+  * generation). [[compact]] folds the delta dirs back into one base at
+  * version N+1 (pure rewrite — nothing is re-signed) with a pointer
+  * promote and GC of version N.
+  */
+object DedupIndex {
+
+  private def layoutDir(dir: String, name: String): String =
+    s"$dir/$name.dedupindex"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  def currentVersion(
+      spark: SparkSession, dir: String, name: String): Option[Int] =
+    graft.io.VersionPointer.current(spark, layoutDir(dir, name))
+
+  private def paramsPath(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/params"
+  private def setsPath(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/sets"
+  private def bandsPath(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/bands"
+  private def foldsDir(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/_folds"
+  private def deltaPath(dir: String, name: String, v: Int, g: Long): String =
+    s"${layoutDir(dir, name)}/v$v/deltas/g$g"
+
+  private val FoldMarkerRe = """g(\d+)\.ok""".r
+
+  private def committedFolds(
+      spark: SparkSession, dir: String, name: String, v: Int): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(foldsDir(dir, name, v))
+    val f = fs(spark, p.toString)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+      case FoldMarkerRe(g) => Some(g.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  private def requireVersion(
+      spark: SparkSession, dir: String, name: String): Int =
+    currentVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"dedup index '$name' at $dir does not exist — build() it first"))
+
+  /** The frozen banding scheme: (k, numHashes, bandRows). */
+  private def readParams(
+      spark: SparkSession, dir: String, name: String,
+      v: Int): (Int, Int, Int) = {
+    val row = spark.read.parquet(paramsPath(dir, name, v)).head()
+    (row.getAs[Int]("k"), row.getAs[Int]("num_hashes"),
+      row.getAs[Int]("band_rows"))
+  }
+
+  /** (sets, bands) of `docs` under the index's scheme — the SAME fused
+    * exprs and band transform as [[Dedup.minhashNearDupPairs]], so a
+    * doc's buckets are identical whether signed at build or at any later
+    * fold.
+    */
+  private def signAndBand(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, bandRows: Int): (DataFrame, DataFrame) = {
+    val numBands = numHashes / bandRows
+    val sets = Dedup.withShingleHashSets(docs, idCol, textCol, k)
+    val bands = sets
+      .select(col("doc_id"),
+        expr(s"graft_minhash(hsh, $numHashes)").as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${numBands - 1}), b -> concat_ws(':', " +
+            s"transform(slice(sig, b * $bandRows + 1, $bandRows), " +
+            "x -> CAST(x AS STRING))))"))
+          .as(Seq("band", "bucket")))
+    (sets, bands)
+  }
+
+  /** All committed sets / bands of version `v` (base + committed fold
+    * deltas) — orphan delta dirs are invisible, the marker is the commit.
+    */
+  private def readCommitted(
+      spark: SparkSession, dir: String, name: String, v: Int,
+      sub: String): DataFrame = {
+    val roots = (if (sub == "sets") setsPath(dir, name, v)
+      else bandsPath(dir, name, v)) +:
+      committedFolds(spark, dir, name, v)
+        .map(g => s"${deltaPath(dir, name, v, g)}/$sub")
+    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Sign + band + write (uncommitted) version `version` from `docs`,
+    * dropping any orphan dir a failed predecessor left.
+    */
+  private def writeVersion(
+      spark: SparkSession, sets: DataFrame, bands: DataFrame, dir: String,
+      name: String, k: Int, numHashes: Int, bandRows: Int,
+      version: Int): Unit = {
+    graft.io.VersionPointer.dropDir(
+      spark, s"${layoutDir(dir, name)}/v$version")
+    import spark.implicits._
+    Seq((k, numHashes, bandRows)).toDF("k", "num_hashes", "band_rows")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(paramsPath(dir, name, version))
+    sets.write.mode("errorifexists").parquet(setsPath(dir, name, version))
+    bands.write.mode("errorifexists").parquet(bandsPath(dir, name, version))
+  }
+
+  /** Sign + index `corpus` as version 1 (or N+1 — a manual rebuild). */
+  def build(
+      spark: SparkSession, corpus: DataFrame, dir: String, name: String,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 128,
+      bandRows: Int = 2): Unit = {
+    require(numHashes % bandRows == 0,
+      s"numHashes ($numHashes) must be divisible by bandRows ($bandRows)")
+    graft.functions.VectorExpressions.register(spark)
+    val v = currentVersion(spark, dir, name).getOrElse(0) + 1
+    val (sets, bands) =
+      signAndBand(corpus, idCol, textCol, k, numHashes, bandRows)
+    writeVersion(spark, sets, bands, dir, name, k, numHashes, bandRows, v)
+    graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
+    if (v > 1)
+      graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v${v - 1}")
+    ()
+  }
+
+  /** The incremental pair algebra shared by [[fold]] and
+    * [[pairsAgainst]]: candidates = fresh bands ⋈ (prior ∪ fresh) bands
+    * (ids only, canonical unordered form — fresh×fresh pairs meet twice
+    * and collapse), verified with the exact integer Jaccard via the
+    * family's exploded-hash overlap join.
+    */
+  private def pairsOf(
+      setsI: DataFrame, bandsI: DataFrame, priorSets: DataFrame,
+      priorBands: DataFrame, thresholdNum: Int,
+      thresholdDen: Int): DataFrame = {
+    val cands = bandsI.select(col("doc_id").as("id_n"),
+        col("band"), col("bucket"))
+      .join(priorBands.unionByName(bandsI)
+        .select(col("doc_id").as("id_o"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    Dedup.withOverlapExploded(cands, priorSets.unionByName(setsI))
+      .filter(col("inter_size") * thresholdDen >=
+        col("union_size") * thresholdNum)
+  }
+
+  /** READ-ONLY preview of an ingest batch against the index: every
+    * qualifying near-dup pair involving ≥ 1 `fresh` doc, under the
+    * index's frozen banding scheme — nothing is written or committed
+    * (the admission check a pipeline runs before deciding what to keep;
+    * [[fold]] is the committing form). The fresh side is signed once and
+    * lineage-cut so the candidate and verify legs can't re-shingle it.
+    */
+  def pairsAgainst(
+      spark: SparkSession, fresh: DataFrame, dir: String, name: String,
+      idCol: String, textCol: String, thresholdNum: Int = 7,
+      thresholdDen: Int = 10): DataFrame = {
+    val v = requireVersion(spark, dir, name)
+    graft.functions.VectorExpressions.register(spark)
+    val (k, numHashes, bandRows) = readParams(spark, dir, name, v)
+    val (setsI0, bandsI0) =
+      signAndBand(fresh, idCol, textCol, k, numHashes, bandRows)
+    val setsI = setsI0.localCheckpoint()
+    val bandsI = bandsI0.localCheckpoint()
+    pairsOf(setsI, bandsI,
+      readCommitted(spark, dir, name, v, "sets"),
+      readCommitted(spark, dir, name, v, "bands"),
+      thresholdNum, thresholdDen)
+  }
+
+  /** Fold an ingest batch: sign ONLY `fresh`, return every qualifying
+    * near-dup pair involving ≥ 1 fresh doc (verified with the exact
+    * integer Jaccard at `thresholdNum/thresholdDen`), and commit the
+    * fresh (sets, bands) delta so later batches join against it. The
+    * returned frame is computed from the delta just written plus the
+    * PREVIOUSLY committed state — stable against concurrent readers.
+    * Pairs where BOTH sides are fresh appear once (canonical unordered
+    * form).
+    */
+  def fold(
+      spark: SparkSession, fresh: DataFrame, dir: String, name: String,
+      idCol: String, textCol: String, thresholdNum: Int = 7,
+      thresholdDen: Int = 10): DataFrame = {
+    val v = requireVersion(spark, dir, name)
+    graft.functions.VectorExpressions.register(spark)
+    val (k, numHashes, bandRows) = readParams(spark, dir, name, v)
+    // committed state BEFORE this fold — the join targets
+    val priorSets = readCommitted(spark, dir, name, v, "sets")
+    val priorBands = readCommitted(spark, dir, name, v, "bands")
+    val g = committedFolds(spark, dir, name, v).lastOption.getOrElse(0L) + 1L
+    val (setsI, bandsI) =
+      signAndBand(fresh, idCol, textCol, k, numHashes, bandRows)
+    // overwrite mode: a retry of a crashed fold recomputes the same
+    // generation and replaces the orphan before committing
+    setsI.write.mode("overwrite")
+      .parquet(s"${deltaPath(dir, name, v, g)}/sets")
+    bandsI.write.mode("overwrite")
+      .parquet(s"${deltaPath(dir, name, v, g)}/bands")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${foldsDir(dir, name, v)}/g$g.ok")
+    val f = fs(spark, marker.toString)
+    val out = f.create(marker, false)
+    try out.write("ok".getBytes("UTF-8")) finally out.close()
+    // pairs off the JUST-WRITTEN delta (read back — not the lineage of
+    // the input frame, so the verify never re-signs fresh docs) against
+    // prior committed state
+    val setsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/sets")
+    val bandsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/bands")
+    pairsOf(setsW, bandsW, priorSets, priorBands,
+      thresholdNum, thresholdDen)
+  }
+
+  /** Compact the delta dirs back into one base at version N+1 — a pure
+    * rewrite of already-signed rows (nothing re-shingles), pointer
+    * promote, GC of version N. The amortized cleanup once fold deltas
+    * accumulate (the MOR compaction tradeoff).
+    */
+  def compact(
+      spark: SparkSession, dir: String, name: String): Unit = {
+    val v = requireVersion(spark, dir, name)
+    val (k, numHashes, bandRows) = readParams(spark, dir, name, v)
+    // materialize before the promote: the lazy plans read version v,
+    // which is GC'd right after
+    val sets = readCommitted(spark, dir, name, v, "sets").localCheckpoint()
+    val bands = readCommitted(spark, dir, name, v, "bands").localCheckpoint()
+    writeVersion(spark, sets, bands, dir, name, k, numHashes, bandRows, v + 1)
+    graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v + 1)
+    graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
+    ()
+  }
+}

@@ -861,6 +861,142 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val q313Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q313 dedup index once per (JVM, sf dir): build on the
+    * doc_id % 3 == 1 slice, fold the % 3 == 2 slice as committed delta
+    * g1 — so the gate query's read path crosses base + delta + fresh.
+    */
+  private def stageQ313(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q313Staging.getOrStage(dir) {
+      import graft.ext.DedupIndex
+      val idxDir = QuerySpec.stagedPath("q313_index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      new java.io.File(idxDir).mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+        idxDir, "docs", "doc_id", "text",
+        k = 3, numHashes = 128, bandRows = 2)
+      DedupIndex.fold(spark, docs.filter(col("doc_id") % 3 === 2),
+        idxDir, "docs", "doc_id", "text").count()
+      idxDir
+    }
+
+  /** Persisted dedup-index lifecycle
+    * ([[graft.ext.DedupIndex]] — the q271 AnnIndex discipline applied to
+    * the MinHash family): the index is built on one corpus slice, a
+    * second slice folds in as a committed marker-gated delta, and the
+    * gate queries the third slice READ-ONLY against base + delta + fresh
+    * ([[graft.ext.DedupIndex.pairsAgainst]], the admission check). The
+    * maintained result must equal the one-shot q18 definition restricted
+    * to fresh involvement — same fused signature expr, same banding,
+    * same exact integer verify regardless of which generation signed
+    * each side — so the oracle is q18's EXHAUSTIVE all-pairs SQL with
+    * the fresh-involvement filter.
+    */
+  val q313DedupIndex: QuerySpec = QuerySpec.oracled(
+    "q313_dedup_index",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter_size, union_size FROM p
+       |WHERE inter_size * 10 >= union_size * 7
+       |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val idxDir = stageQ313(spark, dir)
+    graft.ext.DedupIndex.pairsAgainst(spark,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0),
+      idxDir, "docs", "doc_id", "text",
+      thresholdNum = 7, thresholdDen = 10)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .orderBy("id_a", "id_b")
+  }.withSetup((s, d) => { stageQ313(s, d); () })
+
+  private val q314Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the % 3 == 2 slice as two flat parquet files — the q314
+    * micro-batch feed (oldest-first file source, one file per trigger).
+    */
+  private def stageQ314(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q314Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q314_docs", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val d2 = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 2)
+      d2.filter(col("doc_id") % 6 === 2).coalesce(1)
+        .write.parquet(s"$staged/00")
+      QuerySpec.flattenPart(spark, staged.toString, "00", "a.parquet")
+      d2.filter(col("doc_id") % 6 === 5).coalesce(1)
+        .write.parquet(s"$staged/01")
+      QuerySpec.flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** q313's persisted dedup index MAINTAINED over a real micro-batch
+    * stream: build on the % 3 == 1 slice, then each streamed micro-batch
+    * of new docs FOLDS via `foreachBatch` (delta-sized sign+write per
+    * trigger, marker-gated commits), and the gate previews the % 3 == 0
+    * slice read-only against the final state. Folds are append-only
+    * under a frozen banding scheme, so the maintained index is
+    * independent of fold slicing and equals q313's batch-built state
+    * EXACTLY — same oracle SQL (the q256/q281 stream ≡ batch discipline
+    * applied to the dedup artifact).
+    */
+  val q314DedupIndexStream: QuerySpec = QuerySpec.oracled(
+    "q314_dedup_index_stream",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter_size, union_size FROM p
+       |WHERE inter_size * 10 >= union_size * 7
+       |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    import graft.ext.DedupIndex
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ314(spark, dir)
+    val idxDir = QuerySpec.stagedPath("q314_index", dir)
+    val ckpt = QuerySpec.stagedPath("q314_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    new java.io.File(idxDir).mkdirs()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    DedupIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+      idxDir, "docs", "doc_id", "text",
+      k = 3, numHashes = 128, bandRows = 2)
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q314_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q314_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DedupIndex.fold(batch.sparkSession, batch, idxDir, "docs",
+          "doc_id", "text")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    DedupIndex.pairsAgainst(spark,
+      docs.filter(col("doc_id") % 3 === 0),
+      idxDir, "docs", "doc_id", "text",
+      thresholdNum = 7, thresholdDen = 10)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .orderBy("id_a", "id_b")
+  }.withSetup((s, d) => { stageQ314(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
@@ -868,7 +1004,8 @@ object DedupQueries {
       q172SortedNeighborhood, q177DupSpans, q196DedupAblation,
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
-      q306ExactSubstrCurve, q309ApssCosine)
+      q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
+      q314DedupIndexStream)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its
