@@ -1011,6 +1011,66 @@ object TextStats {
     * weight constants — the evaluation plan (narrow projection, zero
     * shuffles) is the part that matters at 100 TB.
     */
+  /** Per-term corpus dispersion (Gries 2008, "Dispersions and adjusted
+    * frequencies in corpora" — the DP measure): is a term spread across
+    * the corpus parts in proportion to their sizes, or bursty in a few?
+    * `DP = ½·Σ_parts |observed share − expected share|` ∈ [0, 1) — 0 for
+    * perfectly proportional terms, → 1 for terms concentrated in tiny
+    * parts. High-frequency-but-bursty terms (boilerplate, markup,
+    * source-specific tics) rank high; a frequency cut alone cannot see
+    * them, which is why curation pipelines audit dispersion separately.
+    *
+    * Exact integer form: with part totals `t_s` (Σ = T) and term counts
+    * `c_ws` (Σ over parts = c_w), each |o − e| term is
+    * `|c_ws·T − t_s·c_w| / (c_w·T)`; parts where the term is ABSENT
+    * contribute `t_s·c_w` to the same numerator (c_ws = 0), so the full
+    * absent-part sum folds to ONE closed term `c_w·(T − Σ_present t_s)`
+    * — no (term × part) cross join ever materializes. The result is
+    * `dp_ppm = numerator·500000 div (c_w·T)`, exact while
+    * `c_w·T·10⁶ < 2⁶³` (corpus parts to ~3M tokens at gate scale; a
+    * 100 TB run pre-divides shares to ppm first).
+    *
+    * Output: the `topK` highest-DP terms at corpus count ≥ `minCount`
+    * (ties dp desc, then count desc, then term). Scale shape: two
+    * partial-aggregated shuffles ((part, term) then term), a broadcast
+    * part-totals join, one TakeOrdered.
+    */
+  def termDispersion(
+      docs: DataFrame,
+      textCol: String,
+      partCol: String,
+      minCount: Long = 50L,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && minCount >= 1,
+      s"termDispersion: topK ($topK) and minCount ($minCount) must be >= 1")
+    val tok = docs.select(col(partCol).as("part"),
+      explode(tokensCol(textCol)).as("tok"))
+    val cws = tok.groupBy("part", "tok").agg(count(lit(1)).as("c_ws"))
+    val ts = tok.groupBy("part").agg(count(lit(1)).as("t_s"))
+    val tot = ts.agg(sum("t_s").as("t"))
+    // pass 1: per-term corpus totals (needed inside the |o−e| numerator)
+    val cw = cws.groupBy("tok").agg(sum("c_ws").as("c_w"))
+    // pass 2: present-part numerator + closed absent-part term
+    cws
+      .join(broadcast(ts), "part")
+      .join(cw, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("tok")
+      .agg(first("c_w").as("c"),
+        count(lit(1)).as("n_parts"),
+        first("t").as("__t"),
+        sum("t_s").as("__pres"),
+        sum(abs(col("c_ws") * col("t") - col("t_s") * col("c_w")))
+          .as("__num_present"))
+      .filter(col("c") >= minCount)
+      .withColumn("__num",
+        col("__num_present") + col("c") * (col("__t") - col("__pres")))
+      .withColumn("dp_ppm", expr("__num * 500000 div (c * __t)"))
+      .select("tok", "c", "n_parts", "dp_ppm")
+      .orderBy(col("dp_ppm").desc, col("c").desc, col("tok"))
+      .limit(topK)
+  }
+
   /** Calibration reliability report (Guo et al. 2017, "On Calibration of
     * Modern Neural Networks" — the ECE binning): is the q233 linear
     * quality classifier's confidence honest? Per confidence bin:

@@ -3265,6 +3265,48 @@ object TextQueries {
       .orderBy("merge_rank")
   }
 
+  /** Per-term corpus dispersion ([[graft.ext.TextStats.termDispersion]]
+    * — Gries 2008 DP): the top-20 burstiest terms (count ≥ 50) across
+    * `source` parts, `DP = ½·Σ|observed − expected share|` in exact
+    * integer ppm — present parts via one cross-multiplied numerator,
+    * absent parts folded to a single closed term (no term×part grid).
+    * The burstiness audit beside the frequency ladder (q94/q117) and the
+    * per-source Gini (q147).
+    */
+  val q315TermDispersion: QuerySpec = QuerySpec.oracled(
+    "q315_term_dispersion",
+    s"""WITH tok AS (
+       |  SELECT source AS part, unnest($toksSql) AS tok FROM documents),
+       |cws AS (
+       |  SELECT part, tok, CAST(count(*) AS BIGINT) AS c_ws FROM tok
+       |  GROUP BY 1, 2),
+       |ts AS (
+       |  SELECT part, CAST(count(*) AS BIGINT) AS t_s FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM ts),
+       |cw AS (
+       |  SELECT tok, CAST(sum(c_ws) AS BIGINT) AS c_w FROM cws GROUP BY 1),
+       |a AS (
+       |  SELECT cws.tok, any_value(cw.c_w) AS c,
+       |    CAST(count(*) AS BIGINT) AS n_parts,
+       |    any_value(tot.t) AS t, CAST(sum(ts.t_s) AS BIGINT) AS pres,
+       |    CAST(sum(abs(cws.c_ws * tot.t - ts.t_s * cw.c_w)) AS BIGINT)
+       |      AS nump
+       |  FROM cws JOIN ts USING (part) JOIN cw USING (tok) CROSS JOIN tot
+       |  GROUP BY cws.tok),
+       |b AS (
+       |  SELECT tok, c, n_parts, nump + c * (t - pres) AS num, c * t AS den
+       |  FROM a WHERE c >= 50)
+       |SELECT tok, CAST(c AS BIGINT) AS c,
+       |  CAST(n_parts AS BIGINT) AS n_parts,
+       |  CAST(num * 500000 // den AS BIGINT) AS dp_ppm
+       |FROM b
+       |ORDER BY dp_ppm DESC, c DESC, tok LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+      TextStats.termDispersion(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        textCol = "text", partCol = "source", minCount = 50L, topK = 20)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3285,5 +3327,5 @@ object TextQueries {
       q291CrossEntropySelect, q292PiiAudit, q296PackingCurve,
       q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
-      q312WordpieceMerges)
+      q312WordpieceMerges, q315TermDispersion)
 }
