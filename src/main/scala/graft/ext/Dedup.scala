@@ -861,7 +861,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       thresholdPermil: Int,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    apssScored(docs, idCol, textCol, thresholdPermil, k)
+      .select(col("doc_a"), col("doc_b"), col("overlap"),
+        col("n_a"), col("n_b"),
+        floor(col("overlap").cast("double") * 1e9 /
+          sqrt((col("n_a") * col("n_b")).cast("double")) + lit(0.5))
+          .cast("long").as("cos_ppb"))
+
+  /** [[apssCosinePairs]]' core: prefix-filtered candidates + exact
+    * integer verification, returning (doc_a, doc_b, overlap, n_a, n_b)
+    * for every pair at cosine ≥ threshold — shared with
+    * [[apssCosineCurve]], which reuses ONE loosest-rung pass for every
+    * ladder step.
+    */
+  private def apssScored(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPermil: Int,
+      k: Int): DataFrame = {
     require(thresholdPermil >= 1 && thresholdPermil <= 1000,
       s"apssCosinePairs: thresholdPermil must be in [1, 1000], " +
         s"got $thresholdPermil")
@@ -893,10 +912,51 @@ object Dedup {
       .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .filter(col("overlap") * col("overlap") * 1000000L >=
         lit(tpm2) * col("n_a") * col("n_b"))
-      .select(col("doc_a"), col("doc_b"), col("overlap"),
-        col("n_a"), col("n_b"),
-        floor(col("overlap").cast("double") * 1e9 /
-          sqrt((col("n_a") * col("n_b")).cast("double")) + lit(0.5))
-          .cast("long").as("cos_ppb"))
+  }
+
+  /** Cosine threshold-sensitivity curve — the audit a practitioner runs
+    * BEFORE picking an APSS threshold (the q236 jaccard-curve discipline
+    * applied to [[apssCosinePairs]]): per candidate threshold, how many
+    * pairs qualify and how many documents they touch. ONE loosest-rung
+    * prefix-filtered pass feeds every ladder step (the prefix filter at
+    * `min(thresholds)` is lossless for every tighter rung by
+    * monotonicity), then each rung is one cross-multiplied integer
+    * filter over the |pairs at min|-row scored table.
+    */
+  def apssCosineCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdsPermil: Seq[Int],
+      k: Int = 3): DataFrame = {
+    require(thresholdsPermil.nonEmpty &&
+      thresholdsPermil.forall(t => t >= 1 && t <= 1000),
+      s"thresholdsPermil must be in [1, 1000], got $thresholdsPermil")
+    require(thresholdsPermil.distinct.size == thresholdsPermil.size,
+      s"thresholdsPermil must be distinct (a duplicate rung would " +
+        s"double-count n_pairs), got $thresholdsPermil")
+    // pairs-at-loosest-rung is tiny (the whole point of the threshold);
+    // cut the deep prefix-filter lineage so the two rollups below don't
+    // each re-run candidate generation
+    val scored = apssScored(docs, idCol, textCol, thresholdsPermil.min, k)
+      .localCheckpoint()
+    val ladder = thresholdsPermil.map(t => s"($t)").mkString(", ")
+    val qual = scored
+      .crossJoin(broadcast(docs.sparkSession.sql(
+        s"SELECT * FROM VALUES $ladder AS t(threshold_permil)")))
+      .filter(col("overlap") * col("overlap") * 1000000L >=
+        col("threshold_permil") * col("threshold_permil") *
+          col("n_a") * col("n_b"))
+      .select(col("threshold_permil").cast("long").as("threshold_permil"),
+        col("doc_a"), col("doc_b"))
+    val pairCounts = qual.groupBy("threshold_permil")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = qual
+      .select(col("threshold_permil"),
+        explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .groupBy("threshold_permil")
+      .agg(countDistinct("id").as("n_docs"))
+    pairCounts.join(docCounts, "threshold_permil")
+      .orderBy("threshold_permil")
   }
 }

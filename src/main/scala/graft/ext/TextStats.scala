@@ -704,6 +704,148 @@ object TextStats {
         expr("backoff_bits * 1000 div n_trigrams"))
   }
 
+  /** Per-document LANGUAGE SEGMENTATION (the multilingual-document
+    * splitter — CCNet/RefinedWeb pipelines route paragraphs, not whole
+    * docs, when languages mix): fixed `window`-token chunks are
+    * language-identified independently with the [[LangMarkers]]
+    * distinct-marker score (q23's rule, applied per chunk: argmax with
+    * declaration-order ties; zero-marker chunks default to the first
+    * language), then CONSECUTIVE same-language chunks merge into spans
+    * via the gaps-and-islands running sum. A doc with >1 span is a
+    * mixed-language doc and the spans are the split points.
+    *
+    * Everything is integers and strings — marker hits, chunk argmax,
+    * lag-based span boundaries — so the whole segmentation replays in
+    * SQL. Scale shape: one token explode (narrow), a broadcast marker
+    * join, one (doc, chunk)-keyed aggregate, two per-doc windows over
+    * chunk-sized rows (bounded by n_tokens/window per doc).
+    */
+  def langSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16): DataFrame = {
+    require(window >= 1, s"langSpans: window must be >= 1, got $window")
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val toks = filter(tokensCol(textCol), t => t =!= "")
+    val tok = docs
+      .select(col(idCol), posexplode(toks).as(Seq("__p", "__tok")))
+      .withColumn("__chunk", expr(s"__p div $window"))
+    val universe = tok.select(col(idCol), col("__chunk")).distinct()
+    val markers = broadcast(
+      LangMarkers.zipWithIndex
+        .flatMap { case ((lang, ms), i) => ms.map(m => (lang, i, m)) }
+        .toDF("lang", "__prio", "__tok"))
+    val scores = tok.join(markers, "__tok")
+      .select(col(idCol), col("__chunk"), col("lang"), col("__prio"),
+        col("__tok"))
+      .distinct() // DISTINCT markers present — q23's scoring rule
+      .groupBy(col(idCol), col("__chunk"), col("lang"), col("__prio"))
+      .agg(count(lit(1)).as("__score"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__chunk"))
+      .orderBy(col("__score").desc, col("__prio"))
+    val best = scores
+      .withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__chunk"), col("lang"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__chunk"))
+    universe.join(best, Seq(idCol, "__chunk"), "left")
+      .withColumn("lang", coalesce(col("lang"), lit(LangMarkers.head._1)))
+      .withColumn("__new",
+        when(lag(col("lang"), 1).over(dw).isNull ||
+          lag(col("lang"), 1).over(dw) =!= col("lang"), 1L).otherwise(0L))
+      .withColumn("span_idx", sum(col("__new")).over(dw))
+      .groupBy(col(idCol), col("span_idx"), col("lang"))
+      .agg(min("__chunk").as("chunk_from"),
+        max("__chunk").as("chunk_to"),
+        count(lit(1)).as("n_chunks"))
+      .select(col(idCol), col("span_idx"), col("lang"),
+        col("chunk_from").cast("long").as("chunk_from"),
+        col("chunk_to").cast("long").as("chunk_to"),
+        col("n_chunks"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §3) in EXACT rational
+    * arithmetic — the principled-smoothing member of the LM-scoring
+    * family beside stupid backoff ([[trigramBackoffBits]]): instead of a
+    * fixed per-level penalty, probability mass is absolutely DISCOUNTED
+    * from seen bigrams and redistributed over the continuation
+    * distribution (how many distinct left contexts a word follows — the
+    * "San Francisco" correction: "francisco" is frequent but follows
+    * almost nothing, so its unigram weight should be tiny).
+    *
+    * Discount D = 1/2 (a power of two, so every probability is one exact
+    * rational; the paper's corpus-fit D is a free constant):
+    *
+    *   p(w|u) = (2·c(uw) − 1)/(2·c(u)) + (N₁₊(u·)/(2·c(u)))·p_cont(w)
+    *   p_cont(w) = N₁₊(·w)/N₁₊(··)
+    *
+    * over ONE common denominator `2·c(u)·N₁₊(··)`, giving integer
+    * numerator `(2·c(uw) − 1)·N₁₊(··) + N₁₊(u·)·N₁₊(·w)` for seen
+    * bigrams; unseen bigrams drop the first term; an unseen CONTEXT
+    * backs off to p_cont alone; numerators floor at 1 (the add-one
+    * discipline, so a fully-unseen word scores the ceiling, not ∞).
+    * Position cost is whole-bits surprisal via the repo's
+    * `length(bin(den div num)) − 1` integer-log₂ — no float anywhere,
+    * so TRAINING + SCORING replay as oracle CTEs.
+    *
+    * Counts come from a TRAIN corpus split from the scored docs (q276's
+    * discipline). Exact while `numerator·2⁶³⁻ safe`: bigram-type totals
+    * to ~10⁹ at the gate corpus scale. Scale shape: one bigram explode
+    * per side, four vocab-sized map-side-combinable aggregates, scoring
+    * is string-keyed equi-joins + a 1-row broadcast.
+    */
+  def knBigramBits(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = filter(tokensCol(textCol), t => t =!= "")
+    def bgRows(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ toks.as("toks"): _*)
+      .filter(size(col("toks")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS u, toks[i + 1] AS w))")).as("b"): _*)
+      .select(keep :+ col("b.u").as("u") :+ col("b.w").as("w"): _*)
+    val tBg = bgRows(train, Nil)
+    val cuw = tBg.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val cu = tBg.groupBy("u").agg(count(lit(1)).as("c_u"),
+      countDistinct("w").as("n1_u")) // N₁₊(u·): distinct continuations
+    val nleft = cuw.groupBy("w").agg(count(lit(1)).as("n1_w")) // N₁₊(·w)
+    val ntot = cuw.agg(count(lit(1)).as("n_types")) // N₁₊(··)
+    bgRows(docs, Seq(col(idCol)))
+      .join(cuw, Seq("u", "w"), "left")
+      .join(cu, Seq("u"), "left")
+      .join(nleft, Seq("w"), "left")
+      .crossJoin(broadcast(ntot))
+      .select(col(idCol),
+        when(col("c_uw").isNotNull, lit(0L))
+          .when(col("c_u").isNotNull, lit(1L)).otherwise(lit(2L)).as("lvl"),
+        // num/den of p(w|u) over the common denominator per case
+        when(col("c_uw").isNotNull,
+          (col("c_uw") * 2 - 1) * col("n_types") +
+            col("n1_u") * coalesce(col("n1_w"), lit(0L)))
+          .when(col("c_u").isNotNull,
+            col("n1_u") * coalesce(col("n1_w"), lit(0L)))
+          .otherwise(coalesce(col("n1_w"), lit(0L))).as("__num0"),
+        when(col("c_u").isNotNull, col("c_u") * 2 * col("n_types"))
+          .otherwise(col("n_types")).as("__den"))
+      .withColumn("__num", greatest(col("__num0"), lit(1L)))
+      .withColumn("bits",
+        (length(bin(expr("__den div __num"))) - 1).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_backed"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_novel_ctx"),
+        sum("bits").as("kn_bits"))
+      .withColumn("avg_millibits",
+        expr("kn_bits * 1000 div n_bigrams"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020: head /
     * middle / tail language tertiles of LM perplexity — the filter that
     * decides which crawl slice trains and which gets dropped): every doc

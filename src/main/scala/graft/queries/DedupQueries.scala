@@ -997,6 +997,56 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }.withSetup((s, d) => { stageQ314(s, d); () })
 
+  /** APSS threshold-sensitivity curve
+    * ([[graft.ext.Dedup.apssCosineCurve]] — the q236 audit discipline
+    * applied to the exact cosine join): pairs/docs qualifying at
+    * 0.45 / 0.90 / 0.95 / 0.99, one loosest-rung prefix-filtered pass
+    * feeding every rung (lossless by monotonicity). The oracle is the
+    * brute per-rung definition; the planted near-dup families separate
+    * only at the top rungs — the curve's knee IS the planted signal.
+    */
+  val q317ApssCurve: QuerySpec = QuerySpec.oracled(
+    "q317_apss_curve",
+    s"""$shingleCte,
+       |nn AS (
+       |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n FROM hs),
+       |tc AS (SELECT doc_id, unnest(h) AS h FROM hs),
+       |ov AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tc a JOIN tc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT ov.doc_a, ov.doc_b, ov.c, na.n AS n_a, nb.n AS n_b
+       |  FROM ov
+       |  JOIN nn na ON ov.doc_a = na.doc_id
+       |  JOIN nn nb ON ov.doc_b = nb.doc_id),
+       |lad AS (SELECT * FROM (VALUES (450), (900), (950), (990))
+       |  AS t(threshold_permil)),
+       |q AS (
+       |  SELECT lad.threshold_permil, j.doc_a, j.doc_b
+       |  FROM j CROSS JOIN lad
+       |  WHERE j.c * j.c * 1000000 >=
+       |    lad.threshold_permil * lad.threshold_permil * j.n_a * j.n_b),
+       |p2 AS (
+       |  SELECT threshold_permil, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM q GROUP BY 1),
+       |d2 AS (
+       |  SELECT threshold_permil, CAST(count(DISTINCT id) AS BIGINT)
+       |    AS n_docs
+       |  FROM (SELECT threshold_permil, unnest([doc_a, doc_b]) AS id
+       |        FROM q)
+       |  GROUP BY 1)
+       |SELECT CAST(p2.threshold_permil AS BIGINT) AS threshold_permil,
+       |  p2.n_pairs, d2.n_docs
+       |FROM p2 JOIN d2 USING (threshold_permil)
+       |ORDER BY threshold_permil""".stripMargin) { (spark, dir) =>
+    graft.ext.Dedup.apssCosineCurve(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      idCol = "doc_id", textCol = "text",
+      thresholdsPermil = Seq(450, 900, 950, 990))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
@@ -1005,7 +1055,7 @@ object DedupQueries {
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
-      q314DedupIndexStream)
+      q314DedupIndexStream, q317ApssCurve)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

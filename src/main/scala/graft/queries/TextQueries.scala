@@ -3307,6 +3307,130 @@ object TextQueries {
         textCol = "text", partCol = "source", minCount = 50L, topK = 20)
   }
 
+  /** Interpolated Kneser–Ney bigram scoring
+    * ([[graft.ext.TextStats.knBigramBits]] — Kneser & Ney 1995, the
+    * interpolated Chen & Goodman form at D = 1/2): counts train on the
+    * even-id half, all docs score; every probability is ONE exact
+    * rational (seen-bigram discount + continuation mass over a common
+    * denominator), position cost is the repo's integer-log₂ whole-bits
+    * surprisal. The principled-smoothing sibling of q276's stupid
+    * backoff — continuation counts are what it adds (the "francisco"
+    * correction), visible in the lvl split the gate reports.
+    */
+  val q316KnBigram: QuerySpec = QuerySpec.oracled(
+    "q316_kn_bigram",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, toks[t.p + 1] AS u, toks[t.p + 2] AS w
+       |  FROM tk, UNNEST(range(len(toks) - 1)) AS t(p)),
+       |tb AS (SELECT u, w FROM bg WHERE doc_id % 2 = 0),
+       |cuw AS (
+       |  SELECT u, w, CAST(count(*) AS BIGINT) AS c_uw FROM tb
+       |  GROUP BY 1, 2),
+       |cu AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS c_u,
+       |    CAST(count(DISTINCT w) AS BIGINT) AS n1_u
+       |  FROM tb GROUP BY 1),
+       |nleft AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n1_w FROM cuw GROUP BY 1),
+       |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM cuw),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    CASE WHEN cuw.c_uw IS NOT NULL THEN 0
+       |         WHEN cu.c_u IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+       |    greatest(CASE
+       |        WHEN cuw.c_uw IS NOT NULL THEN
+       |          (cuw.c_uw * 2 - 1) * ntot.n_types +
+       |            cu.n1_u * coalesce(nleft.n1_w, 0)
+       |        WHEN cu.c_u IS NOT NULL THEN
+       |          cu.n1_u * coalesce(nleft.n1_w, 0)
+       |        ELSE coalesce(nleft.n1_w, 0) END, 1) AS num,
+       |    CASE WHEN cu.c_u IS NOT NULL THEN cu.c_u * 2 * ntot.n_types
+       |         ELSE ntot.n_types END AS den
+       |  FROM bg
+       |  LEFT JOIN cuw ON bg.u = cuw.u AND bg.w = cuw.w
+       |  LEFT JOIN cu ON bg.u = cu.u
+       |  LEFT JOIN nleft ON bg.w = nleft.w
+       |  CROSS JOIN ntot),
+       |sb AS (
+       |  SELECT doc_id, lvl, length(bin(den // num)) - 1 AS bits FROM sc)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_backed,
+       |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel_ctx,
+       |  CAST(sum(bits) AS BIGINT) AS kn_bits,
+       |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |FROM sb GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.ext.TextStats.knBigramBits(
+      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-document language segmentation
+    * ([[graft.ext.TextStats.langSpans]] — the multilingual-doc splitter:
+    * 16-token chunks language-ID'd independently with q23's
+    * distinct-marker rule, consecutive same-language chunks merged into
+    * spans by the gaps-and-islands running sum). Docs with >1 span are
+    * the mixed-language routing cases. The oracle replays chunking,
+    * marker scoring, the priority argmax, and both windows — markers
+    * interpolated from the SAME Scala list the operator uses.
+    */
+  val q318LangSpans: QuerySpec = QuerySpec.oracled(
+    "q318_lang_spans",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, t.p // 16 AS chunk, toks[t.p + 1] AS tok
+       |  FROM tk, UNNEST(range(len(toks))) AS t(p)),
+       |uni AS (SELECT DISTINCT doc_id, chunk FROM tok),
+       |mk AS (SELECT * FROM (VALUES ${TextStats.LangMarkers.zipWithIndex
+              .flatMap { case ((lang, ms), i) =>
+                ms.map(m => s"('$lang', $i, '$m')") }.mkString(", ")})
+       |  AS m(lang, prio, marker)),
+       |hit AS (
+       |  SELECT DISTINCT t.doc_id, t.chunk, mk.lang, mk.prio, t.tok
+       |  FROM tok t JOIN mk ON t.tok = mk.marker),
+       |sc AS (
+       |  SELECT doc_id, chunk, lang, prio, CAST(count(*) AS BIGINT)
+       |    AS score
+       |  FROM hit GROUP BY 1, 2, 3, 4),
+       |best AS (
+       |  SELECT doc_id, chunk, lang FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY doc_id, chunk
+       |      ORDER BY score DESC, prio) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |ch AS (
+       |  SELECT uni.doc_id, uni.chunk, coalesce(best.lang, 'en') AS lang
+       |  FROM uni LEFT JOIN best USING (doc_id, chunk)),
+       |fl AS (
+       |  SELECT *, CASE WHEN lag(lang) OVER
+       |      (PARTITION BY doc_id ORDER BY chunk) IS NULL
+       |    OR lag(lang) OVER (PARTITION BY doc_id ORDER BY chunk) <> lang
+       |    THEN 1 ELSE 0 END AS nw
+       |  FROM ch),
+       |sp AS (
+       |  SELECT *, CAST(sum(nw) OVER (PARTITION BY doc_id ORDER BY chunk)
+       |    AS BIGINT) AS span_idx
+       |  FROM fl)
+       |SELECT doc_id, span_idx, lang,
+       |  CAST(min(chunk) AS BIGINT) AS chunk_from,
+       |  CAST(max(chunk) AS BIGINT) AS chunk_to,
+       |  CAST(count(*) AS BIGINT) AS n_chunks
+       |FROM sp GROUP BY doc_id, span_idx, lang
+       |ORDER BY doc_id, span_idx""".stripMargin) { (spark, dir) =>
+    TextStats.langSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      window = 16)
+      .orderBy("doc_id", "span_idx")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3327,5 +3451,6 @@ object TextQueries {
       q291CrossEntropySelect, q292PiiAudit, q296PackingCurve,
       q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
-      q312WordpieceMerges, q315TermDispersion)
+      q312WordpieceMerges, q315TermDispersion, q316KnBigram,
+      q318LangSpans)
 }

@@ -69,4 +69,32 @@ class ApssSpec extends AnyFunSuite with SparkSpec {
     val docs = (0L until 12L).map(i => i -> s"t${i % 4} u${i % 3} v${i % 5} w")
     assert(run(docs, 400, parts = 1) == run(docs, 400, parts = 7))
   }
+
+  test("curve rungs equal per-rung apssCosinePairs counts") {
+    val docs = (0L until 30L).map { i =>
+      val toks = (i until i + 12).map(j => s"w${j % 20}")
+      i -> toks.mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val curve = Dedup.apssCosineCurve(df, "doc_id", "text",
+        thresholdsPermil = Seq(300, 550, 800), k = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (t <- Seq(300, 550, 800)) {
+      val pairs = Dedup.apssCosinePairs(df, "doc_id", "text", t, k = 1)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      val expected =
+        if (pairs.isEmpty) None
+        else Some((pairs.length.toLong,
+          pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+      assert(curve.get(t.toLong) == expected, s"rung $t")
+    }
+  }
+
+  test("curve refuses duplicate rungs") {
+    intercept[IllegalArgumentException] {
+      Dedup.apssCosineCurve(Seq(1L -> "a b").toDF("doc_id", "text"),
+        "doc_id", "text", thresholdsPermil = Seq(500, 500))
+    }
+  }
 }
