@@ -935,11 +935,12 @@ object Dedup {
     require(thresholdsPermil.distinct.size == thresholdsPermil.size,
       s"thresholdsPermil must be distinct (a duplicate rung would " +
         s"double-count n_pairs), got $thresholdsPermil")
-    // pairs-at-loosest-rung is tiny (the whole point of the threshold);
-    // cut the deep prefix-filter lineage so the two rollups below don't
-    // each re-run candidate generation
+    // both rollups consume one scored subtree: the heavy upstream
+    // exchanges (df agg, prefix window, candidate join) canonicalize
+    // identically in both branches, so exchange reuse evaluates them
+    // once within the joined plan — a localCheckpoint here measured as
+    // pure overhead (its materialization barrier) across A/B runs
     val scored = apssScored(docs, idCol, textCol, thresholdsPermil.min, k)
-      .localCheckpoint()
     val ladder = thresholdsPermil.map(t => s"($t)").mkString(", ")
     val qual = scored
       .crossJoin(broadcast(docs.sparkSession.sql(
