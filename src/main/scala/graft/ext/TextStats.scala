@@ -704,6 +704,64 @@ object TextStats {
         expr("backoff_bits * 1000 div n_trigrams"))
   }
 
+  /** The ADDITIVE dataset-card rows of one document batch — the
+    * stream-maintainable subset of q191's card, designed for
+    * [[Reports.foldSummed]] on (section, item): corpus totals
+    * (docs/chars/tokens), per-language and per-source doc counts, and
+    * the quality-verdict histogram. Every row is an integer counter over
+    * per-doc-decidable rules, so per-batch cards fold EXACTLY to the
+    * whole-corpus card under any stream slicing.
+    *
+    * Deliberately absent (documented, not silent): q191's
+    * `exact_dup_docs` row — exact-dup counting needs the text-hash
+    * multiset (corpus-sized state, against the report-sized contract);
+    * a streamed pipeline gets dup accounting from the maintained dedup
+    * index (q313/q314) instead. The distinct-language/source totals are
+    * NOT folded as counters — they derive at read time from the
+    * maintained lang/source sections ([[datasetCardFinish]]).
+    */
+  def datasetCardBatch(
+      docs: DataFrame, textCol: String): DataFrame = {
+    val f = qualityFeatures(docs, textCol)
+    val corpus = f.agg(count(lit(1)).as("docs"),
+        sum("n_chars").cast("long").as("chars"),
+        sum("n_tokens").cast("long").as("tokens"))
+      .select(explode(expr(
+        "array(struct('docs' AS item, docs AS n)," +
+          " struct('chars' AS item, chars AS n)," +
+          " struct('tokens' AS item, tokens AS n))")).as("e"))
+      .select(lit("corpus").as("section"), col("e.item").as("item"),
+        col("e.n").as("n"))
+    val langs = f.groupBy(col("lang").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("lang").as("section"), col("item"), col("n"))
+    val sources = f.groupBy(col("source").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("source").as("section"), col("item"), col("n"))
+    val quality = f
+      .select(qualityVerdictExact(col("n_tokens"), col("n_uniq"),
+        "too_short", "repetitive").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .select(lit("quality").as("section"), col("item"), col("n"))
+    corpus.unionByName(langs).unionByName(sources).unionByName(quality)
+  }
+
+  /** Finish a maintained [[datasetCardBatch]] state for presentation:
+    * append the derived distinct-language/source totals (row counts of
+    * the maintained lang/source sections — exact, because those
+    * sections key by the value itself) and order deterministically.
+    */
+  def datasetCardFinish(state: DataFrame): DataFrame = {
+    val derived = state
+      .filter(col("section").isin("lang", "source"))
+      .groupBy("section").agg(count(lit(1)).as("n"))
+      .select(lit("corpus").as("section"),
+        when(col("section") === "lang", "langs").otherwise("sources")
+          .as("item"),
+        col("n"))
+    state.unionByName(derived).orderBy("section", "item")
+  }
+
   /** Per-document LANGUAGE SEGMENTATION (the multilingual-document
     * splitter — CCNet/RefinedWeb pipelines route paragraphs, not whole
     * docs, when languages mix): fixed `window`-token chunks are

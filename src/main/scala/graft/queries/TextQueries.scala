@@ -3431,6 +3431,111 @@ object TextQueries {
       .orderBy("doc_id", "span_idx")
   }
 
+  /** Stream-maintained dataset card
+    * ([[graft.ext.TextStats.datasetCardBatch]] folded by
+    * [[graft.ext.Reports.foldSummed]] — the second consumer of the
+    * generic maintained-report operator beside q301's Gopher card):
+    * per-batch additive card rows (corpus totals, per-lang / per-source
+    * counts, quality histogram) fold exactly under any stream slicing;
+    * distinct-language/source totals DERIVE from the maintained
+    * sections at read time. q191's `exact_dup_docs` row is the
+    * documented non-mergeable member (corpus-sized hash state) — dup
+    * accounting streams through the q313/q314 dedup index instead. The
+    * oracle is the batch definition over the whole corpus: stream ≡
+    * batch because integer sums are associative.
+    */
+  private val q319Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage documents (with lang + source) as two stream files for the
+    * q319 card fold.
+    */
+  private def stageQ319(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q319Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q319_docs", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "text")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$staged/00")
+      QuerySpec.flattenPart(spark, staged.toString, "00", "a.parquet")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$staged/01")
+      QuerySpec.flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  val q319DatasetCardStream: QuerySpec = QuerySpec.oracled(
+    "q319_dataset_card_stream",
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |    len($toksSql)::BIGINT AS n_tokens,
+       |    len(list_distinct($toksSql))::BIGINT AS n_uniq
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT 'corpus' AS section, x.item, x.n FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS docs,
+       |      CAST(sum(n_chars) AS BIGINT) AS chars,
+       |      CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |    FROM f) t,
+       |    LATERAL (VALUES ('docs', t.docs), ('chars', t.chars),
+       |      ('tokens', t.tokens)) x(item, n)),
+       |langs AS (
+       |  SELECT 'lang' AS section, lang AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY lang),
+       |sources AS (
+       |  SELECT 'source' AS section, source AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY source),
+       |quality AS (
+       |  SELECT 'quality' AS section,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN n_uniq * 10 < n_tokens * 3 THEN 'repetitive'
+       |         ELSE 'ok' END AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f GROUP BY 2),
+       |base AS (
+       |  SELECT * FROM corpus UNION ALL SELECT * FROM langs
+       |  UNION ALL SELECT * FROM sources UNION ALL SELECT * FROM quality),
+       |der AS (
+       |  SELECT 'corpus' AS section,
+       |    CASE WHEN section = 'lang' THEN 'langs' ELSE 'sources' END
+       |      AS item,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM base WHERE section IN ('lang', 'source') GROUP BY base.section)
+       |SELECT section, item, n FROM base
+       |UNION ALL SELECT section, item, n FROM der
+       |ORDER BY section, item""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ319(spark, dir)
+    val stateDir = QuerySpec.stagedPath("q319_state", dir)
+    val ckpt = QuerySpec.stagedPath("q319_ckpt", dir)
+    graft.ext.Reports.reset(spark, stateDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q319_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q319_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.Reports.foldSummed(
+          batch.sparkSession, stateDir,
+          TextStats.datasetCardBatch(batch, "text"),
+          keys = Seq("section", "item"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    TextStats.datasetCardFinish(
+      graft.ext.Reports.current(spark, stateDir).get)
+  }.withSetup((s, d) => { stageQ319(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3452,5 +3557,5 @@ object TextQueries {
       q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
       q312WordpieceMerges, q315TermDispersion, q316KnBigram,
-      q318LangSpans)
+      q318LangSpans, q319DatasetCardStream)
 }

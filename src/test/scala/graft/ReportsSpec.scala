@@ -87,4 +87,31 @@ class ReportsSpec extends AnyFunSuite with SparkSpec {
     assert(Reports.current(spark, dir).get
       .as[(String, Long, Long)].collect.toSeq == Seq(("a", 5L, 4L)))
   }
+
+  test("dataset card folds to the batch card under any slicing") {
+    import graft.ext.TextStats
+    val docs = (0L until 24L).map(i =>
+      (i, s"l${i % 3}", s"s${i % 2}",
+        (0 until (5 + i.toInt % 30)).map(j => s"w${(i + j) % 9}")
+          .mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long)].collect.toSeq
+    val oneShot = rows(TextStats.datasetCardFinish(
+      TextStats.datasetCardBatch(docs, "text"))
+      .orderBy("section", "item"))
+    val dir = tmpDir("rep_card")
+    Seq(0L, 1L, 2L).foreach { s =>
+      Reports.foldSummed(spark, dir,
+        TextStats.datasetCardBatch(
+          docs.filter(col("doc_id") % 3 === s), "text"),
+        keys = Seq("section", "item"))
+    }
+    val streamed = rows(TextStats.datasetCardFinish(
+      Reports.current(spark, dir).get).orderBy("section", "item"))
+    assert(streamed == oneShot && oneShot.nonEmpty)
+    // derived distincts are present and exact
+    assert(oneShot.contains(("corpus", "langs", 3L)))
+    assert(oneShot.contains(("corpus", "sources", 2L)))
+  }
 }
