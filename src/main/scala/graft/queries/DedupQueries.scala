@@ -1000,7 +1000,7 @@ object DedupQueries {
   /** APSS threshold-sensitivity curve
     * ([[graft.ext.Dedup.apssCosineCurve]] — the q236 audit discipline
     * applied to the exact cosine join): pairs/docs qualifying at
-    * 0.45 / 0.90 / 0.95 / 0.99, one loosest-rung prefix-filtered pass
+    * 0.55 / 0.90 / 0.95 / 0.99, one loosest-rung prefix-filtered pass
     * feeding every rung (lossless by monotonicity). The oracle is the
     * brute per-rung definition; the planted near-dup families separate
     * only at the top rungs — the curve's knee IS the planted signal.
@@ -1021,7 +1021,7 @@ object DedupQueries {
        |  FROM ov
        |  JOIN nn na ON ov.doc_a = na.doc_id
        |  JOIN nn nb ON ov.doc_b = nb.doc_id),
-       |lad AS (SELECT * FROM (VALUES (450), (900), (950), (990))
+       |lad AS (SELECT * FROM (VALUES (550), (900), (950), (990))
        |  AS t(threshold_permil)),
        |q AS (
        |  SELECT lad.threshold_permil, j.doc_a, j.doc_b
@@ -1044,7 +1044,7 @@ object DedupQueries {
     graft.ext.Dedup.apssCosineCurve(
       spark.read.parquet(s"$dir/documents.parquet"),
       idCol = "doc_id", textCol = "text",
-      thresholdsPermil = Seq(450, 900, 950, 990))
+      thresholdsPermil = Seq(550, 900, 950, 990))
   }
 
   val all: Seq[QuerySpec] =
