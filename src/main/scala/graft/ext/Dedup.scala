@@ -914,6 +914,65 @@ object Dedup {
         lit(tpm2) * col("n_a") * col("n_b"))
   }
 
+  /** Analytic MinHash-LSH S-curve planner (the banding analysis of
+    * Leskovec, Rajaraman & Ullman, "Mining of Massive Datasets" §3.4) —
+    * the DESIGN-side audit pairing with q215's measured calibration: for
+    * each way to split `numHashes` lanes into (rows r × bands b), the
+    * candidate probability at Jaccard similarity s is
+    * `p = 1 − (1 − s^r)^b`. The planner tabulates p over a similarity
+    * grid and scores each split by its false-positive mass below the
+    * target threshold plus false-negative mass above it, flagging the
+    * minimizer. At the default 0.7 target the BALANCED pick is r = 8
+    * (cost 1.50 vs r = 2's 11.3, which is almost all FP mass) — the
+    * family's bandRows = 2 default is the deliberate RECALL-heavy
+    * corner (fn ≈ 0: a dedup pipeline would rather verify extra
+    * candidates than miss a duplicate), and the planner quantifies
+    * exactly what that choice costs before anyone pays for a run.
+    *
+    * Exact arithmetic: s and p live in 1e9 fixed point; every power is
+    * a chain of `acc·x div 10⁹` integer multiply-floors (each product
+    * ≤ 10¹⁸ < 2⁶³), so both engines replay the whole table bit-for-bit
+    * — no pow(), no float. Grid × splits is a ~100-row frame: the
+    * computation is codegen'd HOF folds, the windows are trivial.
+    */
+  def lshPlanner(
+      spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 128,
+      rows: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      gridPct: Seq[Int] = (5 to 95 by 5),
+      targetPct: Int = 70): DataFrame = {
+    require(rows.nonEmpty && rows.forall(r => r >= 1 && numHashes % r == 0),
+      s"lshPlanner: every r must divide numHashes=$numHashes, got $rows")
+    require(rows.distinct.size == rows.size, "lshPlanner: rows distinct")
+    require(gridPct.nonEmpty && gridPct.forall(p => p >= 1 && p <= 99),
+      s"lshPlanner: grid must be in [1, 99] pct, got $gridPct")
+    require(targetPct >= 1 && targetPct <= 99, "lshPlanner: target pct")
+    import spark.implicits._
+    val S = 1000000000L
+    val splits = rows.map(r => (r, numHashes / r)).toDF("r", "b")
+    val grid = gridPct.map(p => (p, p.toLong * 10000000L)).toDF("pct", "s")
+    val powFold = (base: String, n: String) =>
+      s"IF($n = 1, $base, aggregate(transform(sequence(2, $n), " +
+        s"__x -> $base), $base, (__acc, __y) -> __acc * __y div ${S}L))"
+    val wSplit = Window.partitionBy("r", "b")
+    val wAll = Window.orderBy(col("cost_fix"), col("r"))
+    splits.crossJoin(grid)
+      .withColumn("__sr", expr(powFold("s", "r")))
+      .withColumn("__tb", expr(powFold(s"(${S}L - __sr)", "b")))
+      .withColumn("p", lit(S) - col("__tb"))
+      .withColumn("fp_fix",
+        sum(when(col("pct") < targetPct, col("p")).otherwise(0L))
+          .over(wSplit))
+      .withColumn("fn_fix",
+        sum(when(col("pct") >= targetPct, lit(S) - col("p")).otherwise(0L))
+          .over(wSplit))
+      .withColumn("cost_fix", col("fp_fix") + col("fn_fix"))
+      .withColumn("is_best", dense_rank().over(wAll) === 1)
+      .select(col("r"), col("b"), col("pct"), col("p").as("p_fix"),
+        col("fp_fix"), col("fn_fix"), col("cost_fix"), col("is_best"))
+      .orderBy("r", "pct")
+  }
+
   /** Cosine threshold-sensitivity curve — the audit a practitioner runs
     * BEFORE picking an APSS threshold (the q236 jaccard-curve discipline
     * applied to [[apssCosinePairs]]): per candidate threshold, how many

@@ -1047,6 +1047,55 @@ object DedupQueries {
       thresholdsPermil = Seq(550, 900, 950, 990))
   }
 
+  /** Analytic MinHash S-curve planner ([[graft.ext.Dedup.lshPlanner]] —
+    * MMDS §3.4 banding analysis): `p = 1 − (1 − s^r)^b` for every
+    * (rows × bands) split of 128 lanes over a 5%-step similarity grid,
+    * in exact 1e9 fixed point (powers as integer multiply-floor chains),
+    * each split scored by FP-below + FN-above the 0.7 design threshold
+    * and the minimizer flagged — the DESIGN-side twin of q215's
+    * measured calibration. The flagged balanced pick is r = 8; the
+    * family's bandRows = 2 default is the recall-heavy corner (fn ≈ 0,
+    * FP paid in candidate verification) — the planner quantifies that
+    * trade rather than hiding it.
+    */
+  val q320LshPlanner: QuerySpec = QuerySpec.oracled(
+    "q320_lsh_planner",
+    """WITH splits AS (
+      |  SELECT * FROM (VALUES (1, 128), (2, 64), (4, 32), (8, 16),
+      |    (16, 8)) t(r, b)),
+      |grid AS (
+      |  SELECT p AS pct, CAST(p * 10000000 AS BIGINT) AS s
+      |  FROM (SELECT unnest(range(5, 100, 5)) AS p)),
+      |c AS (
+      |  SELECT r, b, pct, s,
+      |    CASE WHEN r = 1 THEN s ELSE
+      |      list_reduce(list_prepend(s, list_transform(range(2, r + 1),
+      |        x -> s)), (acc, y) -> acc * y // 1000000000) END AS sr
+      |  FROM splits CROSS JOIN grid),
+      |c2 AS (
+      |  SELECT r, b, pct,
+      |    1000000000 - list_reduce(list_prepend(1000000000 - sr,
+      |      list_transform(range(2, b + 1), x -> 1000000000 - sr)),
+      |      (acc, y) -> acc * y // 1000000000) AS p
+      |  FROM c),
+      |w AS (
+      |  SELECT r, b, pct, p,
+      |    sum(CASE WHEN pct < 70 THEN p ELSE 0 END)
+      |      OVER (PARTITION BY r, b) AS fp_fix,
+      |    sum(CASE WHEN pct >= 70 THEN 1000000000 - p ELSE 0 END)
+      |      OVER (PARTITION BY r, b) AS fn_fix
+      |  FROM c2),
+      |w2 AS (SELECT *, fp_fix + fn_fix AS cost_fix FROM w)
+      |SELECT CAST(r AS INTEGER) AS r, CAST(b AS INTEGER) AS b,
+      |  CAST(pct AS INTEGER) AS pct, CAST(p AS BIGINT) AS p_fix,
+      |  CAST(fp_fix AS BIGINT) AS fp_fix,
+      |  CAST(fn_fix AS BIGINT) AS fn_fix,
+      |  CAST(cost_fix AS BIGINT) AS cost_fix,
+      |  (dense_rank() OVER (ORDER BY cost_fix, r)) = 1 AS is_best
+      |FROM w2 ORDER BY r, pct""".stripMargin) { (spark, dir) =>
+    graft.ext.Dedup.lshPlanner(spark)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q18MinhashNearDup, q19SimhashNearDup, q20NgramJaccard,
       q57DupClusters, q69ClusterSurvivor, q148Containment,
@@ -1055,7 +1104,7 @@ object DedupQueries {
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
-      q314DedupIndexStream, q317ApssCurve)
+      q314DedupIndexStream, q317ApssCurve, q320LshPlanner)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its
