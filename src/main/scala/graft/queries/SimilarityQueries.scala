@@ -1613,6 +1613,85 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One IVF probe rung of the q321 oracle: corpus in its home cell,
+    * queries probing their `p` nearest cells, exact cosine re-rank,
+    * top-5 — q44's chain with a parameterized probe width.
+    */
+  private def probeRungSql(p: Int): String =
+    s"""ap$p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM qp$p q JOIN cv c
+       |    ON list_contains(q.cells, c.cell) AND c.vec_id <> q.vec_id),
+       |ar$p AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM ap$p),
+       |at$p AS (SELECT query_id, neighbor_id FROM ar$p WHERE rank <= 5),
+       |m$p AS (
+       |  SELECT CAST($p AS INTEGER) AS probes,
+       |    CAST(count(*) AS BIGINT) AS matched
+       |  FROM ext e JOIN at$p a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)""".stripMargin
+
+  /** IVF probe-count recall curve — the standard ANN operating-point
+    * audit (the FAISS nprobe sweep): exact recall@5 of
+    * [[graft.ext.Similarity.ivfTopK]] at 1 / 2 / 4 probes against the
+    * brute-force truth, as exact integers (`recall_ppm = matched·10⁴`
+    * over 20 queries × 5). Completes the audit family: q220 measures
+    * LSH single-probe recall, q280 dimension truncation, q283 PQ
+    * re-rank budgets — this is the probe axis, the knob a production
+    * IVF deployment actually tunes. Both pipelines and the
+    * intersection replay in the oracle, so the curve is adjudicated,
+    * not sampled.
+    */
+  val q321IvfProbeCurve: QuerySpec = QuerySpec.oracled(
+    "q321_ivf_probe_curve",
+    s"""$normCte,
+       |cv AS (
+       |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
+       |    AS cell
+       |  FROM nv),
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cosine
+       |  FROM nv q JOIN nv c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |exr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM exs),
+       |ext AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= 5),
+       |${Seq(1, 2, 4).map(p =>
+            s"""qp$p AS (
+               |  SELECT vec_id, embedding, nrm,
+               |    (${ivfCellsSql("embedding")})[1:$p] AS cells
+               |  FROM nv WHERE vec_id < 20),
+               |${probeRungSql(p)}""".stripMargin).mkString(",\n")}
+       |SELECT probes, CAST(20 AS BIGINT) AS n_queries, matched,
+       |  CAST(matched * 10000 AS BIGINT) AS recall_ppm
+       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |      UNION ALL SELECT * FROM m4)
+       |ORDER BY probes""".stripMargin) { (spark, dir) =>
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    Seq(1, 2, 4).map { p =>
+      val ap = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, numCentroids = NumCentroids, dim = Dim, numProbes = p)
+        .select("query_id", "neighbor_id")
+      exact.join(ap, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("matched"))
+        .select(lit(p).as("probes"), lit(20L).as("n_queries"),
+          col("matched"), (col("matched") * 10000).as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("probes")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q21AnnBruteForce, q22AnnLsh, q31EmbeddingNearDup,
       q41EmbeddingNearDupLsh, q42AnnLshMultiprobe, q44AnnIvf,
@@ -1622,7 +1701,7 @@ object SimilarityQueries {
       q274AnnIvfPq, q279ProtoPrune, q280TruncationRecall,
       q281AnnIndexStream, q283PqRerankCurve, q286MarginMining,
       q295KCenterCoreset, q302MarginAnnExhaustive, q303MarginAnnIvf,
-      q304AnnIndexPq)
+      q304AnnIndexPq, q321IvfProbeCurve)
 
   /** ANN recall@5 audit: the LSH index's top-5 (q22 parameters) against
     * the exact brute-force top-5 per query, as exact integers — matched
