@@ -704,6 +704,76 @@ object TextStats {
         expr("backoff_bits * 1000 div n_trigrams"))
   }
 
+  /** Distributed BATCH-PERCEPTRON training of a linear quality filter
+    * (Rosenblatt 1958's rule in Collins 2002's batch form) — the
+    * LEARNED counterpart of the fixed-weight q233 classifier, with no
+    * float anywhere: features are the q233 integer columns
+    * `(1, min(n_toks, 512), stop_bp, digit_bp, upper_bp)`, labels come
+    * from the independent q232 surprisal signal
+    * (`avg_millibits < posMillibitsBelow` → +1), and each iteration
+    * updates `w ← w + Σ_misclassified y·x` — an ORDER-FREE integer sum,
+    * so the whole trajectory is deterministic under any partitioning
+    * and replays as unrolled SQL CTEs (the BPE/unigram training-oracle
+    * discipline).
+    *
+    * Output: one row per iteration — the misclassified count under the
+    * incoming weights and the UPDATED weight vector. A converging
+    * n_mis column is the training curve; the final row's weights drop
+    * into [[classifierMargin]]'s evaluation shape (zero-shuffle linear
+    * scoring) unchanged.
+    *
+    * Scale shape: the feature+label frame builds once (classifier
+    * features are a projection; the label join is q232's vocab join)
+    * and is lineage-cut; each iteration is ONE map-side-combinable
+    * aggregate with the current weights as literals. The per-iteration
+    * collect is 6 integers (the weight vector — a driver-sized model by
+    * definition, the Bpe best-pair pattern).
+    */
+  def perceptronTrain(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iters: Int = 5,
+      posMillibitsBelow: Long = 4250L): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"perceptronTrain: iters must be in [1, 50], got $iters")
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val feats = classifierMargin(docs, idCol, textCol)
+      .select(col(idCol), expr("least(n_toks, 512)").as("x1"),
+        col("stop_bp").as("x2"), col("digit_bp").as("x3"),
+        col("upper_bp").as("x4"))
+    val labels = surprisalBits(docs, idCol, textCol)
+      .select(col(idCol),
+        when(col("avg_millibits") < posMillibitsBelow, 1L)
+          .otherwise(-1L).as("y"))
+    // iterative training re-reads this frame once per iteration — the
+    // across-actions case where a lineage cut IS the right tool
+    val f = feats.join(labels, idCol).localCheckpoint()
+    var w = Array(0L, 0L, 0L, 0L, 0L)
+    val rows = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long)]
+    (1 to iters).foreach { it =>
+      val mis = expr(
+        s"y * (${w(0)}L + ${w(1)}L * x1 + ${w(2)}L * x2 + " +
+          s"${w(3)}L * x3 + ${w(4)}L * x4) <= 0")
+      val r = f.agg(
+        sum(when(mis, 1L).otherwise(0L)).as("n_mis"),
+        sum(when(mis, col("y")).otherwise(0L)).as("d0"),
+        sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("d1"),
+        sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("d2"),
+        sum(when(mis, col("y") * col("x3")).otherwise(0L)).as("d3"),
+        sum(when(mis, col("y") * col("x4")).otherwise(0L)).as("d4"))
+        .head()
+      val nMis = r.getLong(0)
+      w = Array(w(0) + r.getLong(1), w(1) + r.getLong(2),
+        w(2) + r.getLong(3), w(3) + r.getLong(4), w(4) + r.getLong(5))
+      rows += ((it, nMis, w(0), w(1), w(2), w(3), w(4)))
+    }
+    sess.createDataFrame(rows.result())
+      .toDF("iter", "n_mis", "w_bias", "w_toks", "w_stop", "w_digit",
+        "w_upper")
+  }
+
   /** The ADDITIVE dataset-card rows of one document batch — the
     * stream-maintainable subset of q191's card, designed for
     * [[Reports.foldSummed]] on (section, item): corpus totals

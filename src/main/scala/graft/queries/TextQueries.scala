@@ -3536,6 +3536,80 @@ object TextQueries {
       graft.ext.Reports.current(spark, stateDir).get)
   }.withSetup((s, d) => { stageQ319(s, d); () })
 
+  /** One batch-perceptron iteration as an oracle CTE: misclassified
+    * count + weight updates under the PREVIOUS iteration's weights
+    * (carried by cross join, grouped to stay scalar) — mirrors
+    * [[graft.ext.TextStats.perceptronTrain]]'s integer update exactly.
+    */
+  private def perceptronIterSql(i: Int): String = {
+    val m = s"y * (p.w0 + p.w1 * x1 + p.w2 * x2 + p.w3 * x3 + " +
+      s"p.w4 * x4) <= 0"
+    s"""it$i AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN $m THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+       |    p.w0 + CAST(sum(CASE WHEN $m THEN y ELSE 0 END) AS BIGINT)
+       |      AS w0,
+       |    p.w1 + CAST(sum(CASE WHEN $m THEN y * x1 ELSE 0 END)
+       |      AS BIGINT) AS w1,
+       |    p.w2 + CAST(sum(CASE WHEN $m THEN y * x2 ELSE 0 END)
+       |      AS BIGINT) AS w2,
+       |    p.w3 + CAST(sum(CASE WHEN $m THEN y * x3 ELSE 0 END)
+       |      AS BIGINT) AS w3,
+       |    p.w4 + CAST(sum(CASE WHEN $m THEN y * x4 ELSE 0 END)
+       |      AS BIGINT) AS w4
+       |  FROM fx CROSS JOIN it${i - 1} p
+       |  GROUP BY p.w0, p.w1, p.w2, p.w3, p.w4)""".stripMargin
+  }
+
+  /** Distributed batch-perceptron training of a linear quality filter
+    * ([[graft.ext.TextStats.perceptronTrain]] — Rosenblatt's rule in
+    * Collins 2002's batch form): q233's integer features, labels from
+    * the independent q232 surprisal signal, `w ← w + Σ_mis y·x` per
+    * iteration (order-free integer sums — no float, no learning-rate
+    * knob). The oracle replays TRAINING itself: five unrolled
+    * iterations, each a scalar CTE carrying the weights forward. The
+    * adjudicated artifact is the training trajectory — per-iteration
+    * misclassified counts and weights; the final weights drop into the
+    * q233 evaluation shape unchanged.
+    */
+  val q322PerceptronTrain: QuerySpec = QuerySpec.oracled(
+    "q322_perceptron_train",
+    s"""WITH f AS (
+       |  ${TextStats.classifierFeatureSql("doc_id")}),
+       |bp AS (
+       |  ${TextStats.classifierBpSql}),
+       |tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(tot.n // vc.c)) - 1 AS BIGINT) AS bits
+       |  FROM tok t JOIN vc ON t.tok = vc.tok CROSS JOIN tot),
+       |sb AS (
+       |  SELECT doc_id,
+       |    CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |  FROM sc GROUP BY doc_id),
+       |fx AS (
+       |  SELECT bp.doc_id, CAST(least(bp.n_toks, 512) AS BIGINT) AS x1,
+       |    bp.stop_bp AS x2, bp.digit_bp AS x3, bp.upper_bp AS x4,
+       |    CASE WHEN sb.avg_millibits < 4250 THEN 1 ELSE -1 END AS y
+       |  FROM bp JOIN sb USING (doc_id)),
+       |it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |  CAST(0 AS BIGINT) AS w4),
+       |${(1 to 5).map(perceptronIterSql).mkString(",\n")}
+       |${(1 to 5).map(i =>
+            s"SELECT CAST($i AS INTEGER) AS iter, n_mis, w0 AS w_bias, " +
+              s"w1 AS w_toks, w2 AS w_stop, w3 AS w_digit, w4 AS w_upper " +
+              s"FROM it$i").mkString("", "\nUNION ALL ", "")}
+       |ORDER BY iter""".stripMargin) { (spark, dir) =>
+    TextStats.perceptronTrain(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      iters = 5)
+      .orderBy("iter")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3557,5 +3631,5 @@ object TextQueries {
       q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
       q312WordpieceMerges, q315TermDispersion, q316KnBigram,
-      q318LangSpans, q319DatasetCardStream)
+      q318LangSpans, q319DatasetCardStream, q322PerceptronTrain)
 }
