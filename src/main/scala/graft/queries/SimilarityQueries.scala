@@ -42,7 +42,7 @@ object SimilarityQueries {
       }.mkString("(", " + ", ")")
 
   private val normCte =
-    s"""WITH nv AS (
+    s"""WITH nv AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings)""".stripMargin
@@ -234,8 +234,12 @@ object SimilarityQueries {
   private def ivfCellsSql(vec: String): String = {
     val dots = Similarity.centroids(NumCentroids, Dim)
       .map(planeDotSql(vec, _)).mkString("[", ", ", "]")
-    s"list_transform(list_sort(list_transform(range(1, " +
-      s"${NumCentroids + 1}), c -> [-(($dots)[c]), CAST(c - 1 AS DOUBLE)])), " +
+    // the 16×64-term dots list is the ARGUMENT of the indexed lambda, so
+    // it evaluates ONCE per row — the previous range-lambda form rebuilt
+    // it per centroid (16× per row), which alone cost ~70 s per IVF
+    // oracle at sf0.01; values and tie order are bit-identical
+    s"list_transform(list_sort(list_transform($dots, " +
+      s"(__d, __i) -> [-__d, CAST(__i - 1 AS DOUBLE)])), " +
       s"x -> CAST(x[2] AS BIGINT))"
   }
 
@@ -246,11 +250,11 @@ object SimilarityQueries {
   val q44AnnIvf: QuerySpec = QuerySpec.oracled(
     "q44_ann_ivf",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell
        |  FROM nv),
-       |qv AS (
+       |qv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1:2]
        |    AS cells
        |  FROM nv WHERE vec_id < 20),
@@ -286,7 +290,7 @@ object SimilarityQueries {
   val q55AnnIvfLloyd: QuerySpec = QuerySpec.oracled(
     "q55_ann_ivf_lloyd",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell0
        |  FROM nv),
@@ -352,7 +356,7 @@ object SimilarityQueries {
   val q271AnnIndexFold: QuerySpec = QuerySpec.oracled(
     "q271_ann_index_fold",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell0
        |  FROM nv),
@@ -422,7 +426,7 @@ object SimilarityQueries {
   val q274AnnIvfPq: QuerySpec = QuerySpec.oracled(
     "q274_ann_ivfpq",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell0
        |  FROM nv),
@@ -624,7 +628,7 @@ object SimilarityQueries {
   val q279ProtoPrune: QuerySpec = QuerySpec.oracled(
     "q279_proto_prune",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell0
        |  FROM nv),
@@ -711,7 +715,7 @@ object SimilarityQueries {
   val q281AnnIndexStream: QuerySpec = QuerySpec.oracled(
     "q281_ann_index_stream",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell0
        |  FROM nv),
@@ -914,7 +918,7 @@ object SimilarityQueries {
     "q303_margin_ann_ivf",
     s"""$normCte,
        |tv AS (SELECT vec_id, embedding, nrm FROM nv WHERE vec_id % 2 = 1),
-       |hc AS (
+       |hc AS MATERIALIZED (
        |  SELECT vec_id, embedding, (${ivfCellsSql("embedding")})[1] AS cell0
        |  FROM tv),
        |fx AS (
@@ -997,7 +1001,7 @@ object SimilarityQueries {
   val q304AnnIndexPq: QuerySpec = QuerySpec.oracled(
     "q304_ann_index_pq",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell0
        |  FROM nv),
@@ -1229,7 +1233,7 @@ object SimilarityQueries {
   val q97SemanticDedup: QuerySpec = QuerySpec.oracled(
     "q97_semantic_dedup",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell
        |  FROM nv),
@@ -1650,7 +1654,7 @@ object SimilarityQueries {
   val q321IvfProbeCurve: QuerySpec = QuerySpec.oracled(
     "q321_ivf_probe_curve",
     s"""$normCte,
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, (${ivfCellsSql("embedding")})[1]
        |    AS cell
        |  FROM nv),
@@ -1666,7 +1670,7 @@ object SimilarityQueries {
        |  FROM exs),
        |ext AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= 5),
        |${Seq(1, 2, 4).map(p =>
-            s"""qp$p AS (
+            s"""qp$p AS MATERIALIZED (
                |  SELECT vec_id, embedding, nrm,
                |    (${ivfCellsSql("embedding")})[1:$p] AS cells
                |  FROM nv WHERE vec_id < 20),
