@@ -36,9 +36,17 @@ import org.apache.spark.sql.functions._
   * are a retrain concern), and the index is single-writer (the foldMor
   * contract). [[retrain]] re-trains the quantizer over the accumulated
   * corpus (base + committed deltas) into version N+1 with a pointer
-  * promote and GC of version N — the amortized rewrite that also
-  * compacts the delta dirs back to one base, exactly the MOR compaction
-  * tradeoff.
+  * promote — the amortized rewrite that also compacts the delta dirs
+  * back to one base, exactly the MOR compaction tradeoff.
+  *
+  * Retention + time-travel (the [[graft.operators.BucketedSnapshot]]
+  * discipline): every version-producing entry ([[build]], [[retrain]],
+  * [[buildPq]], [[retrainPq]]) keeps the newest `retainVersions`
+  * (default 2) version dirs and GCs older ones, so a reader that
+  * resolved the pointer to v(N) mid-scan survives a concurrent commit
+  * of v(N+1); [[topK]]/[[topKPq]]/[[centroids]] take `atVersion` to
+  * query a retained historical version, and [[versions]] lists what is
+  * readable.
   *
   * Scale shape: build/fold cost is the assignment broadcast join (cent
   * is numCentroids rows) + a partitioned write of the delta; queries
@@ -63,6 +71,22 @@ object AnnIndex {
       spark: SparkSession, dir: String, name: String): Option[Int] =
     graft.io.VersionPointer.current(spark, layoutDir(dir, name))
 
+  /** Committed versions still inside the retention window — the
+    * time-travel targets the readers' `atVersion` accepts.
+    */
+  def versions(
+      spark: SparkSession, dir: String, name: String): Seq[Int] = {
+    val cur = currentVersion(spark, dir, name)
+    graft.io.VersionPointer.versionDirs(spark, layoutDir(dir, name))
+      .filter(v => cur.exists(v <= _))
+  }
+
+  private def resolveRead(
+      spark: SparkSession, dir: String, name: String,
+      atVersion: Option[Int]): Int =
+    graft.io.VersionPointer.resolveRead(spark, layoutDir(dir, name),
+      atVersion, s"ann index '$name' at $dir")
+
   private def commitVersion(
       spark: SparkSession, dir: String, name: String, version: Int): Unit =
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), version)
@@ -73,12 +97,13 @@ object AnnIndex {
   private def postingsPath(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/postings"
 
-  /** The frozen quantizer of the current version. */
+  /** The frozen quantizer of the current (or a retained historical)
+    * version.
+    */
   def centroids(
-      spark: SparkSession, dir: String, name: String): DataFrame = {
-    val v = currentVersion(spark, dir, name).getOrElse(
-      throw new IllegalArgumentException(
-        s"ann index '$name' at $dir does not exist — build() it first"))
+      spark: SparkSession, dir: String, name: String,
+      atVersion: Option[Int] = None): DataFrame = {
+    val v = resolveRead(spark, dir, name, atVersion)
     spark.read.parquet(centroidsPath(dir, name, v))
   }
 
@@ -114,13 +139,13 @@ object AnnIndex {
   def build(
       spark: SparkSession, corpus: DataFrame, dir: String, name: String,
       idCol: String, vecCol: String, numCentroids: Int = 16,
-      dim: Int = 64): Unit = {
+      dim: Int = 64, retainVersions: Int = 2): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
       dim, v)
     commitVersion(spark, dir, name, v)
-    if (v > 1) dropVersionDir(spark, dir, name, v - 1)
-    ()
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v, retainVersions)
   }
 
   /** GC one version dir through the Hadoop FS API (the
@@ -200,12 +225,15 @@ object AnnIndex {
   }
 
   /** Re-train the quantizer over the accumulated corpus into version
-    * N+1, promote the pointer, GC version N — the amortized rewrite
-    * that keeps cells adapted as folds shift the distribution.
+    * N+1, promote the pointer, apply the retention window (v(N)
+    * survives at the default `retainVersions` = 2, so in-flight readers
+    * keep their files) — the amortized rewrite that keeps cells adapted
+    * as folds shift the distribution.
     */
   def retrain(
       spark: SparkSession, dir: String, name: String, idCol: String,
-      vecCol: String, numCentroids: Int = 16, dim: Int = 64): Unit = {
+      vecCol: String, numCentroids: Int = 16, dim: Int = 64,
+      retainVersions: Int = 2): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"ann index '$name' at $dir does not exist — build() it first"))
@@ -215,13 +243,13 @@ object AnnIndex {
     val corpus = readPostings(spark, dir, name, v)
       .select(col(idCol), col(vecCol))
       // materialize before the promote: the lazy plan reads version v,
-      // which is GC'd right after
+      // which retainVersions = 1 GCs right after
       .localCheckpoint()
     writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
       dim, v + 1)
     commitVersion(spark, dir, name, v + 1)
-    dropVersionDir(spark, dir, name, v)
-    ()
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v + 1, retainVersions)
   }
 
   // ---- persisted IVF-PQ: codebooks + packed code postings ----------------
@@ -301,13 +329,14 @@ object AnnIndex {
   def buildPq(
       spark: SparkSession, corpus: DataFrame, dir: String, name: String,
       idCol: String, vecCol: String, numCentroids: Int = 16,
-      dim: Int = 64, numSub: Int = 8, codebookSize: Int = 16): Unit = {
+      dim: Int = 64, numSub: Int = 8, codebookSize: Int = 16,
+      retainVersions: Int = 2): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     buildPqAt(spark, corpus, dir, name, idCol, vecCol, numCentroids, dim,
       numSub, codebookSize, v)
     commitVersion(spark, dir, name, v)
-    if (v > 1) dropVersionDir(spark, dir, name, v - 1)
-    ()
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v, retainVersions)
   }
 
   /** Writes (uncommitted) PQ version `version`: IVF artifacts via
@@ -381,20 +410,21 @@ object AnnIndex {
   def retrainPq(
       spark: SparkSession, dir: String, name: String, idCol: String,
       vecCol: String, numCentroids: Int = 16, dim: Int = 64,
-      numSub: Int = 8, codebookSize: Int = 16): Unit = {
+      numSub: Int = 8, codebookSize: Int = 16,
+      retainVersions: Int = 2): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"ann index '$name' at $dir does not exist — build() it first"))
     val corpus = readPostings(spark, dir, name, v)
       .select(col(idCol), col(vecCol))
     // materialize before the destination version is written: the plan
-    // reads version v, which is GC'd after the promote
+    // reads version v, which retainVersions = 1 GCs after the promote
     val staged = corpus.localCheckpoint()
     buildPqAt(spark, staged, dir, name, idCol, vecCol, numCentroids, dim,
       numSub, codebookSize, v + 1)
     commitVersion(spark, dir, name, v + 1)
-    dropVersionDir(spark, dir, name, v)
-    ()
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v + 1, retainVersions)
   }
 
   /** ADC top-k against the persisted PQ index: queries price per-probe
@@ -409,11 +439,9 @@ object AnnIndex {
   def topKPq(
       spark: SparkSession, queries: DataFrame, dir: String, name: String,
       idCol: String, vecCol: String, k: Int, numProbes: Int = 2,
-      candidates: Int = 50): DataFrame = {
+      candidates: Int = 50, atVersion: Option[Int] = None): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val v = currentVersion(spark, dir, name).getOrElse(
-      throw new IllegalArgumentException(
-        s"ann index '$name' at $dir does not exist — build() it first"))
+    val v = resolveRead(spark, dir, name, atVersion)
     require(hasCodebooks(spark, dir, name, v),
       s"ann index '$name' at $dir has no PQ codebooks — buildPq() it, " +
         "or use topK() for a plain IVF index")
@@ -462,11 +490,9 @@ object AnnIndex {
   def topK(
       spark: SparkSession, queries: DataFrame, dir: String, name: String,
       idCol: String, vecCol: String, k: Int,
-      numProbes: Int = 2): DataFrame = {
+      numProbes: Int = 2, atVersion: Option[Int] = None): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val v = currentVersion(spark, dir, name).getOrElse(
-      throw new IllegalArgumentException(
-        s"ann index '$name' at $dir does not exist — build() it first"))
+    val v = resolveRead(spark, dir, name, atVersion)
     val cent = spark.read.parquet(centroidsPath(dir, name, v))
     val q = Similarity.assignCells(queries, idCol, vecCol, cent, numProbes)
       .select(col(idCol).as("query_id"), col(vecCol).as("v_q"),

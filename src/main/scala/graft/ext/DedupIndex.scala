@@ -45,7 +45,23 @@ import org.apache.spark.sql.functions._
   * (the marker create fails loudly if a concurrent fold wins the
   * generation). [[compact]] folds the delta dirs back into one base at
   * version N+1 (pure rewrite — nothing is re-signed) with a pointer
-  * promote and GC of version N.
+  * promote.
+  *
+  * Retention + time-travel (the [[graft.operators.BucketedSnapshot]]
+  * discipline): [[build]] and [[compact]] keep the newest
+  * `retainVersions` (default 2) version dirs and GC older ones — so a
+  * reader that resolved the pointer to v(N) mid-scan survives a
+  * concurrent compact's v(N+1) commit; [[pairsAgainst]] takes
+  * `atVersion` to query a retained historical version, and [[versions]]
+  * lists what is readable.
+  *
+  * Fold idempotency: at-least-once callers (streaming `foreachBatch`)
+  * pass their batch identity as `generation` — a retry of an
+  * ALREADY-COMMITTED generation becomes a pure replay (recompute the
+  * pairs from the stored delta against the state below it; nothing is
+  * re-written), so the same docs are never double-inserted even when
+  * the failure happened after the marker PUT. Auto-numbered folds
+  * (generation omitted) are safe against pre-marker crashes only.
   */
 object DedupIndex {
 
@@ -59,6 +75,16 @@ object DedupIndex {
   def currentVersion(
       spark: SparkSession, dir: String, name: String): Option[Int] =
     graft.io.VersionPointer.current(spark, layoutDir(dir, name))
+
+  /** Committed versions still inside the retention window — the
+    * time-travel targets [[pairsAgainst]]'s `atVersion` accepts.
+    */
+  def versions(
+      spark: SparkSession, dir: String, name: String): Seq[Int] = {
+    val cur = currentVersion(spark, dir, name)
+    graft.io.VersionPointer.versionDirs(spark, layoutDir(dir, name))
+      .filter(v => cur.exists(v <= _))
+  }
 
   private def paramsPath(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/params"
@@ -124,13 +150,15 @@ object DedupIndex {
 
   /** All committed sets / bands of version `v` (base + committed fold
     * deltas) — orphan delta dirs are invisible, the marker is the commit.
+    * `belowGen` bounds the visible fold generations (exclusive): a fold
+    * REPLAY reads exactly the state that preceded its own commit.
     */
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
-      sub: String): DataFrame = {
+      sub: String, belowGen: Long = Long.MaxValue): DataFrame = {
     val roots = (if (sub == "sets") setsPath(dir, name, v)
       else bandsPath(dir, name, v)) +:
-      committedFolds(spark, dir, name, v)
+      committedFolds(spark, dir, name, v).filter(_ < belowGen)
         .map(g => s"${deltaPath(dir, name, v, g)}/$sub")
     roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
@@ -152,11 +180,15 @@ object DedupIndex {
     bands.write.mode("errorifexists").parquet(bandsPath(dir, name, version))
   }
 
-  /** Sign + index `corpus` as version 1 (or N+1 — a manual rebuild). */
+  /** Sign + index `corpus` as version 1 (or N+1 — a manual rebuild),
+    * then apply the retention window (newest `retainVersions` version
+    * dirs kept; an in-flight reader of the previous version keeps its
+    * files at the default 2).
+    */
   def build(
       spark: SparkSession, corpus: DataFrame, dir: String, name: String,
       idCol: String, textCol: String, k: Int = 3, numHashes: Int = 128,
-      bandRows: Int = 2): Unit = {
+      bandRows: Int = 2, retainVersions: Int = 2): Unit = {
     require(numHashes % bandRows == 0,
       s"numHashes ($numHashes) must be divisible by bandRows ($bandRows)")
     graft.functions.VectorExpressions.register(spark)
@@ -165,9 +197,8 @@ object DedupIndex {
       signAndBand(corpus, idCol, textCol, k, numHashes, bandRows)
     writeVersion(spark, sets, bands, dir, name, k, numHashes, bandRows, v)
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
-    if (v > 1)
-      graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v${v - 1}")
-    ()
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v, retainVersions)
   }
 
   /** The incremental pair algebra shared by [[fold]] and
@@ -200,12 +231,16 @@ object DedupIndex {
     * (the admission check a pipeline runs before deciding what to keep;
     * [[fold]] is the committing form). The fresh side is signed once and
     * lineage-cut so the candidate and verify legs can't re-shingle it.
+    * `atVersion` time-travels to a retained historical version (its
+    * committed folds included) — auditing what an admission decision
+    * WOULD have been against last week's corpus.
     */
   def pairsAgainst(
       spark: SparkSession, fresh: DataFrame, dir: String, name: String,
       idCol: String, textCol: String, thresholdNum: Int = 7,
-      thresholdDen: Int = 10): DataFrame = {
-    val v = requireVersion(spark, dir, name)
+      thresholdDen: Int = 10, atVersion: Option[Int] = None): DataFrame = {
+    val v = graft.io.VersionPointer.resolveRead(
+      spark, layoutDir(dir, name), atVersion, s"dedup index '$name' at $dir")
     graft.functions.VectorExpressions.register(spark)
     val (k, numHashes, bandRows) = readParams(spark, dir, name, v)
     val (setsI0, bandsI0) =
@@ -226,18 +261,42 @@ object DedupIndex {
     * PREVIOUSLY committed state — stable against concurrent readers.
     * Pairs where BOTH sides are fresh appear once (canonical unordered
     * form).
+    *
+    * `generation` is the caller's batch identity (a streaming batchId):
+    * when the named generation is ALREADY COMMITTED, the call is a pure
+    * replay — the stored delta's pairs against the state below it are
+    * recomputed and returned, nothing is written — so an at-least-once
+    * caller retrying after a post-commit failure never double-inserts.
+    * Omitted, the generation auto-increments (safe against pre-marker
+    * crashes only; at-least-once callers must pass their identity).
     */
   def fold(
       spark: SparkSession, fresh: DataFrame, dir: String, name: String,
       idCol: String, textCol: String, thresholdNum: Int = 7,
-      thresholdDen: Int = 10): DataFrame = {
+      thresholdDen: Int = 10, generation: Option[Long] = None): DataFrame = {
     val v = requireVersion(spark, dir, name)
     graft.functions.VectorExpressions.register(spark)
     val (k, numHashes, bandRows) = readParams(spark, dir, name, v)
+    val committed = committedFolds(spark, dir, name, v)
+    val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
+    if (committed.contains(g)) {
+      // replay of a committed generation: the delta is immutable (an
+      // at-least-once source redelivers the same batch), so recompute
+      // its pairs against exactly the state that preceded it
+      val setsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/sets")
+      val bandsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/bands")
+      return pairsOf(setsW, bandsW,
+        readCommitted(spark, dir, name, v, "sets", belowGen = g),
+        readCommitted(spark, dir, name, v, "bands", belowGen = g),
+        thresholdNum, thresholdDen)
+    }
+    require(committed.forall(_ < g),
+      s"fold generation $g is below already-committed generations " +
+        s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
+        "batch identities would make replay state ambiguous")
     // committed state BEFORE this fold — the join targets
     val priorSets = readCommitted(spark, dir, name, v, "sets")
     val priorBands = readCommitted(spark, dir, name, v, "bands")
-    val g = committedFolds(spark, dir, name, v).lastOption.getOrElse(0L) + 1L
     val (setsI, bandsI) =
       signAndBand(fresh, idCol, textCol, k, numHashes, bandRows)
     // overwrite mode: a retry of a crashed fold recomputes the same
@@ -262,20 +321,22 @@ object DedupIndex {
 
   /** Compact the delta dirs back into one base at version N+1 — a pure
     * rewrite of already-signed rows (nothing re-shingles), pointer
-    * promote, GC of version N. The amortized cleanup once fold deltas
-    * accumulate (the MOR compaction tradeoff).
+    * promote, then the retention window (newest `retainVersions` version
+    * dirs kept — the just-compacted v(N) survives at the default 2, so a
+    * reader that resolved the pointer to it mid-scan still has its
+    * parquet). The amortized cleanup once fold deltas accumulate (the
+    * MOR compaction tradeoff).
     */
   def compact(
-      spark: SparkSession, dir: String, name: String): Unit = {
+      spark: SparkSession, dir: String, name: String,
+      retainVersions: Int = 2): Unit = {
     val v = requireVersion(spark, dir, name)
     val (k, numHashes, bandRows) = readParams(spark, dir, name, v)
-    // materialize before the promote: the lazy plans read version v,
-    // which is GC'd right after
-    val sets = readCommitted(spark, dir, name, v, "sets").localCheckpoint()
-    val bands = readCommitted(spark, dir, name, v, "bands").localCheckpoint()
+    val sets = readCommitted(spark, dir, name, v, "sets")
+    val bands = readCommitted(spark, dir, name, v, "bands")
     writeVersion(spark, sets, bands, dir, name, k, numHashes, bandRows, v + 1)
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v + 1)
-    graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
-    ()
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v + 1, retainVersions)
   }
 }

@@ -292,6 +292,11 @@ object Retrieval {
     * whole metric replays bit-for-bit in SQL. The ideal ranking orders
     * grades desc with id tie-breaks. Scale shape: one bounded window per
     * side (top-k each), the grade join is rank-bounded, weights broadcast.
+    *
+    * `grades` is normalized to one row per (query_id, id) — max grade
+    * wins — before either join: a duplicate grade row would otherwise
+    * double-count its gain in DCG and enter the ideal ranking twice,
+    * pushing ndcg_ppm past 1e6.
     */
   def ndcgAtK(
       ranking: DataFrame, // (query_id, rank, idCol)
@@ -304,17 +309,20 @@ object Retrieval {
     import sess.implicits._
     val w = broadcast(
       (1 to k).map(r => (r, ndcgWeightMicro(r))).toDF("rank", "w_micro"))
+    // normalize to one grade row per (query, id): max wins
+    val g1 = grades.groupBy(col("query_id"), col(idCol))
+      .agg(max("grade").as("grade"))
     // gain 2^grade − 1 as an exact integer shift (grades are small ints)
     val gain =
       expr("shiftleft(1L, CAST(coalesce(grade, 0) AS INT)) - 1L")
     val dcg = ranking.filter(col("rank") <= k)
-      .join(grades, Seq("query_id", idCol), "left")
+      .join(g1, Seq("query_id", idCol), "left")
       .join(w, "rank")
       .groupBy("query_id")
       .agg(sum(gain * col("w_micro")).as("dcg_micro"))
     val iw = Window.partitionBy("query_id")
       .orderBy(col("grade").desc, col(idCol))
-    val idcg = grades.filter(col("grade") >= 1)
+    val idcg = g1.filter(col("grade") >= 1)
       .withColumn("irank", row_number().over(iw))
       .filter(col("irank") <= k)
       .join(w.withColumnRenamed("rank", "irank"), "irank")

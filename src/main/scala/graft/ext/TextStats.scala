@@ -752,7 +752,10 @@ object TextStats {
     val f = feats.join(labels, idCol).localCheckpoint()
     var w = Array(0L, 0L, 0L, 0L, 0L)
     val rows = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long)]
-    (1 to iters).foreach { it =>
+    // unpersist the checkpointed frame when training ends (success or
+    // failure) — the trainWordpiece discipline; without it every call
+    // leaks the cached feature blocks for the session's lifetime
+    try (1 to iters).foreach { it =>
       val mis = expr(
         s"y * (${w(0)}L + ${w(1)}L * x1 + ${w(2)}L * x2 + " +
           s"${w(3)}L * x3 + ${w(4)}L * x4) <= 0")
@@ -768,7 +771,7 @@ object TextStats {
       w = Array(w(0) + r.getLong(1), w(1) + r.getLong(2),
         w(2) + r.getLong(3), w(3) + r.getLong(4), w(4) + r.getLong(5))
       rows += ((it, nMis, w(0), w(1), w(2), w(3), w(4)))
-    }
+    } finally { f.unpersist(); () }
     sess.createDataFrame(rows.result())
       .toDF("iter", "n_mis", "w_bias", "w_toks", "w_stop", "w_digit",
         "w_upper")

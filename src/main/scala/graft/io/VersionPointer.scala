@@ -92,4 +92,60 @@ private[graft] object VersionPointer {
     if (f.exists(p)) f.delete(p, true)
     ()
   }
+
+  private val VersionDirRe = """v(\d+)""".r
+
+  /** Version dirs (`v<N>`) present under `layout`, ascending — committed
+    * history plus at most one in-progress orphan above the pointer.
+    */
+  def versionDirs(spark: SparkSession, layout: String): Seq[Int] = {
+    val dirPath = new org.apache.hadoop.fs.Path(layout)
+    val f = fs(spark, layout)
+    if (!f.exists(dirPath)) Nil
+    else f.listStatus(dirPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case VersionDirRe(v) => Some(v.toInt)
+        case _ => None
+      }).sorted
+  }
+
+  /** Apply the retention window after a commit: keep the newest `keep`
+    * version dirs at or below `current`, GC the older ones. Dirs ABOVE
+    * `current` are untouched — they belong to an in-progress writer.
+    * `keep ≥ 2` closes the compact-time reader race: a reader that
+    * resolved the pointer to v(N) mid-scan still has its files when
+    * v(N+1) commits; only v(N−keep+1) and older disappear.
+    */
+  def retain(
+      spark: SparkSession, layout: String, current: Int, keep: Int): Unit = {
+    require(keep >= 1, s"retainVersions must be >= 1, got $keep")
+    versionDirs(spark, layout)
+      .filter(_ <= current)
+      .dropRight(keep)
+      .foreach(v => dropDir(spark, s"$layout/v$v"))
+  }
+
+  /** Resolve a read version: the pointer's current by default, or an
+    * explicit time-travel target — which must be committed (≤ current)
+    * and still inside the retention window (its dir present).
+    */
+  def resolveRead(
+      spark: SparkSession, layout: String, atVersion: Option[Int],
+      what: String): Int = {
+    val cur = current(spark, layout).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what does not exist — build() it first"))
+    atVersion match {
+      case None => cur
+      case Some(v) =>
+        require(v >= 1 && v <= cur,
+          s"$what: version $v is not committed (current is $cur)")
+        val p = new org.apache.hadoop.fs.Path(s"$layout/v$v")
+        require(fs(spark, layout).exists(p),
+          s"$what: version $v has been retention-GC'd " +
+            s"(present: ${versionDirs(spark, layout).mkString(", ")})")
+        v
+    }
+  }
 }

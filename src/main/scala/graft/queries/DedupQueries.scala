@@ -982,9 +982,12 @@ object DedupQueries {
       .queryName("q314_fold")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the batchId IS the fold generation: foreachBatch is
+        // at-least-once, and a retried batch replaying its own committed
+        // generation is a no-op instead of a double-insert
         DedupIndex.fold(batch.sparkSession, batch, idxDir, "docs",
-          "doc_id", "text")
+          "doc_id", "text", generation = Some(batchId + 1))
         ()
       }
       .start()
@@ -1047,6 +1050,64 @@ object DedupQueries {
       thresholdsPermil = Seq(550, 900, 950, 990))
   }
 
+  private val q323Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q323 two-version index once per (JVM, sf dir): v1 indexes
+    * the doc_id % 3 == 1 slice; a REBUILD (new corpus = mod-1 ∪ mod-2
+    * slices) commits v2 and — under the default newest-2 retention —
+    * RETAINS v1 for time-travel.
+    */
+  private def stageQ323(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q323Staging.getOrStage(dir) {
+      import graft.ext.DedupIndex
+      val idxDir = QuerySpec.stagedPath("q323_index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      new java.io.File(idxDir).mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+        idxDir, "docs", "doc_id", "text",
+        k = 3, numHashes = 128, bandRows = 2)
+      DedupIndex.build(spark,
+        docs.filter(col("doc_id") % 3 === 1 || col("doc_id") % 3 === 2),
+        idxDir, "docs", "doc_id", "text",
+        k = 3, numHashes = 128, bandRows = 2)
+      idxDir
+    }
+
+  /** Index time-travel ([[graft.ext.DedupIndex.pairsAgainst]] with
+    * `atVersion` — the retention window that closes the compact-time
+    * reader race, queried deliberately): the staged index holds v1
+    * (mod-1 slice) and current v2 (mod-1 ∪ mod-2), and the gate runs the
+    * mod-0 admission preview AGAINST VERSION 1 — "what would last week's
+    * corpus have said". The oracle is the brute all-pairs Jaccard
+    * restricted to v1's world: both endpoints outside the mod-2 slice,
+    * ≥ 1 endpoint fresh (mod-0). A reader that accidentally resolved v2
+    * would surface mod-2 partners and hash-mismatch.
+    */
+  val q323DedupIndexTimeTravel: QuerySpec = QuerySpec.oracled(
+    "q323_dedup_index_time_travel",
+    s"""$shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.h, b.h)) AS inter_size,
+       |    len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter_size, union_size FROM p
+       |WHERE inter_size * 10 >= union_size * 7
+       |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+       |  AND id_a % 3 <> 2 AND id_b % 3 <> 2
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val idxDir = stageQ323(spark, dir)
+    graft.ext.DedupIndex.pairsAgainst(spark,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0),
+      idxDir, "docs", "doc_id", "text",
+      thresholdNum = 7, thresholdDen = 10, atVersion = Some(1))
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .orderBy("id_a", "id_b")
+  }.withSetup((s, d) => { stageQ323(s, d); () })
+
   /** Analytic MinHash S-curve planner ([[graft.ext.Dedup.lshPlanner]] —
     * MMDS §3.4 banding analysis): `p = 1 − (1 − s^r)^b` for every
     * (rows × bands) split of 128 lanes over a 5%-step similarity grid,
@@ -1104,7 +1165,8 @@ object DedupQueries {
       q212SplitLeakage, q215MinhashCalibration, q222ContrastiveTriplets,
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
-      q314DedupIndexStream, q317ApssCurve, q320LshPlanner)
+      q314DedupIndexStream, q317ApssCurve, q320LshPlanner,
+      q323DedupIndexTimeTravel)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

@@ -3407,7 +3407,7 @@ object TextQueries {
        |      ORDER BY score DESC, prio) AS rn
        |    FROM sc) WHERE rn = 1),
        |ch AS (
-       |  SELECT uni.doc_id, uni.chunk, coalesce(best.lang, 'en') AS lang
+       |  SELECT uni.doc_id, uni.chunk, coalesce(best.lang, '${TextStats.LangMarkers.head._1}') AS lang
        |  FROM uni LEFT JOIN best USING (doc_id, chunk)),
        |fl AS (
        |  SELECT *, CASE WHEN lag(lang) OVER

@@ -35,7 +35,8 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     val q = vecs(1L to 5L)
     val maintained = AnnIndex.topK(
       spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = 2)
-      .orderBy("query_id", "rank").collect.toSeq
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
     assert(maintained.nonEmpty)
     // RETRAIN re-fits the quantizer over the accumulated corpus — from
     // there the persisted index must answer EXACTLY like the one-shot
@@ -53,10 +54,32 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       .orderBy("query_id", "rank")
       .as[(Long, Int, Long, Double)].collect.toSeq
     assert(persisted == oneShot)
-    // the superseded version is gone
+    // newest-2 retention: the superseded v1 SURVIVES the v2 commit (an
+    // in-flight reader's files stay), and time-travel still reads it —
+    // at v1 the index holds only slice `a`, so the answer matches the
+    // one-shot over `a` under v1's quantizer
     val names = new java.io.File(s"$dir/e.annindex")
       .listFiles().map(_.getName).toSet
-    assert(names.contains("v2") && !names.contains("v1"), names.toString)
+    assert(names.contains("v2") && names.contains("v1"), names.toString)
+    assert(AnnIndex.versions(spark, dir, "e") == Seq(1, 2))
+    val atV1 = AnnIndex.topK(
+      spark, q, dir, "e", "vec_id", "embedding", k = 3, numProbes = 2,
+      atVersion = Some(1))
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    // v1 = slice `a` base + slice `b` committed fold delta: the
+    // maintained-at-v1 state, whose one-shot twin assigns a∪b under a
+    // quantizer trained on `a` — already pinned equal by the fold tests;
+    // here it must DIFFER from v2 (retrained quantizer) for at least
+    // some query while staying non-empty
+    assert(atV1.nonEmpty && atV1 == maintained)
+    // a third version slides the window: v1 is GC'd and refused loudly
+    AnnIndex.retrain(spark, dir, "e", "vec_id", "embedding", Cent, Dim)
+    intercept[IllegalArgumentException] {
+      AnnIndex.topK(spark, q, dir, "e", "vec_id", "embedding", k = 3,
+        numProbes = 2, atVersion = Some(1))
+    }
+    assert(AnnIndex.versions(spark, dir, "e") == Seq(2, 3))
   }
 
   test("fold order and granularity do not change the maintained answer") {

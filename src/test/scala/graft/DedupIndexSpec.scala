@@ -122,8 +122,91 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(after == before && after.nonEmpty)
     val names = new java.io.File(s"$dir/d.dedupindex")
       .listFiles().map(_.getName).toSet
-    assert(names.contains("v2") && !names.contains("v1"), names.toString)
+    // newest-2 retention: the compacted-away v1 SURVIVES the v2 commit
+    assert(names.contains("v2") && names.contains("v1"), names.toString)
     assert(!new java.io.File(s"$dir/d.dedupindex/v2/deltas").exists())
+    // a second compact promotes v3 and GCs v1 (window slides)
+    DedupIndex.compact(spark, dir, "d")
+    val names2 = new java.io.File(s"$dir/d.dedupindex")
+      .listFiles().map(_.getName).toSet
+    assert(names2.contains("v3") && names2.contains("v2") &&
+      !names2.contains("v1"), names2.toString)
+    assert(DedupIndex.versions(spark, dir, "d") == Seq(2, 3))
+  }
+
+  test("in-flight reader of v(N) survives a concurrent compact commit") {
+    val dir = tmpDir("didx_race")
+    val a = docs(0L until 30L)
+    DedupIndex.build(spark, a, dir, "d", "doc_id", "text")
+    DedupIndex.fold(spark, docs(30L until 45L), dir, "d", "doc_id", "text")
+      .count()
+    val probe = docs(45L until 60L)
+    // the reader resolves the pointer (v1) NOW; evaluation comes later
+    val inFlight = DedupIndex.pairsAgainst(
+      spark, probe, dir, "d", "doc_id", "text")
+    val expected = pairs(DedupIndex.pairsAgainst(
+      spark, probe, dir, "d", "doc_id", "text"))
+    DedupIndex.compact(spark, dir, "d") // commits v2
+    // falsifiability (q293 idiom): delete v2 entirely — if the in-flight
+    // plan still answers, it really reads v1's retained files
+    graft.io.VersionPointer.dropDir(spark, s"$dir/d.dedupindex/v2")
+    assert(pairs(inFlight) == expected && expected.nonEmpty)
+  }
+
+  test("time-travel: atVersion queries a retained historical version") {
+    val dir = tmpDir("didx_tt")
+    val a = docs(0L until 30L)
+    val ab = docs(0L until 45L)
+    DedupIndex.build(spark, a, dir, "d", "doc_id", "text") // v1 = slice a
+    DedupIndex.build(spark, ab, dir, "d", "doc_id", "text") // v2 = a + b
+    // probe: fresh ids carrying slice-b families, so v1 (which lacks b)
+    // and v2 answer DIFFERENTLY
+    val probe = docs(30L until 45L)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val atV1 = pairs(DedupIndex.pairsAgainst(
+      spark, probe, dir, "d", "doc_id", "text", atVersion = Some(1)))
+    val current = pairs(DedupIndex.pairsAgainst(
+      spark, probe, dir, "d", "doc_id", "text"))
+    assert(atV1 == pairs(Dedup.minhashNearDupPairsIncremental(
+      a, probe, "doc_id", "text")))
+    assert(current == pairs(Dedup.minhashNearDupPairsIncremental(
+      ab, probe, "doc_id", "text")))
+    assert(atV1.nonEmpty && atV1 != current)
+    // uncommitted / GC'd versions are refused loudly
+    intercept[IllegalArgumentException] {
+      DedupIndex.pairsAgainst(spark, probe, dir, "d", "doc_id", "text",
+        atVersion = Some(3))
+    }
+    DedupIndex.build(spark, ab, dir, "d", "doc_id", "text") // v3 GCs v1
+    intercept[IllegalArgumentException] {
+      DedupIndex.pairsAgainst(spark, probe, dir, "d", "doc_id", "text",
+        atVersion = Some(1))
+    }
+  }
+
+  test("a committed generation replays as a no-op instead of double-inserting") {
+    val dir = tmpDir("didx_idem")
+    val a = docs(0L until 30L)
+    val fresh = docs(30L until 45L)
+    DedupIndex.build(spark, a, dir, "d", "doc_id", "text")
+    val first = pairs(DedupIndex.fold(
+      spark, fresh, dir, "d", "doc_id", "text", generation = Some(7L)))
+    // at-least-once retry: same batch identity AFTER the marker committed
+    val retry = pairs(DedupIndex.fold(
+      spark, fresh, dir, "d", "doc_id", "text", generation = Some(7L)))
+    assert(retry == first && first.nonEmpty)
+    // the index holds ONE copy of the fold: a later preview against a
+    // third slice matches the clean two-slice incremental answer
+    val probe = docs(45L until 60L)
+    val preview = pairs(DedupIndex.pairsAgainst(
+      spark, probe, dir, "d", "doc_id", "text"))
+    assert(preview == pairs(Dedup.minhashNearDupPairsIncremental(
+      a.unionByName(fresh), probe, "doc_id", "text")))
+    // out-of-order batch identities are refused loudly
+    intercept[IllegalArgumentException] {
+      DedupIndex.fold(spark, probe, dir, "d", "doc_id", "text",
+        generation = Some(3L)).count()
+    }
   }
 
   test("build refuses an indivisible banding scheme; fold requires an index") {
