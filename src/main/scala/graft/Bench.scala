@@ -121,8 +121,21 @@ object Bench {
     // the one a tail capture keeps; the leading copy aids humans reading
     // the full log top-down.
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    // Hot-row attribution that SURVIVES the tail capture: the 20 slowest
+    // queries as one compact line beside the headline, so a truncated
+    // artifact still names the rows worth auditing; loadavg makes a
+    // box-contention swing attributable from the artifact alone.
+    val top = results.sortBy(-_._2._1).take(20)
+      .map { case (k, (v, _, _)) =>
+        "[\"" + k + "\"," + (math.round(v * 1000) / 1000.0) + "]" }
+      .mkString("[", ",", "]")
+    val load = math.round(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage * 100) / 100.0
+    val topLine = s"""{"metric":"top","rows":$top,"loadavg":$load}"""
     println(headline)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"bench_exempt":$exemptJson,"sf":"$sfDir"}""")
+    println(topLine)
     println(headline)
     spark.stop()
     if (errors.nonEmpty) {

@@ -716,6 +716,23 @@ object Dedup {
         md5(col("clean").cast("binary")).as("clean_md5"))
   }
 
+  /** Deterministic md5 ppm document sample — the q49 stratified-sample
+    * rule at ppm resolution, shared by the corpus-wide audit curves so
+    * their cost is constant at any corpus size: a doc is kept iff the
+    * 60-bit md5 of `salt:id` lands below `samplePpm` of 1e6. No RNG
+    * state, reproducible in any engine (DuckDB:
+    * `('0x'||substr(md5(s),1,15))::BIGINT % 1000000 < ppm`).
+    */
+  private def samplePpmKeep(
+      idCol: String, samplePpm: Int, salt: String): Column =
+    expr(s"CAST(conv(substring(md5(concat('$salt', ':', " +
+      s"CAST(`$idCol` AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
+      s"% 1000000") < samplePpm
+
+  private def requireSamplePpm(samplePpm: Int, who: String): Unit =
+    require(samplePpm >= 1 && samplePpm <= 1000000,
+      s"$who: samplePpm must be in [1, 1000000], got $samplePpm")
+
   /** Exact-substring minLen sensitivity curve — the audit a practitioner
     * runs BEFORE picking [[removeExactSubstr]]'s gram length (Lee et al.
     * 2022 use 50 tokens; the right value depends on the corpus): one row
@@ -723,19 +740,30 @@ object Dedup {
     * removed, and the corpus-wide removal rate in exact floor-div ppm.
     * Coverage at different lengths is NOT derivable from one pass (a
     * longer gram probes different runs), so each rung is its own
-    * linear gram pass — the q284 decontamination-curve discipline; at
-    * 100 TB the curve runs on a sample, the chosen rung on the corpus.
+    * linear gram pass — the q284 decontamination-curve discipline.
+    *
+    * SAMPLE-FIRST AT SCALE: at 100 TB the curve runs on a sample, the
+    * chosen rung on the corpus — `samplePpm` keeps a deterministic md5
+    * ppm slice of the documents (the q49 rule, so any engine replays the
+    * identical slice) and every downstream stat, including the removal
+    * rate's denominator, is computed over that slice.
     */
   def exactSubstrCurve(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minLens: Seq[Int]): DataFrame = {
+      minLens: Seq[Int],
+      samplePpm: Int = 1000000,
+      sampleSalt: String = "curve"): DataFrame = {
     require(minLens.nonEmpty && minLens.forall(_ >= 2),
       s"exactSubstrCurve: minLens must be >= 2, got $minLens")
     require(minLens.distinct.size == minLens.size,
       s"exactSubstrCurve: minLens must be distinct, got $minLens")
-    val arr = docs
+    requireSamplePpm(samplePpm, "exactSubstrCurve")
+    val base =
+      if (samplePpm == 1000000) docs
+      else docs.filter(samplePpmKeep(idCol, samplePpm, sampleSalt))
+    val arr = base
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .withColumn("nt", size(col("toks")).cast("long"))
       .localCheckpoint()
@@ -981,25 +1009,40 @@ object Dedup {
     * `min(thresholds)` is lossless for every tighter rung by
     * monotonicity), then each rung is one cross-multiplied integer
     * filter over the |pairs at min|-row scored table.
+    *
+    * SAMPLE-FIRST AT SCALE: a loose bottom rung keeps most of each
+    * doc's postings (at t = 0.55 the prefix filter passes ~70%), so on
+    * a boilerplate-heavy corpus — exactly where a dedup audit runs —
+    * the loosest-rung candidate join approaches all-pairs. `samplePpm`
+    * keeps a deterministic md5 ppm slice of the documents first (the
+    * q49 rule — any engine replays the identical slice), making the
+    * audit constant-cost at any corpus size; the chosen threshold then
+    * runs on the corpus via [[apssCosinePairs]].
     */
   def apssCosineCurve(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       thresholdsPermil: Seq[Int],
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      samplePpm: Int = 1000000,
+      sampleSalt: String = "curve"): DataFrame = {
     require(thresholdsPermil.nonEmpty &&
       thresholdsPermil.forall(t => t >= 1 && t <= 1000),
       s"thresholdsPermil must be in [1, 1000], got $thresholdsPermil")
     require(thresholdsPermil.distinct.size == thresholdsPermil.size,
       s"thresholdsPermil must be distinct (a duplicate rung would " +
         s"double-count n_pairs), got $thresholdsPermil")
+    requireSamplePpm(samplePpm, "apssCosineCurve")
+    val base =
+      if (samplePpm == 1000000) docs
+      else docs.filter(samplePpmKeep(idCol, samplePpm, sampleSalt))
     // both rollups consume one scored subtree: the heavy upstream
     // exchanges (df agg, prefix window, candidate join) canonicalize
     // identically in both branches, so exchange reuse evaluates them
     // once within the joined plan — a localCheckpoint here measured as
     // pure overhead (its materialization barrier) across A/B runs
-    val scored = apssScored(docs, idCol, textCol, thresholdsPermil.min, k)
+    val scored = apssScored(base, idCol, textCol, thresholdsPermil.min, k)
     val ladder = thresholdsPermil.map(t => s"($t)").mkString(", ")
     val qual = scored
       .crossJoin(broadcast(docs.sparkSession.sql(

@@ -1004,13 +1004,22 @@ object DedupQueries {
     * ([[graft.ext.Dedup.apssCosineCurve]] — the q236 audit discipline
     * applied to the exact cosine join): pairs/docs qualifying at
     * 0.55 / 0.90 / 0.95 / 0.99, one loosest-rung prefix-filtered pass
-    * feeding every rung (lossless by monotonicity). The oracle is the
-    * brute per-rung definition; the planted near-dup families separate
-    * only at the top rungs — the curve's knee IS the planted signal.
+    * feeding every rung (lossless by monotonicity), run SAMPLE-FIRST
+    * the way the 100 TB audit would: a deterministic 40% md5 ppm doc
+    * slice (the q49 rule — the loose bottom rung's candidate join
+    * approaches all-pairs on boilerplate corpora, so the audit samples
+    * and the chosen threshold runs on the corpus via q309). The oracle
+    * replays the identical slice, then the brute per-rung definition;
+    * the planted near-dup families separate only at the top rungs —
+    * the curve's knee IS the planted signal.
     */
   val q317ApssCurve: QuerySpec = QuerySpec.oracled(
     "q317_apss_curve",
-    s"""$shingleCte,
+    s"""WITH dsamp AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ('0x' || substr(md5('curve' || ':' ||
+       |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 400000),
+       |${shingleCte.stripPrefix("WITH ").replace("FROM documents", "FROM dsamp")},
        |nn AS (
        |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n FROM hs),
        |tc AS (SELECT doc_id, unnest(h) AS h FROM hs),
@@ -1047,7 +1056,8 @@ object DedupQueries {
     graft.ext.Dedup.apssCosineCurve(
       spark.read.parquet(s"$dir/documents.parquet"),
       idCol = "doc_id", textCol = "text",
-      thresholdsPermil = Seq(550, 900, 950, 990))
+      thresholdsPermil = Seq(550, 900, 950, 990),
+      samplePpm = 400000)
   }
 
   private val q323Staging = new QuerySpec.StagingCache[String]

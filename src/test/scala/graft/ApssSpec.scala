@@ -97,4 +97,35 @@ class ApssSpec extends AnyFunSuite with SparkSpec {
         "doc_id", "text", thresholdsPermil = Seq(500, 500))
     }
   }
+
+  test("sampled curve equals the unsampled curve over the md5 slice") {
+    val docs = (0L until 40L).map { i =>
+      val toks = (i until i + 12).map(j => s"w${j % 20}")
+      i -> toks.mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    // the sample is a doc FILTER, deterministic in the id: running the
+    // unsampled curve over the manually pre-filtered slice must match
+    val keep = org.apache.spark.sql.functions.expr(
+      "CAST(conv(substring(md5(concat('s9', ':', " +
+        "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
+        "% 1000000 < 500000")
+    val manual = Dedup.apssCosineCurve(df.filter(keep), "doc_id", "text",
+        thresholdsPermil = Seq(300, 550), k = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val sampled = Dedup.apssCosineCurve(df, "doc_id", "text",
+        thresholdsPermil = Seq(300, 550), k = 1,
+        samplePpm = 500000, sampleSalt = "s9")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sampled == manual && sampled.nonEmpty)
+    // the slice is proper: fewer docs touched than the full curve
+    val full = Dedup.apssCosineCurve(df, "doc_id", "text",
+        thresholdsPermil = Seq(300, 550), k = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sampled != full)
+    intercept[IllegalArgumentException] {
+      Dedup.apssCosineCurve(df, "doc_id", "text",
+        thresholdsPermil = Seq(300), samplePpm = 0)
+    }
+  }
 }

@@ -207,6 +207,27 @@ class DupSpansSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sampled exact-substr curve equals the unsampled curve over the md5 slice") {
+    def w(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val shared = (1 to 10).map(i => s"d$i").mkString(" ")
+    val rows = (0L until 20L).map(i =>
+      i -> s"${w(i.toInt * 10, i.toInt * 10 + 9)} $shared")
+    val df = rows.toDF("doc_id", "text")
+    val keep = org.apache.spark.sql.functions.expr(
+      "CAST(conv(substring(md5(concat('s9', ':', " +
+        "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
+        "% 1000000 < 500000")
+    val manual = Dedup.exactSubstrCurve(df.filter(keep), "doc_id", "text",
+        Seq(4, 8)).as[(Long, Long, Long, Long, Long)].collect().toSet
+    val sampled = Dedup.exactSubstrCurve(df, "doc_id", "text", Seq(4, 8),
+        samplePpm = 500000, sampleSalt = "s9")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(sampled == manual && sampled.nonEmpty)
+    val full = Dedup.exactSubstrCurve(df, "doc_id", "text", Seq(4, 8))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(sampled != full)
+  }
+
   test("exact-substr: overlapping duplicated grams merge to one maximal span") {
     // a 9-token duplicated run with minLen 4: grams at starts 0..5 all
     // duplicated → ONE island of 9, not six spans
