@@ -12,11 +12,13 @@ final case class Asset(
     media_type: String,
     payload: Array[Byte])
 
-/** Decoded view of an asset. The decode itself is a STUB (no image/audio
-  * codecs in this environment): dimensions and features are derived
-  * deterministically from the payload bytes, but the pipeline shape —
-  * binary column in, typed struct + feature vector out, batched
-  * per-partition processing — is the real thing a codec would drop into.
+/** Decoded view of an asset. Images decode for REAL via
+  * [[Multimodal.ImageIoCodec]] (javax.imageio — in the JDK); for media
+  * the JDK has no codec for (video/audio), [[Multimodal.StubCodec]]
+  * derives deterministic fake dimensions/features from the payload
+  * bytes while keeping the pipeline shape — binary column in, typed
+  * struct + feature vector out, batched per-partition processing —
+  * identical to what a native codec drops into.
   */
 final case class DecodedAsset(
     asset_id: Long,
@@ -121,6 +123,80 @@ object Multimodal {
         Right(decodeOne(a))
       def close(): Unit = ()
     }
+  }
+
+  /** REAL image codec through the same seam: `javax.imageio` ships in
+    * the JDK (PNG/JPEG/BMP/GIF decode, zero external dependencies), so
+    * the image leg of the multimodal pipeline needs no stub. Output:
+    * true raster width/height plus a 48-float feature vector — a 16-bin
+    * histogram per RGB channel, each normalized by the pixel count (bin
+    * = channel value / 16). Bin fractions are exact small-integer
+    * ratios, so planted fixtures adjudicate bit-for-bit.
+    *
+    * Error routing is DATA, not failure: bytes no installed reader
+    * recognizes (`ImageIO.read` returns null) or that throw mid-decode
+    * route to the `error` column and the 100 TB job keeps running.
+    * Video/audio remain honestly blocked — no codec for them ships in
+    * the JDK; their path stays [[StubCodec]]/[[sampleFrames]]-shaped.
+    */
+  object ImageIoCodec extends Codec {
+    def open(): CodecSession = new CodecSession {
+      def decode(a: Asset): Either[String, DecodedAsset] =
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload))
+          if (img == null) Left("undecodable image payload")
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = new Array[Float](48)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                hist(((rgb >> 16) & 0xff) >> 4) += 1f
+                hist(16 + (((rgb >> 8) & 0xff) >> 4)) += 1f
+                hist(32 + ((rgb & 0xff) >> 4)) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h.toLong).toFloat
+            Right(DecodedAsset(
+              asset_id = a.asset_id,
+              media_type = a.media_type,
+              n_bytes = a.payload.length.toLong,
+              width = w,
+              height = h,
+              features = hist.map(_ / n)))
+          }
+        } catch {
+          case e: Exception =>
+            Left(s"image decode failed: ${e.getClass.getSimpleName}")
+        }
+      def close(): Unit = ()
+    }
+  }
+
+  /** PNG bytes of a deterministic raster (fixture generator for the
+    * image-decode gate/specs): `colorAt(x, y)` is the packed 0xRRGGBB
+    * pixel. Encoded with the JDK's own ImageIO PNG writer — the decode
+    * side recovers the exact pixels (PNG is lossless), so expected
+    * dims/histograms are computable at authoring time.
+    */
+  def pngBytes(w: Int, h: Int, colorAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, colorAt(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Batched decode: one decoder instance per partition (where a native

@@ -321,8 +321,96 @@ object MultimodalQueries {
       .orderBy("bucket")
   }
 
+  private val q324Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q324 image fixtures once per (JVM, dir): seven REAL PNGs
+    * with deterministic pixels (BufferedImage → ImageIO PNG writer —
+    * lossless, so decoded rasters are the authored rasters exactly) plus
+    * one corrupt payload, as a parquet assets table.
+    */
+  private def stageQ324(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q324Staging.getOrStage(dir) {
+      import spark.implicits._
+      val staged = QuerySpec.stagedPath("q324_images", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+      def solid(r: Int, g: Int, b: Int): (Int, Int) => Int =
+        (_, _) => (r << 16) | (g << 8) | b
+      val fixtures: Seq[(Long, Array[Byte])] = Seq(
+        1L -> Multimodal.pngBytes(9, 5, solid(10, 200, 255)),
+        2L -> Multimodal.pngBytes(20, 3, solid(255, 0, 128)),
+        3L -> Multimodal.pngBytes(7, 7, solid(33, 66, 99)),
+        4L -> Multimodal.pngBytes(12, 30, solid(160, 160, 160)),
+        5L -> Multimodal.pngBytes(33, 2, solid(17, 255, 1)),
+        6L -> Multimodal.pngBytes(5, 64, solid(250, 90, 45)),
+        // half-split raster: left 8 columns black, right 8 red(240) —
+        // the R histogram splits 0.5/0.5 across bins 0 and 15
+        7L -> Multimodal.pngBytes(16, 16,
+          (x, _) => if (x < 8) 0x000000 else 0xf00000),
+        8L -> "definitely not an image".getBytes("UTF-8"))
+      fixtures.toDF("asset_id", "payload")
+        .select(col("asset_id"), lit("image/png").as("media_type"),
+          col("payload"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      staged
+    }
+
+  /** REAL image decode ([[graft.ext.Multimodal.ImageIoCodec]] —
+    * javax.imageio, in the JDK, through the r7 pluggable-codec seam):
+    * seven planted PNGs decode to their TRUE raster dimensions and
+    * per-channel 16-bin histograms, one corrupt payload routes to the
+    * error column as data. Everything adjudicated is decode-derived —
+    * width/height off the raster, per-channel argmax bins, the top-R
+    * bin mass in ppm (bin fractions are exact small-integer ratios, so
+    * the float→ppm fix is exact) — against a hard-coded expected table:
+    * the pixels are authored, PNG is lossless, the oracle KNOWS the
+    * answer. A stub decode (md5-derived dims) cannot pass this row.
+    */
+  val q324ImageDecode: QuerySpec = QuerySpec.oracled(
+    "q324_image_decode",
+    """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
+      |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+      |  CAST(r_bin AS BIGINT) AS r_bin, CAST(g_bin AS BIGINT) AS g_bin,
+      |  CAST(b_bin AS BIGINT) AS b_bin,
+      |  CAST(top_r_ppm AS BIGINT) AS top_r_ppm,
+      |  CAST(error AS VARCHAR) AS error
+      |FROM (VALUES
+      |  (1, true, 9, 5, 0, 12, 15, 1000000, NULL),
+      |  (2, true, 20, 3, 15, 0, 8, 1000000, NULL),
+      |  (3, true, 7, 7, 2, 4, 6, 1000000, NULL),
+      |  (4, true, 12, 30, 10, 10, 10, 1000000, NULL),
+      |  (5, true, 33, 2, 1, 15, 0, 1000000, NULL),
+      |  (6, true, 5, 64, 15, 5, 2, 1000000, NULL),
+      |  (7, true, 16, 16, 0, 0, 0, 500000, NULL),
+      |  (8, false, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    'undecodable image payload'))
+      |  AS t(asset_id, decode_ok, width, height, r_bin, g_bin, b_bin,
+      |       top_r_ppm, error)
+      |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
+    val staged = stageQ324(spark, dir)
+    import spark.implicits._
+    val assets = spark.read.parquet(staged)
+      .select("asset_id", "media_type", "payload").as[graft.ext.Asset]
+    Multimodal.decodeWith(assets, Multimodal.ImageIoCodec).toDF()
+      .select(
+        col("asset_id"),
+        col("error").isNull.as("decode_ok"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        expr("array_position(slice(decoded.features, 1, 16), " +
+          "array_max(slice(decoded.features, 1, 16))) - 1").as("r_bin"),
+        expr("array_position(slice(decoded.features, 17, 16), " +
+          "array_max(slice(decoded.features, 17, 16))) - 1").as("g_bin"),
+        expr("array_position(slice(decoded.features, 33, 16), " +
+          "array_max(slice(decoded.features, 33, 16))) - 1").as("b_bin"),
+        expr("CAST(floor(array_max(slice(decoded.features, 1, 16)) " +
+          "* 1000000 + 0.5) AS BIGINT)").as("top_r_ppm"),
+        col("error"))
+      .orderBy("asset_id")
+  }.withSetup((s, d) => { stageQ324(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
       q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming,
-      q208AspectBuckets)
+      q208AspectBuckets, q324ImageDecode)
 }

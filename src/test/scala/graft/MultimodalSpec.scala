@@ -130,4 +130,43 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val r = topk.collect()
     assert(r.length == 1 && r.head.getAs[Long]("neighbor_id") == 2L)
   }
+
+  test("ImageIoCodec decodes real PNG bytes: true dims + exact channel histograms") {
+    import spark.implicits._
+    // 6×4 raster: top row red-ish (200,0,0), rest blue-ish (0,0,64)
+    val bytes = Multimodal.pngBytes(6, 4,
+      (_, y) => if (y == 0) 0xc80000 else 0x000040)
+    val assets = Seq(Asset(1L, "image/png", bytes)).toDS()
+    val out = Multimodal.decodeWith(assets, Multimodal.ImageIoCodec)
+      .collect()
+    assert(out.length == 1 && out.head.error.isEmpty)
+    val d = out.head.decoded.get
+    assert(d.width == 6 && d.height == 4)
+    assert(d.features.length == 48)
+    // R: 6 of 24 pixels at 200 (bin 12), 18 at 0 (bin 0)
+    assert(d.features(12) == 0.25f && d.features(0) == 0.75f)
+    // G: all 24 at 0
+    assert(d.features(16) == 1.0f)
+    // B: 18 of 24 at 64 (bin 4), 6 at 0
+    assert(d.features(32 + 4) == 0.75f && d.features(32) == 0.25f)
+    // each channel's histogram is a distribution
+    Seq(0, 16, 32).foreach { off =>
+      assert(math.abs(
+        d.features.slice(off, off + 16).map(_.toDouble).sum - 1.0) < 1e-6)
+    }
+  }
+
+  test("ImageIoCodec routes undecodable payloads to the error column as data") {
+    import spark.implicits._
+    val good = Asset(1L, "image/png",
+      Multimodal.pngBytes(3, 3, (_, _) => 0xffffff))
+    val bad = Asset(2L, "image/png", "junk bytes".getBytes("UTF-8"))
+    val out = Multimodal.decodeWith(Seq(good, bad).toDS().repartition(1),
+      Multimodal.ImageIoCodec)
+      .collect().sortBy(_.asset_id)
+    assert(out(0).error.isEmpty &&
+      out(0).decoded.exists(d => d.width == 3 && d.height == 3))
+    assert(out(1).decoded.isEmpty &&
+      out(1).error.contains("undecodable image payload"))
+  }
 }
