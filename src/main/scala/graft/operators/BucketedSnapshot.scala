@@ -438,6 +438,16 @@ object BucketedSnapshot {
     */
   private[graft] val GenCol = "_graft_gen"
 
+  /** Tombstone column for the CDC merge-on-read layout ([[foldMorCdc]]):
+    * true = this generation DELETED the key. Read-time resolve drops
+    * keys whose winning (max-generation) row is a tombstone;
+    * [[compactMor]] purges tombstones and every superseded row of their
+    * keys from the rewritten files (the right-to-erasure write path).
+    * Internal — stripped by [[readMor]], exposed as `deleted` by
+    * [[readMorSince]] (an incremental CDC consumer needs the deletes).
+    */
+  private[graft] val DelCol = "_graft_del"
+
   /** Merge-on-read fold — the true 100 TB nightly shape. [[fold]] avoids
     * the snapshot-side SHUFFLE but still rewrites the full table every
     * merge (write amplification = |snapshot| / |delta|). This variant
@@ -465,6 +475,68 @@ object BucketedSnapshot {
       spark: SparkSession, fresh: DataFrame, stream: String,
       snapshotDir: String, pk: Seq[String], buckets: Int,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(!fresh.columns.contains(DelCol),
+      s"foldMor: reserved column $DelCol in the input — deletes go " +
+        "through foldMorCdc")
+    currentVersion(spark, snapshotDir, stream).foreach { v =>
+      require(!spark.table(ensureTable(spark, snapshotDir, stream, pk,
+        buckets, v)).columns.contains(DelCol),
+        s"snapshot '$stream' is a CDC layout (has $DelCol) — fold it " +
+          "with foldMorCdc so deletes keep resolving")
+    }
+    morAppend(spark, fresh, stream, snapshotDir, pk, buckets, tieBreak)
+    readMor(spark, stream, snapshotDir, pk, buckets).get
+  }
+
+  /** CDC merge-on-read fold: `changes` carries `opCol` ('I' | 'U' | 'D'
+    * — the [[graft.ext.Cdc]] convention). Upserts append as data rows,
+    * deletes append as TOMBSTONE rows (PK + [[DelCol]] true) in the same
+    * delta-sized bucket-aligned write; nothing stored is touched.
+    * Read-time resolve ([[readMor]]) picks the max generation per key
+    * and DROPS keys whose winner is a tombstone; [[compactMor]] purges
+    * tombstoned keys from the rewritten files entirely — combined with
+    * retention GC that is the erasure write path (q134's policy needs):
+    * after compaction the deleted key's bytes exist in NO live file.
+    *
+    * Within-batch op conflicts resolve by `tieBreak` (pass the change
+    * log's sequence column — with no tieBreak the in-batch pick among
+    * same-key changes is engine-arbitrary, exactly [[foldMor]]'s
+    * contract). Returns the resolved post-fold snapshot.
+    */
+  def foldMorCdc(
+      spark: SparkSession, changes: DataFrame, stream: String,
+      snapshotDir: String, pk: Seq[String], buckets: Int,
+      opCol: String = "op", tieBreak: Seq[String] = Nil): DataFrame = {
+    require(changes.columns.contains(opCol),
+      s"foldMorCdc: op column '$opCol' not in ${changes.columns.toSeq}")
+    currentVersion(spark, snapshotDir, stream).foreach { v =>
+      require(spark.table(ensureTable(spark, snapshotDir, stream, pk,
+        buckets, v)).columns.contains(DelCol),
+        s"snapshot '$stream' is not a CDC layout (no $DelCol) — it was " +
+          "created by foldMor; compact cannot add deletes retroactively")
+    }
+    // row-level op validation riding the pass (the null-PK guard idiom):
+    // a typo'd op silently treated as an upsert would corrupt the chain
+    val validOp = col(opCol).isin("I", "U", "D")
+    val prepared = changes
+      .filter(coalesce(
+        assert_true(validOp,
+          lit(s"foldMorCdc: op column '$opCol' must be 'I'|'U'|'D'"))
+          .cast("boolean"),
+        lit(true)))
+      .withColumn(DelCol, col(opCol) === "D")
+      .drop(opCol)
+    morAppend(spark, prepared, stream, snapshotDir, pk, buckets, tieBreak)
+    readMor(spark, stream, snapshotDir, pk, buckets).get
+  }
+
+  /** The shared MOR append: dedup the batch, stamp the next generation,
+    * bucket-aligned append (or create version 1), record the sidecar.
+    */
+  private def morAppend(
+      spark: SparkSession, fresh: DataFrame, stream: String,
+      snapshotDir: String, pk: Seq[String], buckets: Int,
+      tieBreak: Seq[String]): Unit = {
     require(pk.nonEmpty, "bucketed snapshot requires a primary key")
     checkBuckets(spark, snapshotDir, stream, buckets)
     readPointer(spark, snapshotDir, stream) match {
@@ -513,7 +585,6 @@ object BucketedSnapshot {
         recordGen(spark, snapshotDir, stream, v, nextGen,
           listDataFiles(spark, snapshotDir, stream, v) -- before)
     }
-    readMor(spark, stream, snapshotDir, pk, buckets).get
   }
 
   // ---- generation→file sidecar (incremental reads) ----------------------
@@ -602,7 +673,7 @@ object BucketedSnapshot {
         s"snapshot '$stream' is not a MOR layout (no $GenCol column)")
       val recorded = recordedGens(spark, snapshotDir, stream, v)
       val covered = ptr.gen.exists(g => (1L to g).forall(recorded))
-      if (!covered) {
+      val inc = if (!covered) {
         // honest fallback: correct rows, table-sized planning
         t.filter(col(GenCol) > sinceGen)
           .withColumnRenamed(GenCol, "gen")
@@ -619,12 +690,19 @@ object BucketedSnapshot {
             .filter(col(GenCol) > sinceGen)
             .withColumnRenamed(GenCol, "gen")
       }
+      // a CDC layout's increments include the tombstones — an
+      // incremental consumer must SEE the deletes to apply them
+      if (inc.columns.contains(DelCol))
+        inc.withColumnRenamed(DelCol, "deleted")
+      else inc
     }
   }
 
   /** The merge-on-read snapshot resolved to current state: keep-last by
     * generation per PK, as a per-bucket local sort over the bucketed scan
-    * — no exchange. Returns None if no snapshot exists.
+    * — no exchange. On a CDC layout ([[foldMorCdc]]) a key whose WINNING
+    * row is a tombstone is dropped — the delete resolves at read time,
+    * still zero exchanges. Returns None if no snapshot exists.
     */
   def readMor(
       spark: SparkSession, stream: String, snapshotDir: String,
@@ -634,16 +712,24 @@ object BucketedSnapshot {
       else {
         val w = Window.partitionBy(pk.map(col): _*)
           .orderBy(col(GenCol).desc)
-        t.withColumn("_bs_rn", row_number().over(w))
+        val resolved = t.withColumn("_bs_rn", row_number().over(w))
           .filter(col("_bs_rn") === 1)
           .drop("_bs_rn", GenCol)
+        if (resolved.columns.contains(DelCol))
+          resolved.filter(!col(DelCol)).drop(DelCol)
+        else resolved
       }
     }
 
   /** Fold all accumulated generations back into one: full rewrite to the
     * next version (generation reset to 1), pointer promote, old version
     * dropped. The amortized cost that keeps [[readMor]]'s per-read merge
-    * bounded.
+    * bounded. On a CDC layout the rewrite PURGES tombstones: the
+    * resolved state excludes deleted keys, so neither the tombstone row
+    * nor any superseded generation of its key reaches the new files —
+    * with the old version's GC, the deleted key's bytes are gone from
+    * the layout (the erasure guarantee; MorSnapshotSpec greps the
+    * rewritten files raw).
     */
   def compactMor(
       spark: SparkSession, stream: String, snapshotDir: String,
@@ -651,7 +737,13 @@ object BucketedSnapshot {
     val v = currentVersion(spark, snapshotDir, stream).getOrElse(
       throw new IllegalStateException(
         s"no snapshot '$stream' at $snapshotDir to compact"))
-    val resolved = readMor(spark, stream, snapshotDir, pk, buckets).get
+    val isCdc = spark
+      .table(ensureTable(spark, snapshotDir, stream, pk, buckets, v))
+      .columns.contains(DelCol)
+    val live = readMor(spark, stream, snapshotDir, pk, buckets).get
+    // keep the CDC column (all false post-purge): later foldMorCdc
+    // appends must keep matching the table schema
+    val resolved = (if (isCdc) live.withColumn(DelCol, lit(false)) else live)
       .withColumn(GenCol, lit(1L))
     writeVersion(resolved, spark, snapshotDir, stream, pk, buckets, v + 1)
     recordGen(spark, snapshotDir, stream, v + 1, 1L,

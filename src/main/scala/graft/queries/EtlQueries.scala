@@ -1069,6 +1069,68 @@ object EtlQueries {
     cur.unionByName(prev).orderBy("snap", "k")
   }.withSetup((s, d) => { stageRetained(s, d); () })
 
+  /** CDC deletes through the merge-on-read snapshot
+    * ([[graft.operators.BucketedSnapshot.foldMorCdc]] — tombstone rows in
+    * the delta-sized bucket-aligned append, read-time resolve drops keys
+    * whose latest generation is a delete, compaction PURGES them): a
+    * four-stage lifecycle interleaving inserts, updates, and deletes
+    * across three CDC folds with a compaction in the middle — including
+    * keys deleted then RE-INSERTED (the resurrect case a naive
+    * "deleted-keys set" implementation gets wrong). The oracle replays
+    * the whole change log as one windowed last-change-wins pass where a
+    * winning 'D' removes the key — q249/q250's discipline extended with
+    * the delete op. The erasure side (deleted keys absent from every
+    * post-compaction FILE) is pinned raw in MorSnapshotSpec.
+    */
+  val q325MorCdcDeletes: QuerySpec = QuerySpec.oracled(
+    "q325_mor_cdc_deletes",
+    """WITH ch AS (
+      |  SELECT c_custkey AS k, c_name AS name, 'I' AS op, 0 AS seq
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '-v2', 'U', 1
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, NULL, 'D', 1
+      |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'Back#' || CAST(c_custkey AS VARCHAR), 'I', 2
+      |  FROM customer WHERE c_custkey % 6 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, NULL, 'D', 2
+      |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 6 <> 0),
+      |last AS (
+      |  SELECT k, name, op,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM ch)
+      |SELECT k, name FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    import graft.operators.BucketedSnapshot
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    val f1 = base.withColumn("op", lit("I"))
+    val f2 = base.filter(col("k") % 5 === 0)
+      .select(col("k"), concat(col("name"), lit("-v2")).as("name"),
+        lit("U").as("op"))
+      .unionByName(base.filter(col("k") % 3 === 0 && col("k") % 5 =!= 0)
+        .select(col("k"), lit(null).cast("string").as("name"),
+          lit("D").as("op")))
+    val f3 = base.filter(col("k") % 6 === 0)
+      .select(col("k"),
+        concat(lit("Back#"), col("k").cast("string")).as("name"),
+        lit("I").as("op"))
+      .unionByName(base.filter(col("k") % 7 === 0 && col("k") % 6 =!= 0)
+        .select(col("k"), lit(null).cast("string").as("name"),
+          lit("D").as("op")))
+    val stateDir = graft.queries.QuerySpec.stagedPath("q325_state", dir)
+    BucketedSnapshot.reset(spark, "cust", stateDir)
+    BucketedSnapshot.foldMorCdc(spark, f1, "cust", stateDir, Seq("k"), 8)
+    BucketedSnapshot.foldMorCdc(spark, f2, "cust", stateDir, Seq("k"), 8)
+    BucketedSnapshot.compactMor(spark, "cust", stateDir, Seq("k"), 8)
+    BucketedSnapshot.foldMorCdc(spark, f3, "cust", stateDir, Seq("k"), 8)
+      .orderBy("k")
+  }
+
   /** Snapshot version diff ([[graft.ext.TableDiff.diffSummary]] over
     * two [[graft.operators.BucketedSnapshot.readVersion]] reads): what
     * last night's fold actually did — keys added / changed / unchanged
@@ -1563,7 +1625,7 @@ object EtlQueries {
       q91TableDiff, q93TableProfile, q95Unpivot, q102IncrementalAgg,
       q108SnapshotFold, q248SnapshotFoldBucketed, q249SnapshotFoldMor,
       q250SnapshotCompaction, q293SnapshotIncremental,
-      q299SnapshotTimeTravel, q300SnapshotDiff,
+      q299SnapshotTimeTravel, q300SnapshotDiff, q325MorCdcDeletes,
       q254RecordLinkage, q262LinkageEm,
       q269LinkageBands, q294GoldenRecord,
       q121KAnonymity,

@@ -243,4 +243,72 @@ class MorSnapshotSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("foldMor"), e.getMessage)
   }
+
+  test("CDC folds: deletes resolve at read time, re-inserts resurrect") {
+    val dir = tmpDir("mor_cdc")
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("k", "name", "op")
+    BucketedSnapshot.foldMorCdc(spark,
+      batch((1L, "a1", "I"), (2L, "b1", "I"), (3L, "c1", "I")),
+      "s", dir, Seq("k"), 2)
+    val afterDel = BucketedSnapshot.foldMorCdc(spark,
+      batch((2L, "b2", "U"), (3L, "", "D")),
+      "s", dir, Seq("k"), 2)
+      .as[(Long, String)].collect.toSet
+    assert(afterDel == Set((1L, "a1"), (2L, "b2")), afterDel.toString)
+    // resurrect: a later insert of a deleted key wins by generation
+    val afterBack = BucketedSnapshot.foldMorCdc(spark,
+      batch((3L, "c2", "I")), "s", dir, Seq("k"), 2)
+      .as[(Long, String)].collect.toSet
+    assert(afterBack == Set((1L, "a1"), (2L, "b2"), (3L, "c2")))
+    // the incremental feed EXPOSES the tombstones
+    val inc = BucketedSnapshot
+      .readMorSince(spark, "s", dir, Seq("k"), 2, sinceGen = 1L).get
+      .select("k", "deleted", "gen")
+      .as[(Long, Boolean, Long)].collect.toSet
+    assert(inc == Set((2L, false, 2L), (3L, true, 2L), (3L, false, 3L)),
+      inc.toString)
+    // mixing the plain fold into a CDC layout fails loudly
+    val e = intercept[IllegalArgumentException] {
+      BucketedSnapshot.foldMor(spark,
+        Seq((9L, "x")).toDF("k", "name"), "s", dir, Seq("k"), 2)
+    }
+    assert(e.getMessage.contains("foldMorCdc"), e.getMessage)
+    // a bad op code fails the fold instead of upserting silently
+    intercept[Exception] {
+      BucketedSnapshot.foldMorCdc(spark,
+        batch((9L, "x", "Z")), "s", dir, Seq("k"), 2).count()
+    }
+  }
+
+  test("compaction purges tombstoned keys from every rewritten file (erasure)") {
+    val dir = tmpDir("mor_cdc_erase")
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("k", "name", "op")
+    BucketedSnapshot.foldMorCdc(spark,
+      batch((1L, "keepme", "I"), (2L, "eraseme", "I")),
+      "s", dir, Seq("k"), 2)
+    BucketedSnapshot.foldMorCdc(spark,
+      batch((2L, "", "D")), "s", dir, Seq("k"), 2)
+    // pre-compaction the bytes are still in the layout (gen-1 file)
+    val v1 = spark.read
+      .parquet(s"$dir/s.snapshot.bucketed/v1")
+    assert(v1.filter(col("name") === "eraseme").count() == 1)
+    val compacted = BucketedSnapshot
+      .compactMor(spark, "s", dir, Seq("k"), 2)
+      .as[(Long, String)].collect.toSet
+    assert(compacted == Set((1L, "keepme")))
+    // erasure: the deleted key appears in NO post-compaction file — not
+    // as a superseded row, not as a tombstone (raw read, no resolve)
+    val v2 = spark.read.parquet(s"$dir/s.snapshot.bucketed/v2")
+    assert(v2.filter(col("k") === 2L).count() == 0)
+    assert(v2.filter(col("name") === "eraseme").count() == 0)
+    // ...and the pre-compaction version dir is GC'd with its bytes
+    assert(!new java.io.File(s"$dir/s.snapshot.bucketed/v1").exists())
+    // post-compaction CDC folds keep working against the rewritten table
+    val next = BucketedSnapshot.foldMorCdc(spark,
+      batch((1L, "", "D"), (4L, "d1", "I")), "s", dir, Seq("k"), 2)
+      .as[(Long, String)].collect.toSet
+    assert(next == Set((4L, "d1")))
+  }
 }
