@@ -96,7 +96,7 @@ object Dedup {
 
   /** (doc_id, h): one row per distinct shingle hash —
     * the overlap-join input. */
-  private def shingleHashes(hashSets: DataFrame): DataFrame =
+  private[ext] def shingleHashes(hashSets: DataFrame): DataFrame =
     hashSets.select(col("doc_id"), explode(col("hsh")).as("h"))
 
   /** The r3 wide-aggregate MinHash signature (explode → 128 named `min`

@@ -1118,6 +1118,68 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }.withSetup((s, d) => { stageQ323(s, d); () })
 
+  private val q326Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q326 exact-APSS index once per (JVM, sf dir): build on
+    * the doc_id % 3 == 1 slice (frozen df order + floor-550 prefixes),
+    * fold the % 3 == 2 slice as committed delta g1.
+    */
+  private def stageQ326(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q326Staging.getOrStage(dir) {
+      import graft.ext.ApssIndex
+      val idxDir = QuerySpec.stagedPath("q326_index", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      new java.io.File(idxDir).mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      ApssIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+        idxDir, "docs", "doc_id", "text", floorPermil = 550, k = 3)
+      ApssIndex.fold(spark, docs.filter(col("doc_id") % 3 === 2),
+        idxDir, "docs", "doc_id", "text", thresholdPermil = 550).count()
+      idxDir
+    }
+
+  /** Persisted exact-APSS index ([[graft.ext.ApssIndex]] — the q313
+    * artifact discipline applied to the guaranteed-recall q309 join):
+    * built on one corpus slice under a FROZEN df-asc order and
+    * floor-550 prefixes, a second slice folded in as a marker-gated
+    * delta (signed under the same frozen order — prefixes stay
+    * join-compatible without re-signing anything), and the gate
+    * previews the third slice read-only against base + delta + fresh.
+    * The prefix filter is lossless under ANY total order, so the
+    * maintained result must equal the brute all-pairs definition over
+    * the whole corpus restricted to fresh involvement — the oracle IS
+    * q309's exhaustive SQL with the fresh filter, bit-for-bit (overlap,
+    * sizes, and the ppb-fixed cosine all integer-exact).
+    */
+  val q326ApssIndex: QuerySpec = QuerySpec.oracled(
+    "q326_apss_index",
+    s"""$shingleCte,
+       |nn AS (
+       |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n FROM hs),
+       |tc AS (SELECT doc_id, unnest(h) AS h FROM hs),
+       |ov AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS overlap
+       |  FROM tc a JOIN tc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT o.doc_a, o.doc_b, o.overlap, na.n AS n_a, nb.n AS n_b,
+       |  CAST(floor(o.overlap * 1000000000.0 /
+       |    sqrt((na.n * nb.n)::DOUBLE) + 0.5) AS BIGINT) AS cos_ppb
+       |FROM ov o
+       |JOIN nn na ON o.doc_a = na.doc_id
+       |JOIN nn nb ON o.doc_b = nb.doc_id
+       |WHERE o.overlap * o.overlap * 1000000 >= 302500 * na.n * nb.n
+       |  AND (o.doc_a % 3 = 0 OR o.doc_b % 3 = 0)
+       |ORDER BY o.doc_a, o.doc_b""".stripMargin) { (spark, dir) =>
+    val idxDir = stageQ326(spark, dir)
+    graft.ext.ApssIndex.pairsAgainst(spark,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0),
+      idxDir, "docs", "doc_id", "text", thresholdPermil = 550)
+      .orderBy("doc_a", "doc_b")
+  }.withSetup((s, d) => { stageQ326(s, d); () })
+
   /** Analytic MinHash S-curve planner ([[graft.ext.Dedup.lshPlanner]] —
     * MMDS §3.4 banding analysis): `p = 1 − (1 − s^r)^b` for every
     * (rows × bands) split of 128 lanes over a 5%-step similarity grid,
@@ -1176,7 +1238,7 @@ object DedupQueries {
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
       q314DedupIndexStream, q317ApssCurve, q320LshPlanner,
-      q323DedupIndexTimeTravel)
+      q323DedupIndexTimeTravel, q326ApssIndex)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its
