@@ -200,10 +200,18 @@ object AnnIndex {
     * the orphan, and commits — idempotent, never double-inserted. Ids
     * must be new to the index; writers are single (the marker create
     * fails loudly if a concurrent fold won the generation).
+    *
+    * `generation` is the caller's batch identity (a streaming batchId):
+    * a retry of an ALREADY-COMMITTED generation is a no-op, so an
+    * at-least-once `foreachBatch` caller never double-inserts its
+    * postings even when the failure happened AFTER the marker PUT.
+    * Omitted, the generation auto-increments (safe against pre-marker
+    * crashes only).
     */
   def fold(
       spark: SparkSession, fresh: DataFrame, dir: String, name: String,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String,
+      generation: Option[Long] = None): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"ann index '$name' at $dir does not exist — build() it first"))
@@ -211,7 +219,13 @@ object AnnIndex {
       s"ann index '$name' at $dir is a PQ index — fold() would leave its " +
         "code postings stale; use foldPq()")
     val cent = spark.read.parquet(centroidsPath(dir, name, v))
-    val g = committedFolds(spark, dir, name, v).lastOption.getOrElse(0L) + 1L
+    val committed = committedFolds(spark, dir, name, v)
+    val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
+    if (committed.contains(g)) return // committed replay: pure no-op
+    require(committed.forall(_ < g),
+      s"fold generation $g is below already-committed generations " +
+        s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
+        "batch identities would make the replay no-op ambiguous")
     Similarity.assignCells(fresh, idCol, vecCol, cent, probes = 1)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -377,7 +391,8 @@ object AnnIndex {
     */
   def foldPq(
       spark: SparkSession, fresh: DataFrame, dir: String, name: String,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String,
+      generation: Option[Long] = None): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"ann index '$name' at $dir does not exist — build() it first"))
@@ -387,7 +402,13 @@ object AnnIndex {
     val cent = spark.read.parquet(centroidsPath(dir, name, v))
     val cb = spark.read.parquet(codebooksPath(dir, name, v))
     val (numSub, subDim) = codebookShape(cb)
-    val g = committedFolds(spark, dir, name, v).lastOption.getOrElse(0L) + 1L
+    val committed = committedFolds(spark, dir, name, v)
+    val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
+    if (committed.contains(g)) return // committed replay: pure no-op
+    require(committed.forall(_ < g),
+      s"foldPq generation $g is below already-committed generations " +
+        s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
+        "batch identities would make the replay no-op ambiguous")
     Similarity.assignCells(fresh, idCol, vecCol, cent, probes = 1)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))
       .write.mode("overwrite").partitionBy("cell")

@@ -1180,6 +1180,72 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }.withSetup((s, d) => { stageQ326(s, d); () })
 
+  /** q326's persisted exact-APSS index MAINTAINED over a real
+    * micro-batch stream: build on the % 3 == 1 slice, each streamed
+    * micro-batch of new docs FOLDS via `foreachBatch` with the batchId
+    * as its idempotent generation (delta-sized sign+write per trigger,
+    * marker-gated commits, committed generations replay as no-ops under
+    * at-least-once redelivery), and the gate previews the % 3 == 0
+    * slice read-only against the final state. Folds sign under the
+    * FROZEN build-time df order, so the maintained index is independent
+    * of fold slicing and equals q326's batch-built state EXACTLY —
+    * same oracle SQL (the q314 stream ≡ batch discipline applied to the
+    * guaranteed-recall family).
+    */
+  val q327ApssIndexStream: QuerySpec = QuerySpec.oracled(
+    "q327_apss_index_stream",
+    s"""$shingleCte,
+       |nn AS (
+       |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n FROM hs),
+       |tc AS (SELECT doc_id, unnest(h) AS h FROM hs),
+       |ov AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS overlap
+       |  FROM tc a JOIN tc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT o.doc_a, o.doc_b, o.overlap, na.n AS n_a, nb.n AS n_b,
+       |  CAST(floor(o.overlap * 1000000000.0 /
+       |    sqrt((na.n * nb.n)::DOUBLE) + 0.5) AS BIGINT) AS cos_ppb
+       |FROM ov o
+       |JOIN nn na ON o.doc_a = na.doc_id
+       |JOIN nn nb ON o.doc_b = nb.doc_id
+       |WHERE o.overlap * o.overlap * 1000000 >= 302500 * na.n * nb.n
+       |  AND (o.doc_a % 3 = 0 OR o.doc_b % 3 = 0)
+       |ORDER BY o.doc_a, o.doc_b""".stripMargin) { (spark, dir) =>
+    import graft.ext.ApssIndex
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ314(spark, dir) // the same two-file %3==2 feed
+    val idxDir = QuerySpec.stagedPath("q327_index", dir)
+    val ckpt = QuerySpec.stagedPath("q327_ckpt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    new java.io.File(idxDir).mkdirs()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    ApssIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+      idxDir, "docs", "doc_id", "text", floorPermil = 550, k = 3)
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q327_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q327_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ApssIndex.fold(batch.sparkSession, batch, idxDir, "docs",
+          "doc_id", "text", thresholdPermil = 550,
+          generation = Some(batchId + 1))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    ApssIndex.pairsAgainst(spark,
+      docs.filter(col("doc_id") % 3 === 0),
+      idxDir, "docs", "doc_id", "text", thresholdPermil = 550)
+      .orderBy("doc_a", "doc_b")
+  }.withSetup((s, d) => { stageQ314(s, d); () })
+
   /** Analytic MinHash S-curve planner ([[graft.ext.Dedup.lshPlanner]] —
     * MMDS §3.4 banding analysis): `p = 1 − (1 − s^r)^b` for every
     * (rows × bands) split of 128 lanes over a 5%-step similarity grid,
@@ -1238,7 +1304,7 @@ object DedupQueries {
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
       q314DedupIndexStream, q317ApssCurve, q320LshPlanner,
-      q323DedupIndexTimeTravel, q326ApssIndex)
+      q323DedupIndexTimeTravel, q326ApssIndex, q327ApssIndexStream)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its

@@ -779,9 +779,12 @@ object SimilarityQueries {
       .queryName("q281_fold")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the batchId IS the fold generation: a retried micro-batch
+        // replaying its committed generation is a no-op, not a
+        // double-insert (foreachBatch is at-least-once)
         AnnIndex.fold(batch.sparkSession, batch, idxDir, "emb",
-          "vec_id", "embedding")
+          "vec_id", "embedding", generation = Some(batchId + 1))
       }
       .start()
     q.awaitTermination()

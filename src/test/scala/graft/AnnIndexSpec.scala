@@ -107,6 +107,41 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(reversed == oneFold)
   }
 
+  test("a committed fold generation replays as a no-op (at-least-once safety)") {
+    val dir = tmpDir("annidx_idem")
+    AnnIndex.build(spark, vecs(1L to 50L), dir, "e", "vec_id", "embedding",
+      Cent, Dim)
+    val d1 = vecs(51L to 70L)
+    AnnIndex.fold(spark, d1, dir, "e", "vec_id", "embedding",
+      generation = Some(3L))
+    // the retried batch (same identity) must not double-insert: the
+    // maintained answer stays equal to the single-fold answer
+    AnnIndex.fold(spark, d1, dir, "e", "vec_id", "embedding",
+      generation = Some(3L))
+    val q = vecs(3L to 8L)
+    val got = AnnIndex.topK(spark, q, dir, "e", "vec_id", "embedding",
+        k = 3, numProbes = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    val cleanDir = tmpDir("annidx_idem_clean")
+    AnnIndex.build(spark, vecs(1L to 50L), cleanDir, "e", "vec_id",
+      "embedding", Cent, Dim)
+    AnnIndex.fold(spark, d1, cleanDir, "e", "vec_id", "embedding")
+    val clean = AnnIndex.topK(spark, q, cleanDir, "e", "vec_id",
+        "embedding", k = 3, numProbes = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect.toSeq
+    assert(got == clean && got.nonEmpty)
+    // one committed delta, not two (hidden .crc sidecars excluded)
+    assert(new java.io.File(s"$dir/e.annindex/v1/_folds")
+      .listFiles().map(_.getName).filterNot(_.startsWith("."))
+      .toSet == Set("g3.ok"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.fold(spark, vecs(71L to 72L), dir, "e", "vec_id",
+        "embedding", generation = Some(1L))
+    }
+  }
+
   test("a fold never reads stored postings (delta-sized IO)") {
     val dir = tmpDir("annidx_noscan")
     AnnIndex.build(spark, vecs(1L to 50L), dir, "e", "vec_id", "embedding",
