@@ -3610,6 +3610,81 @@ object TextQueries {
       .orderBy("iter")
   }
 
+  private val q328Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q328 tokenizer artifact once per (JVM, sf dir): train the
+    * 3-merge BPE on the corpus and commit it under the version pointer.
+    */
+  private def stageQ328(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q328Staging.getOrStage(dir) {
+      val tokDir = QuerySpec.stagedPath("q328_tok", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tokDir))
+      new java.io.File(tokDir).mkdirs()
+      graft.ext.TokenizerIndex.build(spark,
+        spark.read.parquet(s"$dir/documents.parquet"),
+        tokDir, "bpe", "text", numMerges = 3)
+      tokDir
+    }
+
+  /** Persisted tokenizer artifact ([[graft.ext.TokenizerIndex]] — the
+    * train()/apply() split applied to the BPE family, q304's discipline
+    * for the tokenizer): the merges train ONCE into a versioned artifact
+    * and the gate tokenizes the corpus off the FROZEN stored rules —
+    * no inline training anywhere in the query. The oracle is q241's SQL
+    * verbatim (training + application replayed from scratch), so the
+    * artifact round-trip is adjudicated to be exactly the rules the
+    * corpus induces: a stale, truncated, or re-trained-differently
+    * artifact hash-mismatches.
+    */
+  val q328TokenizerIndex: QuerySpec = QuerySpec.oracled(
+    "q328_tokenizer_index",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |aw AS (SELECT doc_id, w FROM tok WHERE regexp_full_match(w, '[a-z]+')),
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM aw GROUP BY w),
+       |s0 AS (
+       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ts, freq
+       |  FROM wf),
+       |${bpeIterSql("s0", "p1", "b1", "s1")},
+       |${bpeIterSql("s1", "p2", "b2", "s2")},
+       |${bpeIterSql("s2", "p3", "b3", "s3")},
+       |v0 AS (
+       |  SELECT w, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ts
+       |  FROM (SELECT DISTINCT w FROM aw)),
+       |${bpeApplySql("v0", "b1", "v1")},
+       |${bpeApplySql("v1", "b2", "v2")},
+       |${bpeApplySql("v2", "b3", "v3")},
+       |vn AS (
+       |  SELECT w, CAST(len(string_split(ts, ' ')) AS BIGINT) AS n_sub
+       |  FROM v3)
+       |SELECT aw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(vn.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(vn.n_sub) * 1000000 // count(*) AS BIGINT)
+       |    AS sub_per_word_ppm
+       |FROM aw JOIN vn USING (w)
+       |GROUP BY aw.doc_id
+       |ORDER BY aw.doc_id""".stripMargin) { (spark, dir) =>
+    val tokDir = stageQ328(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val aw = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val vn = graft.ext.TokenizerIndex.tokenizeWords(spark,
+        aw.select("w").distinct(), tokDir, "bpe")
+      .select(col("w"),
+        size(split(col("ts"), " ")).cast("long").as("n_sub"))
+    aw.join(vn, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("sub_per_word_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .orderBy("doc_id")
+  }.withSetup((s, d) => { stageQ328(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3631,5 +3706,6 @@ object TextQueries {
       q297SpanCorrupt, q298FimTransform, q301GopherReportStream,
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
       q312WordpieceMerges, q315TermDispersion, q316KnBigram,
-      q318LangSpans, q319DatasetCardStream, q322PerceptronTrain)
+      q318LangSpans, q319DatasetCardStream, q322PerceptronTrain,
+      q328TokenizerIndex)
 }

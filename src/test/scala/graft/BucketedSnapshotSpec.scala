@@ -71,9 +71,15 @@ class BucketedSnapshotSpec extends AnyFunSuite with SparkSpec {
           s"expected zero merge-level shuffles, got " +
             s"${Bucketing.shuffleCount(plan)}\n" + s.take(8000))
       }
-      // the loan released the delta cache — no clearCache compensation
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        "mergePlan must unpersist its delta when the loan returns")
+      // the loan released the delta cache — no clearCache compensation.
+      // Scope the check to THIS operator's RDDs: the session is shared
+      // across concurrently-running suites, so a global isEmpty races
+      // against any peer's cache/localCheckpoint (the r8 transient).
+      // (an RDD's toString carries its creation call site)
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filter(_.toString.contains("BucketedSnapshot"))
+      assert(leaked.isEmpty,
+        s"mergePlan must unpersist its delta when the loan returns: $leaked")
       // control: the union+window keepLast shape shuffles the whole union
       val naive = Upsert.keepLast(
         spark.read.parquet(s"$dir/s.snapshot.bucketed/v1"), delta, Seq("k"))
