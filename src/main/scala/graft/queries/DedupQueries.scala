@@ -1246,6 +1246,160 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }.withSetup((s, d) => { stageQ314(s, d); () })
 
+  private val q329Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q329 maintained cluster labels once per (JVM, sf dir):
+    * build on half the q18 pair set (parity split), fold the other half
+    * as committed delta g1.
+    */
+  private def stageQ329(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q329Staging.getOrStage(dir) {
+      import graft.ext.ClusterIndex
+      val idxDir = QuerySpec.stagedPath("q329_clusters", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      new java.io.File(idxDir).mkdirs()
+      val pairs = spark.read.parquet(stagePairs(spark, dir))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      ClusterIndex.build(spark,
+        pairs.filter((col("id_a") + col("id_b")) % 2 === 0),
+        idxDir, "dups")
+      ClusterIndex.fold(spark,
+        pairs.filter((col("id_a") + col("id_b")) % 2 === 1),
+        idxDir, "dups").count()
+      idxDir
+    }
+
+  /** Maintained dedup-cluster labels ([[graft.ext.ClusterIndex]] — the
+    * artifact form of q57's connected components, completing the
+    * maintained dedup pipeline: index → pairs → CLUSTERS): labels built
+    * from half the q18 pair set, the other half FOLDED in as a
+    * marker-gated delta-sized relabel (fresh endpoints map to their
+    * stored representatives, components run over |batch| mapped edges,
+    * only touched components re-label). The min-id invariant is
+    * preserved exactly through the merge, so the maintained labels must
+    * equal a one-shot connected-components over the FULL pair set — the
+    * oracle replays q57's recursive walk seeded from the pair nodes.
+    */
+  val q329ClusterIndex: QuerySpec = QuerySpec.oracled(
+    "q329_cluster_index",
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h)) * 10 >=
+       |    (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
+       |SELECT node, CAST(min(lbl) AS BIGINT) AS cluster_id
+       |FROM walk GROUP BY node
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val idxDir = stageQ329(spark, dir)
+    graft.ext.ClusterIndex.labels(spark, idxDir, "dups")
+      .orderBy("node")
+  }.withSetup((s, d) => { stageQ329(s, d); () })
+
+  private val q330Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q330 stream feed: the doc_id % 2 == 1 slice as two flat
+    * parquet files (one micro-batch each, parity-split by % 4).
+    */
+  private def stageQ330(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q330Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q330_docs", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val d1 = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 2 === 1)
+      d1.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.parquet(s"$staged/00")
+      QuerySpec.flattenPart(spark, staged.toString, "00", "a.parquet")
+      d1.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.parquet(s"$staged/01")
+      QuerySpec.flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** The WHOLE maintained dedup pipeline over one stream — index →
+    * pairs → clusters, each stage a persisted artifact: the dedup index
+    * builds on the even slice (and the cluster labels seed from its
+    * internal one-shot pairs); each streamed micro-batch of odd-slice
+    * docs then FOLDS the index (emitting exactly the near-dup pairs its
+    * docs are involved in) and immediately FOLDS those pairs into the
+    * maintained cluster labels, both keyed by the batchId (idempotent
+    * under at-least-once redelivery). Every pair over the full corpus is
+    * emitted exactly once — internal to the seed slice at build, or by
+    * the fold whose batch carried its later endpoint — so the final
+    * maintained labels must equal a from-scratch connected-components
+    * over ALL pairs: the oracle replays the brute pair definition plus
+    * the recursive walk, blind to any of the streaming machinery.
+    */
+  val q330DedupPipelineStream: QuerySpec = QuerySpec.oracled(
+    "q330_dedup_pipeline_stream",
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h)) * 10 >=
+       |    (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
+       |SELECT node, CAST(min(lbl) AS BIGINT) AS cluster_id
+       |FROM walk GROUP BY node
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    import graft.ext.{ClusterIndex, DedupIndex}
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = stageQ330(spark, dir)
+    val idxDir = QuerySpec.stagedPath("q330_index", dir)
+    val clDir = QuerySpec.stagedPath("q330_clusters", dir)
+    val ckpt = QuerySpec.stagedPath("q330_ckpt", dir)
+    Seq(idxDir, clDir, ckpt).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      new java.io.File(d).mkdirs()
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 2 === 0)
+    DedupIndex.build(spark, seed, idxDir, "docs", "doc_id", "text",
+      k = 3, numHashes = 128, bandRows = 2)
+    ClusterIndex.build(spark,
+      Dedup.minhashNearDupPairs(seed, "doc_id", "text",
+        k = 3, numHashes = 128, bandRows = 2,
+        thresholdNum = 7, thresholdDen = 10)
+        .select("id_a", "id_b"),
+      clDir, "dups")
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q330_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q330_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val prs = DedupIndex.fold(batch.sparkSession, batch, idxDir,
+          "docs", "doc_id", "text", generation = Some(batchId + 1))
+          .select("id_a", "id_b")
+        ClusterIndex.fold(batch.sparkSession, prs, clDir, "dups",
+          generation = Some(batchId + 1)).count()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    ClusterIndex.labels(spark, clDir, "dups").orderBy("node")
+  }.withSetup((s, d) => { stageQ330(s, d); () })
+
   /** Analytic MinHash S-curve planner ([[graft.ext.Dedup.lshPlanner]] —
     * MMDS §3.4 banding analysis): `p = 1 − (1 − s^r)^b` for every
     * (rows × bands) split of 128 lanes over a 5%-step similarity grid,
@@ -1304,7 +1458,8 @@ object DedupQueries {
       q236ThresholdCurve, q275DupSpanRemoval, q305ExactSubstr,
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
       q314DedupIndexStream, q317ApssCurve, q320LshPlanner,
-      q323DedupIndexTimeTravel, q326ApssIndex, q327ApssIndexStream)
+      q323DedupIndexTimeTravel, q326ApssIndex, q327ApssIndexStream,
+      q329ClusterIndex, q330DedupPipelineStream)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its
