@@ -50,12 +50,8 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val sm = bm25ScoresMicro(docs, queryTerms, idCol, textCol, k1, b)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_micro").desc, col(idCol))
-    sm.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+    bm25RankCut(
+      bm25ScoresMicro(docs, queryTerms, idCol, textCol, k1, b), idCol, k)
   }
 
   /** The BM25 scoring stage without the rank cut: exact integer
@@ -83,6 +79,26 @@ object Retrieval {
       .agg(count(lit(1)).as("c"))
     val dft = tc.join(broadcast(queryTerms.select("term").distinct), "term")
       .groupBy("term").agg(countDistinct(idCol).as("df"))
+    bm25ScoreFromPostings(tf, dft, dl, stats, idCol, k1, b)
+  }
+
+  /** The BM25 formula off prepared relational inputs — the shared core
+    * of the in-memory path and the persisted [[SearchIndex]], so the
+    * maintained index provably computes the IDENTICAL double expression
+    * sequence (and therefore identical rounded micro-units):
+    *  - `tf`    (query_id, term, <idCol>, c) — query-pruned postings;
+    *  - `dft`   (term, df) — collection document frequencies;
+    *  - `dl`    (<idCol>, dl) — unit lengths;
+    *  - `stats` one row (n_docs, total).
+    */
+  private[ext] def bm25ScoreFromPostings(
+      tf: DataFrame,
+      dft: DataFrame,
+      dl: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      k1: Double,
+      b: Double): DataFrame = {
     val scored = tf
       .join(broadcast(dft), "term")
       .join(dl, idCol)
@@ -100,6 +116,16 @@ object Retrieval {
         floor(col("contrib") * lit(1000000.0) + lit(0.5)).cast("long"))
     scored.groupBy("query_id", idCol)
       .agg(sum("cmicro").as("score_micro"))
+  }
+
+  /** The rank cut shared by [[bm25TopK]] and [[SearchIndex.topK]]. */
+  private[ext] def bm25RankCut(
+      sm: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col(idCol))
+    sm.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
   }
 
   /** Passage-level BM25 with MaxP document ranking (Dai & Callan 2019,

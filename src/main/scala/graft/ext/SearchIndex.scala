@@ -1,0 +1,221 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained BM25 search index — the artifact
+  * form of [[Retrieval.bm25TopK]]: a query-time scorer should join
+  * prepared postings, not re-tokenize 100 TB per query, and a daily
+  * ingest should extend those postings delta-sized. Same commit
+  * discipline as the sibling artifacts ([[graft.io.VersionPointer]]:
+  * create-only manifest PUTs, marker-gated fold deltas, retention window
+  * + time-travel, idempotent caller-supplied fold generations).
+  *
+  * EXACT maintenance — no frozen-statistics compromise: every BM25
+  * collection statistic is ADDITIVE over disjoint document batches
+  * (fold ids are new, the family contract), so per-batch partials sum to
+  * the whole-corpus values bit-for-bit:
+  *  - `v<N>/postings` — (term, doc_id, c): per-doc term frequencies;
+  *  - `v<N>/doclen`   — (doc_id, dl);
+  *  - `v<N>/termdf`   — (term, df): per-BATCH document frequencies —
+  *    readers SUM them per term;
+  *  - `v<N>/totals`   — one row per batch (n_docs, total_len) — readers
+  *    sum both.
+  * [[topK]] therefore answers IDENTICALLY to a one-shot
+  * [[Retrieval.bm25TopK]] over the accumulated corpus — not just
+  * approximately: the scoring runs through the shared
+  * [[Retrieval.bm25ScoreFromPostings]] core, so the double expression
+  * sequence (idf, length normalization, micro-unit rounding) is the same
+  * code (q331 adjudicates against the from-scratch SQL replay).
+  *
+  * Scale shape: a query joins its (few) terms against the postings —
+  * per-term fanout is that term's df, the inverted-index property; df
+  * summing is restricted to query terms before aggregation; totals are
+  * one row per fold. Fold IO is delta-sized (sign only the fresh batch;
+  * nothing stored is read or rewritten).
+  */
+object SearchIndex {
+
+  private def layoutDir(dir: String, name: String): String =
+    s"$dir/$name.searchindex"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  def currentVersion(
+      spark: SparkSession, dir: String, name: String): Option[Int] =
+    graft.io.VersionPointer.current(spark, layoutDir(dir, name))
+
+  /** Committed versions still inside the retention window. */
+  def versions(
+      spark: SparkSession, dir: String, name: String): Seq[Int] = {
+    val cur = currentVersion(spark, dir, name)
+    graft.io.VersionPointer.versionDirs(spark, layoutDir(dir, name))
+      .filter(v => cur.exists(v <= _))
+  }
+
+  private def sub(dir: String, name: String, v: Int, s: String): String =
+    s"${layoutDir(dir, name)}/v$v/$s"
+  private def foldsDir(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/_folds"
+  private def deltaPath(dir: String, name: String, v: Int, g: Long): String =
+    s"${layoutDir(dir, name)}/v$v/deltas/g$g"
+
+  private val FoldMarkerRe = """g(\d+)\.ok""".r
+
+  private def committedFolds(
+      spark: SparkSession, dir: String, name: String, v: Int): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(foldsDir(dir, name, v))
+    val f = fs(spark, p.toString)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+      case FoldMarkerRe(g) => Some(g.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  private def requireVersion(
+      spark: SparkSession, dir: String, name: String): Int =
+    currentVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"search index '$name' at $dir does not exist — build() it first"))
+
+  /** One batch's four artifacts, normalized to internal column names —
+    * the SAME tokenization as [[Retrieval.bm25TopK]] ([[Dedup.tokens]]),
+    * empty-token docs excluded from every table (the in-memory path's
+    * `size > 0` filter).
+    */
+  private def sign(
+      docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val doclen = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tc = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+    val postings = tc.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val termdf = tc.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val totals = doclen.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("total_len"))
+    (postings, doclen, termdf, totals)
+  }
+
+  private def writeBatch(
+      postings: DataFrame, doclen: DataFrame, termdf: DataFrame,
+      totals: DataFrame, root: String, mode: String): Unit = {
+    postings.write.mode(mode).parquet(s"$root/postings")
+    doclen.write.mode(mode).parquet(s"$root/doclen")
+    termdf.write.mode(mode).parquet(s"$root/termdf")
+    totals.coalesce(1).write.mode(mode).parquet(s"$root/totals")
+  }
+
+  /** Sign + index `corpus` as version 1 (or N+1 — a rebuild), then apply
+    * the retention window.
+    */
+  def build(
+      spark: SparkSession, corpus: DataFrame, dir: String, name: String,
+      idCol: String, textCol: String, retainVersions: Int = 2): Unit = {
+    val v = currentVersion(spark, dir, name).getOrElse(0) + 1
+    graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
+    val (p, d, t, s) = sign(corpus, idCol, textCol)
+    writeBatch(p, d, t, s, s"${layoutDir(dir, name)}/v$v", "errorifexists")
+    graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v, retainVersions)
+  }
+
+  /** Fold an ingest batch: sign ONLY `fresh` (ids must be new — the
+    * append-only family contract that makes every statistic additive),
+    * write its four delta tables, commit with one marker PUT.
+    * `generation` is the caller's batch identity: a committed
+    * generation is a pure no-op on retry.
+    */
+  def fold(
+      spark: SparkSession, fresh: DataFrame, dir: String, name: String,
+      idCol: String, textCol: String,
+      generation: Option[Long] = None): Unit = {
+    val v = requireVersion(spark, dir, name)
+    val committed = committedFolds(spark, dir, name, v)
+    val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
+    if (committed.contains(g)) return // committed replay: pure no-op
+    require(committed.forall(_ < g),
+      s"fold generation $g is below already-committed generations " +
+        s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
+        "batch identities would make the replay no-op ambiguous")
+    val (p, d, t, s) = sign(fresh, idCol, textCol)
+    writeBatch(p, d, t, s, deltaPath(dir, name, v, g), "overwrite")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${foldsDir(dir, name, v)}/g$g.ok")
+    val f = fs(spark, marker.toString)
+    val out = f.create(marker, false)
+    try out.write("ok".getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
+  /** All committed rows of one artifact (base + committed deltas). */
+  private def readCommitted(
+      spark: SparkSession, dir: String, name: String, v: Int,
+      what: String): DataFrame =
+    (s"${layoutDir(dir, name)}/v$v/$what" +:
+      committedFolds(spark, dir, name, v)
+        .map(g => s"${deltaPath(dir, name, v, g)}/$what"))
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  /** BM25 top-`k` per query against the maintained index — the
+    * [[Retrieval.bm25TopK]] output contract
+    * (query_id, rank, <idCol>, score_micro), computed from summed
+    * per-batch statistics through the SHARED scoring core, so the answer
+    * is bit-identical to the one-shot operator over the accumulated
+    * corpus. `atVersion` time-travels to a retained historical version.
+    */
+  def topK(
+      spark: SparkSession, queryTerms: DataFrame, dir: String,
+      name: String, idCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, atVersion: Option[Int] = None): DataFrame = {
+    val v = graft.io.VersionPointer.resolveRead(spark,
+      layoutDir(dir, name), atVersion, s"search index '$name' at $dir")
+    val qt = broadcast(queryTerms.select(col("query_id"), col("term")))
+    val tf = readCommitted(spark, dir, name, v, "postings")
+      .join(qt, "term")
+      .select(col("query_id"), col("term"), col("doc_id").as(idCol),
+        col("c"))
+    // per-batch dfs SUM to collection dfs (disjoint doc sets); restrict
+    // to query terms before the aggregate
+    val dft = readCommitted(spark, dir, name, v, "termdf")
+      .join(broadcast(queryTerms.select("term").distinct), "term")
+      .groupBy("term").agg(sum("df").as("df"))
+    val dl = readCommitted(spark, dir, name, v, "doclen")
+      .select(col("doc_id").as(idCol), col("dl"))
+    val stats = readCommitted(spark, dir, name, v, "totals")
+      .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total"))
+    Retrieval.bm25RankCut(
+      Retrieval.bm25ScoreFromPostings(tf, dft, dl, stats, idCol, k1, b),
+      idCol, k)
+  }
+
+  /** Rewrite the accumulated artifacts into one base at version N+1
+    * (postings/doclen row moves; termdf re-summed per term; totals
+    * re-summed to one row), pointer promote, retention window.
+    */
+  def compact(
+      spark: SparkSession, dir: String, name: String,
+      retainVersions: Int = 2): Unit = {
+    val v = requireVersion(spark, dir, name)
+    val p = readCommitted(spark, dir, name, v, "postings").localCheckpoint()
+    val d = readCommitted(spark, dir, name, v, "doclen").localCheckpoint()
+    val t = readCommitted(spark, dir, name, v, "termdf")
+      .groupBy("term").agg(sum("df").as("df")).localCheckpoint()
+    val s = readCommitted(spark, dir, name, v, "totals")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("total_len"), lit(0L)).as("total_len"))
+      .localCheckpoint()
+    graft.io.VersionPointer.dropDir(
+      spark, s"${layoutDir(dir, name)}/v${v + 1}")
+    writeBatch(p, d, t, s, s"${layoutDir(dir, name)}/v${v + 1}",
+      "errorifexists")
+    graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v + 1)
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v + 1, retainVersions)
+  }
+}

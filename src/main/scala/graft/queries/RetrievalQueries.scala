@@ -488,7 +488,84 @@ object RetrievalQueries {
       .orderBy("query_id")
   }
 
+  private val q331Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q331 search index once per (JVM, sf dir): build on the
+    * doc_id % 2 == 0 slice, fold the odd slice as committed delta g1.
+    */
+  private def stageQ331(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q331Staging.getOrStage(dir) {
+      import graft.ext.SearchIndex
+      val idxDir = QuerySpec.stagedPath("q331_search", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      new java.io.File(idxDir).mkdirs()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      SearchIndex.build(spark, docs.filter(col("doc_id") % 2 === 0),
+        idxDir, "docs", "doc_id", "text")
+      SearchIndex.fold(spark, docs.filter(col("doc_id") % 2 === 1),
+        idxDir, "docs", "doc_id", "text")
+      idxDir
+    }
+
+  /** Persisted BM25 search index ([[graft.ext.SearchIndex]] — postings +
+    * per-batch ADDITIVE collection statistics under the version-pointer
+    * discipline): built on the even slice, the odd slice folded in as a
+    * marker-gated delta (sign-only — nothing stored is read or
+    * rewritten), then queried. Every BM25 statistic sums exactly over
+    * disjoint batches and the scoring runs through the same expression
+    * core as the one-shot operator, so the maintained index must answer
+    * q198's from-scratch definition BIT-FOR-BIT — the oracle is q198's
+    * SQL verbatim, blind to the index machinery.
+    */
+  val q331SearchIndex: QuerySpec = QuerySpec.oracled(
+    "q331_search_index",
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk
+       |  WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS total FROM dl),
+       |qt AS (SELECT * FROM $queryTermsSql),
+       |tc AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |tf AS (
+       |  SELECT q.query_id, q.term, t.doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tc
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (
+       |  SELECT f.query_id, f.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + ((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+       |      ((f.c * ${K1 + 1}) / (f.c + $K1 * (${1 - B} +
+       |        $B * (l.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cmicro
+       |  FROM tf f JOIN df d ON f.term = d.term
+       |  JOIN dl l ON f.doc_id = l.doc_id
+       |  CROSS JOIN st s),
+       |sm AS (
+       |  SELECT query_id, doc_id, CAST(sum(cmicro) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM sm)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_micro
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val idxDir = stageQ331(spark, dir)
+    graft.ext.SearchIndex.topK(spark,
+      QueryTerms.toDF("query_id", "term"),
+      idxDir, "docs", "doc_id", k = 10, k1 = K1, b = B)
+      .orderBy("query_id", "rank")
+  }.withSetup((s, d) => { stageQ331(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement, q243MrrEval,
-      q285MaxPassage, q310NdcgEval)
+      q285MaxPassage, q310NdcgEval, q331SearchIndex)
 }
