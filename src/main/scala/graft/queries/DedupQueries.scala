@@ -1400,6 +1400,66 @@ object DedupQueries {
     ClusterIndex.labels(spark, clDir, "dups").orderBy("node")
   }.withSetup((s, d) => { stageQ330(s, d); () })
 
+  /** Survivor selection off the MAINTAINED cluster labels — the final
+    * stage of the maintained pipeline (index → pairs → clusters →
+    * SURVIVORS), consuming q329's staged artifact instead of a
+    * from-scratch component run: per multi-member cluster, the q69
+    * longest-document policy (tie → min doc_id) picks the keeper. Only
+    * pair-involved nodes carry labels (the [[graft.ext.ClusterIndex]]
+    * contract); singletons are trivially their own survivors and are
+    * out of scope here, so the oracle restricts its replay to the pair
+    * nodes — everything else (walk, labels, policy window) is the q69
+    * discipline verbatim.
+    */
+  val q332MaintainedSurvivors: QuerySpec = QuerySpec.oracled(
+    "q332_maintained_survivors",
+    s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h)) * 10 >=
+       |    (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |nodes AS (SELECT id_a AS node FROM p UNION SELECT id_b FROM p),
+       |walk(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+       |lab AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk
+       |  GROUP BY node),
+       |r AS (
+       |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY d.n_chars DESC, l.doc_id) AS rnk
+       |  FROM lab l JOIN documents d USING (doc_id))
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT)
+       |    AS survivor_id,
+       |  CAST(sum(CASE WHEN rnk = 1 THEN 0 ELSE n_chars END) AS BIGINT)
+       |    AS chars_removed
+       |FROM r GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val idxDir = stageQ329(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val labels = graft.ext.ClusterIndex.labels(spark, idxDir, "dups")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels
+      .join(docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rnk") === 1, col("doc_id"))).as("survivor_id"),
+        sum(when(col("rnk") === 1, 0L).otherwise(col("n_chars")))
+          .as("chars_removed"))
+      .orderBy("cluster_id")
+  }.withSetup((s, d) => { stageQ329(s, d); () })
+
   /** Analytic MinHash S-curve planner ([[graft.ext.Dedup.lshPlanner]] —
     * MMDS §3.4 banding analysis): `p = 1 − (1 − s^r)^b` for every
     * (rows × bands) split of 128 lanes over a 5%-step similarity grid,
@@ -1459,7 +1519,7 @@ object DedupQueries {
       q306ExactSubstrCurve, q309ApssCosine, q313DedupIndex,
       q314DedupIndexStream, q317ApssCurve, q320LshPlanner,
       q323DedupIndexTimeTravel, q326ApssIndex, q327ApssIndexStream,
-      q329ClusterIndex, q330DedupPipelineStream)
+      q329ClusterIndex, q330DedupPipelineStream, q332MaintainedSurvivors)
 
   /** Contrastive training triplets from the dedup machinery: per anchor
     * document, its MOST similar same-block partner (the positive) and its
