@@ -84,9 +84,80 @@ object TokenizerIndex {
       atVersion: Option[Int] = None): DataFrame = {
     val v = graft.io.VersionPointer.resolveRead(spark,
       layoutDir(dir, name), atVersion, s"tokenizer '$name' at $dir")
+    require(!hasVocab(spark, dir, name, v),
+      s"tokenizer '$name' at $dir is a UNIGRAM artifact — " +
+        "use segmentWords(), not the BPE apply")
     val numMerges = spark.read.parquet(sub(dir, name, v, "params"))
       .head().getAs[Int]("num_merges")
     Bpe.applyMerges(
       words, spark.read.parquet(sub(dir, name, v, "merges")), numMerges)
+  }
+
+  // ---- unigram family (the [[Unigram]] trainer behind the same seam) ----
+
+  private def hasVocab(
+      spark: SparkSession, dir: String, name: String, v: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sub(dir, name, v, "vocab"))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Train a unigram vocabulary ([[Unigram.train]] — seed → rounds of
+    * cost/Viterbi/recount/prune) and commit it as a version: `vocab` is
+    * the (piece, cnt, bits) table, `uparams` freezes the DP's piece
+    * length so [[segmentWords]] can never search differently than the
+    * vocab was trained for.
+    */
+  def buildUnigram(
+      spark: SparkSession, corpus: DataFrame, dir: String, name: String,
+      textCol: String, rounds: Int, multiKeep: Int, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12, retainVersions: Int = 2): Unit = {
+    val v = currentVersion(spark, dir, name).getOrElse(0) + 1
+    graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
+    val vocab = Unigram.train(corpus, textCol, rounds, multiKeep,
+      maxPieceLen, maxWordLen)
+    import spark.implicits._
+    Seq((rounds, multiKeep, maxPieceLen, maxWordLen))
+      .toDF("rounds", "multi_keep", "max_piece_len", "max_word_len")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(sub(dir, name, v, "uparams"))
+    vocab.coalesce(1).write.mode("errorifexists")
+      .parquet(sub(dir, name, v, "vocab"))
+    graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
+    graft.io.VersionPointer.retain(
+      spark, layoutDir(dir, name), v, retainVersions)
+  }
+
+  /** The frozen unigram vocabulary of the current (or a retained
+    * historical) version.
+    */
+  def vocab(
+      spark: SparkSession, dir: String, name: String,
+      atVersion: Option[Int] = None): DataFrame = {
+    val v = graft.io.VersionPointer.resolveRead(spark,
+      layoutDir(dir, name), atVersion, s"tokenizer '$name' at $dir")
+    require(hasVocab(spark, dir, name, v),
+      s"tokenizer '$name' at $dir is a BPE artifact — it has no " +
+        "unigram vocab")
+    spark.read.parquet(sub(dir, name, v, "vocab"))
+  }
+
+  /** Viterbi-segment a DISTINCT word list (column `w`) under the
+    * artifact's frozen unigram vocabulary — [[Unigram.segment]] with the
+    * stored (piece, bits) costs and the stored DP piece length. Output:
+    * (w, seg); uncoverable words raise loudly (the [[Unigram.segment]]
+    * contract).
+    */
+  def segmentWords(
+      spark: SparkSession, words: DataFrame, dir: String, name: String,
+      atVersion: Option[Int] = None): DataFrame = {
+    val v = graft.io.VersionPointer.resolveRead(spark,
+      layoutDir(dir, name), atVersion, s"tokenizer '$name' at $dir")
+    require(hasVocab(spark, dir, name, v),
+      s"tokenizer '$name' at $dir is a BPE artifact — " +
+        "use tokenizeWords(), not the unigram segmenter")
+    val maxPieceLen = spark.read.parquet(sub(dir, name, v, "uparams"))
+      .head().getAs[Int]("max_piece_len")
+    Unigram.segment(words,
+      spark.read.parquet(sub(dir, name, v, "vocab")), maxPieceLen)
   }
 }

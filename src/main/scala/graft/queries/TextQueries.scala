@@ -3685,6 +3685,56 @@ object TextQueries {
       .orderBy("doc_id")
   }.withSetup((s, d) => { stageQ328(s, d); () })
 
+  private val q333Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q333 unigram artifact once per (JVM, sf dir): q273's
+    * training configuration committed under the version pointer.
+    */
+  private def stageQ333(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q333Staging.getOrStage(dir) {
+      val tokDir = QuerySpec.stagedPath("q333_tok", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tokDir))
+      new java.io.File(tokDir).mkdirs()
+      graft.ext.TokenizerIndex.buildUnigram(spark,
+        spark.read.parquet(s"$dir/documents.parquet"),
+        tokDir, "uni", "text",
+        rounds = 2, multiKeep = 120, maxPieceLen = 3, maxWordLen = 10)
+      tokDir
+    }
+
+  /** Persisted UNIGRAM tokenizer artifact
+    * ([[graft.ext.TokenizerIndex.buildUnigram]] — q328's train-once/
+    * apply-frozen discipline for the other tokenizer family): the
+    * vocabulary trains once into a versioned artifact and the gate
+    * Viterbi-segments the corpus off the FROZEN stored (piece, bits)
+    * costs and DP piece length — no inline training. The oracle is
+    * q273's from-scratch replay (seed → 2 EM-ish rounds → segment →
+    * per-doc census), so a stale or divergent artifact hash-mismatches.
+    */
+  val q333UnigramIndex: QuerySpec = QuerySpec.oracled(
+    "q333_unigram_index",
+    q272OracleSql(rounds = 2, multiKeep = 120, maxPieceLen = 3,
+      maxWordLen = 10, applyCensus = true)) { (spark, dir) =>
+    val tokDir = stageQ333(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val aw = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 10)
+    val vn = graft.ext.TokenizerIndex.segmentWords(spark,
+        aw.select("w").distinct(), tokDir, "uni")
+      .select(col("w"), size(split(col("seg"), " ")).cast("long")
+        .as("n_sub"))
+    aw.join(vn, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("sub_per_word_ppm",
+        expr("n_subwords * 1000000 div n_words"))
+      .orderBy("doc_id")
+  }.withSetup((s, d) => { stageQ333(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3707,5 +3757,5 @@ object TextQueries {
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
       q312WordpieceMerges, q315TermDispersion, q316KnBigram,
       q318LangSpans, q319DatasetCardStream, q322PerceptronTrain,
-      q328TokenizerIndex)
+      q328TokenizerIndex, q333UnigramIndex)
 }

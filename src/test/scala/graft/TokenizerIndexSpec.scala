@@ -68,4 +68,42 @@ class TokenizerIndexSpec extends AnyFunSuite with SparkSpec {
       TokenizerIndex.tokenizeWords(spark, Seq("a").toDF("w"), dir, "nope")
     }
   }
+
+  test("unigram artifact: segment-from-artifact equals inline train+segment") {
+    val dir = tmpDir("tokidx_uni")
+    val c = corpus()
+    TokenizerIndex.buildUnigram(spark, c, dir, "uni", "text",
+      rounds = 2, multiKeep = 50, maxPieceLen = 3, maxWordLen = 10)
+    val words = Seq("low", "lowest", "newer").toDF("w")
+    def useg(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.select("w", "seg").as[(String, String)].collect.toMap
+    val fromArtifact = useg(
+      TokenizerIndex.segmentWords(spark, words, dir, "uni"))
+    val inline = useg(graft.ext.Unigram.segment(words,
+      graft.ext.Unigram.train(c, "text", rounds = 2, multiKeep = 50,
+        maxPieceLen = 3, maxWordLen = 10),
+      maxPieceLen = 3))
+    assert(fromArtifact == inline && fromArtifact.nonEmpty)
+  }
+
+  test("family guards: BPE apply refuses a unigram artifact and vice versa") {
+    val dir = tmpDir("tokidx_guard")
+    TokenizerIndex.buildUnigram(spark, corpus(), dir, "uni", "text",
+      rounds = 1, multiKeep = 50, maxPieceLen = 3, maxWordLen = 10)
+    val words = Seq("low").toDF("w")
+    val e1 = intercept[IllegalArgumentException] {
+      TokenizerIndex.tokenizeWords(spark, words, dir, "uni")
+    }
+    assert(e1.getMessage.contains("segmentWords"), e1.getMessage)
+    val dir2 = tmpDir("tokidx_guard2")
+    TokenizerIndex.build(spark, corpus(), dir2, "bpe", "text",
+      numMerges = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizerIndex.segmentWords(spark, words, dir2, "bpe")
+    }
+    assert(e2.getMessage.contains("tokenizeWords"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      TokenizerIndex.vocab(spark, dir2, "bpe")
+    }
+  }
 }
