@@ -1395,6 +1395,104 @@ object TextStats {
         abs(col("__conf_sum") - lit(10000L) * col("n_pos")).as("ece_num"))
   }
 
+  /** ROC-AUC of the quality classifier against the independent surprisal
+    * labels — the threshold-free discrimination metric beside q311's
+    * calibration (a classifier can be well-calibrated and useless, or
+    * discriminative and miscalibrated; an eval reports both): the
+    * Mann–Whitney U form `AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻)`
+    * with ties handled by midranks, all in EXACT integers — midranks are
+    * kept DOUBLED (a tie group spanning ranks [a, b] contributes a+b per
+    * member, always integral), and the final ppm fix uses the
+    * quotient/remainder decomposition `q·10⁶ + (r·10⁶ div den)` so no
+    * intermediate exceeds `den·10⁶` (exact while 2·n⁺·n⁻ < 2⁶³/10⁶ —
+    * every eval set by construction; a 100 TB corpus evals on a sample).
+    *
+    * One row: (n_pos, n_neg, auc_ppm). Degenerate label sets (no
+    * positives or no negatives) are refused loudly — an AUC of a
+    * one-class eval is undefined, not 0.
+    *
+    * Scale shape: one margin-keyed aggregate (distinct scores), one
+    * cumulative window over |distinct margins| rows, one scalar rollup.
+    */
+  def rocAuc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      posMillibitsBelow: Long = 4250L): DataFrame = {
+    val m = classifierMargin(docs, idCol, textCol)
+      .select(col(idCol), col("margin"))
+    val sb = surprisalBits(docs, idCol, textCol)
+      .select(col(idCol),
+        (col("avg_millibits") < posMillibitsBelow).cast("long").as("pos"))
+    val grouped = m.join(sb, idCol)
+      .groupBy("margin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("margin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val ranked = grouped
+      .withColumn("__cum", sum("n").over(w))
+      // doubled midrank of the tie group ending at __cum: (a + b) where
+      // a = __cum − n + 1, b = __cum
+      .withColumn("__r2", lit(2) * col("__cum") - col("n") + 1)
+    ranked.agg(
+        sum(col("np") * col("__r2")).as("__s2"), // 2·Σ_pos midrank
+        sum("np").as("n_pos"),
+        (sum("n") - sum("np")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("2 * n_pos * n_neg").as("__den"),
+        (col("__s2") - col("n_pos") * (col("n_pos") + 1)).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        // q·1e6 + (r·1e6 div den): exact without u2·1e6 ever forming.
+        // The CaseWhen guards the division: a single-class eval raises
+        // BEFORE any den = 0 arithmetic can fire (branches are lazy)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(__u2 div __den) * 1000000") +
+            expr("((__u2 % __den) * 1000000) div __den"))
+          .otherwise(raise_error(lit(
+            "rocAuc: eval set has a single class — AUC is undefined, " +
+              "refusing to report a number")).cast("long"))
+          .as("auc_ppm"))
+  }
+
+  /** Precision/recall operating points of the quality classifier over a
+    * margin-threshold ladder — the curve a filter's cutoff is chosen
+    * from (the q236/q317 audit discipline applied to the learned
+    * filter): per threshold, confusion counts plus precision/recall in
+    * exact floor-div ppm. One margin+label pass feeds every rung
+    * (broadcast ladder, integer compares).
+    */
+  def prCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Long],
+      posMillibitsBelow: Long = 4250L): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size,
+      s"prCurve: thresholds must be non-empty and distinct, got $thresholds")
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val m = classifierMargin(docs, idCol, textCol)
+      .select(col(idCol), col("margin"))
+    val sb = surprisalBits(docs, idCol, textCol)
+      .select(col(idCol),
+        (col("avg_millibits") < posMillibitsBelow).cast("long").as("pos"))
+    m.join(sb, idCol)
+      .crossJoin(broadcast(thresholds.toDF("threshold")))
+      .withColumn("pred", (col("margin") >= col("threshold")).cast("long"))
+      .groupBy("threshold")
+      .agg(sum(col("pred") * col("pos")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("pos"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("pos")).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        coalesce(expr("tp * 1000000 div nullif(tp + fp, 0)"), lit(0L))
+          .as("precision_ppm"),
+        coalesce(expr("tp * 1000000 div nullif(tp + fn, 0)"), lit(0L))
+          .as("recall_ppm"))
+      .orderBy("threshold")
+  }
+
   def classifierMargin(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil): DataFrame = {
     val stops = ClassifierStopwords.map(s => s"'$s'").mkString(", ")

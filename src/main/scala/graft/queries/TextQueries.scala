@@ -3735,6 +3735,102 @@ object TextQueries {
       .orderBy("doc_id")
   }.withSetup((s, d) => { stageQ333(s, d); () })
 
+  /** Shared oracle CTEs for the classifier-eval family: margin (mg) and
+    * surprisal-derived labels (sb) joined to (doc_id, margin, pos) —
+    * q311's construction, factored for q334/q335.
+    */
+  private def classifierLabeledCtes: String =
+    s"""WITH f AS (
+       |  ${TextStats.classifierFeatureSql("doc_id")}),
+       |bp AS (
+       |  ${TextStats.classifierBpSql}),
+       |mg AS (
+       |  SELECT doc_id, ${TextStats.classifierMarginSqlExpr} AS margin
+       |  FROM bp),
+       |tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(tot.n // vc.c)) - 1 AS BIGINT) AS bits
+       |  FROM tok t JOIN vc ON t.tok = vc.tok CROSS JOIN tot),
+       |sb AS (
+       |  SELECT doc_id,
+       |    CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS avg_millibits
+       |  FROM sc GROUP BY doc_id),
+       |lb AS (
+       |  SELECT mg.doc_id, mg.margin,
+       |    CASE WHEN sb.avg_millibits < 4250 THEN 1 ELSE 0 END AS pos
+       |  FROM mg JOIN sb USING (doc_id))""".stripMargin
+
+  /** ROC-AUC of the quality classifier ([[graft.ext.TextStats.rocAuc]]
+    * — Mann–Whitney U with midrank ties, exact integers throughout):
+    * the threshold-free discrimination metric completing the learned-
+    * filter eval family — train (q322), calibrate (q311), discriminate
+    * (here), operating points (q335). The quotient/remainder ppm fix
+    * means no intermediate ever exceeds den·10⁶; the oracle replays
+    * ranks, ties, and the decomposition arithmetic in full.
+    */
+  val q334RocAuc: QuerySpec = QuerySpec.oracled(
+    "q334_roc_auc",
+    s"""$classifierLabeledCtes,
+       |g AS (
+       |  SELECT margin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS np
+       |  FROM lb GROUP BY margin),
+       |r AS (
+       |  SELECT *, CAST(sum(n) OVER (ORDER BY margin) AS BIGINT) AS cum
+       |  FROM g),
+       |agg AS (
+       |  SELECT CAST(sum(np * (2 * cum - n + 1)) AS BIGINT) AS s2,
+       |    CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+       |  FROM r)
+       |SELECT n_pos, n_neg,
+       |  CAST(((s2 - n_pos * (n_pos + 1)) // (2 * n_pos * n_neg))
+       |      * 1000000
+       |    + (((s2 - n_pos * (n_pos + 1)) % (2 * n_pos * n_neg))
+       |      * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+       |FROM agg""".stripMargin) { (spark, dir) =>
+    TextStats.rocAuc(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+  }
+
+  /** Precision/recall operating points of the quality classifier over a
+    * margin-threshold ladder ([[graft.ext.TextStats.prCurve]] — the
+    * audit-curve discipline applied to the learned filter): per rung,
+    * confusion counts + precision/recall in exact floor-div ppm, one
+    * margin+label pass feeding every rung.
+    */
+  val q335PrCurve: QuerySpec = QuerySpec.oracled(
+    "q335_pr_curve",
+    s"""$classifierLabeledCtes,
+       |t AS (SELECT * FROM (VALUES (150000), (250000), (350000),
+       |  (450000), (550000)) AS tt(threshold)),
+       |q AS (
+       |  SELECT t.threshold,
+       |    CASE WHEN lb.margin >= t.threshold THEN 1 ELSE 0 END AS pred,
+       |    lb.pos
+       |  FROM lb CROSS JOIN t)
+       |SELECT CAST(threshold AS BIGINT) AS threshold,
+       |  CAST(sum(pred * pos) AS BIGINT) AS tp,
+       |  CAST(sum(pred * (1 - pos)) AS BIGINT) AS fp,
+       |  CAST(sum((1 - pred) * pos) AS BIGINT) AS fn,
+       |  CAST(coalesce(sum(pred * pos) * 1000000 //
+       |    nullif(sum(pred * pos) + sum(pred * (1 - pos)), 0), 0)
+       |    AS BIGINT) AS precision_ppm,
+       |  CAST(coalesce(sum(pred * pos) * 1000000 //
+       |    nullif(sum(pred * pos) + sum((1 - pred) * pos), 0), 0)
+       |    AS BIGINT) AS recall_ppm
+       |FROM q GROUP BY threshold
+       |ORDER BY threshold""".stripMargin) { (spark, dir) =>
+    TextStats.prCurve(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      thresholds = Seq(150000L, 250000L, 350000L, 450000L, 550000L))
+      .orderBy("threshold")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q23LangId, q24QualityScore, q25TokenStats, q26Fingerprint,
       q47QualityRatios, q49StratifiedSample, q52Redact, q56VocabApprox,
@@ -3757,5 +3853,5 @@ object TextQueries {
       q307PreferencePairs, q308UnigramSoft, q311CalibrationBins,
       q312WordpieceMerges, q315TermDispersion, q316KnBigram,
       q318LangSpans, q319DatasetCardStream, q322PerceptronTrain,
-      q328TokenizerIndex, q333UnigramIndex)
+      q328TokenizerIndex, q333UnigramIndex, q334RocAuc, q335PrCurve)
 }
