@@ -253,6 +253,35 @@ object DedupIndex {
       thresholdNum, thresholdDen)
   }
 
+  /** Every qualifying near-dup pair WITHIN the indexed corpus itself —
+    * computed entirely from the stored (sets, bands) artifacts, nothing
+    * re-shingled: the audit entry for "what duplication does the index
+    * already hold" (and the seed-pair source for a maintained
+    * [[ClusterIndex]] — q330 uses it so the pipeline signs each document
+    * exactly once, at build/fold time). Same candidate/verify algebra as
+    * the fold path; `atVersion` time-travels.
+    */
+  def pairsWithin(
+      spark: SparkSession, dir: String, name: String,
+      thresholdNum: Int = 7, thresholdDen: Int = 10,
+      atVersion: Option[Int] = None): DataFrame = {
+    val v = graft.io.VersionPointer.resolveRead(
+      spark, layoutDir(dir, name), atVersion, s"dedup index '$name' at $dir")
+    graft.functions.VectorExpressions.register(spark)
+    val sets = readCommitted(spark, dir, name, v, "sets")
+    val bands = readCommitted(spark, dir, name, v, "bands")
+    val cands = bands.select(col("doc_id").as("id_n"),
+        col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("id_o"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_n") < col("id_o"))
+      .select(col("id_n").as("id_a"), col("id_o").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    Dedup.withOverlapExploded(cands, sets)
+      .filter(col("inter_size") * thresholdDen >=
+        col("union_size") * thresholdNum)
+  }
+
   /** Fold an ingest batch: sign ONLY `fresh`, return every qualifying
     * near-dup pair involving ≥ 1 fresh doc (verified with the exact
     * integer Jaccard at `thresholdNum/thresholdDen`), and commit the

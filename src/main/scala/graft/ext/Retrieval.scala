@@ -99,9 +99,12 @@ object Retrieval {
       idCol: String,
       k1: Double,
       b: Double): DataFrame = {
-    val scored = tf
-      .join(broadcast(dft), "term")
-      .join(dl, idCol)
+    // a tf that already CARRIES `dl` (denormalized postings — the
+    // SearchIndex layout) skips the corpus-sized length join entirely
+    val withDl =
+      if (tf.columns.contains("dl")) tf.join(broadcast(dft), "term")
+      else tf.join(broadcast(dft), "term").join(dl, idCol)
+    val scored = withDl
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total").cast("double") / col("n_docs"))
       .withColumn("idf",

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * collection statistic is ADDITIVE over disjoint document batches
   * (fold ids are new, the family contract), so per-batch partials sum to
   * the whole-corpus values bit-for-bit:
-  *  - `v<N>/postings` — (term, doc_id, c): per-doc term frequencies;
-  *  - `v<N>/doclen`   — (doc_id, dl);
+  *  - `v<N>/postings` — (term, doc_id, c, dl): per-doc term frequencies
+  *    with the document length DENORMALIZED onto every posting (the
+  *    norms-in-postings layout real engines use) — scoring needs dl only
+  *    for matched postings, so queries never touch a corpus-sized
+  *    lengths table;
   *  - `v<N>/termdf`   — (term, df): per-BATCH document frequencies —
   *    readers SUM them per term;
   *  - `v<N>/totals`   — one row per batch (n_docs, total_len) — readers
@@ -81,31 +84,35 @@ object SearchIndex {
       throw new IllegalArgumentException(
         s"search index '$name' at $dir does not exist — build() it first"))
 
-  /** One batch's four artifacts, normalized to internal column names —
+  /** One batch's three artifacts, normalized to internal column names —
     * the SAME tokenization as [[Retrieval.bm25TopK]] ([[Dedup.tokens]]),
     * empty-token docs excluded from every table (the in-memory path's
-    * `size > 0` filter).
+    * `size > 0` filter). The document length rides denormalized on every
+    * posting row (a batch-sized one-time join at sign time buys a
+    * lengths-table-free query plan forever).
     */
   private def sign(
       docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val tk = docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-    val doclen = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val tc = tk.select(col("doc_id"), explode(col("toks")).as("term"))
-    val postings = tc.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val tc = tk.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("term"))
+    val postings = tc.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("c"))
+      .select("term", "doc_id", "c", "dl")
     val termdf = tc.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val totals = doclen.agg(count(lit(1)).as("n_docs"),
+    val totals = tk.agg(count(lit(1)).as("n_docs"),
       coalesce(sum("dl"), lit(0L)).as("total_len"))
-    (postings, doclen, termdf, totals)
+    (postings, termdf, totals)
   }
 
   private def writeBatch(
-      postings: DataFrame, doclen: DataFrame, termdf: DataFrame,
+      postings: DataFrame, termdf: DataFrame,
       totals: DataFrame, root: String, mode: String): Unit = {
     postings.write.mode(mode).parquet(s"$root/postings")
-    doclen.write.mode(mode).parquet(s"$root/doclen")
     termdf.write.mode(mode).parquet(s"$root/termdf")
     totals.coalesce(1).write.mode(mode).parquet(s"$root/totals")
   }
@@ -118,8 +125,8 @@ object SearchIndex {
       idCol: String, textCol: String, retainVersions: Int = 2): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
-    val (p, d, t, s) = sign(corpus, idCol, textCol)
-    writeBatch(p, d, t, s, s"${layoutDir(dir, name)}/v$v", "errorifexists")
+    val (p, t, s) = sign(corpus, idCol, textCol)
+    writeBatch(p, t, s, s"${layoutDir(dir, name)}/v$v", "errorifexists")
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
     graft.io.VersionPointer.retain(
       spark, layoutDir(dir, name), v, retainVersions)
@@ -127,7 +134,7 @@ object SearchIndex {
 
   /** Fold an ingest batch: sign ONLY `fresh` (ids must be new — the
     * append-only family contract that makes every statistic additive),
-    * write its four delta tables, commit with one marker PUT.
+    * write its three delta tables, commit with one marker PUT.
     * `generation` is the caller's batch identity: a committed
     * generation is a pure no-op on retry.
     */
@@ -143,8 +150,8 @@ object SearchIndex {
       s"fold generation $g is below already-committed generations " +
         s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
         "batch identities would make the replay no-op ambiguous")
-    val (p, d, t, s) = sign(fresh, idCol, textCol)
-    writeBatch(p, d, t, s, deltaPath(dir, name, v, g), "overwrite")
+    val (p, t, s) = sign(fresh, idCol, textCol)
+    writeBatch(p, t, s, deltaPath(dir, name, v, g), "overwrite")
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)
@@ -176,34 +183,32 @@ object SearchIndex {
     val v = graft.io.VersionPointer.resolveRead(spark,
       layoutDir(dir, name), atVersion, s"search index '$name' at $dir")
     val qt = broadcast(queryTerms.select(col("query_id"), col("term")))
+    // postings carry dl: the shared core skips the lengths join
     val tf = readCommitted(spark, dir, name, v, "postings")
       .join(qt, "term")
       .select(col("query_id"), col("term"), col("doc_id").as(idCol),
-        col("c"))
+        col("c"), col("dl"))
     // per-batch dfs SUM to collection dfs (disjoint doc sets); restrict
     // to query terms before the aggregate
     val dft = readCommitted(spark, dir, name, v, "termdf")
       .join(broadcast(queryTerms.select("term").distinct), "term")
       .groupBy("term").agg(sum("df").as("df"))
-    val dl = readCommitted(spark, dir, name, v, "doclen")
-      .select(col("doc_id").as(idCol), col("dl"))
     val stats = readCommitted(spark, dir, name, v, "totals")
       .agg(sum("n_docs").as("n_docs"), sum("total_len").as("total"))
     Retrieval.bm25RankCut(
-      Retrieval.bm25ScoreFromPostings(tf, dft, dl, stats, idCol, k1, b),
+      Retrieval.bm25ScoreFromPostings(tf, dft, tf, stats, idCol, k1, b),
       idCol, k)
   }
 
   /** Rewrite the accumulated artifacts into one base at version N+1
-    * (postings/doclen row moves; termdf re-summed per term; totals
-    * re-summed to one row), pointer promote, retention window.
+    * (postings row moves; termdf re-summed per term; totals re-summed
+    * to one row), pointer promote, retention window.
     */
   def compact(
       spark: SparkSession, dir: String, name: String,
       retainVersions: Int = 2): Unit = {
     val v = requireVersion(spark, dir, name)
     val p = readCommitted(spark, dir, name, v, "postings").localCheckpoint()
-    val d = readCommitted(spark, dir, name, v, "doclen").localCheckpoint()
     val t = readCommitted(spark, dir, name, v, "termdf")
       .groupBy("term").agg(sum("df").as("df")).localCheckpoint()
     val s = readCommitted(spark, dir, name, v, "totals")
@@ -212,7 +217,7 @@ object SearchIndex {
       .localCheckpoint()
     graft.io.VersionPointer.dropDir(
       spark, s"${layoutDir(dir, name)}/v${v + 1}")
-    writeBatch(p, d, t, s, s"${layoutDir(dir, name)}/v${v + 1}",
+    writeBatch(p, t, s, s"${layoutDir(dir, name)}/v${v + 1}",
       "errorifexists")
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v + 1)
     graft.io.VersionPointer.retain(

@@ -1372,9 +1372,10 @@ object DedupQueries {
     val seed = docs.filter(col("doc_id") % 2 === 0)
     DedupIndex.build(spark, seed, idxDir, "docs", "doc_id", "text",
       k = 3, numHashes = 128, bandRows = 2)
+    // seed labels from the index's OWN stored artifacts — the corpus is
+    // signed exactly once (at build); nothing re-shingles here
     ClusterIndex.build(spark,
-      Dedup.minhashNearDupPairs(seed, "doc_id", "text",
-        k = 3, numHashes = 128, bandRows = 2,
+      DedupIndex.pairsWithin(spark, idxDir, "docs",
         thresholdNum = 7, thresholdDen = 10)
         .select("id_a", "id_b"),
       clDir, "dups")

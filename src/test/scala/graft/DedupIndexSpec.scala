@@ -209,6 +209,22 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pairsWithin equals the one-shot pairs over the indexed corpus") {
+    val dir = tmpDir("didx_within")
+    val a = docs(0L until 30L)
+    val b = docs(30L until 45L)
+    DedupIndex.build(spark, a, dir, "d", "doc_id", "text")
+    DedupIndex.fold(spark, b, dir, "d", "doc_id", "text").count()
+    // computed entirely off the stored artifacts (base + committed
+    // delta) — must equal re-signing the accumulated corpus from text
+    val within = pairs(DedupIndex.pairsWithin(spark, dir, "d"))
+    val oneShot = pairs(Dedup.minhashNearDupPairs(
+      a.unionByName(b), "doc_id", "text",
+      k = 3, numHashes = 128, bandRows = 2,
+      thresholdNum = 7, thresholdDen = 10))
+    assert(within == oneShot && within.nonEmpty)
+  }
+
   test("build refuses an indivisible banding scheme; fold requires an index") {
     val dir = tmpDir("didx_req")
     intercept[IllegalArgumentException] {
