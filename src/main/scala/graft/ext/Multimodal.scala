@@ -13,12 +13,14 @@ final case class Asset(
     payload: Array[Byte])
 
 /** Decoded view of an asset. Images decode for REAL via
-  * [[Multimodal.ImageIoCodec]] (javax.imageio — in the JDK); for media
-  * the JDK has no codec for (video/audio), [[Multimodal.StubCodec]]
-  * derives deterministic fake dimensions/features from the payload
-  * bytes while keeping the pipeline shape — binary column in, typed
-  * struct + feature vector out, batched per-partition processing —
-  * identical to what a native codec drops into.
+  * [[Multimodal.ImageIoCodec]] (javax.imageio — in the JDK) and PCM
+  * audio via [[Multimodal.WavCodec]] (javax.sound.sampled — also JDK);
+  * for media the JDK has no codec for (video, compressed audio),
+  * [[Multimodal.StubCodec]] derives deterministic fake
+  * dimensions/features from the payload bytes while keeping the
+  * pipeline shape — binary column in, typed struct + feature vector
+  * out, batched per-partition processing — identical to what a native
+  * codec drops into.
   */
 final case class DecodedAsset(
     asset_id: Long,
@@ -177,6 +179,96 @@ object Multimodal {
         }
       def close(): Unit = ()
     }
+  }
+
+  /** REAL audio codec through the same seam: `javax.sound.sampled` ships
+    * in the JDK (WAV/AIFF/AU — uncompressed PCM decode, zero external
+    * deps), so the audio leg needs no stub either. Decodes 16-bit signed
+    * PCM; output maps the [[DecodedAsset]] contract as width = FRAMES
+    * (samples per channel), height = CHANNELS, features = a 16-bin
+    * histogram of |amplitude| (bin = |sample| / 2048, clamped) normalized
+    * by total sample count — exact small-integer ratios, so planted
+    * fixtures adjudicate bit-for-bit. Unsupported containers, compressed
+    * encodings, and non-16-bit widths route to the error column as data.
+    * VIDEO remains the honestly-blocked leg — the JDK ships no video
+    * codec; its path stays [[StubCodec]]/[[sampleFrames]]-shaped.
+    */
+  object WavCodec extends Codec {
+    def open(): CodecSession = new CodecSession {
+      def decode(a: Asset): Either[String, DecodedAsset] =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          val fmt = ais.getFormat
+          if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            Left(s"unsupported audio encoding: ${fmt.getEncoding}")
+          else if (fmt.getSampleSizeInBits != 16)
+            Left(s"unsupported sample width: ${fmt.getSampleSizeInBits}")
+          else {
+            val bytes = ais.readAllBytes()
+            val big = fmt.isBigEndian
+            val nSamples = bytes.length / 2
+            val hist = new Array[Float](16)
+            var i = 0
+            while (i < nSamples) {
+              val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+              val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+              val s = (hi << 8) | lo
+              val abs = math.min(math.abs(s), 32767)
+              hist(abs >> 11) += 1f
+              i += 1
+            }
+            val channels = fmt.getChannels
+            val frames = nSamples / channels
+            Right(DecodedAsset(
+              asset_id = a.asset_id,
+              media_type = a.media_type,
+              n_bytes = a.payload.length.toLong,
+              width = frames,
+              height = channels,
+              features = hist.map(_ / math.max(1, nSamples).toFloat)))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            Left("undecodable audio payload")
+          case e: Exception =>
+            Left(s"audio decode failed: ${e.getClass.getSimpleName}")
+        }
+      def close(): Unit = ()
+    }
+  }
+
+  /** WAV bytes of a deterministic 16-bit signed PCM clip (fixture
+    * generator for the audio-decode gate/specs): `sampleAt(frame,
+    * channel)` is the sample value. Encoded with the JDK's own WAV
+    * writer — PCM is lossless, so expected frames/channels/histograms
+    * are computable at authoring time.
+    */
+  def wavBytes(
+      frames: Int, channels: Int, sampleRate: Float,
+      sampleAt: (Int, Int) => Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, channels, /*signed=*/ true, /*bigEndian=*/ false)
+    val raw = new Array[Byte](frames * channels * 2)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val s = sampleAt(f, c).toInt
+        val off = 2 * (f * channels + c)
+        raw(off) = (s & 0xff).toByte
+        raw(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** PNG bytes of a deterministic raster (fixture generator for the

@@ -409,8 +409,84 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }.withSetup((s, d) => { stageQ324(s, d); () })
 
+  private val q336Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q336 audio fixtures once per (JVM, dir): five REAL WAVs
+    * with deterministic 16-bit PCM (JDK WAV writer — lossless) plus one
+    * corrupt payload, as a parquet assets table.
+    */
+  private def stageQ336(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q336Staging.getOrStage(dir) {
+      import spark.implicits._
+      val staged = QuerySpec.stagedPath("q336_audio", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+      val fixtures: Seq[(Long, Array[Byte])] = Seq(
+        1L -> Multimodal.wavBytes(100, 1, 8000f, (_, _) => 1000.toShort),
+        2L -> Multimodal.wavBytes(64, 2, 16000f, (_, _) => 5000.toShort),
+        // alternating ±20000: |amp| constant -> one bin
+        3L -> Multimodal.wavBytes(32, 1, 8000f,
+          (f, _) => (if (f % 2 == 0) 20000 else -20000).toShort),
+        // stereo split: silent left channel, loud right -> 0.5/0.5 bins
+        4L -> Multimodal.wavBytes(16, 2, 8000f,
+          (_, c) => (if (c == 0) 0 else 30000).toShort),
+        // full-scale negative clamps to 32767 -> top bin
+        5L -> Multimodal.wavBytes(50, 1, 8000f, (_, _) => Short.MinValue),
+        6L -> "definitely not audio".getBytes("UTF-8"))
+      fixtures.toDF("asset_id", "payload")
+        .select(col("asset_id"), lit("audio/wav").as("media_type"),
+          col("payload"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      staged
+    }
+
+  /** REAL PCM audio decode ([[graft.ext.Multimodal.WavCodec]] —
+    * javax.sound.sampled, in the JDK, through the same pluggable codec
+    * seam as q324's images): five planted WAVs decode to their TRUE
+    * frame counts, channel counts, and |amplitude| histograms; one
+    * corrupt payload routes to the error column as data. Adjudicated
+    * against a hard-coded expected table — the PCM is authored and WAV
+    * is lossless, so the oracle KNOWS the answer; a stub decode cannot
+    * pass. Video stays the honestly-blocked leg (no JDK codec).
+    */
+  val q336AudioDecode: QuerySpec = QuerySpec.oracled(
+    "q336_audio_decode",
+    """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
+      |  CAST(frames AS INTEGER) AS frames,
+      |  CAST(channels AS INTEGER) AS channels,
+      |  CAST(amp_bin AS BIGINT) AS amp_bin,
+      |  CAST(top_ppm AS BIGINT) AS top_ppm,
+      |  CAST(error AS VARCHAR) AS error
+      |FROM (VALUES
+      |  (1, true, 100, 1, 0, 1000000, NULL),
+      |  (2, true, 64, 2, 2, 1000000, NULL),
+      |  (3, true, 32, 1, 9, 1000000, NULL),
+      |  (4, true, 16, 2, 0, 500000, NULL),
+      |  (5, true, 50, 1, 15, 1000000, NULL),
+      |  (6, false, NULL, NULL, NULL, NULL, 'undecodable audio payload'))
+      |  AS t(asset_id, decode_ok, frames, channels, amp_bin, top_ppm,
+      |       error)
+      |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
+    val staged = stageQ336(spark, dir)
+    import spark.implicits._
+    val assets = spark.read.parquet(staged)
+      .select("asset_id", "media_type", "payload").as[graft.ext.Asset]
+    Multimodal.decodeWith(assets, Multimodal.WavCodec).toDF()
+      .select(
+        col("asset_id"),
+        col("error").isNull.as("decode_ok"),
+        col("decoded.width").as("frames"),
+        col("decoded.height").as("channels"),
+        expr("array_position(decoded.features, " +
+          "array_max(decoded.features)) - 1").as("amp_bin"),
+        expr("CAST(floor(array_max(decoded.features) " +
+          "* 1000000 + 0.5) AS BIGINT)").as("top_ppm"),
+        col("error"))
+      .orderBy("asset_id")
+  }.withSetup((s, d) => { stageQ336(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
       q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming,
-      q208AspectBuckets, q324ImageDecode)
+      q208AspectBuckets, q324ImageDecode, q336AudioDecode)
 }

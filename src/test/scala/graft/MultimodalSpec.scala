@@ -156,6 +156,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("WavCodec decodes real PCM bytes: true frames/channels + exact amplitude histogram") {
+    import spark.implicits._
+    // 12 frames stereo: left channel quiet (500 -> bin 0), right loud
+    // alternating ±10000 (bin 4)
+    val bytes = Multimodal.wavBytes(12, 2, 8000f,
+      (f, c) => (if (c == 0) 500 else if (f % 2 == 0) 10000 else -10000)
+        .toShort)
+    val out = Multimodal.decodeWith(
+      Seq(Asset(1L, "audio/wav", bytes)).toDS(), Multimodal.WavCodec)
+      .collect()
+    assert(out.length == 1 && out.head.error.isEmpty, out.head.error)
+    val d = out.head.decoded.get
+    assert(d.width == 12 && d.height == 2)
+    assert(d.features(0) == 0.5f && d.features(10000 >> 11) == 0.5f)
+    assert(math.abs(d.features.map(_.toDouble).sum - 1.0) < 1e-6)
+    // corrupt + unsupported-width payloads route as data
+    val bad = Multimodal.decodeWith(
+      Seq(Asset(2L, "audio/wav", "junk".getBytes("UTF-8"))).toDS(),
+      Multimodal.WavCodec).collect()
+    assert(bad.head.decoded.isEmpty &&
+      bad.head.error.contains("undecodable audio payload"))
+  }
+
   test("ImageIoCodec routes undecodable payloads to the error column as data") {
     import spark.implicits._
     val good = Asset(1L, "image/png",
