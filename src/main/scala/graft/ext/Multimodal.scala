@@ -239,6 +239,65 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode AT A TARGET RASTER through the same seam — the
+    * resize leg, no longer stub-based: decode via javax.imageio, remap
+    * to `targetW`×`targetH` by NEAREST-NEIGHBOR (dst(x,y) = src(⌊x·W/tW⌋,
+    * ⌊y·H/tH⌋) — explicit integer pixel mapping, no Graphics2D
+    * interpolation, so the resample is bit-deterministic on any JVM),
+    * and compute the per-channel histograms ON THE TARGET raster.
+    * Output dims are the target; the ORIGINAL dims ride in the features
+    * tail (lanes 48, 49 — a decode-derived fact the caller would
+    * otherwise lose). Error routing as in [[ImageIoCodec]].
+    */
+  final case class ImageResizeCodec(targetW: Int, targetH: Int)
+      extends Codec {
+    require(targetW > 0 && targetH > 0,
+      s"ImageResizeCodec: target must be positive, got $targetW x $targetH")
+    def open(): CodecSession = new CodecSession {
+      def decode(a: Asset): Either[String, DecodedAsset] =
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload))
+          if (img == null) Left("undecodable image payload")
+          else {
+            val sw = img.getWidth
+            val sh = img.getHeight
+            val hist = new Array[Float](50)
+            var y = 0
+            while (y < targetH) {
+              val sy = y.toLong * sh / targetH
+              var x = 0
+              while (x < targetW) {
+                val sx = x.toLong * sw / targetW
+                val rgb = img.getRGB(sx.toInt, sy.toInt)
+                hist(((rgb >> 16) & 0xff) >> 4) += 1f
+                hist(16 + (((rgb >> 8) & 0xff) >> 4)) += 1f
+                hist(32 + ((rgb & 0xff) >> 4)) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (targetW.toLong * targetH.toLong).toFloat
+            var i = 0
+            while (i < 48) { hist(i) /= n; i += 1 }
+            hist(48) = sw.toFloat
+            hist(49) = sh.toFloat
+            Right(DecodedAsset(
+              asset_id = a.asset_id,
+              media_type = a.media_type,
+              n_bytes = a.payload.length.toLong,
+              width = targetW,
+              height = targetH,
+              features = hist))
+          }
+        } catch {
+          case e: Exception =>
+            Left(s"image decode failed: ${e.getClass.getSimpleName}")
+        }
+      def close(): Unit = ()
+    }
+  }
+
   /** WAV bytes of a deterministic 16-bit signed PCM clip (fixture
     * generator for the audio-decode gate/specs): `sampleAt(frame,
     * channel)` is the sample value. Encoded with the JDK's own WAV

@@ -485,8 +485,64 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }.withSetup((s, d) => { stageQ336(s, d); () })
 
+  /** REAL image resize-decode ([[graft.ext.Multimodal.ImageResizeCodec]]
+    * — q324's planted PNGs decoded AT a 6×6 target raster through the
+    * deterministic nearest-neighbor remap, histograms recomputed on the
+    * TARGET pixels): the resize leg of the multimodal pipeline is no
+    * longer stub-based (q46 keeps the stub twin for the honest-fake
+    * path). The half-split fixture proves the remap is real: at 16×16 →
+    * 6×6 exactly ⌈6·8/16⌉ = 3 of 6 destination columns map to the black
+    * half, so the R histogram lands 0.5/0.5 — a codec that scored the
+    * SOURCE raster would land 0.5/0.5 too, but one that merely copied
+    * q324's features would carry the wrong original-dims tail, and any
+    * interpolating resampler would smear the solid bins. Expected table
+    * hand-computed from the authored pixels.
+    */
+  val q337ImageResize: QuerySpec = QuerySpec.oracled(
+    "q337_image_resize",
+    """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
+      |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+      |  CAST(orig_w AS INTEGER) AS orig_w,
+      |  CAST(orig_h AS INTEGER) AS orig_h,
+      |  CAST(r_bin AS BIGINT) AS r_bin,
+      |  CAST(top_r_ppm AS BIGINT) AS top_r_ppm,
+      |  CAST(error AS VARCHAR) AS error
+      |FROM (VALUES
+      |  (1, true, 6, 6, 9, 5, 0, 1000000, NULL),
+      |  (2, true, 6, 6, 20, 3, 15, 1000000, NULL),
+      |  (3, true, 6, 6, 7, 7, 2, 1000000, NULL),
+      |  (4, true, 6, 6, 12, 30, 10, 1000000, NULL),
+      |  (5, true, 6, 6, 33, 2, 1, 1000000, NULL),
+      |  (6, true, 6, 6, 5, 64, 15, 1000000, NULL),
+      |  (7, true, 6, 6, 16, 16, 0, 500000, NULL),
+      |  (8, false, NULL, NULL, NULL, NULL, NULL, NULL,
+      |    'undecodable image payload'))
+      |  AS t(asset_id, decode_ok, width, height, orig_w, orig_h, r_bin,
+      |       top_r_ppm, error)
+      |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
+    val staged = stageQ324(spark, dir) // the same planted PNGs
+    import spark.implicits._
+    val assets = spark.read.parquet(staged)
+      .select("asset_id", "media_type", "payload").as[graft.ext.Asset]
+    Multimodal.decodeWith(assets, Multimodal.ImageResizeCodec(6, 6)).toDF()
+      .select(
+        col("asset_id"),
+        col("error").isNull.as("decode_ok"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        expr("CAST(element_at(decoded.features, 49) AS INT)").as("orig_w"),
+        expr("CAST(element_at(decoded.features, 50) AS INT)").as("orig_h"),
+        expr("array_position(slice(decoded.features, 1, 16), " +
+          "array_max(slice(decoded.features, 1, 16))) - 1").as("r_bin"),
+        expr("CAST(floor(array_max(slice(decoded.features, 1, 16)) " +
+          "* 1000000 + 0.5) AS BIGINT)").as("top_r_ppm"),
+        col("error"))
+      .orderBy("asset_id")
+  }.withSetup((s, d) => { stageQ324(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
       q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming,
-      q208AspectBuckets, q324ImageDecode, q336AudioDecode)
+      q208AspectBuckets, q324ImageDecode, q336AudioDecode,
+      q337ImageResize)
 }

@@ -179,6 +179,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       bad.head.error.contains("undecodable audio payload"))
   }
 
+  test("ImageResizeCodec: nearest-neighbor remap with target-raster histograms") {
+    import spark.implicits._
+    // 10×4 source: left 5 columns blue(64 -> bin 4), right 5 red-only;
+    // at target 4×4, dst x maps to src ⌊x·10/4⌋ = 0,2,5,7 -> 2 blue cols
+    val bytes = Multimodal.pngBytes(10, 4,
+      (x, _) => if (x < 5) 0x000040 else 0x300000)
+    val out = Multimodal.decodeWith(
+      Seq(Asset(1L, "image/png", bytes)).toDS(),
+      Multimodal.ImageResizeCodec(4, 4)).collect()
+    assert(out.head.error.isEmpty, out.head.error)
+    val d = out.head.decoded.get
+    assert(d.width == 4 && d.height == 4)
+    // original dims ride in the features tail
+    assert(d.features(48) == 10f && d.features(49) == 4f)
+    // B channel: dst cols 0,2 blue (bin 4), cols 5,7 zero (bin 0)
+    assert(d.features(32 + 4) == 0.5f && d.features(32) == 0.5f)
+    // R channel: two cols at 0x30 (bin 3), two at 0
+    assert(d.features(3) == 0.5f && d.features(0) == 0.5f)
+    val bad = Multimodal.decodeWith(
+      Seq(Asset(2L, "image/png", "junk".getBytes("UTF-8"))).toDS(),
+      Multimodal.ImageResizeCodec(4, 4)).collect()
+    assert(bad.head.error.contains("undecodable image payload"))
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageResizeCodec(0, 4)
+    }
+  }
+
   test("ImageIoCodec routes undecodable payloads to the error column as data") {
     import spark.implicits._
     val good = Asset(1L, "image/png",
