@@ -61,6 +61,18 @@ trait CodecSession {
   def close(): Unit
 }
 
+/** One decoded frame of a multi-frame asset ([[Multimodal.gifFrames]]):
+  * exactly one of (frame fields)/`error` is populated — a corrupt asset
+  * is one error row, not a killed job.
+  */
+final case class FrameDecode(
+    asset_id: Long,
+    frame_idx: Option[Int],
+    width: Option[Int],
+    height: Option[Int],
+    dom_rgb: Option[Long],
+    error: Option[String])
+
 /** Multimodal-column plumbing (SURVEY extension): treat media as opaque
   * `binary` columns, decode/feature-extract per partition.
   *
@@ -426,6 +438,108 @@ object Multimodal {
         md5(expr(s"substring(__txt, " +
           s"CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)"))
           .as("frame_digest"))
+  }
+
+  /** REAL multi-frame extraction for the one "video-shaped" container
+    * the JDK decodes — animated GIF (javax.imageio reads every frame of
+    * a sequence; the spike-proved lossless round-trip makes planted
+    * fixtures adjudicable): one row per SAMPLED frame (every `stride`-th,
+    * the frame-sampling knob) with the frame's true raster dims and its
+    * DOMINANT packed RGB (most frequent pixel value, ties to the
+    * smallest — an integer fact both engines can state). Corrupt or
+    * frameless payloads emit one error row. True video containers
+    * (mp4/webm) remain the honestly-blocked leg — no JDK codec; their
+    * plumbing twin stays [[sampleFrames]].
+    *
+    * Scale shape: one ImageReader per PARTITION (the codec-seam
+    * discipline — decoder contexts amortize over a task's assets),
+    * frames fan out in executors, payloads never visit the driver.
+    */
+  def gifFrames(
+      assets: Dataset[Asset], stride: Int = 1): Dataset[FrameDecode] = {
+    require(stride > 0, s"gifFrames: stride must be > 0, got $stride")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      it.flatMap { a =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          reader.setInput(iis, /*seekForwardOnly=*/ false)
+          val n = reader.getNumImages(/*allowSearch=*/ true)
+          // bytes no GIF reader recognizes surface as ZERO frames, not
+          // an exception — same routing either way
+          if (n <= 0)
+            Seq(FrameDecode(a.asset_id, None, None, None, None,
+              Some("undecodable gif payload")))
+          else (0 until n by stride).map { i =>
+            val img = reader.read(i)
+            val counts = new java.util.HashMap[Int, Long]()
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y) & 0xffffff
+                counts.merge(rgb, 1L, (u, v) => u + v)
+                x += 1
+              }
+              y += 1
+            }
+            var best = -1L
+            var bestCnt = -1L
+            counts.forEach { (rgb, c) =>
+              if (c > bestCnt || (c == bestCnt && rgb < best)) {
+                best = rgb.toLong; bestCnt = c
+              }
+            }
+            FrameDecode(a.asset_id, Some(i), Some(img.getWidth),
+              Some(img.getHeight), Some(best), None)
+          }
+        } catch {
+          case _: Exception =>
+            Seq(FrameDecode(a.asset_id, None, None, None, None,
+              Some("undecodable gif payload")))
+        }
+      }
+    }
+  }
+
+  /** Animated-GIF bytes of a deterministic frame sequence (fixture
+    * generator): `frames(i)(x, y)` is frame i's packed 0xRRGGBB pixel.
+    * Written with the JDK's own GIF sequence writer — palettized
+    * losslessly for ≤ 256 distinct colors per frame, so expected
+    * per-frame dims and dominant colors are computable at authoring
+    * time.
+    */
+  def gifBytes(
+      w: Int, h: Int, frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(frames.nonEmpty, "gifBytes: at least one frame")
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { colorAt =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, colorAt(x, y)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
   }
 
   /** Decode at a target raster size (the resize path): original dimensions

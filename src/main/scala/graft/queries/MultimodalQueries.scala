@@ -540,9 +540,75 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }.withSetup((s, d) => { stageQ324(s, d); () })
 
+  private val q338Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q338 animated-GIF fixtures once per (JVM, dir): two REAL
+    * multi-frame GIFs (JDK sequence writer — lossless for small
+    * palettes) plus one corrupt payload.
+    */
+  private def stageQ338(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q338Staging.getOrStage(dir) {
+      import spark.implicits._
+      val staged = QuerySpec.stagedPath("q338_gifs", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+      def solid(c: Int): (Int, Int) => Int = (_, _) => c
+      val fixtures: Seq[(Long, Array[Byte])] = Seq(
+        // four solid frames, distinct colors
+        1L -> Multimodal.gifBytes(5, 3, Seq(
+          solid(0xc80000), solid(0x00c800), solid(0x0000c8),
+          solid(0x646464))),
+        // frame 0: half-split tie (dominant = smaller color); frame 1:
+        // solid; frame 2: near-solid with one outlier pixel
+        2L -> Multimodal.gifBytes(4, 4, Seq(
+          (x, _) => if (x < 2) 0x111111 else 0x222222,
+          solid(0x333333),
+          (x, y) => if (x == 0 && y == 0) 0xffffff else 0x0a0a0a)),
+        3L -> "definitely not a gif".getBytes("UTF-8"))
+      fixtures.toDF("asset_id", "payload")
+        .select(col("asset_id"), lit("image/gif").as("media_type"),
+          col("payload"))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      staged
+    }
+
+  /** REAL multi-frame extraction ([[graft.ext.Multimodal.gifFrames]] —
+    * animated GIF, the one sequence container javax.imageio decodes):
+    * every SECOND frame sampled (the stride knob), per-frame true dims
+    * and dominant packed RGB adjudicated against a hand-computed table
+    * — frame 1 of asset 2 must be ABSENT (stride), the half-split
+    * frame's tie must resolve to the smaller color, the outlier pixel
+    * must not flip the dominant, and the corrupt payload must land as
+    * one error row. True video (mp4/webm) stays the honestly-blocked
+    * stub leg.
+    */
+  val q338GifFrames: QuerySpec = QuerySpec.oracled(
+    "q338_gif_frames",
+    """SELECT CAST(asset_id AS BIGINT) AS asset_id,
+      |  CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(width AS INTEGER) AS width,
+      |  CAST(height AS INTEGER) AS height,
+      |  CAST(dom_rgb AS BIGINT) AS dom_rgb,
+      |  CAST(error AS VARCHAR) AS error
+      |FROM (VALUES
+      |  (1, 0, 5, 3, 13107200, NULL),
+      |  (1, 2, 5, 3, 200, NULL),
+      |  (2, 0, 4, 4, 1118481, NULL),
+      |  (2, 2, 4, 4, 657930, NULL),
+      |  (3, NULL, NULL, NULL, NULL, 'undecodable gif payload'))
+      |  AS t(asset_id, frame_idx, width, height, dom_rgb, error)
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val staged = stageQ338(spark, dir)
+    import spark.implicits._
+    val assets = spark.read.parquet(staged)
+      .select("asset_id", "media_type", "payload").as[graft.ext.Asset]
+    Multimodal.gifFrames(assets, stride = 2).toDF()
+      .orderBy("asset_id", "frame_idx")
+  }.withSetup((s, d) => { stageQ338(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q27MultimodalMeta, q45FrameSample, q46ResizeMeta,
       q122MultimodalDedup, q167PerceptualDedup, q187PhashHamming,
       q208AspectBuckets, q324ImageDecode, q336AudioDecode,
-      q337ImageResize)
+      q337ImageResize, q338GifFrames)
 }

@@ -206,6 +206,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("gifFrames: per-frame dims + dominant color, stride sampling, error routing") {
+    import spark.implicits._
+    val anim = Multimodal.gifBytes(3, 2, Seq(
+      (_, _) => 0x102030,
+      // well-separated colors (GIF palettization merges near-identical
+      // ones): 2 pixels red-ish vs 4 pixels green-ish
+      (x, _) => if (x == 0) 0x990000 else 0x009900,
+      (_, _) => 0x405060))
+    val out = Multimodal.gifFrames(
+      Seq(Asset(1L, "image/gif", anim),
+        Asset(2L, "image/gif", "nope".getBytes("UTF-8"))).toDS(),
+      stride = 1)
+      .collect().sortBy(r => (r.asset_id, r.frame_idx.getOrElse(-1)))
+    val frames = out.filter(_.asset_id == 1L)
+    assert(frames.map(_.frame_idx.get).toSeq == Seq(0, 1, 2))
+    assert(frames.forall(f => f.width.contains(3) && f.height.contains(2)))
+    assert(frames.map(_.dom_rgb.get).toSeq ==
+      Seq(0x102030L, 0x009900L, 0x405060L))
+    val err = out.filter(_.asset_id == 2L)
+    assert(err.length == 1 &&
+      err.head.error.contains("undecodable gif payload"))
+    // stride 2 keeps frames 0 and 2 only
+    val strided = Multimodal.gifFrames(
+      Seq(Asset(1L, "image/gif", anim)).toDS(), stride = 2)
+      .collect().flatMap(_.frame_idx).sorted.toSeq
+    assert(strided == Seq(0, 2))
+    intercept[IllegalArgumentException] {
+      Multimodal.gifFrames(Seq(Asset(1L, "image/gif", anim)).toDS(), 0)
+    }
+  }
+
   test("ImageIoCodec routes undecodable payloads to the error column as data") {
     import spark.implicits._
     val good = Asset(1L, "image/png",
