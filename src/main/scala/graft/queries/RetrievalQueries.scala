@@ -565,7 +565,112 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }.withSetup((s, d) => { stageQ331(s, d); () })
 
+  private val q339Staging = new QuerySpec.StagingCache[String]
+
+  /** Stage the q339 stream feed: the odd slice as two flat parquet
+    * files (one micro-batch each, parity-split by % 4).
+    */
+  private def stageQ339(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    q339Staging.getOrStage(dir) {
+      val staged = new java.io.File(QuerySpec.stagedPath("q339_docs", dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(staged)
+      staged.mkdirs()
+      val d1 = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 2 === 1)
+      d1.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.parquet(s"$staged/00")
+      QuerySpec.flattenPart(spark, staged.toString, "00", "a.parquet")
+      d1.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.parquet(s"$staged/01")
+      QuerySpec.flattenPart(spark, staged.toString, "01", "b.parquet")
+      staged.toString
+    }
+
+  /** q331's persisted BM25 index MAINTAINED over a real micro-batch
+    * stream: build on the even slice, each streamed micro-batch of new
+    * docs FOLDS via `foreachBatch` with the batchId as its idempotent
+    * generation (sign-only delta writes, marker-gated commits), query
+    * after the drain. Per-batch statistics stay exactly additive under
+    * any stream slicing, so the maintained index answers q198's
+    * from-scratch definition bit-for-bit — same oracle SQL (the
+    * stream ≡ batch discipline; the retrieval family's entry in the
+    * q281/q314/q327/q330 set).
+    */
+  val q339SearchIndexStream: QuerySpec = QuerySpec.oracled(
+    "q339_search_index_stream",
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk
+       |  WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS BIGINT) AS total FROM dl),
+       |qt AS (SELECT * FROM $queryTermsSql),
+       |tc AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |tf AS (
+       |  SELECT q.query_id, q.term, t.doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM tc t JOIN qt q ON t.term = q.term GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tc
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (
+       |  SELECT f.query_id, f.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + ((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+       |      ((f.c * ${K1 + 1}) / (f.c + $K1 * (${1 - B} +
+       |        $B * (l.dl / (CAST(s.total AS DOUBLE) / s.n)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cmicro
+       |  FROM tf f JOIN df d ON f.term = d.term
+       |  JOIN dl l ON f.doc_id = l.doc_id
+       |  CROSS JOIN st s),
+       |sm AS (
+       |  SELECT query_id, doc_id, CAST(sum(cmicro) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM sm)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_micro
+       |FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.ext.SearchIndex
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val staged = stageQ339(spark, dir)
+    val idxDir = QuerySpec.stagedPath("q339_search", dir)
+    val ckpt = QuerySpec.stagedPath("q339_ckpt", dir)
+    Seq(idxDir, ckpt).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      new java.io.File(d).mkdirs()
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    SearchIndex.build(spark, docs.filter(col("doc_id") % 2 === 0),
+      idxDir, "docs", "doc_id", "text")
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    spark.streams.active.filter(_.name == "q339_fold").foreach(_.stop())
+    val q = stream.writeStream
+      .queryName("q339_fold")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        SearchIndex.fold(batch.sparkSession, batch, idxDir, "docs",
+          "doc_id", "text", generation = Some(batchId + 1))
+      }
+      .start()
+    q.awaitTermination()
+    SearchIndex.topK(spark, QueryTerms.toDF("query_id", "term"),
+      idxDir, "docs", "doc_id", k = 10, k1 = K1, b = B)
+      .orderBy("query_id", "rank")
+  }.withSetup((s, d) => { stageQ339(s, d); () })
+
   val all: Seq[QuerySpec] =
     Seq(q198Bm25TopK, q199RrfFusion, q203RankAgreement, q243MrrEval,
-      q285MaxPassage, q310NdcgEval, q331SearchIndex)
+      q285MaxPassage, q310NdcgEval, q331SearchIndex,
+      q339SearchIndexStream)
 }
