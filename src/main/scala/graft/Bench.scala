@@ -84,6 +84,20 @@ object Bench {
         catch { case e: Throwable =>
           errors(spec.name) = s"setup: ${e.getMessage}" }
       }
+      // UNTIMED post-pass hygiene: drop cache entries and persisted /
+      // locally-checkpointed RDD blocks the pass left behind. Runs after
+      // EVERY pass (not just per query) so the warm pass cannot silently
+      // reuse the cold pass's registered caches through CacheManager's
+      // plan matching — each timed pass computes from the parquet inputs
+      // (the no-cross-run-caching rule), and blocks don't accumulate
+      // across 330+ queries (ContextCleaner's periodic GC is 30 min —
+      // longer than this run).
+      def dropLeftoverCaches(): Unit =
+        try {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false))
+        } catch { case _: Throwable => () }
       def onePass(): Double = {
         val t0 = System.nanoTime()
         try { spec.fn(spark, sfDir).count(); () }
@@ -91,7 +105,9 @@ object Bench {
           errors(spec.name) =
             Option(e.getMessage).getOrElse(e.getClass.getName)
         }
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        dropLeftoverCaches()
+        secs
       }
       // a failed setup dooms the timed run — skip it so the root cause in
       // `errors` isn't overwritten by the secondary failure

@@ -101,12 +101,25 @@ object ApssIndex {
         s"apss index '$name' at $dir does not exist — build() it first"))
 
   /** The frozen (k, floorPermil). */
+  // r9: params are FROZEN for an index version's lifetime — memoize the
+  // one-row read so folds skip a head() job (the DedupIndex discipline);
+  // build() invalidates the layout's entries.
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[ext] def invalidateParams(dir: String, name: String): Unit = {
+    val prefix = layoutDir(dir, name)
+    paramsCache.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
+
   private def readParams(
       spark: SparkSession, dir: String, name: String,
-      v: Int): (Int, Int) = {
-    val row = spark.read.parquet(sub(dir, name, v, "params")).head()
-    (row.getAs[Int]("k"), row.getAs[Int]("floor_permil"))
-  }
+      v: Int): (Int, Int) =
+    paramsCache.computeIfAbsent(sub(dir, name, v, "params"), { p =>
+      val row = spark.read.parquet(p).head()
+      (row.getAs[Int]("k"), row.getAs[Int]("floor_permil"))
+    })
 
   /** (tokens, sizes, prefix) of `docs` under the index's frozen scheme —
     * the SAME fused shingle-hash expr as [[Dedup.apssCosinePairs]], the
@@ -118,8 +131,11 @@ object ApssIndex {
       floorPermil: Int,
       dforder: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tf2 = floorPermil.toLong * floorPermil
-    val hs = Dedup.withShingleHashSets(docs, idCol, textCol, k)
-    val tokens = Dedup.shingleHashes(hs)
+    // persisted (r9): the three outputs are materialized by SEPARATE
+    // write actions (tokens / sizes / prefix) — without the cache each
+    // write re-runs the fused shingle pass
+    val hs = Dedup.withShingleHashSets(docs, idCol, textCol, k).persist()
+    val tokens = Dedup.shingleHashes(hs).persist()
     val sizes = hs.select(col("doc_id"), size(col("hsh")).cast("long").as("n"))
     val pos = tokens
       .join(dforder.withColumnRenamed("df", "__df"), Seq("h"), "left")
@@ -175,6 +191,7 @@ object ApssIndex {
       retainVersions: Int = 2): Unit = {
     require(floorPermil >= 1 && floorPermil <= 1000,
       s"build: floorPermil must be in [1, 1000], got $floorPermil")
+    invalidateParams(dir, name)
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     val hs = Dedup.withShingleHashSets(corpus, idCol, textCol, k)
     val dforder = Dedup.shingleHashes(hs)

@@ -29,32 +29,32 @@ object Bfs {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 16,
       s"bounded BFS: maxHops must be in [0,16], got $maxHops")
-    // persist, or hop i re-executes the whole edge derivation i times
-    // (the PageRank discipline)
+    // r9 execution reshape (guide §2.4): the edge table materializes
+    // ONCE (eager localCheckpoint — joined every hop); the hop chain is
+    // LAZY with a per-hop persist (each merged distance table feeds BOTH
+    // the next frontier and the next merge, so the cache bounds it to one
+    // computation), executing inside the caller's single action instead
+    // of one eager checkpoint job per hop.
     val e = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .persist()
-    try {
-      var dist = spark.range(1)
-        .select(lit(source).as("node"), lit(0).cast("int").as("d"))
-      var frontier = dist
-      var hop = 0
-      while (hop < maxHops) {
-        hop += 1
-        val reached = frontier.join(e, frontier("node") === e("u"))
-          .select(e("v").as("node"), lit(hop).cast("int").as("d"))
-        val merged = dist.unionByName(reached)
-          .groupBy("node").agg(min(col("d")).as("d"))
-          .localCheckpoint(true)
-        // only nodes first reached THIS hop can extend the next frontier
-        frontier = merged.filter(col("d") === hop)
-        dist = merged
-      }
-      dist
-    } finally {
-      // every round's result is eagerly checkpointed, so the returned
-      // frame no longer references the edge lineage
-      e.unpersist(false)
-      ()
+      .localCheckpoint()
+    var dist = spark.range(1)
+      .select(lit(source).as("node"), lit(0).cast("int").as("d"))
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      // fresh aliases per hop: the lazy frontier's lineage already embeds
+      // e, so a raw e("u") reference would be ambiguous to the analyzer
+      val eh = e.select(col("u").as("__eu"), col("v").as("__ev"))
+      val reached = frontier.join(eh, frontier("node") === col("__eu"))
+        .select(col("__ev").as("node"), lit(hop).cast("int").as("d"))
+      val merged = dist.unionByName(reached)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .persist()
+      // only nodes first reached THIS hop can extend the next frontier
+      frontier = merged.filter(col("d") === hop)
+      dist = merged
     }
+    dist
   }
 }

@@ -141,19 +141,26 @@ object ClusterIndex {
     * whose label changes (including fresh nodes' first labels).
     */
   private def changedLabels(
-      fresh: DataFrame, prior: DataFrame): DataFrame = {
+      fresh0: DataFrame, prior: DataFrame): DataFrame = {
+    // r9: the fresh pair frame is typically an UNMATERIALIZED index-fold
+    // result (bands join + exact verify); it is referenced three times
+    // below (mapped edges + both endpoint legs), so persist it — the
+    // cache bounds it to one computation instead of three
+    val fresh = fresh0.select("id_a", "id_b").persist()
     // endpoints → stored representative (itself when unseen)
     val la = prior.select(col("node").as("id_a"), col("cluster_id").as("ra"))
     val lb = prior.select(col("node").as("id_b"), col("cluster_id").as("rb"))
-    val mapped = fresh.select("id_a", "id_b")
+    val mapped = fresh
       .join(la, Seq("id_a"), "left")
       .join(lb, Seq("id_b"), "left")
       .select(coalesce(col("ra"), col("id_a")).as("src"),
         coalesce(col("rb"), col("id_b")).as("dst"))
     // CC over |batch| mapped edges — representatives and fresh nodes only
+    // (persist, not eager checkpoint: referenced twice, materialized by
+    // the caller's single write action — r9)
     val cc = Clusters.connectedComponents(mapped)
       .select(col("node").as("rep"), col("cluster_id").as("new_root"))
-      .localCheckpoint()
+      .persist()
     // stored members of touched components re-label when the root moved
     val relabeled = prior
       .join(cc, prior("cluster_id") === cc("rep"))
@@ -192,7 +199,9 @@ object ClusterIndex {
       s"fold generation $g is below already-committed generations " +
         s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
         "batch identities would make replay state ambiguous")
-    val prior = resolved(spark, dir, name, v).localCheckpoint()
+    // persist (not eager checkpoint): prior is referenced four ways in
+    // changedLabels; the write action below materializes the cache once
+    val prior = resolved(spark, dir, name, v).persist()
     changedLabels(fresh, prior).write.mode("overwrite")
       .parquet(deltaPath(dir, name, v, g))
     val marker = new org.apache.hadoop.fs.Path(

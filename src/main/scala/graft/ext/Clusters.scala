@@ -87,6 +87,13 @@ object Clusters {
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = edges.sparkSession
+    // NOTE (r9): the eager per-round localCheckpoint here is LOAD-BEARING
+    // and must not become a lazy persist — each round's plan references
+    // the previous round ~16× (sym doubles it, largeStar/smallStar each
+    // reference their input several times), so without severing the
+    // LOGICAL plan the tree grows 16^rounds and Catalyst's
+    // canonicalization/constraint propagation explodes long before
+    // execution (measured: q330 OOM at round ~2 when tried).
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
@@ -158,29 +165,29 @@ object Clusters {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "labelPropagation: need at least one iteration")
-    // read every iteration — persist, or round i re-derives the edge
-    // lineage i times (the q98/q132 iteration discipline); each round
-    // localCheckpoints so the final plan doesn't embed all rounds
+    // r9 execution reshape (guide §2.4): the symmetrized edge list
+    // materializes ONCE (eager localCheckpoint — read every iteration);
+    // the label chain itself stays LAZY (each round's labels feed exactly
+    // one consumer, the next round), so the whole propagation runs inside
+    // the caller's single action instead of one eager checkpoint job per
+    // round. The fixed small `iters` bounds the plan depth.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
-    try {
-      var lbl = sym.select(col("src").as("v")).distinct()
-        .withColumn("lab", col("v"))
-      for (_ <- 1 to iters) {
-        val nb = sym
-          .join(lbl.select(col("v").as("__nv"), col("lab").as("nlab")),
-            col("dst") === col("__nv"))
-          .groupBy("src", "nlab")
-          .agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("src").orderBy(col("c").desc, col("nlab"))
-        lbl = nb.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("src").as("v"), col("nlab").as("lab"))
-          .localCheckpoint()
-      }
-      lbl
-    } finally sym.unpersist()
+      .localCheckpoint()
+    var lbl = sym.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+    for (_ <- 1 to iters) {
+      val nb = sym
+        .join(lbl.select(col("v").as("__nv"), col("lab").as("nlab")),
+          col("dst") === col("__nv"))
+        .groupBy("src", "nlab")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("c").desc, col("nlab"))
+      lbl = nb.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("v"), col("nlab").as("lab"))
+    }
+    lbl
   }
 }

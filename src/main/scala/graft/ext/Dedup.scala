@@ -140,7 +140,13 @@ object Dedup {
     * semantics. Extra candidate columns (e.g. block keys) pass through.
     */
   private[ext] def withOverlapExploded(
-      candidates: DataFrame, hashSets: DataFrame): DataFrame = {
+      candidates0: DataFrame, hashSets0: DataFrame): DataFrame = {
+    // r9: both inputs fan out below (candidates feeds the intersection
+    // count AND the base row; hashSets feeds both exploded join legs and
+    // both size legs) — persist them so the candidate generation and the
+    // fused shingle pass each run ONCE per action instead of 2–4×
+    val candidates = candidates0.persist()
+    val hashSets = hashSets0.persist()
     val rows = shingleHashes(hashSets)
     val sizes = hashSets.select(
       col("doc_id"), size(col("hsh")).cast("long").as("__sz"))
@@ -228,7 +234,9 @@ object Dedup {
       bucketCap: Int = 1000): DataFrame = {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
-    val sets = withShingleHashSets(docs, idCol, textCol, k)
+    // persisted (r9): the fused shingle pass feeds the signature leg AND
+    // the exact verify — one computation per action
+    val sets = withShingleHashSets(docs, idCol, textCol, k).persist()
 
     // Whole signature as ONE fused scalar pass over the per-doc hash set
     // (graft_minhash): no explode, no shuffle, one plan node — replaces the
@@ -294,35 +302,66 @@ object Dedup {
       bandRows: Int = 2,
       thresholdNum: Int = 7,
       thresholdDen: Int = 10): DataFrame = {
+    val (setsC, bandsC) =
+      signedSetsAndBands(corpus, idCol, textCol, k, numHashes, bandRows)
+    val (setsI, bandsI) =
+      signedSetsAndBands(incoming, idCol, textCol, k, numHashes, bandRows)
+    minhashPairsFromSigned(setsI, bandsI, setsC, bandsC,
+      thresholdNum, thresholdDen)
+  }
+
+  /** The (sets, bands) signed form of `docs` under a MinHash-LSH banding
+    * scheme — (doc_id, hsh) shingle-hash sets plus (doc_id, band, bucket)
+    * LSH buckets, the exact state a production pipeline PERSISTS between
+    * ingest batches (r9: factored out of
+    * [[minhashNearDupPairsIncremental]] so q161's streaming loop can
+    * store signatures instead of re-signing the whole corpus each batch;
+    * [[graft.ext.DedupIndex]] is the committed-artifact form).
+    */
+  def signedSetsAndBands(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      bandRows: Int): (DataFrame, DataFrame) = {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
-    def banded(docs: DataFrame): (DataFrame, DataFrame) = {
-      val sets = withShingleHashSets(docs, idCol, textCol, k)
-      val sig = sets.select(col("doc_id"),
-        expr(s"graft_minhash(hsh, $numHashes)").as("sig"))
-      val bands = sig.select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${numBands - 1}), b -> concat_ws(':', " +
-            s"transform(slice(sig, b * $bandRows + 1, $bandRows), " +
-            "x -> CAST(x AS STRING))))"))
-          .as(Seq("band", "bucket")))
-      (sets, bands)
-    }
-    val (setsC, bandsC) = banded(corpus)
-    val (setsI, bandsI) = banded(incoming)
-    // incoming ⋈ (corpus ∪ incoming): each pair carries ≥ 1 incoming doc.
-    // incoming × incoming pairs meet twice (once from each side) before the
-    // canonical (least, greatest) + distinct collapses them.
+    val sets = withShingleHashSets(docs, idCol, textCol, k)
+    val sig = sets.select(col("doc_id"),
+      expr(s"graft_minhash(hsh, $numHashes)").as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${numBands - 1}), b -> concat_ws(':', " +
+          s"transform(slice(sig, b * $bandRows + 1, $bandRows), " +
+          "x -> CAST(x AS STRING))))"))
+        .as(Seq("band", "bucket")))
+    (sets, bands)
+  }
+
+  /** The incremental pair algebra over ALREADY-SIGNED state: candidates =
+    * incoming bands ⋈ (prior ∪ incoming) bands (ids only — each pair
+    * carries ≥ 1 incoming doc; incoming × incoming pairs meet twice and
+    * collapse under the canonical unordered form), verified with the
+    * exact integer Jaccard over prior ∪ incoming sets.
+    */
+  def minhashPairsFromSigned(
+      setsI: DataFrame,
+      bandsI: DataFrame,
+      priorSets: DataFrame,
+      priorBands: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int): DataFrame = {
     val cands = bandsI.select(col("doc_id").as("id_n"),
         col("band"), col("bucket"))
-      .join(bandsC.union(bandsI).select(col("doc_id").as("id_o"),
+      .join(priorBands.union(bandsI).select(col("doc_id").as("id_o"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id_n") =!= col("id_o"))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    withOverlapExploded(cands, setsC.union(setsI))
+    withOverlapExploded(cands, priorSets.union(setsI))
       .filter(col("inter_size") * thresholdDen >=
         col("union_size") * thresholdNum)
   }
@@ -344,10 +383,12 @@ object Dedup {
     val base = sets.select(col("doc_id"),
       expr("graft_simhash(hsh)").as("sig"))
 
+    // persisted (r9): both self-join legs read this — one signing pass
     val banded = base.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), n -> (sig >> (n * 4)) & 15)"))
         .as(Seq("nib", "nibval")))
+      .persist()
     val l = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
       col("nib"), col("nibval"))
     val r = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
@@ -419,7 +460,10 @@ object Dedup {
       thresholdNum: Int = 9,
       thresholdDen: Int = 10): DataFrame = {
     require(thresholdNum > 0 && thresholdNum <= thresholdDen)
-    val sets = withShingleHashSets(docs, idCol, textCol, k)
+    // persisted (r9): the fused shingle pass feeds the df aggregate, the
+    // prefix window, the candidate join and the exact verify — one
+    // computation per action instead of ~6
+    val sets = withShingleHashSets(docs, idCol, textCol, k).persist()
     val rows = shingleHashes(sets)
     val dfreq = rows.groupBy("h").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -808,7 +852,8 @@ object Dedup {
     require(thresholdsPct.distinct.size == thresholdsPct.size,
       s"thresholdsPct must be distinct (a duplicate ladder step would " +
         s"double-count n_pairs), got $thresholdsPct")
-    val hs = withShingleHashSets(docs, idCol, textCol, k)
+    // persisted (r9): feeds both exploded join legs and both size legs
+    val hs = withShingleHashSets(docs, idCol, textCol, k).persist()
     val rows = shingleHashes(hs)
     // intersection sizes straight off the h equi-join aggregation — NOT
     // the q18 candidates-then-overlap two-step: with candidates = ALL
@@ -913,7 +958,10 @@ object Dedup {
       s"apssCosinePairs: thresholdPermil must be in [1, 1000], " +
         s"got $thresholdPermil")
     val tpm2 = thresholdPermil.toLong * thresholdPermil
-    val hs = withShingleHashSets(docs, idCol, textCol, k)
+    // persisted (r9): hs feeds the size table (3 refs), the token table
+    // (4 refs) and the prefix chain — the fused shingle pass previously
+    // recomputed ~7× per action
+    val hs = withShingleHashSets(docs, idCol, textCol, k).persist()
     val n = hs.select(col("doc_id"), size(col("hsh")).cast("long").as("n"))
     val tc = shingleHashes(hs)
     val dfreq = tc.groupBy("h").agg(count(lit(1)).as("__df"))
@@ -925,6 +973,9 @@ object Dedup {
       .withColumn("__o", expr(s"($tpm2 * n + 999999) div 1000000"))
       .filter(col("__pos") <= col("n") - col("__o") + 1)
       .select("doc_id", "h")
+      // persisted (r9): both legs of the prefix self-join read this —
+      // the df aggregate + window chain runs once per action, not twice
+      .persist()
     val cand = pre.as("x").join(pre.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

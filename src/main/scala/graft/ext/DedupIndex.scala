@@ -117,13 +117,27 @@ object DedupIndex {
         s"dedup index '$name' at $dir does not exist — build() it first"))
 
   /** The frozen banding scheme: (k, numHashes, bandRows). */
+  // r9: the banding scheme is FROZEN for an index version's lifetime (the
+  // whole correctness argument) — memoize the one-row read so every fold /
+  // pairsAgainst call on a long-lived index skips a head() job. build()
+  // and compact() invalidate the layout's entries.
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+
+  private def invalidateParams(dir: String, name: String): Unit = {
+    val prefix = layoutDir(dir, name)
+    paramsCache.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
+
   private def readParams(
       spark: SparkSession, dir: String, name: String,
-      v: Int): (Int, Int, Int) = {
-    val row = spark.read.parquet(paramsPath(dir, name, v)).head()
-    (row.getAs[Int]("k"), row.getAs[Int]("num_hashes"),
-      row.getAs[Int]("band_rows"))
-  }
+      v: Int): (Int, Int, Int) =
+    paramsCache.computeIfAbsent(paramsPath(dir, name, v), { p =>
+      val row = spark.read.parquet(p).head()
+      (row.getAs[Int]("k"), row.getAs[Int]("num_hashes"),
+        row.getAs[Int]("band_rows"))
+    })
 
   /** (sets, bands) of `docs` under the index's scheme — the SAME fused
     * exprs and band transform as [[Dedup.minhashNearDupPairs]], so a
@@ -134,7 +148,10 @@ object DedupIndex {
       docs: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int, bandRows: Int): (DataFrame, DataFrame) = {
     val numBands = numHashes / bandRows
-    val sets = Dedup.withShingleHashSets(docs, idCol, textCol, k)
+    // persisted (r9): sets and bands are materialized by SEPARATE write
+    // actions at build/fold — without the cache the bands write re-runs
+    // the whole fused shingle + minhash pass
+    val sets = Dedup.withShingleHashSets(docs, idCol, textCol, k).persist()
     val bands = sets
       .select(col("doc_id"),
         expr(s"graft_minhash(hsh, $numHashes)").as("sig"))
@@ -192,6 +209,7 @@ object DedupIndex {
     require(numHashes % bandRows == 0,
       s"numHashes ($numHashes) must be divisible by bandRows ($bandRows)")
     graft.functions.VectorExpressions.register(spark)
+    invalidateParams(dir, name)
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     val (sets, bands) =
       signAndBand(corpus, idCol, textCol, k, numHashes, bandRows)

@@ -30,33 +30,34 @@ object Hits {
       dstCol: String,
       iterations: Int = 2): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // r9 execution reshape (guide §2.4): the distinct edge table
+    // materializes ONCE (eager localCheckpoint — every half-iteration
+    // joins it); the iteration chain itself stays LAZY with a persist on
+    // each frame referenced more than once (the last hub table feeds both
+    // the final authority update and the output union), so the whole
+    // computation runs inside the caller's single action instead of one
+    // eager checkpoint job per round. Lineage depth is 2·iterations
+    // joins over a checkpointed leaf — bounded and cheap to plan for the
+    // small fixed iteration counts this exact-integer form permits
+    // (scores grow as degree^(2·iters)).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      // each round joins this table twice; derive + shuffle it once
-      .persist()
-    try {
-      // a0 = 1 for every authority (any dst node)
-      var auth = e.select(col("dst").as("node")).distinct()
-        .withColumn("score", lit(1L))
-      var hubs: DataFrame = null
-      for (_ <- 1 to iterations) {
-        hubs = e.join(auth, e("dst") === auth("node"))
-          .groupBy("src").agg(sum("score").as("h"))
-          .select(col("src").as("node"), col("h").as("score"))
-        // truncate lineage per round (the PageRank discipline) so round
-        // i's plan does not embed rounds 1..i-1
-        auth = e.join(hubs, e("src") === hubs("node"))
-          .groupBy("dst").agg(sum("score").as("a"))
-          .select(col("dst").as("node"), col("a").as("score"))
-          .localCheckpoint()
-      }
-      hubs.select(col("node"), lit("hub").as("role"), col("score"))
-        .unionByName(auth.select(
-          col("node"), lit("authority").as("role"), col("score")))
-        .localCheckpoint()
-    } finally {
-      e.unpersist(false)
-      ()
+      .localCheckpoint()
+    // a0 = 1 for every authority (any dst node)
+    var auth = e.select(col("dst").as("node")).distinct()
+      .withColumn("score", lit(1L))
+    var hubs: DataFrame = null
+    for (_ <- 1 to iterations) {
+      hubs = e.join(auth, e("dst") === auth("node"))
+        .groupBy("src").agg(sum("score").as("h"))
+        .select(col("src").as("node"), col("h").as("score"))
+        .persist()
+      auth = e.join(hubs, e("src") === hubs("node"))
+        .groupBy("dst").agg(sum("score").as("a"))
+        .select(col("dst").as("node"), col("a").as("score"))
     }
+    hubs.select(col("node"), lit("hub").as("role"), col("score"))
+      .unionByName(auth.select(
+        col("node"), lit("authority").as("role"), col("score")))
   }
 }

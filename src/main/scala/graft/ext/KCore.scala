@@ -31,8 +31,13 @@ object KCore {
       k: Int,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && k >= 1, "rounds and k must be >= 1")
-    val spark = edges.sparkSession
-    import spark.implicits._
+    // r9 execution reshape (guide §2.4): the input edge set materializes
+    // ONCE (eager localCheckpoint); each round's peeled edge table is a
+    // LAZY persist — referenced three ways (two degree aggregates + next
+    // round / its own stats row), the cache bounds it to one computation
+    // — and the per-round stats rows union into ONE lazy frame, so the
+    // whole peel executes inside the caller's single action instead of
+    // `rounds` eager checkpoint jobs + `rounds` head() jobs.
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .localCheckpoint()
@@ -42,13 +47,14 @@ object KCore {
       e = e.join(sdeg, "src").join(pdeg, "dst")
         .filter(col("__sd") >= k && col("__pd") >= k)
         .select("src", "dst")
-        .localCheckpoint()
-      val row = e.agg(
+        .persist()
+      e.agg(
         count(lit(1)).as("n_edges"),
         countDistinct("src").as("n_src"),
-        countDistinct("dst").as("n_dst")).head()
-      (round, row.getLong(0), row.getLong(1), row.getLong(2))
+        countDistinct("dst").as("n_dst"))
+        .select(lit(round).as("round"), col("n_edges"), col("n_src"),
+          col("n_dst"))
     }
-    stats.toDF("round", "n_edges", "n_src", "n_dst")
+    stats.reduce(_.unionByName(_))
   }
 }

@@ -54,29 +54,28 @@ object PageRank {
     }
     val base = (total * 3L / 20L) / n
     var r = nodes.withColumn("r", lit(total / n))
-    try {
-      for (_ <- 1 to iterations) {
-        // identical value to `(r * __w) div __out` (write r = q·out + s:
-        // (r·w) div out = q·w + (s·w) div out) but never forms the r·w
-        // product, which overflows Long once rank ~ total meets an edge
-        // weight over ~2^63/total — reachable event counts at corpus scale
-        val inc = ew.join(r, col("__src") === col("node"))
-          .select(col("__dst"),
-            expr("(r div __out) * __w + ((r % __out) * __w) div __out")
-              .as("__c"))
-          .groupBy("__dst").agg(sum("__c").as("__s"))
-        r = nodes.join(inc, col("node") === col("__dst"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(17 * coalesce(__s, 0L)) div 20")).as("r"))
-          // truncate lineage per round (the Clusters discipline): without
-          // it iteration i's plan embeds iterations 1..i-1 and the DAG —
-          // and any recompute — grows superlinearly with the round count
-          .localCheckpoint()
-      }
-      r.select(col("node"), col("r").as("rank_micro"))
-    } finally {
-      ew.unpersist()
-      nodes.unpersist()
+    // r9 execution reshape (guide §2.4): the rounds are LAZY — each
+    // round's rank table is referenced exactly once (by the next round),
+    // so with `ew` and `nodes` persisted the chain executes once inside
+    // the caller's single action; the per-round eager localCheckpoint
+    // jobs (one driver round-trip per iteration) are gone. The persisted
+    // leaves stay alive for the caller's action (unpersisting them here
+    // would drop the cache before anything ran); they are session-scoped
+    // scratch, reclaimed by the harness between queries / on session end.
+    for (_ <- 1 to iterations) {
+      // identical value to `(r * __w) div __out` (write r = q·out + s:
+      // (r·w) div out = q·w + (s·w) div out) but never forms the r·w
+      // product, which overflows Long once rank ~ total meets an edge
+      // weight over ~2^63/total — reachable event counts at corpus scale
+      val inc = ew.join(r, col("__src") === col("node"))
+        .select(col("__dst"),
+          expr("(r div __out) * __w + ((r % __out) * __w) div __out")
+            .as("__c"))
+        .groupBy("__dst").agg(sum("__c").as("__s"))
+      r = nodes.join(inc, col("node") === col("__dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(17 * coalesce(__s, 0L)) div 20")).as("r"))
     }
+    r.select(col("node"), col("r").as("rank_micro"))
   }
 }

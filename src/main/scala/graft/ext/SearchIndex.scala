@@ -94,10 +94,14 @@ object SearchIndex {
   private def sign(
       docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // persisted (r9): the tokenizer pass feeds the postings, termdf and
+    // totals legs, which are materialized by THREE separate write
+    // actions — without the cache it re-tokenizes per write
     val tk = docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("dl", size(col("toks")).cast("long"))
+      .persist()
     val tc = tk.select(col("doc_id"), col("dl"),
       explode(col("toks")).as("term"))
     val postings = tc.groupBy("term", "doc_id", "dl")

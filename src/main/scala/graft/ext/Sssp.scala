@@ -22,6 +22,16 @@ object Sssp {
   /** Distances from `source` after `rounds` relaxations over directed
     * `edges` (srcCol, dstCol, wCol — non-negative integer weights).
     * Returns (node, dist) for every node reached within `rounds` hops.
+    *
+    * Execution shape (optimization r9, guide §2.4/§2.6): the edge table
+    * is materialized ONCE (eager localCheckpoint — one pass over the
+    * caller's derivation instead of one per round), and the rounds are
+    * built LAZILY with a per-round persist: each round's frame is
+    * referenced twice (relax join + union), so the cache bounds the plan
+    * to one computation per round while the whole relaxation executes
+    * inside the caller's single action instead of `rounds` eager
+    * checkpoint jobs — at 100 TB the per-round shuffles dominate either
+    * way; on a contended driver the saved job round-trips are the wall.
     */
   def boundedDistances(
       spark: SparkSession,
@@ -34,20 +44,15 @@ object Sssp {
     require(rounds >= 1, "rounds must be >= 1")
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w")).persist()
-    try {
-      var d = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
-      for (_ <- 1 to rounds) {
-        val relaxed = e.join(d, e("src") === d("node"))
-          .select(e("dst").as("node"), (d("dist") + e("w")).as("dist"))
-        d = d.union(relaxed)
-          .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
-      }
-      d
-    } finally {
-      e.unpersist(false)
-      ()
+      col(wCol).cast("long").as("w")).localCheckpoint()
+    var d = Seq((source, 0L)).toDF("node", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(d, e("src") === d("node"))
+        .select(e("dst").as("node"), (d("dist") + e("w")).as("dist"))
+      d = d.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .persist()
     }
+    d
   }
 }

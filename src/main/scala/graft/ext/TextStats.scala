@@ -941,8 +941,13 @@ object TextStats {
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] AS u, toks[i + 1] AS w))")).as("b"): _*)
       .select(keep :+ col("b.u").as("u") :+ col("b.w").as("w"): _*)
-    val tBg = bgRows(train, Nil)
-    val cuw = tBg.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    // r9: tBg (tokenize + bigram explode over the whole train corpus) is
+    // referenced twice (c_uw and c_u legs) and cuw three times (n1_w,
+    // n_types, and the scoring join) — persist both so each computes once
+    // inside the caller's single action instead of re-running the
+    // tokenizer pass per reference
+    val tBg = bgRows(train, Nil).persist()
+    val cuw = tBg.groupBy("u", "w").agg(count(lit(1)).as("c_uw")).persist()
     val cu = tBg.groupBy("u").agg(count(lit(1)).as("c_u"),
       countDistinct("w").as("n1_u")) // N₁₊(u·): distinct continuations
     val nleft = cuw.groupBy("w").agg(count(lit(1)).as("n1_w")) // N₁₊(·w)

@@ -1564,12 +1564,25 @@ object AnalyticsQueries {
     */
   private def coPurchaseEdges(spark: SparkSession,
       dir: String): DataFrame = {
+    // r9 (guide §2.4/§3): the lineitem self-join on l_orderkey shuffled
+    // the fact table TWICE and sorted both sides; baskets are small and
+    // bounded, so ONE groupBy collects each basket's parts and the row
+    // pairs are generated in place with array expressions (codegen-
+    // friendly, no join). Pair multiset is identical: for every unordered
+    // row pair within an order with distinct parts, one (min, max) —
+    // exactly the rows the a.part < b.part self-join produced.
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
-    li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
+    li.groupBy("l_orderkey")
+      .agg(collect_list("l_partkey").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  filter(transform(slice(ps, i + 2, size(ps)), y ->
+          |    IF(y != x,
+          |       named_struct('pa', least(x, y), 'pb', greatest(x, y)),
+          |       CAST(NULL AS STRUCT<pa: BIGINT, pb: BIGINT>))),
+          |  p -> p IS NOT NULL)))""".stripMargin)).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("pa").as("a"), col("pb").as("b"))
@@ -2193,10 +2206,14 @@ object AnalyticsQueries {
       .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
         .as("w"))
+    // materialize the o⋈l pair derivation ONCE: the source-seed aggregate
+    // and every relaxation round read this checkpoint instead of each
+    // re-running the join (r9: was two full derivations per call)
     val e = pair.select((col("c") * 2).as("src"),
         (col("p") * 2 + 1).as("dst"), col("w"))
       .unionByName(pair.select((col("p") * 2 + 1).as("src"),
         (col("c") * 2).as("dst"), col("w")))
+      .localCheckpoint()
     val source = e.filter(col("src") % 2 === 0)
       .agg(min("src")).head().getLong(0)
     graft.ext.Sssp.boundedDistances(

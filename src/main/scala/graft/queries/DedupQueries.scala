@@ -328,11 +328,19 @@ object DedupQueries {
     val staged = stageQ161(spark, dir)
     val run = new java.io.File(
       QuerySpec.stagedPath("q161_run", dir + "#" + System.nanoTime()))
-    val corpusDir = s"$run/corpus"
+    // r9 (guide §8 — move heavy bytes once): the corpus persisted between
+    // batches is now the SIGNED state (shingle-hash sets + LSH bands),
+    // not raw text — each batch signs only itself and joins against
+    // stored signatures, so per-batch cost is ∝ |batch| instead of
+    // re-running the fused shingle/minhash pass over the whole
+    // accumulated corpus every batch (the operator scaladoc's own
+    // production note, now honored by the loop itself).
+    val setsDir = s"$run/sets"
+    val bandsDir = s"$run/bands"
     val pairsDir = s"$run/pairs"
     val schema = spark.read.parquet(s"$staged/b00.parquet").schema
-    def corpusFiles(): Array[java.io.File] =
-      Option(new java.io.File(corpusDir).listFiles()).getOrElse(Array.empty)
+    def stateFiles(d: String): Array[java.io.File] =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
     // scope the shuffle-partition override BEFORE start(): the streaming
     // runtime snapshots session conf when the query starts
@@ -345,21 +353,21 @@ object DedupQueries {
         .parquet(staged)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val incoming = batch.persist()
-          try {
-            val corpus =
-              if (corpusFiles().isEmpty)
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  schema)
-              else spark.read.parquet(corpusDir)
-            Dedup.minhashNearDupPairsIncremental(
-              corpus, incoming, "doc_id", "text",
-              k = 3, numHashes = 128, bandRows = 2,
+          val (setsI0, bandsI0) = Dedup.signedSetsAndBands(
+            batch, "doc_id", "text", k = 3, numHashes = 128, bandRows = 2)
+          // sign the batch ONCE: candidates, verify, and the state
+          // append all read these materialized frames
+          val setsI = setsI0.localCheckpoint()
+          val bandsI = bandsI0.localCheckpoint()
+          val (priorSets, priorBands) =
+            if (stateFiles(setsDir).isEmpty)
+              (setsI.limit(0), bandsI.limit(0))
+            else (spark.read.parquet(setsDir), spark.read.parquet(bandsDir))
+          Dedup.minhashPairsFromSigned(setsI, bandsI, priorSets, priorBands,
               thresholdNum = 7, thresholdDen = 10)
-              .write.mode("append").parquet(pairsDir)
-            incoming.write.mode("append").parquet(corpusDir)
-          } finally { incoming.unpersist(); () }
+            .write.mode("append").parquet(pairsDir)
+          setsI.write.mode("append").parquet(setsDir)
+          bandsI.write.mode("append").parquet(bandsDir)
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$run/ckpt")

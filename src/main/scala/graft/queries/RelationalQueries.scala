@@ -389,10 +389,24 @@ object RelationalQueries {
     val freq = b.groupBy("part").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 3)
     val bf = b.join(broadcast(freq), "part")
-    bf.select(col("ord"), col("part").as("part_a"), col("sup").as("sup_a"))
-      .join(bf.select(col("ord"), col("part").as("part_b"),
-        col("sup").as("sup_b")), "ord")
-      .filter(col("part_a") < col("part_b"))
+    // r9 (guide §2.4/§3): the per-basket pair explode used to be a bf⋈bf
+    // self-join on ord — the fact table shuffled twice plus a sort-merge.
+    // Baskets are small and bounded, so ONE groupBy collects each
+    // basket's (distinct) items sorted by part and the part_a < part_b
+    // pairs are generated in place with array expressions: identical
+    // pair multiset, one shuffle of the facts, no join. Singleton
+    // supports ride along in the struct.
+    bf.groupBy("ord")
+      .agg(sort_array(collect_list(struct(col("part"), col("sup"))))
+        .as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    named_struct('part_a', x.part, 'sup_a', x.sup,
+          |                 'part_b', y.part, 'sup_b', y.sup))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"),
+        col("pr.sup_a").as("sup_a"), col("pr.sup_b").as("sup_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("sup_ab"),
         max("sup_a").as("sup_a"), max("sup_b").as("sup_b"))
@@ -518,12 +532,27 @@ object RelationalQueries {
     val held = ranked.filter(col("rn") === 1 && col("n_ord") >= 2)
       .select("cust", "oid")
     val train = ranked.filter(col("rn") > 1).select("cust", "oid")
+    // persisted: tb feeds the scoring join AND the already-bought
+    // anti-join — the cache bounds it to one computation in the single
+    // action (r9)
     val tb = train.join(b, "oid").select("cust", "item").distinct()
+      .persist()
     val tob = b.join(train.select("oid").distinct(), "oid")
-    val pair = tob.as("a")
-      .join(tob.as("c"),
-        col("a.oid") === col("c.oid") && col("a.item") =!= col("c.item"))
-      .groupBy(col("a.item").as("i"), col("c.item").as("j"))
+    // r9 (guide §2.4/§3): the ordered-pair explode used to be a tob⋈tob
+    // self-join on oid (facts shuffled twice + sort-merge). Baskets are
+    // small and bounded: ONE groupBy collects each train basket's
+    // (distinct) items and the x ≠ y ordered pairs are generated in
+    // place — identical pair multiset, one shuffle, no join.
+    val pair = tob.groupBy("oid")
+      .agg(collect_list(col("item")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, x ->
+          |  filter(transform(ps, y ->
+          |    IF(y != x, named_struct('i', x, 'j', y),
+          |       CAST(NULL AS STRUCT<i: BIGINT, j: BIGINT>))),
+          |  p -> p IS NOT NULL)))""".stripMargin)).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"))
+      .groupBy("i", "j")
       .agg(count(lit(1)).as("cij"))
       .filter(col("cij") >= 2)
     val score = tb.join(pair, col("item") === col("i"))
@@ -533,11 +562,13 @@ object RelationalQueries {
         tb.select(col("cust").as("tc"), col("item").as("ti")),
         col("tc") === col("cust") && col("ti") === col("cand"),
         "left_anti")
+    // persisted: top5 feeds the hit join AND the coverage count (r9)
     val top5 = scorex
       .withColumn("rk", row_number().over(
         Window.partitionBy("cust").orderBy(col("s").desc, col("cand"))))
       .filter(col("rk") <= 5)
       .select("cust", "cand")
+      .persist()
     val hi = held.join(b, "oid").select("cust", "item")
     val hit = hi.join(
         top5.select(col("cust").as("hc"), col("cand")),
@@ -800,11 +831,20 @@ object RelationalQueries {
     // apriori prune: items below the support floor can't form a pair
     val frequent = ic.filter(col("ci") >= 3).select("item")
     val bf = b.join(broadcast(frequent), "item")
-    val pair = bf.as("a")
-      .join(bf.as("c"),
-        col("a.bid") === col("c.bid") && col("a.item") < col("c.item"))
-      .groupBy(col("a.item").as("i"), col("c.item").as("j"))
-      .agg(count(lit(1)).as("cij"))
+    // r9 (guide §2.4/§3): the per-basket pair explode used to be a bf⋈bf
+    // self-join on bid — the fact table shuffled twice plus a sort-merge.
+    // Baskets are small and bounded, so ONE groupBy collects each
+    // basket's (distinct, sorted) items and the i<j pairs are generated
+    // in place with array expressions: identical pair multiset, one
+    // shuffle of the facts, no join.
+    val pair = bf.groupBy("bid")
+      .agg(sort_array(collect_list(col("item"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    named_struct('i', x, 'j', y))))""".stripMargin)).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("cij"))
       .filter(col("cij") >= 3)
     val sym = pair.select(col("i"), col("j"), col("cij"))
       .unionByName(pair.select(col("j").as("i"), col("i").as("j"),
