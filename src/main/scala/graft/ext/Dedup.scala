@@ -140,13 +140,12 @@ object Dedup {
     * semantics. Extra candidate columns (e.g. block keys) pass through.
     */
   private[ext] def withOverlapExploded(
-      candidates0: DataFrame, hashSets0: DataFrame): DataFrame = {
-    // r9: both inputs fan out below (candidates feeds the intersection
-    // count AND the base row; hashSets feeds both exploded join legs and
-    // both size legs) — persist them so the candidate generation and the
-    // fused shingle pass each run ONCE per action instead of 2–4×
-    val candidates = candidates0.persist()
-    val hashSets = hashSets0.persist()
+      candidates: DataFrame, hashSets: DataFrame): DataFrame = {
+    // r9 note: do NOT blanket-persist here — candidates can be huge at
+    // low thresholds (q222 passes 0/1) and hashSets carries per-doc
+    // arrays whose columnar cache build costs more than the exchange
+    // reuse it replaces (measured: q222 3.6 → 7.0 s when tried). Callers
+    // whose inputs are expensive AND small persist at the call site.
     val rows = shingleHashes(hashSets)
     val sizes = hashSets.select(
       col("doc_id"), size(col("hsh")).cast("long").as("__sz"))

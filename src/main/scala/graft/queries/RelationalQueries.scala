@@ -532,27 +532,17 @@ object RelationalQueries {
     val held = ranked.filter(col("rn") === 1 && col("n_ord") >= 2)
       .select("cust", "oid")
     val train = ranked.filter(col("rn") > 1).select("cust", "oid")
-    // persisted: tb feeds the scoring join AND the already-bought
-    // anti-join — the cache bounds it to one computation in the single
-    // action (r9)
     val tb = train.join(b, "oid").select("cust", "item").distinct()
-      .persist()
     val tob = b.join(train.select("oid").distinct(), "oid")
-    // r9 (guide §2.4/§3): the ordered-pair explode used to be a tob⋈tob
-    // self-join on oid (facts shuffled twice + sort-merge). Baskets are
-    // small and bounded: ONE groupBy collects each train basket's
-    // (distinct) items and the x ≠ y ordered pairs are generated in
-    // place — identical pair multiset, one shuffle, no join.
-    val pair = tob.groupBy("oid")
-      .agg(collect_list(col("item")).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, x ->
-          |  filter(transform(ps, y ->
-          |    IF(y != x, named_struct('i', x, 'j', y),
-          |       CAST(NULL AS STRUCT<i: BIGINT, j: BIGINT>))),
-          |  p -> p IS NOT NULL)))""".stripMargin)).as("pr"))
-      .select(col("pr.i").as("i"), col("pr.j").as("j"))
-      .groupBy("i", "j")
+    // r9 note: the in-array ordered-pair rewrite applied to q164/q219
+    // was tried here too and measured SLOWER (4.7 → 7.7 s — this chain
+    // is consumed twice downstream via top5's two readers, and the
+    // grouped-array form recomputes worse than the self-join whose
+    // exchanges the planner reuses). Kept as the original self-join.
+    val pair = tob.as("a")
+      .join(tob.as("c"),
+        col("a.oid") === col("c.oid") && col("a.item") =!= col("c.item"))
+      .groupBy(col("a.item").as("i"), col("c.item").as("j"))
       .agg(count(lit(1)).as("cij"))
       .filter(col("cij") >= 2)
     val score = tb.join(pair, col("item") === col("i"))
@@ -562,13 +552,11 @@ object RelationalQueries {
         tb.select(col("cust").as("tc"), col("item").as("ti")),
         col("tc") === col("cust") && col("ti") === col("cand"),
         "left_anti")
-    // persisted: top5 feeds the hit join AND the coverage count (r9)
     val top5 = scorex
       .withColumn("rk", row_number().over(
         Window.partitionBy("cust").orderBy(col("s").desc, col("cand"))))
       .filter(col("rk") <= 5)
       .select("cust", "cand")
-      .persist()
     val hi = held.join(b, "oid").select("cust", "item")
     val hit = hi.join(
         top5.select(col("cust").as("hc"), col("cand")),
