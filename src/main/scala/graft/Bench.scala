@@ -92,12 +92,24 @@ object Bench {
       // (the no-cross-run-caching rule), and blocks don't accumulate
       // across 330+ queries (ContextCleaner's periodic GC is 30 min —
       // longer than this run).
+      // INVARIANT this blanket unpersist relies on: every pass rebuilds
+      // all of its DataFrames from scratch (spec.fn is re-invoked), so no
+      // reference to a dropped locally-checkpointed RDD — whose data is
+      // unrecoverable once unpersisted — is ever reused across passes.
+      // Setup-created state lives on DISK (staged parquet), never in a
+      // retained checkpointed frame; breaking that would surface as
+      // "checkpoint block not found" here.
       def dropLeftoverCaches(): Unit =
         try {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(false))
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable =>
+          // cleanup failures must not kill the bench, but hiding them
+          // would mask real leaks — log and continue
+          System.err.println(
+            s"[bench] WARNING: post-pass cache cleanup failed: $e")
+        }
       def onePass(): Double = {
         val t0 = System.nanoTime()
         try { spec.fn(spark, sfDir).count(); () }
@@ -118,6 +130,7 @@ object Bench {
       val warm = if (errors.contains(spec.name)) cold else onePass()
       spec.name -> (math.min(cold, warm), cold, coldShuffle)
     }
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val coldJson = results.map { case (k, (_, c, _)) => "\"" + k + "\":" + c }
@@ -148,9 +161,25 @@ object Bench {
     val load = math.round(
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage * 100) / 100.0
-    val topLine = s"""{"metric":"top","rows":$top,"loadavg":$load}"""
+    val topLine = s"""{"metric":"top","unit":"sec","rows":$top,"loadavg":$load}"""
+    // r10 (driver contract): the artifact capture keeps only the last few
+    // KB of stdout, so the ~10 KB per-query map inside the big line never
+    // survived (PERF r08/r09 per_query = {}). Emit the per-query timings
+    // as their OWN compact chunked lines near the end, ordered ASCENDING
+    // by time so the chunks most likely to survive a character-tail
+    // capture (the last ones) hold the slowest — i.e. the interesting —
+    // rows; each chunk is a complete, independently parseable JSON object.
+    val byTime = results.map { case (k, (v, _, _)) => (k, r3(v)) }
+      .sortBy(_._2)
+    val chunks = byTime.grouped(25).toSeq
+    val chunkLines = chunks.zipWithIndex.map { case (c, i) =>
+      val m = c.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"queries","unit":"sec","part":${i + 1},"of":${chunks.size},"queries":$m}"""
+    }
     println(headline)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"shuffle_mb":$shuffleJson,"errors":$errJson,"bench_exempt":$exemptJson,"sf":"$sfDir"}""")
+    chunkLines.foreach(println)
     println(topLine)
     println(headline)
     spark.stop()

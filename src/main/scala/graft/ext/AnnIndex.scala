@@ -94,6 +94,27 @@ object AnnIndex {
   private def centroidsPath(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/centroids"
 
+  // r10: memoized per-version artifact schemas — see DedupIndex.readStored
+  // (schema-inferring reads each pay a footer job; artifact schemas are
+  // frozen per version). Invalidated per version dir on writeVersion's
+  // orphan drop (a rebuild of the same version number may change types).
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readStored(
+      spark: SparkSession, schemaKey: String, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(
+      schemaKey, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  private def invalidateSchemas(
+      dir: String, name: String, v: Int): Unit = {
+    val prefix = s"${layoutDir(dir, name)}/v$v/"
+    schemaCache.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
+
   private def postingsPath(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/postings"
 
@@ -104,7 +125,8 @@ object AnnIndex {
       spark: SparkSession, dir: String, name: String,
       atVersion: Option[Int] = None): DataFrame = {
     val v = resolveRead(spark, dir, name, atVersion)
-    spark.read.parquet(centroidsPath(dir, name, v))
+    readStored(spark, centroidsPath(dir, name, v),
+      centroidsPath(dir, name, v))
   }
 
   private def writeVersion(
@@ -116,6 +138,7 @@ object AnnIndex {
     // or its errorifexists writes below would fail permanently until
     // someone hand-deleted the orphan
     dropVersionDir(spark, dir, name, version)
+    invalidateSchemas(dir, name, version)
     // lloydCentroids' seed assignment uses the fused graft_ivf_cells —
     // register here so a fresh session can build without having run an
     // ivfTopK* query first
@@ -125,7 +148,8 @@ object AnnIndex {
       corpus, idCol, vecCol, numCentroids, dim)
     cent.coalesce(1).write.mode("errorifexists")
       .parquet(centroidsPath(dir, name, version))
-    val frozen = spark.read.parquet(centroidsPath(dir, name, version))
+    val frozen = readStored(spark, centroidsPath(dir, name, version),
+      centroidsPath(dir, name, version))
     Similarity.assignCells(corpus, idCol, vecCol, frozen, probes = 1)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))
       .write.mode("errorifexists").partitionBy("cell")
@@ -188,7 +212,7 @@ object AnnIndex {
       spark: SparkSession, dir: String, name: String, v: Int): DataFrame =
     (postingsPath(dir, name, v) +:
       committedFolds(spark, dir, name, v).map(deltaPath(dir, name, v, _)))
-      .map(spark.read.parquet(_))
+      .map(readStored(spark, postingsPath(dir, name, v), _))
       .reduce(_.unionByName(_))
 
   /** Fold new vectors into the current version: assign against the
@@ -218,7 +242,8 @@ object AnnIndex {
     require(!hasCodebooks(spark, dir, name, v),
       s"ann index '$name' at $dir is a PQ index — fold() would leave its " +
         "code postings stale; use foldPq()")
-    val cent = spark.read.parquet(centroidsPath(dir, name, v))
+    val cent = readStored(spark, centroidsPath(dir, name, v),
+      centroidsPath(dir, name, v))
     val committed = committedFolds(spark, dir, name, v)
     val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
     if (committed.contains(g)) return // committed replay: pure no-op
@@ -292,7 +317,7 @@ object AnnIndex {
       idCol: String): DataFrame =
     (codesPath(dir, name, v) +:
       committedFolds(spark, dir, name, v).map(codesDeltaPath(dir, name, v, _)))
-      .map(spark.read.parquet(_))
+      .map(readStored(spark, codesPath(dir, name, v), _))
       .reduce(_.unionByName(_))
       .select(col(idCol).as("cid"), col("cell"),
         posexplode(col("codes")).as(Seq("m", "cw")))
@@ -366,7 +391,8 @@ object AnnIndex {
     val subDim = dim / numSub
     writeVersion(spark, corpus, dir, name, idCol, vecCol, numCentroids,
       dim, version)
-    val cent = spark.read.parquet(centroidsPath(dir, name, version))
+    val cent = readStored(spark, centroidsPath(dir, name, version),
+      centroidsPath(dir, name, version))
     val cSub = Similarity.pqResidualSubRows(
       corpus, idCol, vecCol, cent, 1, numSub, subDim, "cid")
     val seed = {
@@ -377,7 +403,8 @@ object AnnIndex {
     Similarity.pqTrainCore(cSub.select("cid", "m", "sub"), seed, subDim)
       .coalesce(1).write.mode("errorifexists")
       .parquet(codebooksPath(dir, name, version))
-    val cb = spark.read.parquet(codebooksPath(dir, name, version))
+    val cb = readStored(spark, codebooksPath(dir, name, version),
+      codebooksPath(dir, name, version))
     encodePacked(corpus, idCol, vecCol, cent, cb, numSub, subDim)
       .write.mode("errorifexists").partitionBy("cell")
       .parquet(codesPath(dir, name, version))
@@ -399,8 +426,10 @@ object AnnIndex {
     require(hasCodebooks(spark, dir, name, v),
       s"ann index '$name' at $dir has no PQ codebooks — buildPq() it, " +
         "or use fold() for a plain IVF index")
-    val cent = spark.read.parquet(centroidsPath(dir, name, v))
-    val cb = spark.read.parquet(codebooksPath(dir, name, v))
+    val cent = readStored(spark, centroidsPath(dir, name, v),
+      centroidsPath(dir, name, v))
+    val cb = readStored(spark, codebooksPath(dir, name, v),
+      codebooksPath(dir, name, v))
     val (numSub, subDim) = codebookShape(cb)
     val committed = committedFolds(spark, dir, name, v)
     val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
@@ -466,8 +495,10 @@ object AnnIndex {
     require(hasCodebooks(spark, dir, name, v),
       s"ann index '$name' at $dir has no PQ codebooks — buildPq() it, " +
         "or use topK() for a plain IVF index")
-    val cent = spark.read.parquet(centroidsPath(dir, name, v))
-    val cb = spark.read.parquet(codebooksPath(dir, name, v))
+    val cent = readStored(spark, centroidsPath(dir, name, v),
+      centroidsPath(dir, name, v))
+    val cb = readStored(spark, codebooksPath(dir, name, v),
+      codebooksPath(dir, name, v))
     val (numSub, subDim) = codebookShape(cb)
     val qt = Similarity
       .pqResidualSubRows(queries, idCol, vecCol, cent, numProbes, numSub,
@@ -514,7 +545,8 @@ object AnnIndex {
       numProbes: Int = 2, atVersion: Option[Int] = None): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val v = resolveRead(spark, dir, name, atVersion)
-    val cent = spark.read.parquet(centroidsPath(dir, name, v))
+    val cent = readStored(spark, centroidsPath(dir, name, v),
+      centroidsPath(dir, name, v))
     val q = Similarity.assignCells(queries, idCol, vecCol, cent, numProbes)
       .select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
         Similarity.selfNormFast(vecCol).as("n_q"),

@@ -102,15 +102,34 @@ object ApssIndex {
 
   /** The frozen (k, floorPermil). */
   // r9: params are FROZEN for an index version's lifetime — memoize the
-  // one-row read so folds skip a head() job (the DedupIndex discipline);
-  // build() invalidates the layout's entries.
+  // one-row read so folds skip a head() job (the DedupIndex discipline).
+  // Keys are version-qualified paths, so compact() needs no invalidation
+  // (v+1 keeps the frozen params and populates its own entry); build()
+  // invalidates because a rebuild may change the scheme.
   private val paramsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
   private[ext] def invalidateParams(dir: String, name: String): Unit = {
-    val prefix = layoutDir(dir, name)
+    // trailing separator: don't cross-invalidate a sibling index whose
+    // layout dir this one string-prefixes
+    val prefix = layoutDir(dir, name) + "/"
     paramsCache.keySet.removeIf(_.startsWith(prefix))
+    schemaCache.keySet.removeIf(_.startsWith(prefix))
     ()
+  }
+
+  // r10: memoized per-version artifact schemas + multi-path reads — see
+  // the DedupIndex.readStored note (schema-inferring reads each pay a
+  // footer job; artifact schemas are frozen per version).
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readStored(
+      spark: SparkSession, schemaKey: String,
+      paths: Seq[String]): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(
+      schemaKey, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(paths: _*)
   }
 
   private def readParams(
@@ -129,11 +148,13 @@ object ApssIndex {
   private def signFrozen(
       docs: DataFrame, idCol: String, textCol: String, k: Int,
       floorPermil: Int,
-      dforder: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      dforder: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf2 = floorPermil.toLong * floorPermil
     // persisted (r9): the three outputs are materialized by SEPARATE
     // write actions (tokens / sizes / prefix) — without the cache each
-    // write re-runs the fused shingle pass
+    // write re-runs the fused shingle pass. The 4th element of the
+    // return is the hs cache handle so callers can unpersist both caches
+    // once their actions have run (r10, advisor).
     val hs = Dedup.withShingleHashSets(docs, idCol, textCol, k).persist()
     val tokens = Dedup.shingleHashes(hs).persist()
     val sizes = hs.select(col("doc_id"), size(col("hsh")).cast("long").as("n"))
@@ -146,7 +167,7 @@ object ApssIndex {
       .withColumn("__o", expr(s"($tf2 * n + 999999) div 1000000"))
       .filter(col("__pos") <= col("n") - col("__o") + 1)
       .select("doc_id", "h")
-    (tokens, sizes, prefix)
+    (tokens, sizes, prefix, hs)
   }
 
   /** All committed rows of one artifact of version `v` (base + committed
@@ -155,11 +176,12 @@ object ApssIndex {
     */
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
-      what: String, belowGen: Long = Long.MaxValue): DataFrame =
-    (sub(dir, name, v, what) +:
+      what: String, belowGen: Long = Long.MaxValue): DataFrame = {
+    val base = sub(dir, name, v, what)
+    readStored(spark, base, base +:
       committedFolds(spark, dir, name, v).filter(_ < belowGen)
         .map(g => s"${deltaPath(dir, name, v, g)}/$what"))
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
 
   private def writeVersion(
       spark: SparkSession, tokens: DataFrame, sizes: DataFrame,
@@ -199,10 +221,13 @@ object ApssIndex {
     // the order table feeds the prefix window AND persists: cut its
     // lineage so the window's sort doesn't recompute the df aggregation
     val frozen = dforder.localCheckpoint()
-    val (tokens, sizes, prefix) =
+    val (tokens, sizes, prefix, hsCache) =
       signFrozen(corpus, idCol, textCol, k, floorPermil, frozen)
-    writeVersion(spark, tokens, sizes, prefix, frozen, dir, name, k,
+    // writeVersion's writes are the cached sign pass's only consumers —
+    // release both caches afterwards (r10, advisor)
+    try writeVersion(spark, tokens, sizes, prefix, frozen, dir, name, k,
       floorPermil, v)
+    finally { tokens.unpersist(); hsCache.unpersist(); () }
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
     graft.io.VersionPointer.retain(
       spark, layoutDir(dir, name), v, retainVersions)
@@ -271,13 +296,17 @@ object ApssIndex {
       spark, layoutDir(dir, name), atVersion, s"apss index '$name' at $dir")
     val (k, floorPermil) = readParams(spark, dir, name, v)
     requireThreshold(thresholdPermil, floorPermil)
-    val dforder = spark.read.parquet(sub(dir, name, v, "dforder"))
-    val (t0, s0, p0) =
+    val dfoBase = sub(dir, name, v, "dforder")
+    val dforder = readStored(spark, dfoBase, Seq(dfoBase))
+    val (t0, s0, p0, hsCache) =
       signFrozen(fresh, idCol, textCol, k, floorPermil, dforder)
     // sign once, lineage-cut: the candidate and verify legs must not
     // re-shingle the fresh side
     val (ti, si, pi) =
       (t0.localCheckpoint(), s0.localCheckpoint(), p0.localCheckpoint())
+    // the checkpoints are materialized — the sign-pass caches have no
+    // consumers left (the returned plan reads the checkpoints)
+    t0.unpersist(); hsCache.unpersist()
     pairsOf(ti, si, pi,
       readCommitted(spark, dir, name, v, "tokens"),
       readCommitted(spark, dir, name, v, "sizes"),
@@ -304,7 +333,8 @@ object ApssIndex {
     val committed = committedFolds(spark, dir, name, v)
     val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
     def delta(what: String): DataFrame =
-      spark.read.parquet(s"${deltaPath(dir, name, v, g)}/$what")
+      readStored(spark, sub(dir, name, v, what),
+        Seq(s"${deltaPath(dir, name, v, g)}/$what"))
     if (committed.contains(g)) {
       return pairsOf(delta("tokens"), delta("sizes"), delta("prefix"),
         readCommitted(spark, dir, name, v, "tokens", belowGen = g),
@@ -319,13 +349,21 @@ object ApssIndex {
     val priorTokens = readCommitted(spark, dir, name, v, "tokens")
     val priorSizes = readCommitted(spark, dir, name, v, "sizes")
     val priorPrefix = readCommitted(spark, dir, name, v, "prefix")
-    val dforder = spark.read.parquet(sub(dir, name, v, "dforder"))
-    val (ti, si, pi) =
+    val dfoBase = sub(dir, name, v, "dforder")
+    val dforder = readStored(spark, dfoBase, Seq(dfoBase))
+    val (ti, si, pi, hsCache) =
       signFrozen(fresh, idCol, textCol, k, floorPermil, dforder)
-    // overwrite: a retry of a PRE-marker crash replaces the orphan
-    ti.write.mode("overwrite").parquet(s"${deltaPath(dir, name, v, g)}/tokens")
-    si.write.mode("overwrite").parquet(s"${deltaPath(dir, name, v, g)}/sizes")
-    pi.write.mode("overwrite").parquet(s"${deltaPath(dir, name, v, g)}/prefix")
+    // overwrite: a retry of a PRE-marker crash replaces the orphan.
+    // The three delta writes are the sign-pass caches' only consumers —
+    // release them afterwards (r10, advisor).
+    try {
+      ti.write.mode("overwrite")
+        .parquet(s"${deltaPath(dir, name, v, g)}/tokens")
+      si.write.mode("overwrite")
+        .parquet(s"${deltaPath(dir, name, v, g)}/sizes")
+      pi.write.mode("overwrite")
+        .parquet(s"${deltaPath(dir, name, v, g)}/prefix")
+    } finally { ti.unpersist(); hsCache.unpersist(); () }
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)

@@ -70,6 +70,20 @@ object ClusterIndex {
 
   private val FoldMarkerRe = """g(\d+)\.ok""".r
 
+  // r10: memoized per-version label schema — see DedupIndex.readStored
+  // (schema-inferring reads each pay a footer job; the label schema is
+  // frozen per version: base and every delta are (node, cluster_id)).
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readStored(
+      spark: SparkSession, schemaKey: String,
+      paths: Seq[String]): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(
+      schemaKey, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(paths: _*)
+  }
+
   private def committedFolds(
       spark: SparkSession, dir: String, name: String, v: Int): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(foldsDir(dir, name, v))
@@ -95,11 +109,13 @@ object ClusterIndex {
       spark: SparkSession, dir: String, name: String, v: Int,
       belowGen: Long = Long.MaxValue): DataFrame = {
     val gens = committedFolds(spark, dir, name, v).filter(_ < belowGen)
+    val base = basePath(dir, name, v)
     val all = gens.foldLeft(
-      spark.read.parquet(basePath(dir, name, v))
+      readStored(spark, base, Seq(base))
         .withColumn("__g", lit(0L))) { (acc, g) =>
-      acc.unionByName(spark.read.parquet(deltaPath(dir, name, v, g))
-        .withColumn("__g", lit(g)))
+      acc.unionByName(
+        readStored(spark, base, Seq(deltaPath(dir, name, v, g)))
+          .withColumn("__g", lit(g)))
     }
     val w = Window.partitionBy("node").orderBy(col("__g").desc)
     all.withColumn("__rn", row_number().over(w))
@@ -138,10 +154,14 @@ object ClusterIndex {
   /** The CHANGED labels a batch of fresh pairs implies against prior
     * labels — the shared core of [[fold]] (which commits them) and the
     * replay path. Output: (node, cluster_id) rows for exactly the nodes
-    * whose label changes (including fresh nodes' first labels).
+    * whose label changes (including fresh nodes' first labels), plus the
+    * cache handles the frame holds (fresh pairs + the mapped-edge CC
+    * output) so the caller can unpersist them once its single action has
+    * run — the operator owns the action in [[fold]], so it owns the
+    * cleanup too (r10, advisor).
     */
   private def changedLabels(
-      fresh0: DataFrame, prior: DataFrame): DataFrame = {
+      fresh0: DataFrame, prior: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // r9: the fresh pair frame is typically an UNMATERIALIZED index-fold
     // result (bands join + exact verify); it is referenced three times
     // below (mapped edges + both endpoint legs), so persist it — the
@@ -176,7 +196,7 @@ object ClusterIndex {
       .join(prior.select("node"), Seq("node"), "left_anti")
       .join(cc, endpoints("node") === cc("rep"))
       .select(col("node"), col("new_root").as("cluster_id"))
-    relabeled.unionByName(freshFirst)
+    (relabeled.unionByName(freshFirst), Seq(fresh, cc))
   }
 
   /** Fold a batch of fresh near-dup pairs (columns `id_a`, `id_b` — a
@@ -194,7 +214,8 @@ object ClusterIndex {
     val committed = committedFolds(spark, dir, name, v)
     val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
     if (committed.contains(g))
-      return spark.read.parquet(deltaPath(dir, name, v, g))
+      return readStored(spark, basePath(dir, name, v),
+        Seq(deltaPath(dir, name, v, g)))
     require(committed.forall(_ < g),
       s"fold generation $g is below already-committed generations " +
         s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
@@ -202,14 +223,20 @@ object ClusterIndex {
     // persist (not eager checkpoint): prior is referenced four ways in
     // changedLabels; the write action below materializes the cache once
     val prior = resolved(spark, dir, name, v).persist()
-    changedLabels(fresh, prior).write.mode("overwrite")
+    val (changed, handles) = changedLabels(fresh, prior)
+    // the write is this operator's single action over the cached frames —
+    // unpersist them afterwards so a long-lived session calling fold()
+    // repeatedly doesn't accumulate cached blocks (r10, advisor)
+    try changed.write.mode("overwrite")
       .parquet(deltaPath(dir, name, v, g))
+    finally (prior +: handles).foreach(_.unpersist())
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)
     val out = f.create(marker, false)
     try out.write("ok".getBytes("UTF-8")) finally out.close()
-    spark.read.parquet(deltaPath(dir, name, v, g))
+    readStored(spark, basePath(dir, name, v),
+      Seq(deltaPath(dir, name, v, g)))
   }
 
   /** Rewrite the resolved labels into one base at version N+1, pointer

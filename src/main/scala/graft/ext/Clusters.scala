@@ -63,21 +63,29 @@ object Clusters {
       .distinct()
   }
 
-  /** Order-invariant fingerprint of an edge set: (count, sum of per-edge
-    * hashes). Two passes of the loop with equal fingerprints ⇒ converged
-    * (hash collisions would need a sum-of-xxhash64 collision — and the
-    * loop still caps at `maxIters`, so a collision can only stop early on
-    * an already-star-shaped set, which the final star check would surface
+  /** Checkpoint an edge frame and compute its order-invariant
+    * fingerprint — (count, sum of per-edge hashes) — IN THE SAME JOB:
+    * the fingerprint rides the checkpoint materialization as an
+    * `observe()` metric instead of a second aggregation job per round
+    * (r10, guide §1.2 — the loop's fixed cost is jobs, not bytes). Two
+    * passes of the loop with equal fingerprints ⇒ converged (hash
+    * collisions would need a sum-of-xxhash64 collision — and the loop
+    * still caps at `maxIters`, so a collision can only stop early on an
+    * already-star-shaped set, which the final star check would surface
     * in specs).
     */
-  private def fingerprint(e: DataFrame): (Long, String) = {
+  private def checkpointFingerprinted(
+      e: DataFrame): (DataFrame, (Long, String)) = {
     // Sum in DECIMAL(38,0): xxhash64 sums overflow LongType under ANSI.
-    val row = e.agg(
+    val obs = org.apache.spark.sql.Observation()
+    val ck = e.observe(obs,
       count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("h"))
-      .head()
-    (row.getLong(0), row.getDecimal(1).toPlainString)
+      .localCheckpoint()
+    val m = obs.get
+    (ck, (m("n").asInstanceOf[Long],
+      m("h").asInstanceOf[java.math.BigDecimal].toPlainString))
   }
 
   /** Connected components of the undirected graph given by `edges`
@@ -94,17 +102,26 @@ object Clusters {
     // LOGICAL plan the tree grows 16^rounds and Catalyst's
     // canonicalization/constraint propagation explodes long before
     // execution (measured: q330 OOM at round ~2 when tried).
-    var e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    var prev = fingerprint(e)
+    var (e, prev) = checkpointFingerprinted(
+      edges.select(col("src"), col("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
     var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val next = smallStar(largeStar(sym)).localCheckpoint()
-      val cur = fingerprint(next)
+      // r10: rounds run over the checkpointed (src, dst) long-pair table
+      // whose row count the fingerprint just MEASURED — size-gate the
+      // fixed-cost scope on those bytes (~64 B/edge incl. shuffle
+      // overhead), so small contractions run one job per round while a
+      // billion-edge round keeps AQE + default partitions. The INITIAL
+      // checkpoint above is deliberately unscoped: its input subtree is
+      // the caller's (possibly heavy, e.g. an exact-verify join) plan
+      // and must keep its parallelism.
+      val (next, cur) = graft.conf.Tuning.withSmallInputScope(
+        spark, prev._1 * 64L) {
+        checkpointFingerprinted(smallStar(largeStar(sym)))
+      }
       converged = cur == prev
       prev = cur
       e = next

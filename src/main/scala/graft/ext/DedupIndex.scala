@@ -119,14 +119,20 @@ object DedupIndex {
   /** The frozen banding scheme: (k, numHashes, bandRows). */
   // r9: the banding scheme is FROZEN for an index version's lifetime (the
   // whole correctness argument) — memoize the one-row read so every fold /
-  // pairsAgainst call on a long-lived index skips a head() job. build()
-  // and compact() invalidate the layout's entries.
+  // pairsAgainst call on a long-lived index skips a head() job. Cache keys
+  // are VERSION-QUALIFIED paths, so compact() needs no invalidation: it
+  // writes v+1 with the same frozen params and v+1's first read populates
+  // its own entry. build() invalidates because a REBUILD may change the
+  // scheme at the new version before any read happens.
   private val paramsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
 
   private def invalidateParams(dir: String, name: String): Unit = {
-    val prefix = layoutDir(dir, name)
+    // trailing separator: "<dir>/a.dedupindex" must not cross-invalidate a
+    // sibling "<dir>/a.dedupindex2" whose layout dir it string-prefixes
+    val prefix = layoutDir(dir, name) + "/"
     paramsCache.keySet.removeIf(_.startsWith(prefix))
+    schemaCache.keySet.removeIf(_.startsWith(prefix))
     ()
   }
 
@@ -138,6 +144,25 @@ object DedupIndex {
       (row.getAs[Int]("k"), row.getAs[Int]("num_hashes"),
         row.getAs[Int]("band_rows"))
     })
+
+  // r10 (guide §1.2 — fixed costs): every schema-inferring
+  // spark.read.parquet pays a footer-read job (~30 ms) plus its driver
+  // round-trip; a fold used to run ~10 of them. Artifact schemas are
+  // frozen per version (same sign exprs write base and every delta), so
+  // memoize the base artifact's schema per version-qualified path and
+  // hand it to every internal read — and read base + deltas as ONE
+  // multi-path scan instead of a union of per-path reads (smaller plan,
+  // single relation). Invalidated alongside the params memo.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readStored(
+      spark: SparkSession, schemaKey: String,
+      paths: Seq[String]): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(
+      schemaKey, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(paths: _*)
+  }
 
   /** (sets, bands) of `docs` under the index's scheme — the SAME fused
     * exprs and band transform as [[Dedup.minhashNearDupPairs]], so a
@@ -173,11 +198,12 @@ object DedupIndex {
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
       sub: String, belowGen: Long = Long.MaxValue): DataFrame = {
-    val roots = (if (sub == "sets") setsPath(dir, name, v)
-      else bandsPath(dir, name, v)) +:
+    val base = if (sub == "sets") setsPath(dir, name, v)
+      else bandsPath(dir, name, v)
+    val roots = base +:
       committedFolds(spark, dir, name, v).filter(_ < belowGen)
         .map(g => s"${deltaPath(dir, name, v, g)}/$sub")
-    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    readStored(spark, base, roots)
   }
 
   /** Sign + band + write (uncommitted) version `version` from `docs`,
@@ -213,7 +239,11 @@ object DedupIndex {
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     val (sets, bands) =
       signAndBand(corpus, idCol, textCol, k, numHashes, bandRows)
-    writeVersion(spark, sets, bands, dir, name, k, numHashes, bandRows, v)
+    // the two writes are this operator's only actions over the cached
+    // sign pass — release it afterwards (r10, advisor: operators that own
+    // their action own the cleanup)
+    try writeVersion(spark, sets, bands, dir, name, k, numHashes, bandRows, v)
+    finally sets.unpersist()
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
     graft.io.VersionPointer.retain(
       spark, layoutDir(dir, name), v, retainVersions)
@@ -265,6 +295,9 @@ object DedupIndex {
       signAndBand(fresh, idCol, textCol, k, numHashes, bandRows)
     val setsI = setsI0.localCheckpoint()
     val bandsI = bandsI0.localCheckpoint()
+    // both checkpoints are materialized — the sign-pass cache has no
+    // consumers left (the returned plan reads the checkpoints)
+    setsI0.unpersist()
     pairsOf(setsI, bandsI,
       readCommitted(spark, dir, name, v, "sets"),
       readCommitted(spark, dir, name, v, "bands"),
@@ -330,8 +363,10 @@ object DedupIndex {
       // replay of a committed generation: the delta is immutable (an
       // at-least-once source redelivers the same batch), so recompute
       // its pairs against exactly the state that preceded it
-      val setsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/sets")
-      val bandsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/bands")
+      val setsW = readStored(spark, setsPath(dir, name, v),
+        Seq(s"${deltaPath(dir, name, v, g)}/sets"))
+      val bandsW = readStored(spark, bandsPath(dir, name, v),
+        Seq(s"${deltaPath(dir, name, v, g)}/bands"))
       return pairsOf(setsW, bandsW,
         readCommitted(spark, dir, name, v, "sets", belowGen = g),
         readCommitted(spark, dir, name, v, "bands", belowGen = g),
@@ -348,10 +383,13 @@ object DedupIndex {
       signAndBand(fresh, idCol, textCol, k, numHashes, bandRows)
     // overwrite mode: a retry of a crashed fold recomputes the same
     // generation and replaces the orphan before committing
-    setsI.write.mode("overwrite")
-      .parquet(s"${deltaPath(dir, name, v, g)}/sets")
-    bandsI.write.mode("overwrite")
-      .parquet(s"${deltaPath(dir, name, v, g)}/bands")
+    try {
+      setsI.write.mode("overwrite")
+        .parquet(s"${deltaPath(dir, name, v, g)}/sets")
+      bandsI.write.mode("overwrite")
+        .parquet(s"${deltaPath(dir, name, v, g)}/bands")
+    } finally setsI.unpersist() // both delta writes (the cache's only
+      // consumers) have run — release it (r10, advisor)
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)
@@ -360,8 +398,10 @@ object DedupIndex {
     // pairs off the JUST-WRITTEN delta (read back — not the lineage of
     // the input frame, so the verify never re-signs fresh docs) against
     // prior committed state
-    val setsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/sets")
-    val bandsW = spark.read.parquet(s"${deltaPath(dir, name, v, g)}/bands")
+    val setsW = readStored(spark, setsPath(dir, name, v),
+      Seq(s"${deltaPath(dir, name, v, g)}/sets"))
+    val bandsW = readStored(spark, bandsPath(dir, name, v),
+      Seq(s"${deltaPath(dir, name, v, g)}/bands"))
     pairsOf(setsW, bandsW, priorSets, priorBands,
       thresholdNum, thresholdDen)
   }

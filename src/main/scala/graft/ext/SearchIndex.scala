@@ -67,6 +67,20 @@ object SearchIndex {
 
   private val FoldMarkerRe = """g(\d+)\.ok""".r
 
+  // r10: memoized per-version artifact schemas + multi-path reads — see
+  // DedupIndex.readStored (schema-inferring reads each pay a footer job;
+  // artifact schemas are frozen per version).
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readStored(
+      spark: SparkSession, schemaKey: String,
+      paths: Seq[String]): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(
+      schemaKey, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(paths: _*)
+  }
+
   private def committedFolds(
       spark: SparkSession, dir: String, name: String, v: Int): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(foldsDir(dir, name, v))
@@ -93,10 +107,12 @@ object SearchIndex {
     */
   private def sign(
       docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // persisted (r9): the tokenizer pass feeds the postings, termdf and
-    // totals legs, which are materialized by THREE separate write
-    // actions — without the cache it re-tokenizes per write
+    // totals legs, which are materialized by SEPARATE write actions —
+    // without the cache it re-tokenizes per write. The 4th element is
+    // the cache handle: callers unpersist once their writes have run
+    // (r10, advisor).
     val tk = docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -110,7 +126,7 @@ object SearchIndex {
     val termdf = tc.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val totals = tk.agg(count(lit(1)).as("n_docs"),
       coalesce(sum("dl"), lit(0L)).as("total_len"))
-    (postings, termdf, totals)
+    (postings, termdf, totals, tk)
   }
 
   private def writeBatch(
@@ -129,8 +145,9 @@ object SearchIndex {
       idCol: String, textCol: String, retainVersions: Int = 2): Unit = {
     val v = currentVersion(spark, dir, name).getOrElse(0) + 1
     graft.io.VersionPointer.dropDir(spark, s"${layoutDir(dir, name)}/v$v")
-    val (p, t, s) = sign(corpus, idCol, textCol)
-    writeBatch(p, t, s, s"${layoutDir(dir, name)}/v$v", "errorifexists")
+    val (p, t, s, tkCache) = sign(corpus, idCol, textCol)
+    try writeBatch(p, t, s, s"${layoutDir(dir, name)}/v$v", "errorifexists")
+    finally tkCache.unpersist()
     graft.io.VersionPointer.commit(spark, layoutDir(dir, name), v)
     graft.io.VersionPointer.retain(
       spark, layoutDir(dir, name), v, retainVersions)
@@ -154,8 +171,9 @@ object SearchIndex {
       s"fold generation $g is below already-committed generations " +
         s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
         "batch identities would make the replay no-op ambiguous")
-    val (p, t, s) = sign(fresh, idCol, textCol)
-    writeBatch(p, t, s, deltaPath(dir, name, v, g), "overwrite")
+    val (p, t, s, tkCache) = sign(fresh, idCol, textCol)
+    try writeBatch(p, t, s, deltaPath(dir, name, v, g), "overwrite")
+    finally tkCache.unpersist()
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)
@@ -167,11 +185,12 @@ object SearchIndex {
   /** All committed rows of one artifact (base + committed deltas). */
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
-      what: String): DataFrame =
-    (s"${layoutDir(dir, name)}/v$v/$what" +:
+      what: String): DataFrame = {
+    val base = s"${layoutDir(dir, name)}/v$v/$what"
+    readStored(spark, base, base +:
       committedFolds(spark, dir, name, v)
         .map(g => s"${deltaPath(dir, name, v, g)}/$what"))
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
 
   /** BM25 top-`k` per query against the maintained index — the
     * [[Retrieval.bm25TopK]] output contract

