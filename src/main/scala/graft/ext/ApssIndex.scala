@@ -30,14 +30,16 @@ import org.apache.spark.sql.functions._
   *    build keeps every later fold's prefixes join-compatible with the
   *    stored ones without re-signing anything. [[compact]]/a rebuild
   *    re-derives it when drift erodes the heuristic.
-  *  - `v<N>/tokens`  — (doc_id, h): full distinct shingle-hash rows —
-  *    the exact-verification side.
-  *  - `v<N>/sizes`   — (doc_id, n): distinct-set sizes.
-  *  - `v<N>/prefix`  — (doc_id, h): each doc's first `n − o + 1` hashes
-  *    under the frozen order (`o = ceil(floor² · n / 10⁶)`) — the
-  *    candidate-join side.
-  *  - `v<N>/deltas/g<G>/{tokens,sizes,prefix}` — one delta triple PER
-  *    FOLD, committed by a create-only `v<N>/_folds/g<G>.ok` marker.
+  *  - `v<N>/sign` — the three sign artifacts as one `__what`-partitioned
+  *    table (r10: a batch commits in ONE write action; readers address
+  *    the partition subdirs directly so each artifact scans only its own
+  *    files): `__what=tokens` (doc_id, h) full distinct shingle-hash
+  *    rows — the exact-verification side; `__what=sizes` (doc_id, n)
+  *    distinct-set sizes; `__what=prefix` (doc_id, h) each doc's first
+  *    `n − o + 1` hashes under the frozen order
+  *    (`o = ceil(floor² · n / 10⁶)`) — the candidate-join side.
+  *  - `v<N>/deltas/g<G>/sign` — one unified delta PER FOLD, committed by
+  *    a create-only `v<N>/_folds/g<G>.ok` marker.
   *
   * [[fold]] signs ONLY the fresh batch (write IO is delta-sized), joins
   * fresh prefixes against stored ∪ fresh prefixes (ids-only equi-join on
@@ -170,18 +172,48 @@ object ApssIndex {
     (tokens, sizes, prefix, hs)
   }
 
+  /** The three sign artifacts as ONE `__what`-partitioned frame — r10:
+    * a batch's tokens/sizes/prefix commit in a SINGLE write action (one
+    * job + one commit instead of three); readers address the partition
+    * subdirs directly (`.../sign/__what=tokens`), so each artifact still
+    * scans only its own files.
+    */
+  private def signedUnion(
+      tokens: DataFrame, sizes: DataFrame, prefix: DataFrame): DataFrame =
+    tokens.select(lit("tokens").as("__what"), col("doc_id"),
+        col("h"), lit(null).cast("long").as("n"))
+      .unionByName(sizes.select(lit("sizes").as("__what"), col("doc_id"),
+        lit(null).cast("long").as("h"), col("n")))
+      .unionByName(prefix.select(lit("prefix").as("__what"), col("doc_id"),
+        col("h"), lit(null).cast("long").as("n")))
+
+  private val whatCols = Map(
+    "tokens" -> Seq("doc_id", "h"),
+    "sizes" -> Seq("doc_id", "n"),
+    "prefix" -> Seq("doc_id", "h"))
+
+  /** One artifact out of a unified sign dir (or several). */
+  private def readSigned(
+      spark: SparkSession, dir: String, name: String, v: Int,
+      signRoots: Seq[String], what: String): DataFrame = {
+    val cols = whatCols(what)
+    readStored(spark, s"${sub(dir, name, v, "sign")}/__what=$what",
+      signRoots.map(r => s"$r/__what=$what"))
+      .select(cols.head, cols.tail: _*)
+  }
+
   /** All committed rows of one artifact of version `v` (base + committed
     * fold deltas below `belowGen`) — orphans invisible, the marker is
     * the commit; a fold REPLAY reads exactly the state below itself.
     */
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
-      what: String, belowGen: Long = Long.MaxValue): DataFrame = {
-    val base = sub(dir, name, v, what)
-    readStored(spark, base, base +:
-      committedFolds(spark, dir, name, v).filter(_ < belowGen)
-        .map(g => s"${deltaPath(dir, name, v, g)}/$what"))
-  }
+      what: String, belowGen: Long = Long.MaxValue): DataFrame =
+    readSigned(spark, dir, name, v,
+      sub(dir, name, v, "sign") +:
+        committedFolds(spark, dir, name, v).filter(_ < belowGen)
+          .map(g => s"${deltaPath(dir, name, v, g)}/sign"),
+      what)
 
   private def writeVersion(
       spark: SparkSession, tokens: DataFrame, sizes: DataFrame,
@@ -195,12 +227,9 @@ object ApssIndex {
       .parquet(sub(dir, name, version, "params"))
     dforder.write.mode("errorifexists")
       .parquet(sub(dir, name, version, "dforder"))
-    tokens.write.mode("errorifexists")
-      .parquet(sub(dir, name, version, "tokens"))
-    sizes.write.mode("errorifexists")
-      .parquet(sub(dir, name, version, "sizes"))
-    prefix.write.mode("errorifexists")
-      .parquet(sub(dir, name, version, "prefix"))
+    signedUnion(tokens, sizes, prefix)
+      .write.partitionBy("__what").mode("errorifexists")
+      .parquet(sub(dir, name, version, "sign"))
   }
 
   /** Sign + index `corpus` as version 1 (or N+1 — a manual rebuild),
@@ -333,8 +362,8 @@ object ApssIndex {
     val committed = committedFolds(spark, dir, name, v)
     val g = generation.getOrElse(committed.lastOption.getOrElse(0L) + 1L)
     def delta(what: String): DataFrame =
-      readStored(spark, sub(dir, name, v, what),
-        Seq(s"${deltaPath(dir, name, v, g)}/$what"))
+      readSigned(spark, dir, name, v,
+        Seq(s"${deltaPath(dir, name, v, g)}/sign"), what)
     if (committed.contains(g)) {
       return pairsOf(delta("tokens"), delta("sizes"), delta("prefix"),
         readCommitted(spark, dir, name, v, "tokens", belowGen = g),
@@ -354,16 +383,12 @@ object ApssIndex {
     val (ti, si, pi, hsCache) =
       signFrozen(fresh, idCol, textCol, k, floorPermil, dforder)
     // overwrite: a retry of a PRE-marker crash replaces the orphan.
-    // The three delta writes are the sign-pass caches' only consumers —
-    // release them afterwards (r10, advisor).
-    try {
-      ti.write.mode("overwrite")
-        .parquet(s"${deltaPath(dir, name, v, g)}/tokens")
-      si.write.mode("overwrite")
-        .parquet(s"${deltaPath(dir, name, v, g)}/sizes")
-      pi.write.mode("overwrite")
-        .parquet(s"${deltaPath(dir, name, v, g)}/prefix")
-    } finally { ti.unpersist(); hsCache.unpersist(); () }
+    // r10: the three artifacts commit in ONE `__what`-partitioned write
+    // (one job instead of three); it is the sign-pass caches' only
+    // consumer — release them afterwards (advisor).
+    try signedUnion(ti, si, pi).write.partitionBy("__what")
+      .mode("overwrite").parquet(s"${deltaPath(dir, name, v, g)}/sign")
+    finally { ti.unpersist(); hsCache.unpersist(); () }
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)

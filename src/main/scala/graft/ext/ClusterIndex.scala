@@ -155,18 +155,15 @@ object ClusterIndex {
     * labels — the shared core of [[fold]] (which commits them) and the
     * replay path. Output: (node, cluster_id) rows for exactly the nodes
     * whose label changes (including fresh nodes' first labels), plus the
-    * cache handles the frame holds (fresh pairs + the mapped-edge CC
-    * output) so the caller can unpersist them once its single action has
-    * run — the operator owns the action in [[fold]], so it owns the
-    * cleanup too (r10, advisor).
+    * cache handle of the mapped-edge CC output so the caller can
+    * unpersist it once its single action has run — the operator owns
+    * the action in [[fold]], so it owns the cleanup too (r10, advisor).
+    * `fresh` must already be MATERIALIZED (checkpointed) pairs — the
+    * three references below (mapped edges + both endpoint legs) read it
+    * without recomputation.
     */
   private def changedLabels(
-      fresh0: DataFrame, prior: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    // r9: the fresh pair frame is typically an UNMATERIALIZED index-fold
-    // result (bands join + exact verify); it is referenced three times
-    // below (mapped edges + both endpoint legs), so persist it — the
-    // cache bounds it to one computation instead of three
-    val fresh = fresh0.select("id_a", "id_b").persist()
+      fresh: DataFrame, prior: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // endpoints → stored representative (itself when unseen)
     val la = prior.select(col("node").as("id_a"), col("cluster_id").as("ra"))
     val lb = prior.select(col("node").as("id_b"), col("cluster_id").as("rb"))
@@ -196,7 +193,7 @@ object ClusterIndex {
       .join(prior.select("node"), Seq("node"), "left_anti")
       .join(cc, endpoints("node") === cc("rep"))
       .select(col("node"), col("new_root").as("cluster_id"))
-    (relabeled.unionByName(freshFirst), Seq(fresh, cc))
+    (relabeled.unionByName(freshFirst), Seq(cc))
   }
 
   /** Fold a batch of fresh near-dup pairs (columns `id_a`, `id_b` — a
@@ -220,16 +217,34 @@ object ClusterIndex {
       s"fold generation $g is below already-committed generations " +
         s"${committed.filter(_ > g).mkString(", ")} — out-of-order " +
         "batch identities would make replay state ambiguous")
-    // persist (not eager checkpoint): prior is referenced four ways in
-    // changedLabels; the write action below materializes the cache once
-    val prior = resolved(spark, dir, name, v).persist()
-    val (changed, handles) = changedLabels(fresh, prior)
-    // the write is this operator's single action over the cached frames —
-    // unpersist them afterwards so a long-lived session calling fold()
-    // repeatedly doesn't accumulate cached blocks (r10, advisor)
-    try changed.write.mode("overwrite")
-      .parquet(deltaPath(dir, name, v, g))
-    finally (prior +: handles).foreach(_.unpersist())
+    // r10 two-phase fold (guide §8's decide-with-small-rows discipline):
+    // the caller's fresh frame is typically an UNMATERIALIZED index-fold
+    // result (bands join + exact verify over a shingle-exploded working
+    // set) — materialize it FIRST, eagerly and UNSCOPED, so the heavy
+    // verify keeps its parallelism, counting the pairs on the same
+    // action via observe(). Everything after — prior resolve, endpoint
+    // mapping, CC over |batch| edges, the delta write — is label algebra
+    // over that measured pair count, so it runs under the size-gated
+    // fixed-cost scope (one job per action below the gate; a TB-scale
+    // fold exceeds the gate and keeps AQE).
+    val obs = org.apache.spark.sql.Observation()
+    val freshCk = fresh.select("id_a", "id_b")
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nPairs = obs.get("n").asInstanceOf[Long]
+    graft.conf.Tuning.withSmallInputScope(spark, nPairs * 32L) {
+      // persist (not eager checkpoint): prior is referenced four ways in
+      // changedLabels; the write action below materializes the cache once
+      val prior = resolved(spark, dir, name, v).persist()
+      val (changed, handles) = changedLabels(freshCk, prior)
+      // the write is this operator's single action over the cached
+      // frames — unpersist them afterwards so a long-lived session
+      // calling fold() repeatedly doesn't accumulate cached blocks
+      // (r10, advisor)
+      try changed.write.mode("overwrite")
+        .parquet(deltaPath(dir, name, v, g))
+      finally (prior +: handles).foreach(_.unpersist())
+    }
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)

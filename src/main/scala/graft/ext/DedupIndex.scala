@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *    of taking parameters, so a fold can never band differently than
   *    the stored corpus (bucket equality across generations is the whole
   *    correctness argument).
-  *  - `v<N>/sets`  — (doc_id, hsh): each indexed doc's distinct 60-bit
-  *    shingle-hash set — the exact-verification side.
-  *  - `v<N>/bands` — (doc_id, band, bucket): the LSH candidate-join side.
-  *  - `v<N>/deltas/g<G>/{sets,bands}` — one delta pair PER FOLD,
+  *  - `v<N>/sign` — the two artifacts as one `__what`-partitioned table
+  *    (r10: a batch commits in ONE write action; readers address the
+  *    partition subdirs directly): `__what=sets` (doc_id, hsh) — each
+  *    indexed doc's distinct 60-bit shingle-hash set, the
+  *    exact-verification side; `__what=bands` (doc_id, band, bucket) —
+  *    the LSH candidate-join side.
+  *  - `v<N>/deltas/g<G>/sign` — one unified delta PER FOLD,
   *    committed by a create-only `v<N>/_folds/g<G>.ok` marker. A crash
   *    mid-fold leaves an invisible orphan; the retry recomputes the same
   *    generation, overwrites it, and commits — never double-inserted.
@@ -88,10 +91,8 @@ object DedupIndex {
 
   private def paramsPath(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/params"
-  private def setsPath(dir: String, name: String, v: Int): String =
-    s"${layoutDir(dir, name)}/v$v/sets"
-  private def bandsPath(dir: String, name: String, v: Int): String =
-    s"${layoutDir(dir, name)}/v$v/bands"
+  private def signPath(dir: String, name: String, v: Int): String =
+    s"${layoutDir(dir, name)}/v$v/sign"
   private def foldsDir(dir: String, name: String, v: Int): String =
     s"${layoutDir(dir, name)}/v$v/_folds"
   private def deltaPath(dir: String, name: String, v: Int, g: Long): String =
@@ -190,6 +191,31 @@ object DedupIndex {
     (sets, bands)
   }
 
+  /** The two sign artifacts as ONE `__what`-partitioned frame — r10: a
+    * batch's sets + bands commit in a SINGLE write action.
+    */
+  private def signedUnion(sets: DataFrame, bands: DataFrame): DataFrame =
+    sets.select(lit("sets").as("__what"), col("doc_id"), col("hsh"),
+        lit(null).cast("int").as("band"),
+        lit(null).cast("string").as("bucket"))
+      .unionByName(bands.select(lit("bands").as("__what"), col("doc_id"),
+        lit(null).cast("array<bigint>").as("hsh"), col("band"),
+        col("bucket")))
+
+  private val whatCols = Map(
+    "sets" -> Seq("doc_id", "hsh"),
+    "bands" -> Seq("doc_id", "band", "bucket"))
+
+  /** One artifact out of unified sign dirs. */
+  private def readSigned(
+      spark: SparkSession, dir: String, name: String, v: Int,
+      signRoots: Seq[String], what: String): DataFrame = {
+    val cols = whatCols(what)
+    readStored(spark, s"${signPath(dir, name, v)}/__what=$what",
+      signRoots.map(r => s"$r/__what=$what"))
+      .select(cols.head, cols.tail: _*)
+  }
+
   /** All committed sets / bands of version `v` (base + committed fold
     * deltas) — orphan delta dirs are invisible, the marker is the commit.
     * `belowGen` bounds the visible fold generations (exclusive): a fold
@@ -197,14 +223,12 @@ object DedupIndex {
     */
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
-      sub: String, belowGen: Long = Long.MaxValue): DataFrame = {
-    val base = if (sub == "sets") setsPath(dir, name, v)
-      else bandsPath(dir, name, v)
-    val roots = base +:
-      committedFolds(spark, dir, name, v).filter(_ < belowGen)
-        .map(g => s"${deltaPath(dir, name, v, g)}/$sub")
-    readStored(spark, base, roots)
-  }
+      sub: String, belowGen: Long = Long.MaxValue): DataFrame =
+    readSigned(spark, dir, name, v,
+      signPath(dir, name, v) +:
+        committedFolds(spark, dir, name, v).filter(_ < belowGen)
+          .map(g => s"${deltaPath(dir, name, v, g)}/sign"),
+      sub)
 
   /** Sign + band + write (uncommitted) version `version` from `docs`,
     * dropping any orphan dir a failed predecessor left.
@@ -219,8 +243,8 @@ object DedupIndex {
     Seq((k, numHashes, bandRows)).toDF("k", "num_hashes", "band_rows")
       .coalesce(1).write.mode("errorifexists")
       .parquet(paramsPath(dir, name, version))
-    sets.write.mode("errorifexists").parquet(setsPath(dir, name, version))
-    bands.write.mode("errorifexists").parquet(bandsPath(dir, name, version))
+    signedUnion(sets, bands).write.partitionBy("__what")
+      .mode("errorifexists").parquet(signPath(dir, name, version))
   }
 
   /** Sign + index `corpus` as version 1 (or N+1 — a manual rebuild),
@@ -363,10 +387,10 @@ object DedupIndex {
       // replay of a committed generation: the delta is immutable (an
       // at-least-once source redelivers the same batch), so recompute
       // its pairs against exactly the state that preceded it
-      val setsW = readStored(spark, setsPath(dir, name, v),
-        Seq(s"${deltaPath(dir, name, v, g)}/sets"))
-      val bandsW = readStored(spark, bandsPath(dir, name, v),
-        Seq(s"${deltaPath(dir, name, v, g)}/bands"))
+      val setsW = readSigned(spark, dir, name, v,
+        Seq(s"${deltaPath(dir, name, v, g)}/sign"), "sets")
+      val bandsW = readSigned(spark, dir, name, v,
+        Seq(s"${deltaPath(dir, name, v, g)}/sign"), "bands")
       return pairsOf(setsW, bandsW,
         readCommitted(spark, dir, name, v, "sets", belowGen = g),
         readCommitted(spark, dir, name, v, "bands", belowGen = g),
@@ -382,14 +406,13 @@ object DedupIndex {
     val (setsI, bandsI) =
       signAndBand(fresh, idCol, textCol, k, numHashes, bandRows)
     // overwrite mode: a retry of a crashed fold recomputes the same
-    // generation and replaces the orphan before committing
-    try {
-      setsI.write.mode("overwrite")
-        .parquet(s"${deltaPath(dir, name, v, g)}/sets")
-      bandsI.write.mode("overwrite")
-        .parquet(s"${deltaPath(dir, name, v, g)}/bands")
-    } finally setsI.unpersist() // both delta writes (the cache's only
-      // consumers) have run — release it (r10, advisor)
+    // generation and replaces the orphan before committing. r10: both
+    // artifacts commit in ONE __what-partitioned write (one job instead
+    // of two); it is the sign-pass cache's only consumer — release it
+    // afterwards (advisor).
+    try signedUnion(setsI, bandsI).write.partitionBy("__what")
+      .mode("overwrite").parquet(s"${deltaPath(dir, name, v, g)}/sign")
+    finally setsI.unpersist()
     val marker = new org.apache.hadoop.fs.Path(
       s"${foldsDir(dir, name, v)}/g$g.ok")
     val f = fs(spark, marker.toString)
@@ -398,10 +421,10 @@ object DedupIndex {
     // pairs off the JUST-WRITTEN delta (read back — not the lineage of
     // the input frame, so the verify never re-signs fresh docs) against
     // prior committed state
-    val setsW = readStored(spark, setsPath(dir, name, v),
-      Seq(s"${deltaPath(dir, name, v, g)}/sets"))
-    val bandsW = readStored(spark, bandsPath(dir, name, v),
-      Seq(s"${deltaPath(dir, name, v, g)}/bands"))
+    val setsW = readSigned(spark, dir, name, v,
+      Seq(s"${deltaPath(dir, name, v, g)}/sign"), "sets")
+    val bandsW = readSigned(spark, dir, name, v,
+      Seq(s"${deltaPath(dir, name, v, g)}/sign"), "bands")
     pairsOf(setsW, bandsW, priorSets, priorBands,
       thresholdNum, thresholdDen)
   }

@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
   * collection statistic is ADDITIVE over disjoint document batches
   * (fold ids are new, the family contract), so per-batch partials sum to
   * the whole-corpus values bit-for-bit:
-  *  - `v<N>/postings` — (term, doc_id, c, dl): per-doc term frequencies
+  *  - `v<N>/sign` — the three artifacts as one `__what`-partitioned
+  *    table (r10: a batch commits in ONE write action; readers address
+  *    the partition subdirs directly so each artifact scans only its
+  *    own files):
+  *    `__what=postings` (term, doc_id, c, dl): per-doc term frequencies
   *    with the document length DENORMALIZED onto every posting (the
   *    norms-in-postings layout real engines use) — scoring needs dl only
   *    for matched postings, so queries never touch a corpus-sized
-  *    lengths table;
-  *  - `v<N>/termdf`   — (term, df): per-BATCH document frequencies —
-  *    readers SUM them per term;
-  *  - `v<N>/totals`   — one row per batch (n_docs, total_len) — readers
-  *    sum both.
+  *    lengths table; `__what=termdf` (term, df): per-BATCH document
+  *    frequencies — readers SUM them per term; `__what=totals` one row
+  *    per batch (n_docs, total_len) — readers sum both.
   * [[topK]] therefore answers IDENTICALLY to a one-shot
   * [[Retrieval.bm25TopK]] over the accumulated corpus — not just
   * approximately: the scoring runs through the shared
@@ -129,13 +131,35 @@ object SearchIndex {
     (postings, termdf, totals, tk)
   }
 
+  /** The three artifacts as ONE `__what`-partitioned frame — r10: a
+    * batch commits in a single write action (one job + one commit
+    * instead of three).
+    */
+  private def signedUnion(
+      postings: DataFrame, termdf: DataFrame,
+      totals: DataFrame): DataFrame = {
+    val nl = lit(null).cast("long")
+    postings.select(lit("postings").as("__what"), col("term"),
+        col("doc_id"), col("c"), col("dl"), nl.as("df"),
+        nl.as("n_docs"), nl.as("total_len"))
+      .unionByName(termdf.select(lit("termdf").as("__what"), col("term"),
+        nl.as("doc_id"), nl.as("c"), nl.as("dl"), col("df"),
+        nl.as("n_docs"), nl.as("total_len")))
+      .unionByName(totals.coalesce(1).select(lit("totals").as("__what"),
+        lit(null).cast("string").as("term"), nl.as("doc_id"), nl.as("c"),
+        nl.as("dl"), nl.as("df"), col("n_docs"), col("total_len")))
+  }
+
+  private val whatCols = Map(
+    "postings" -> Seq("term", "doc_id", "c", "dl"),
+    "termdf" -> Seq("term", "df"),
+    "totals" -> Seq("n_docs", "total_len"))
+
   private def writeBatch(
       postings: DataFrame, termdf: DataFrame,
-      totals: DataFrame, root: String, mode: String): Unit = {
-    postings.write.mode(mode).parquet(s"$root/postings")
-    termdf.write.mode(mode).parquet(s"$root/termdf")
-    totals.coalesce(1).write.mode(mode).parquet(s"$root/totals")
-  }
+      totals: DataFrame, root: String, mode: String): Unit =
+    signedUnion(postings, termdf, totals)
+      .write.partitionBy("__what").mode(mode).parquet(s"$root/sign")
 
   /** Sign + index `corpus` as version 1 (or N+1 — a rebuild), then apply
     * the retention window.
@@ -186,10 +210,13 @@ object SearchIndex {
   private def readCommitted(
       spark: SparkSession, dir: String, name: String, v: Int,
       what: String): DataFrame = {
-    val base = s"${layoutDir(dir, name)}/v$v/$what"
-    readStored(spark, base, base +:
+    val cols = whatCols(what)
+    val roots = s"${layoutDir(dir, name)}/v$v/sign" +:
       committedFolds(spark, dir, name, v)
-        .map(g => s"${deltaPath(dir, name, v, g)}/$what"))
+        .map(g => s"${deltaPath(dir, name, v, g)}/sign")
+    readStored(spark, s"${layoutDir(dir, name)}/v$v/sign/__what=$what",
+      roots.map(r => s"$r/__what=$what"))
+      .select(cols.head, cols.tail: _*)
   }
 
   /** BM25 top-`k` per query against the maintained index — the

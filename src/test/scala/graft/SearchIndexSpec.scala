@@ -84,8 +84,10 @@ class SearchIndexSpec extends AnyFunSuite with SparkSpec {
     assert(SearchIndex.versions(spark, dir, "s") == Seq(1, 2))
     assert(top(SearchIndex.topK(spark, qt, dir, "s", "doc_id", k = 5))
       == before)
-    // one totals row and one df row per term after the rewrite
-    assert(spark.read.parquet(s"$dir/s.searchindex/v2/totals").count() == 1)
+    // one totals row and one df row per term after the rewrite (totals
+    // live in the unified __what-partitioned sign table since r10)
+    assert(spark.read
+      .parquet(s"$dir/s.searchindex/v2/sign/__what=totals").count() == 1)
     // time-travel: rebuild v3 from only slice `a` — v2 still answers the
     // accumulated state, the new current answers the small one
     SearchIndex.build(spark, a, dir, "s", "doc_id", "text")
