@@ -48,6 +48,9 @@ object Bfs {
       val eh = e.select(col("u").as("__eu"), col("v").as("__ev"))
       val reached = frontier.join(eh, frontier("node") === col("__eu"))
         .select(col("__ev").as("node"), lit(hop).cast("int").as("d"))
+      // session-scoped scratch cache (the PageRank contract): alive for
+      // the caller's action; reclaimed by the harness between queries /
+      // on session end.
       val merged = dist.unionByName(reached)
         .groupBy("node").agg(min(col("d")).as("d"))
         .persist()

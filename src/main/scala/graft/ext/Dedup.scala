@@ -234,7 +234,11 @@ object Dedup {
     require(numHashes % bandRows == 0)
     val numBands = numHashes / bandRows
     // persisted (r9): the fused shingle pass feeds the signature leg AND
-    // the exact verify — one computation per action
+    // the exact verify — one computation per action. These call-site
+    // persists throughout this file are session-scoped scratch (the
+    // PageRank contract): alive for the caller's action, reclaimed by
+    // the harness between queries / on session end — the operators
+    // return lazy frames and cannot know when that action has run.
     val sets = withShingleHashSets(docs, idCol, textCol, k).persist()
 
     // Whole signature as ONE fused scalar pass over the per-doc hash set

@@ -48,6 +48,9 @@ object Hits {
       .withColumn("score", lit(1L))
     var hubs: DataFrame = null
     for (_ <- 1 to iterations) {
+      // session-scoped scratch cache (the PageRank contract): alive for
+      // the caller's action; reclaimed by the harness between queries /
+      // on session end.
       hubs = e.join(auth, e("dst") === auth("node"))
         .groupBy("src").agg(sum("score").as("h"))
         .select(col("src").as("node"), col("h").as("score"))

@@ -44,6 +44,10 @@ object KCore {
     val stats = (1 to rounds).map { round =>
       val sdeg = e.groupBy("src").agg(count(lit(1)).as("__sd"))
       val pdeg = e.groupBy("dst").agg(count(lit(1)).as("__pd"))
+      // session-scoped scratch cache (the PageRank contract): alive for
+      // the caller's action; reclaimed by the harness between queries /
+      // on session end — the operator returns a lazy frame and cannot
+      // know when that action has run.
       e = e.join(sdeg, "src").join(pdeg, "dst")
         .filter(col("__sd") >= k && col("__pd") >= k)
         .select("src", "dst")

@@ -49,6 +49,10 @@ object Sssp {
     for (_ <- 1 to rounds) {
       val relaxed = e.join(d, e("src") === d("node"))
         .select(e("dst").as("node"), (d("dist") + e("w")).as("dist"))
+      // session-scoped scratch cache (the PageRank contract): alive for
+      // the caller's action; reclaimed by the harness between queries /
+      // on session end — the operator returns a lazy frame and cannot
+      // know when that action has run.
       d = d.union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
         .persist()

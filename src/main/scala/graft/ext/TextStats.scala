@@ -946,6 +946,9 @@ object TextStats {
     // n_types, and the scoring join) — persist both so each computes once
     // inside the caller's single action instead of re-running the
     // tokenizer pass per reference
+    // session-scoped scratch cache (the PageRank contract): alive for
+    // the caller's action; reclaimed by the harness between queries /
+    // on session end.
     val tBg = bgRows(train, Nil).persist()
     val cuw = tBg.groupBy("u", "w").agg(count(lit(1)).as("c_uw")).persist()
     val cu = tBg.groupBy("u").agg(count(lit(1)).as("c_u"),
